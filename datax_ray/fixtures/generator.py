@@ -1,0 +1,228 @@
+"""Deterministic fixture generators (FIXTURES.md schemas).
+
+Everything is seeded numpy — no wall clock, no external data — so the same
+(seed, knobs) always yields byte-identical tables. This is our stand-in for
+DataX's `streamreader` synthetic source (SURVEY.md §2A row 5); the reference
+snapshot itself ships no generator (/root/reference/README.md:3).
+
+Knobs (FIXTURES.md §2): op mix, out-of-order fraction, duplicate-LSN fraction,
+zipf hot-key skew, corrupt fraction (dirty-record tests), optional DDL events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datax_ray.schemas import CHANGES_SCHEMA, TRANSCRIPTS_SCHEMA
+
+ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+TOOLS = np.array(["", "search", "python", "browser", "calculator"], dtype=object)
+LANGS = np.array(["en", "fr", "de", "es", "ja"], dtype=object)
+
+# Epoch base for synthetic event time: 2026-01-01T00:00:00 UTC in microseconds.
+BASE_TS_US = 1_767_225_600_000_000
+
+_FILLER = (
+    "the quick brown fox jumps over the lazy dog while discussing the plan "
+    "for the next step of the multi turn agent conversation with tools and "
+    "careful reasoning about data pipelines at scale "
+) * 4
+
+
+def _conv_ids(idx: np.ndarray) -> np.ndarray:
+    # Vectorized "conv-%06d" formatting.
+    return np.char.add("conv-", np.char.zfill(idx.astype("U6"), 6)).astype(object)
+
+
+def _texts(lsn: np.ndarray, conv_idx: np.ndarray, turn: np.ndarray, rng) -> np.ndarray:
+    """Deterministic per-event text with varying length."""
+    lens = rng.integers(16, 160, size=len(lsn))
+    head = np.char.add(
+        np.char.add("t", lsn.astype("U12")),
+        np.char.add(np.char.add("-c", conv_idx.astype("U8")), np.char.add("-x", turn.astype("U4"))),
+    )
+    filler = np.array([_FILLER[:n] for n in lens])
+    return np.char.add(np.char.add(head, " "), filler).astype(object)
+
+
+def _zipf_conv_choice(rng, n_events: int, n_convs: int, s: float) -> np.ndarray:
+    """Pick a conv index per event; s>0 gives zipf-skewed hot keys."""
+    if s <= 0.0:
+        return rng.integers(0, n_convs, size=n_events)
+    ranks = np.arange(1, n_convs + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    p /= p.sum()
+    return rng.choice(n_convs, size=n_events, p=p)
+
+
+def gen_transcripts(n_convs: int = 50, seed: int = 42, mean_turns: int = 8) -> pa.Table:
+    """A plain transcripts table (TRANSCRIPTS_SCHEMA) — base-lake fixture."""
+    rng = np.random.default_rng(seed)
+    turns_per_conv = 1 + rng.geometric(1.0 / mean_turns, size=n_convs)
+    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    turn = np.concatenate([np.arange(t) for t in turns_per_conv]).astype(np.int32)
+    n = len(conv_idx)
+    role = ROLES[np.where(turn % 2 == 0, 0, 1)].copy()
+    tool_mask = rng.random(n) < 0.1
+    role[tool_mask] = "tool"
+    tool = np.where(tool_mask, TOOLS[rng.integers(1, len(TOOLS), size=n)], "")
+    ts = BASE_TS_US + conv_idx.astype(np.int64) * 3_600_000_000 + turn.astype(np.int64) * 30_000_000
+    text = _texts(np.arange(n), conv_idx, turn, rng)
+    return pa.table(
+        {
+            "conv_id": pa.array(_conv_ids(conv_idx), pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def gen_changes(
+    n_events: int = 2000,
+    n_convs: int = 50,
+    seed: int = 42,
+    *,
+    p_insert: float = 0.61,
+    p_update: float = 0.30,
+    p_delete: float = 0.09,
+    max_turns: int = 20,
+    out_of_order_frac: float = 0.05,
+    dup_frac: float = 0.01,
+    corrupt_frac: float = 0.0,
+    hot_key_zipf_s: float = 0.0,
+    with_ddl: bool = False,
+) -> pa.Table:
+    """The CDC event log (CHANGES_SCHEMA, plus a `lang` payload column when
+    `with_ddl` — null before the add_column DDL takes effect).
+
+    Invariants the engine's epoch-boundary DDL simplification relies on
+    (SURVEY.md §7 hard-part 4):
+      * DDL events carry ts earlier than every data event, so applying them
+        "first" (epoch boundary) equals applying them in (ts, lsn) order.
+      * Payload values for a DDL-added column are null for every event with
+        lsn below the DDL's lsn.
+    """
+    rng = np.random.default_rng(seed)
+    n = n_events
+
+    lsn = np.arange(n, dtype=np.int64)
+    conv_idx = _zipf_conv_choice(rng, n, n_convs, hot_key_zipf_s)
+    turn = rng.integers(0, max_turns, size=n).astype(np.int32)
+
+    u = rng.random(n)
+    op = np.full(n, "insert", dtype=object)
+    op[u >= p_insert] = "update"
+    op[u >= p_insert + p_update] = "delete"
+    # (p_delete tail implied; anything beyond stays delete)
+
+    ts = BASE_TS_US + lsn * 1_000 + rng.integers(0, 900, size=n)
+    ooo = rng.random(n) < out_of_order_frac
+    ts = np.where(ooo, np.maximum(BASE_TS_US, ts - rng.integers(1, 5_000_000, size=n)), ts)
+
+    role = ROLES[rng.integers(0, 2, size=n)].copy()
+    tool_mask = rng.random(n) < 0.08
+    role[tool_mask] = "tool"
+    tool = np.where(tool_mask, TOOLS[rng.integers(1, len(TOOLS), size=n)], "")
+    text = _texts(lsn, conv_idx, turn, rng)
+
+    conv = _conv_ids(conv_idx)
+    ddl_json = np.full(n, None, dtype=object)
+    lang = np.full(n, None, dtype=object)
+
+    # Payload null for delete rows (FIXTURES.md: payload null when op delete/ddl).
+    is_del = op == "delete"
+    role = np.where(is_del, None, role)
+    text = np.where(is_del, None, text)
+    tool = np.where(is_del, None, tool)
+
+    if with_ddl and n >= 10:
+        add_pos = n // 3
+        widen_pos = (2 * n) // 3
+        for pos, payload in (
+            (add_pos, {"action": "add_column", "name": "lang", "type": "string"}),
+            (widen_pos, {"action": "widen", "name": "turn_idx", "type": "int64"}),
+        ):
+            op[pos] = "ddl"
+            ddl_json[pos] = json.dumps(payload)
+            ts[pos] = BASE_TS_US - 1_000_000  # sorts before all data events
+            role[pos] = None
+            text[pos] = None
+            tool[pos] = None
+        post = (lsn > add_pos) & (op != "ddl") & (op != "delete")
+        lang = np.where(post, LANGS[rng.integers(0, len(LANGS), size=n)], None)
+
+    # Duplicate-LSN injection: row i becomes an exact copy of row i-1
+    # (re-delivered event; idempotence tests).
+    if dup_frac > 0:
+        dups = np.flatnonzero(rng.random(n) < dup_frac)
+        dups = dups[dups > 0]
+        dups = dups[op[dups - 1] != "ddl"]
+        for arr in (lsn, conv, turn, op, ts, role, text, tool, ddl_json, lang):
+            arr[dups] = arr[dups - 1]
+
+    # Corruption injection (dirty-record tests): rotate through failure modes.
+    ts_arr: np.ndarray = ts.astype("datetime64[us]")
+    if corrupt_frac > 0:
+        bad = np.flatnonzero(rng.random(n) < corrupt_frac)
+        bad = bad[op[bad] != "ddl"]
+        mode = bad % 4
+        conv[bad[mode == 0]] = None
+        turn_f = turn.astype(object)
+        turn_f[bad[mode == 1]] = -1
+        turn = turn_f
+        ts_arr = ts_arr.astype(object)
+        ts_arr[bad[mode == 2]] = None
+        op[bad[mode == 3]] = "garbage"
+
+    cols = {
+        "lsn": pa.array(lsn, pa.int64()),
+        "ts": pa.array(ts_arr, pa.timestamp("us")),
+        "op": pa.array(op, pa.string()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "role": pa.array(role, pa.string()),
+        "text": pa.array(text, pa.string()),
+        "tool": pa.array(tool, pa.string()),
+        "ddl": pa.array(ddl_json, pa.string()),
+    }
+    if with_ddl:
+        cols["lang"] = pa.array(lang, pa.string())
+    return pa.table(cols)
+
+
+def write_segments(table: pa.Table, out_dir: str, seg_rows: int = 10_000) -> list[str]:
+    """Write the change log as ordered segment files seg-%05d.parquet.
+
+    A segment is a contiguous slice of the log (contiguous row range, and —
+    modulo injected duplicates — a contiguous LSN range); segments are the
+    unit of epoch planning and replay offsets.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, start in enumerate(range(0, max(table.num_rows, 1), seg_rows)):
+        part = table.slice(start, seg_rows)
+        path = os.path.join(out_dir, f"seg-{i:05d}.parquet")
+        pq.write_table(part, path)
+        paths.append(path)
+    return paths
+
+
+def gen_changes_dir(
+    out_dir: str,
+    n_events: int = 2000,
+    n_convs: int = 50,
+    seed: int = 42,
+    seg_rows: int = 10_000,
+    **knobs,
+) -> list[str]:
+    table = gen_changes(n_events, n_convs, seed, **knobs)
+    return write_segments(table, out_dir, seg_rows=seg_rows)

@@ -1,0 +1,102 @@
+"""Sequential replay oracle (FIXTURES.md §3).
+
+A deliberately naive, single-process, row-at-a-time replayer: apply change
+events one by one in (ts, lsn) order into a dict keyed (conv_id, turn_idx).
+This is the ground truth the distributed engine must match row-for-row with
+per-turn text equality under stable (conv_id, turn_idx) ordering
+(BASELINE.json correctness gate). The reference ships no executable
+(/root/reference/README.md:3), so this oracle IS the reference final state.
+
+Kept intentionally different in structure from the engine (python dict loop
+vs vectorized Arrow LWW) so they fail independently.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datax_ray.schemas import TRANSCRIPTS_SCHEMA
+from datax_ray.validation import valid_event_mask
+
+_WIDEN = {
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+}
+
+
+def sequential_replay(changes: pa.Table) -> pa.Table:
+    """Replay a change table; returns the final lake state sorted by
+    (conv_id, turn_idx), with the evolved schema. Dirty rows are skipped
+    under the shared validation rules."""
+    schema_fields: list[tuple[str, pa.DataType]] = [
+        (f.name, f.type) for f in TRANSCRIPTS_SCHEMA
+    ]
+    base_payload = ["role", "text", "tool"]
+
+    idx = pc.sort_indices(
+        changes, sort_keys=[("ts", "ascending"), ("lsn", "ascending")]
+    )
+    changes = changes.take(idx)
+
+    is_ddl = pc.equal(changes["op"], "ddl")
+    ddl_rows = changes.filter(pc.fill_null(is_ddl, False))
+    data_rows = changes.filter(pc.fill_null(pc.invert(is_ddl), True))
+    valid = valid_event_mask(data_rows)
+    data_rows = data_rows.filter(valid)
+
+    # Interleave ddl + data in (ts, lsn) order via a merged python walk.
+    ddl_list = ddl_rows.to_pylist()
+    rows = data_rows.to_pylist()
+
+    def key_of(r):
+        return (r["ts"], r["lsn"])
+
+    merged = sorted(ddl_list + rows, key=key_of)
+
+    extra_payload: list[str] = []
+    state: dict[tuple, dict] = {}
+    for r in merged:
+        if r["op"] == "ddl":
+            try:
+                d = json.loads(r["ddl"])
+            except (TypeError, ValueError):
+                continue
+            if d.get("action") == "add_column":
+                name, typ = d["name"], d["type"]
+                if all(n != name for n, _ in schema_fields):
+                    schema_fields.append((name, _WIDEN.get(typ, pa.string())))
+                    extra_payload.append(name)
+            elif d.get("action") == "widen":
+                name, typ = d["name"], d["type"]
+                schema_fields = [
+                    (n, _WIDEN[typ] if n == name else t) for n, t in schema_fields
+                ]
+            continue
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            state.pop(k, None)
+        else:  # insert/update == upsert
+            row = {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "ts": r["ts"],
+            }
+            for c in base_payload:
+                row[c] = r.get(c)
+            for c in extra_payload:
+                row[c] = r.get(c)
+            state[k] = row
+
+    schema = pa.schema(schema_fields)
+    out_rows = [state[k] for k in sorted(state.keys())]
+    if not out_rows:
+        return schema.empty_table()
+    cols = {
+        f.name: pa.array([r.get(f.name) for r in out_rows], f.type)
+        for f in schema
+    }
+    return pa.table(cols, schema=schema)

@@ -1,0 +1,173 @@
+"""The replay pipeline — entry point E1/E2 of SURVEY.md §3.2.
+
+Per epoch:
+    read_parquet(uncommitted segments)
+      → map_batches(Normalizer)           # stateless: watermark, validate,
+                                          # dirty-route, cast, part_id
+      → groupby("part_id").map_groups(MergeApplier)   # THE shuffle + the
+                                          # stateful per-partition LWW apply;
+                                          # emits O(P) lineage rows only
+      → take_all() lineage (tiny) → 2PC manifest commit (driver)
+
+Resume (a crashed/killed run) is the identical code path: the planner skips
+committed segments; orphan partition files are overwritten byte-identically.
+
+Never calls ray.init — the caller owns the Ray session (driver contract).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import ray
+import ray.data
+
+from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
+from datax_ray.sources.changelog import max_lsn, plan_epochs, scan_ddl
+from datax_ray.stages.merge import MergeApplier
+from datax_ray.stages.normalize import Normalizer
+from datax_ray.state.manifest import Manifest
+from datax_ray.state.metrics import get_metrics_actor, total_dirty
+from datax_ray.state.schema_tracker import SchemaTracker
+
+
+class DirtyLimitExceeded(RuntimeError):
+    pass
+
+
+@dataclass
+class ReplayConfig:
+    changes_dir: str
+    lake_dir: str
+    num_partitions: int = 64
+    segments_per_epoch: int | None = None  # None => one epoch for all pending
+    salt_turn_width: int | None = None
+    batch_size: int | None = 65536
+    error_limit_rows: int | None = None  # abort epoch if dirty rows exceed
+    error_limit_pct: float | None = None  # ... or this fraction of rows_in
+    normalize_concurrency: int | tuple | None = None  # default: (1, ncpu)
+    merge_concurrency: int | tuple | None = None  # default: (1, ncpu)
+    metrics: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class EpochReport:
+    epoch: int
+    segments: list[str]
+    events_in: int
+    rows_out: int
+    dirty_rows: int
+    wall_s: float
+
+
+def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch: int) -> EpochReport:
+    t0 = time.perf_counter()
+    metrics = get_metrics_actor() if cfg.metrics else None
+    if metrics is not None:
+        ray.get(metrics.reset.remote())
+
+    # 1. Schema evolution: fold this epoch's DDL events (epoch-boundary
+    #    application; see SchemaTracker docstring for the soundness argument).
+    tracker = SchemaTracker(manifest.committed_schema() or LAKE_SCHEMA)
+    for _, ddl in scan_ddl(segments):
+        tracker.apply_ddl(ddl)
+    lake_schema = tracker.schema
+    schema_json = schema_to_json(lake_schema)
+
+    watermark = manifest.committed_lsn_hi()
+    part_files = {
+        pid: rec["file"] for pid, rec in manifest.current_partitions().items()
+    }
+
+    # 2. The Dataset pipeline. Both stages are callable-class actor pools:
+    #    config parsed once per actor in __init__, per-batch/-group work in
+    #    __call__ (the DataX "plugin Task" lifecycle, Ray-natively).
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    norm_conc = cfg.normalize_concurrency or (1, max(2, ncpu))
+    merge_conc = cfg.merge_concurrency or (1, max(2, ncpu))
+    ds = ray.data.read_parquet(segments)
+    ds = ds.map_batches(
+        Normalizer,
+        fn_constructor_kwargs=dict(
+            target_schema_json=schema_json,
+            num_partitions=cfg.num_partitions,
+            watermark_lsn=watermark,
+            salt_turn_width=cfg.salt_turn_width,
+            deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
+            metrics=cfg.metrics,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size,
+        concurrency=norm_conc,
+    )
+    lineage_ds = ds.groupby("part_id").map_groups(
+        MergeApplier,
+        fn_constructor_kwargs=dict(
+            lake_dir=cfg.lake_dir,
+            epoch=epoch,
+            part_files=part_files,
+            lake_schema_json=schema_json,
+            metrics=cfg.metrics,
+        ),
+        batch_format="pyarrow",
+        concurrency=merge_conc,
+    )
+    lineage = lineage_ds.take_all()  # O(partitions) tiny rows
+
+    snap = ray.get(metrics.snapshot.remote()) if metrics is not None else {}
+    dirty = total_dirty(snap)
+    rows_in = int(snap.get("normalize", {}).get("rows_in", 0))
+
+    # 3. Dirty-record error limit (DataX errorLimit semantics): abort BEFORE
+    #    commit, so the epoch can be retried after the source is fixed.
+    if cfg.error_limit_rows is not None and dirty > cfg.error_limit_rows:
+        raise DirtyLimitExceeded(f"{dirty} dirty rows > limit {cfg.error_limit_rows}")
+    if (
+        cfg.error_limit_pct is not None
+        and rows_in > 0
+        and dirty / rows_in > cfg.error_limit_pct
+    ):
+        raise DirtyLimitExceeded(f"dirty fraction {dirty/rows_in:.4f} > {cfg.error_limit_pct}")
+
+    # 4. Commit: carry forward untouched partitions, overwrite touched ones.
+    partitions = manifest.current_partitions()
+    for r in lineage:
+        partitions[int(r["part_id"])] = {
+            "file": r["file"],
+            "rows": int(r["rows"]),
+            "lsn_hi": int(r["lsn_hi"]),
+        }
+    lsn_hi = max(watermark, max_lsn(segments))
+    manifest.commit(
+        epoch,
+        segments=segments,
+        lsn_hi=lsn_hi,
+        schema=lake_schema,
+        partitions=partitions,
+        lineage=[dict(r) for r in lineage],
+        metrics=snap,
+    )
+    rows_out = sum(int(r["rows"]) for r in lineage)
+    return EpochReport(
+        epoch=epoch,
+        segments=[s for s in segments],
+        events_in=rows_in,
+        rows_out=rows_out,
+        dirty_rows=dirty,
+        wall_s=time.perf_counter() - t0,
+    )
+
+
+def replay(cfg: ReplayConfig) -> list[EpochReport]:
+    """Replay all uncommitted segments (fresh run and resume alike)."""
+    manifest = Manifest(cfg.lake_dir)
+    reports = []
+    epochs = plan_epochs(cfg.changes_dir, manifest, cfg.segments_per_epoch)
+    epoch_no = manifest.committed_epoch() + 1
+    for segments in epochs:
+        reports.append(run_epoch(cfg, manifest, segments, epoch_no))
+        epoch_no += 1
+    return reports

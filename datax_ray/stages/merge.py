@@ -1,0 +1,176 @@
+"""Merge-apply: last-writer-wins upsert per (conv_id, turn_idx) (SURVEY.md
+§2B-B4; the Ray-native descendant of DataX otswriter's per-record
+PutRow/UpdateRow/DeleteRow apply, §2A row 9).
+
+`lww_reduce` is the vectorized kernel: sort by (conv_id, turn_idx, ts, lsn)
+and keep the last row per key — no Python row loop; key-change detection is
+a numpy adjacent-compare over dictionary codes.
+
+`MergeApplier` is the per-partition group function used after the hash
+shuffle (`groupby("part_id").map_groups(...)`). For its partition it:
+  1. reads the partition's current base file (from the committed manifest's
+     partition map shipped in the task closure — O(P) strings);
+  2. unions base rows (as pseudo-events op="base", ts=row ts, lsn=row _lsn)
+     with this epoch's events, unified to the evolved schema;
+  3. LWW-reduces, drops delete-winners (tombstones), sorts by key;
+  4. writes `p=NNNNN/e=EEEEEE.parquet` — DETERMINISTIC name and row order,
+     so Ray's at-least-once retries rewrite the identical file;
+  5. returns ONE tiny lineage row — the data itself never flows back
+     through the Dataset, only O(P) metadata reaches the driver, keeping
+     the commit step small enough that 4N scaling holds (SURVEY §7 hp-6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from datax_ray.schemas import LSN_COL, schema_from_json
+from datax_ray.state.metrics import get_metrics_actor
+
+_SORT_KEYS = [
+    ("conv_id", "ascending"),
+    ("turn_idx", "ascending"),
+    ("ts", "ascending"),
+    ("lsn", "ascending"),
+]
+
+
+def lww_reduce(t: pa.Table) -> pa.Table:
+    """Keep the winning row (max (ts, lsn)) per (conv_id, turn_idx)."""
+    if t.num_rows <= 1:
+        return t
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    conv = t["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turns = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    last = np.empty(len(codes), dtype=bool)
+    last[:-1] = (codes[:-1] != codes[1:]) | (turns[:-1] != turns[1:])
+    last[-1] = True
+    return t.filter(pa.array(last))
+
+
+def apply_events(
+    base: pa.Table | None, events: pa.Table, lake_schema: pa.Schema
+) -> pa.Table:
+    """Merge one partition's base state with its new events; returns the new
+    partition state in `lake_schema`, sorted by (conv_id, turn_idx).
+
+    Delete-winners are KEPT as tombstone rows (_deleted=True, payload as the
+    event carried it — null) so that a late, stale event arriving in a later
+    epoch loses the LWW race against the tombstone instead of resurrecting
+    the row."""
+    from datax_ray.schemas import DELETED_COL, INTERNAL_COLS
+
+    payload = [f.name for f in lake_schema if f.name not in INTERNAL_COLS]
+
+    def unify(t: pa.Table, op_col, lsn_col) -> pa.Table:
+        cols = {"op": op_col, "lsn": lsn_col}
+        for name in payload:
+            want = lake_schema.field(name).type
+            if t.schema.get_field_index(name) == -1:
+                cols[name] = pa.nulls(t.num_rows, want)
+            else:
+                c = t[name]
+                cols[name] = pc.cast(c, want) if c.type != want else c
+        return pa.table(cols)
+
+    parts = []
+    if base is not None and base.num_rows:
+        base_op = pc.if_else(
+            pc.fill_null(base[DELETED_COL], False),
+            pa.scalar("delete", pa.string()),
+            pa.scalar("base", pa.string()),
+        )
+        parts.append(unify(base, base_op, pc.cast(base[LSN_COL], pa.int64())))
+    if events.num_rows:
+        parts.append(unify(events, events["op"], events["lsn"]))
+    if not parts:
+        return lake_schema.empty_table()
+    merged = lww_reduce(pa.concat_tables(parts))
+    cols = {name: merged[name] for name in payload}
+    cols[LSN_COL] = merged["lsn"]
+    cols[DELETED_COL] = pc.equal(merged["op"], "delete")
+    out = pa.table(cols, schema=lake_schema)
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("epoch", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("events_applied", pa.int64()),
+        ("lsn_hi", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+class MergeApplier:
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        part_files: dict[int, str],
+        lake_schema_json: list[list[str]],
+        metrics: bool = True,
+    ):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.part_files = part_files
+        self.schema = schema_from_json(lake_schema_json)
+        self._metrics = get_metrics_actor() if metrics else None
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        part_id = group["part_id"][0].as_py()
+
+        base = None
+        base_rel = self.part_files.get(part_id)
+        if base_rel:
+            base = pq.read_table(os.path.join(self.lake_dir, base_rel))
+
+        state = apply_events(base, group, self.schema)
+
+        rel = os.path.join(f"p={part_id:05d}", f"e={self.epoch:06d}.parquet")
+        path = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(state, tmp)
+        os.replace(tmp, path)  # deterministic name + atomic swap => idempotent
+        nbytes = os.path.getsize(path)
+
+        lsn_hi = pc.max(group["lsn"]).as_py() if group.num_rows else -1
+        if self._metrics is not None:
+            self._metrics.add.remote(
+                "merge_apply",
+                {
+                    "events_in": group.num_rows,
+                    "rows_out": state.num_rows,
+                    "bytes_out": nbytes,
+                    "partitions": 1,
+                },
+            )
+        return pa.table(
+            {
+                "part_id": pa.array([part_id], pa.int32()),
+                "epoch": pa.array([self.epoch], pa.int32()),
+                "file": pa.array([rel], pa.string()),
+                "rows": pa.array([state.num_rows], pa.int64()),
+                "events_applied": pa.array([group.num_rows], pa.int64()),
+                "lsn_hi": pa.array([lsn_hi if lsn_hi is not None else -1], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )

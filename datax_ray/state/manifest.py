@@ -1,0 +1,118 @@
+"""Exactly-once lake manifest (SURVEY.md §2B-B5/B7/B8).
+
+The manifest directory `<lake>/_manifest/epoch=NNNNNN.json` is the ONLY
+durable engine state. Each record carries the FULL partition→file map
+(entries for untouched partitions copied forward), the committed LSN
+watermark, consumed segments, the evolved schema, lineage rows and metrics.
+
+Commit is two-phase: stage files are written first with deterministic names
+(idempotent under Ray's at-least-once task retries), then the manifest JSON
+is written to a temp file and os.rename'd into place — rename is atomic on
+POSIX, so readers see either the old or the new epoch, never a torn one.
+Files not referenced by a committed manifest are orphans from failed epochs
+and are ignored (and later overwritten byte-identically on re-run).
+
+This generalizes DataX hdfswriter's temp-then-rename write and mirrors its
+channel-statistics/lineage reporting (SURVEY.md §2A rows 7, 16).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pyarrow as pa
+
+from datax_ray.schemas import schema_from_json, schema_to_json
+
+_EPOCH_RE = re.compile(r"epoch=(\d{6})\.json$")
+
+
+class Manifest:
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.dir = os.path.join(lake_dir, "_manifest")
+
+    # -- read side ---------------------------------------------------------
+
+    def _epoch_files(self) -> list[tuple[int, str]]:
+        out = []
+        for p in glob.glob(os.path.join(self.dir, "epoch=*.json")):
+            m = _EPOCH_RE.search(p)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+
+    def committed_epoch(self) -> int:
+        files = self._epoch_files()
+        return files[-1][0] if files else -1
+
+    def latest(self) -> dict | None:
+        files = self._epoch_files()
+        if not files:
+            return None
+        with open(files[-1][1]) as f:
+            return json.load(f)
+
+    def committed_segments(self) -> set[str]:
+        segs: set[str] = set()
+        for _, p in self._epoch_files():
+            with open(p) as f:
+                segs.update(json.load(f)["segments"])
+        return segs
+
+    def committed_lsn_hi(self) -> int:
+        rec = self.latest()
+        return rec["lsn_hi"] if rec else -1
+
+    def committed_schema(self) -> pa.Schema | None:
+        rec = self.latest()
+        return schema_from_json(rec["schema"]) if rec else None
+
+    def current_partitions(self) -> dict[int, dict]:
+        """part_id -> {"file": relpath, "rows": n, "lsn_hi": int}"""
+        rec = self.latest()
+        if not rec:
+            return {}
+        return {int(k): v for k, v in rec["partitions"].items()}
+
+    def current_files(self) -> list[str]:
+        return [
+            os.path.join(self.lake_dir, v["file"])
+            for v in self.current_partitions().values()
+            if v["rows"] > 0
+        ]
+
+    # -- write side --------------------------------------------------------
+
+    def commit(
+        self,
+        epoch: int,
+        *,
+        segments: list[str],
+        lsn_hi: int,
+        schema: pa.Schema,
+        partitions: dict[int, dict],
+        lineage: list[dict],
+        metrics: dict,
+    ) -> dict:
+        os.makedirs(self.dir, exist_ok=True)
+        rec = {
+            "epoch": epoch,
+            "segments": sorted(os.path.basename(s) for s in segments),
+            "lsn_hi": int(lsn_hi),
+            "schema": schema_to_json(schema),
+            "partitions": {str(k): v for k, v in partitions.items()},
+            "lineage": lineage,
+            "metrics": metrics,
+        }
+        final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic: the commit point
+        return rec

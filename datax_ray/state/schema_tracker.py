@@ -1,0 +1,94 @@
+"""Schema-evolution state (SURVEY.md §2B-B6).
+
+Folds `op=ddl` events (add_column / widen) into an evolving Arrow lake
+schema, and unifies any batch to the current target schema: missing columns
+null-filled, widenable types cast. This carries DataX's per-plugin
+type-conversion-matrix spirit (SURVEY.md §2A row 20) into explicit Arrow
+casts; cast failures are dirty records, handled by the normalize stage.
+
+DDL is applied at epoch boundaries — sound because the fixture/CDC contract
+guarantees DDL events sort before the data events of their epoch and that a
+DDL-added column's payload is null for events preceding the DDL (see
+generator docstring and SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datax_ray.schemas import LSN_COL
+
+_NAMED_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "timestamp[us]": pa.timestamp("us"),
+}
+
+# Allowed widenings (value-preserving, order-independent).
+_WIDEN_OK = {
+    (pa.int32(), pa.int64()),
+    (pa.int16(), pa.int32()),
+    (pa.int16(), pa.int64()),
+    (pa.float32(), pa.float64()),
+    (pa.string(), pa.large_string()),
+    (pa.timestamp("s"), pa.timestamp("us")),
+    (pa.timestamp("ms"), pa.timestamp("us")),
+}
+
+
+class SchemaTracker:
+    def __init__(self, schema: pa.Schema):
+        self.schema = schema
+
+    def apply_ddl(self, ddl_json: str) -> None:
+        d = json.loads(ddl_json)
+        action = d.get("action")
+        name = d.get("name")
+        typ = _NAMED_TYPES.get(d.get("type"))
+        if typ is None:
+            raise ValueError(f"unsupported ddl type: {d.get('type')!r}")
+        if action == "add_column":
+            if self.schema.get_field_index(name) == -1:
+                # keep _lsn last: insert before it if present
+                i = self.schema.get_field_index(LSN_COL)
+                pos = i if i != -1 else len(self.schema)
+                self.schema = self.schema.insert(pos, pa.field(name, typ))
+        elif action == "widen":
+            i = self.schema.get_field_index(name)
+            if i == -1:
+                raise ValueError(f"widen of unknown column {name!r}")
+            cur = self.schema.field(i).type
+            if cur == typ:
+                return
+            if (cur, typ) not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {cur} -> {typ} for {name!r}")
+            self.schema = self.schema.set(i, pa.field(name, typ))
+        else:
+            raise ValueError(f"unknown ddl action: {action!r}")
+
+    def unify(self, t: pa.Table, columns: list[str] | None = None) -> pa.Table:
+        """Project/cast `t` to the target schema (or a subset of its columns):
+        missing columns null-filled, widenable mismatches cast."""
+        names = columns if columns is not None else [f.name for f in self.schema]
+        out = []
+        n = t.num_rows
+        for name in names:
+            want = self.schema.field(name).type
+            if t.schema.get_field_index(name) == -1:
+                out.append(pa.nulls(n, want))
+                continue
+            col = t[name]
+            if col.type != want:
+                col = pc.cast(col, want)
+            out.append(col)
+        return pa.table(dict(zip(names, out)))

@@ -1,0 +1,89 @@
+"""M2/M3: distributed replay == sequential oracle, across knob combinations."""
+
+import pyarrow as pa
+import pytest
+
+from datax_ray.fixtures.generator import gen_changes, write_segments
+from datax_ray.oracle import sequential_replay
+from datax_ray.pipelines.replay import ReplayConfig, replay
+from datax_ray.sinks.lake import final_table
+
+
+def assert_tables_equal(ours: pa.Table, oracle: pa.Table):
+    assert ours.schema.equals(oracle.schema), f"\nours={ours.schema}\noracle={oracle.schema}"
+    assert ours.num_rows == oracle.num_rows
+    for name in oracle.column_names:
+        a, b = ours[name], oracle[name]
+        if not a.equals(b):
+            # find first mismatch for a useful message
+            av, bv = a.to_pylist(), b.to_pylist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                assert x == y, f"col {name} row {i}: {x!r} != {y!r}"
+            pytest.fail(f"column {name} mismatch")
+
+
+def run_case(tmp_path, tag, n_events=4000, n_convs=60, seg_rows=1500, partitions=8, **knobs):
+    cfg_knobs = {}
+    for k in ("segments_per_epoch", "salt_turn_width"):
+        if k in knobs:
+            cfg_knobs[k] = knobs.pop(k)
+    changes = gen_changes(n_events, n_convs, seed=42, **knobs)
+    chg_dir = str(tmp_path / f"chg_{tag}")
+    lake_dir = str(tmp_path / f"lake_{tag}")
+    write_segments(changes, chg_dir, seg_rows=seg_rows)
+    reports = replay(
+        ReplayConfig(
+            changes_dir=chg_dir,
+            lake_dir=lake_dir,
+            num_partitions=partitions,
+            **cfg_knobs,
+        )
+    )
+    assert reports, "no epochs ran"
+    ours = final_table(lake_dir)
+    oracle = sequential_replay(changes)
+    assert_tables_equal(ours, oracle)
+    return reports
+
+
+def test_replay_basic(tmp_path):
+    run_case(tmp_path, "basic")
+
+
+def test_replay_out_of_order_and_dups(tmp_path):
+    run_case(tmp_path, "ooo", out_of_order_frac=0.2, dup_frac=0.05)
+
+
+def test_replay_multi_epoch(tmp_path):
+    reports = run_case(tmp_path, "epochs", segments_per_epoch=1)
+    assert len(reports) == 3  # 4000 rows / 1500 per segment
+
+
+def test_replay_hot_keys_salted(tmp_path):
+    run_case(
+        tmp_path, "zipf", hot_key_zipf_s=1.5, salt_turn_width=4, partitions=8
+    )
+
+
+def test_replay_ddl(tmp_path):
+    run_case(tmp_path, "ddl", with_ddl=True, segments_per_epoch=1)
+
+
+def test_replay_dirty(tmp_path):
+    reports = run_case(tmp_path, "dirty", corrupt_frac=0.05)
+    assert sum(r.dirty_rows for r in reports) > 0
+
+
+def test_replay_everything(tmp_path):
+    run_case(
+        tmp_path,
+        "all",
+        n_events=6000,
+        out_of_order_frac=0.15,
+        dup_frac=0.03,
+        corrupt_frac=0.03,
+        hot_key_zipf_s=1.2,
+        with_ddl=True,
+        segments_per_epoch=2,
+        salt_turn_width=8,
+    )
