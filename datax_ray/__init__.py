@@ -1,0 +1,25 @@
+"""datax_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+Built from scratch against the capability surface of tbs005/DataX
+(/root/reference, pre-code snapshot: README.md:1-3) as specified by
+BASELINE.json's north rule: binlog/WAL-style change-log replay → Parquet
+lake upsert with last-writer-wins semantics, schema evolution, exactly-once
+two-phase-commit sink, per-partition lineage + channel-statistics metrics,
+and dirty-record accounting — all expressed as ray.data.Dataset pipelines
+over zero-copy Arrow batches (see SURVEY.md).
+"""
+
+from datax_ray.schemas import (
+    CHANGES_SCHEMA,
+    LAKE_SCHEMA,
+    TRANSCRIPTS_SCHEMA,
+)
+from datax_ray.pipelines.replay import ReplayConfig, replay
+
+__all__ = [
+    "CHANGES_SCHEMA",
+    "LAKE_SCHEMA",
+    "TRANSCRIPTS_SCHEMA",
+    "ReplayConfig",
+    "replay",
+]

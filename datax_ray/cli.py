@@ -1,0 +1,164 @@
+"""CLI entry points (SURVEY.md §3.2) — the only place in the library that
+may own a Ray session.
+
+    python -m datax_ray gen     --out DIR --events N [--convs N] [--seed S] [knobs]
+    python -m datax_ray replay  --changes DIR --lake DIR [--partitions P] ...
+    python -m datax_ray verify  --changes DIR --lake DIR
+    python -m datax_ray show    --lake DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="datax_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a synthetic change log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=60_000)
+    g.add_argument("--convs", type=int, default=1_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--seg-rows", type=int, default=10_000)
+    g.add_argument("--out-of-order", type=float, default=0.05)
+    g.add_argument("--dup", type=float, default=0.01)
+    g.add_argument("--corrupt", type=float, default=0.0)
+    g.add_argument("--zipf", type=float, default=0.0)
+    g.add_argument("--ddl", action="store_true")
+
+    r = sub.add_parser("replay", help="replay uncommitted change segments into the lake")
+    r.add_argument("--changes", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--segments-per-epoch", type=int, default=None)
+    r.add_argument("--salt-turn-width", type=int, default=None)
+    r.add_argument("--error-limit-rows", type=int, default=None)
+    r.add_argument("--error-limit-pct", type=float, default=None)
+    r.add_argument("--batch-size", type=int, default=65536)
+    r.add_argument("--num-cpus", type=int, default=None)
+
+    v = sub.add_parser("verify", help="compare lake state against the sequential oracle")
+    v.add_argument("--changes", required=True)
+    v.add_argument("--lake", required=True)
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("show", help="print the committed manifest summary")
+    s.add_argument("--lake", required=True)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "gen":
+        from datax_ray.fixtures.generator import gen_changes_dir
+
+        paths = gen_changes_dir(
+            a.out,
+            n_events=a.events,
+            n_convs=a.convs,
+            seed=a.seed,
+            seg_rows=a.seg_rows,
+            out_of_order_frac=a.out_of_order,
+            dup_frac=a.dup,
+            corrupt_frac=a.corrupt,
+            hot_key_zipf_s=a.zipf,
+            with_ddl=a.ddl,
+        )
+        print(json.dumps({"segments": len(paths), "out": a.out}))
+        return 0
+
+    if a.cmd == "replay":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.replay import ReplayConfig, replay
+
+        reports = replay(
+            ReplayConfig(
+                changes_dir=a.changes,
+                lake_dir=a.lake,
+                num_partitions=a.partitions,
+                segments_per_epoch=a.segments_per_epoch,
+                salt_turn_width=a.salt_turn_width,
+                error_limit_rows=a.error_limit_rows,
+                error_limit_pct=a.error_limit_pct,
+                batch_size=a.batch_size,
+            )
+        )
+        for rep in reports:
+            print(
+                json.dumps(
+                    {
+                        "epoch": rep.epoch,
+                        "segments": len(rep.segments),
+                        "events_in": rep.events_in,
+                        "rows_out": rep.rows_out,
+                        "dirty_rows": rep.dirty_rows,
+                        "wall_s": round(rep.wall_s, 3),
+                        "events_per_s": round(rep.events_in / max(rep.wall_s, 1e-9)),
+                    }
+                )
+            )
+        if not reports:
+            print(json.dumps({"status": "up-to-date (all segments committed)"}))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "verify":
+        _ensure_ray(a.num_cpus)
+        import pyarrow.dataset as pads
+        import ray
+
+        from datax_ray.oracle import sequential_replay
+        from datax_ray.sinks.lake import final_table
+        from datax_ray.sources.changelog import list_segments
+
+        changes = pads.dataset(list_segments(a.changes)).to_table()
+        oracle = sequential_replay(changes)
+        ours = final_table(a.lake)
+        ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)
+        print(json.dumps({"match": bool(ok), "rows": ours.num_rows, "oracle_rows": oracle.num_rows}))
+        ray.shutdown()
+        return 0 if ok else 1
+
+    if a.cmd == "show":
+        from datax_ray.state.manifest import Manifest
+
+        rec = Manifest(a.lake).latest()
+        if rec is None:
+            print(json.dumps({"committed_epoch": None}))
+        else:
+            print(
+                json.dumps(
+                    {
+                        "committed_epoch": rec["epoch"],
+                        "lsn_hi": rec["lsn_hi"],
+                        "segments": rec["segments"],
+                        "partitions": len(rec["partitions"]),
+                        "rows": sum(v["rows"] for v in rec["partitions"].values()),
+                        "schema": rec["schema"],
+                        "metrics": rec.get("metrics", {}),
+                    },
+                    indent=1,
+                )
+            )
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

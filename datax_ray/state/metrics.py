@@ -38,9 +38,7 @@ class MetricsActor:
 
 def get_metrics_actor(name: str = METRICS_ACTOR_NAME):
     """Get-or-create the named metrics actor in the current Ray session."""
-    return MetricsActor.options(
-        name=name, get_if_exists=True, lifetime="detached"
-    ).remote()
+    return MetricsActor.options(name=name, get_if_exists=True).remote()
 
 
 def total_dirty(snapshot: dict) -> int:

@@ -1,0 +1,119 @@
+"""M3: exactly-once semantics under re-runs, crashes and dirty limits
+(SURVEY.md §5.3/§5.5)."""
+
+import os
+
+import pytest
+
+from datax_ray.fixtures.generator import gen_changes, write_segments
+from datax_ray.oracle import sequential_replay
+from datax_ray.pipelines.replay import DirtyLimitExceeded, ReplayConfig, replay, run_epoch
+from datax_ray.sinks.lake import final_table
+from datax_ray.sources.changelog import plan_epochs
+from datax_ray.state.manifest import Manifest
+from tests.test_replay_e2e import assert_tables_equal
+
+
+def _setup(tmp_path, tag, **knobs):
+    changes = gen_changes(4000, 50, seed=11, **knobs)
+    chg = str(tmp_path / f"c_{tag}")
+    lake = str(tmp_path / f"l_{tag}")
+    write_segments(changes, chg, seg_rows=1000)
+    return changes, chg, lake
+
+
+def test_double_replay_is_noop(tmp_path):
+    changes, chg, lake = _setup(tmp_path, "dbl", dup_frac=0.05)
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4)
+    r1 = replay(cfg)
+    assert r1
+    first = final_table(lake)
+    r2 = replay(cfg)  # everything committed -> no epochs
+    assert r2 == []
+    assert_tables_equal(final_table(lake), first)
+    assert_tables_equal(first, sequential_replay(changes))
+
+
+def test_crash_before_commit_then_resume(tmp_path):
+    """Kill the job after partition files are written but before the manifest
+    commit; the re-run must converge to the oracle with no dupes."""
+    changes, chg, lake = _setup(tmp_path, "crash", out_of_order_frac=0.1)
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4, segments_per_epoch=2)
+    manifest = Manifest(lake)
+
+    epochs = plan_epochs(chg, manifest, cfg.segments_per_epoch)
+    assert len(epochs) == 2
+
+    # run epoch 0 normally
+    run_epoch(cfg, manifest, epochs[0], 0)
+
+    # epoch 1: simulate crash at the commit point
+    real_commit = Manifest.commit
+
+    def exploding_commit(self, *a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    Manifest.commit = exploding_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_epoch(cfg, manifest, epochs[1], 1)
+    finally:
+        Manifest.commit = real_commit
+
+    # lake still reads as epoch-0 state (orphan files invisible)
+    assert manifest.committed_epoch() == 0
+
+    # resume: same entry point replays only the uncommitted tail
+    reports = replay(cfg)
+    assert len(reports) == 1 and reports[0].epoch == 1
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
+def test_duplicate_delivery_idempotent_files(tmp_path):
+    """Re-running a committed epoch's merge (simulating a retried task /
+    duplicate batch delivery) rewrites byte-identical partition files."""
+    changes, chg, lake = _setup(tmp_path, "idem")
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    m = Manifest(lake)
+    files = m.current_files()
+    before = {f: open(f, "rb").read() for f in files}
+
+    # wipe the manifest and replay from scratch: files must come out identical
+    import shutil
+
+    shutil.rmtree(os.path.join(lake, "_manifest"))
+    replay(cfg)
+    for f, blob in before.items():
+        assert open(f, "rb").read() == blob, f"non-deterministic rewrite: {f}"
+
+
+def test_dirty_limit_aborts_before_commit(tmp_path):
+    changes, chg, lake = _setup(tmp_path, "limit", corrupt_frac=0.2)
+    cfg = ReplayConfig(
+        changes_dir=chg, lake_dir=lake, num_partitions=4, error_limit_rows=10
+    )
+    with pytest.raises(DirtyLimitExceeded):
+        replay(cfg)
+    # nothing committed -> lake empty, job retryable
+    assert Manifest(lake).committed_epoch() == -1
+    ok = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4)
+    replay(ok)
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
+def test_deadletter_rows_recorded(tmp_path):
+    changes, chg, lake = _setup(tmp_path, "dl", corrupt_frac=0.1)
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4)
+    reports = replay(cfg)
+    dirty = sum(r.dirty_rows for r in reports)
+    assert dirty > 0
+    import glob
+
+    import pyarrow.dataset as pads
+
+    dl_files = glob.glob(os.path.join(lake, "_deadletter", "**", "*.parquet"), recursive=True)
+    assert dl_files
+    dl = pads.dataset(dl_files).to_table()
+    assert dl.num_rows == dirty
+    assert dl["reason"].null_count == 0

@@ -1,0 +1,140 @@
+"""Stage-level unit tests (SURVEY.md §5.6)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from datax_ray.schemas import CHANGES_SCHEMA, LAKE_SCHEMA, schema_from_json, schema_to_json
+from datax_ray.stages.merge import apply_events, lww_reduce
+from datax_ray.stages.partitioning import part_ids_for
+from datax_ray.state.schema_tracker import SchemaTracker
+from datax_ray.validation import valid_event_mask
+
+
+def ev_table(rows: list[dict]) -> pa.Table:
+    cols = {}
+    for f in CHANGES_SCHEMA:
+        cols[f.name] = pa.array([r.get(f.name) for r in rows], f.type)
+    return pa.table(cols)
+
+
+def test_lww_ties_broken_by_lsn():
+    t = ev_table(
+        [
+            dict(lsn=1, ts=100, op="insert", conv_id="a", turn_idx=0, text="one"),
+            dict(lsn=2, ts=100, op="update", conv_id="a", turn_idx=0, text="two"),
+        ]
+    )
+    w = lww_reduce(t)
+    assert w.num_rows == 1
+    assert w["text"][0].as_py() == "two"
+
+
+def test_lww_late_event_loses():
+    t = ev_table(
+        [
+            dict(lsn=5, ts=500, op="update", conv_id="a", turn_idx=1, text="new"),
+            dict(lsn=9, ts=100, op="update", conv_id="a", turn_idx=1, text="late-stale"),
+        ]
+    )
+    w = lww_reduce(t)
+    assert w["text"][0].as_py() == "new"
+
+
+def test_apply_events_delete_tombstone_beats_stale_update():
+    # epoch 1: insert + delete; epoch 2: stale update (older ts) must NOT resurrect
+    e1 = ev_table(
+        [
+            dict(lsn=1, ts=100, op="insert", conv_id="a", turn_idx=0, text="x", role="user", tool=""),
+            dict(lsn=2, ts=300, op="delete", conv_id="a", turn_idx=0),
+        ]
+    )
+    schema = LAKE_SCHEMA
+    state1 = apply_events(None, e1.drop_columns(["ddl"]), schema)
+    assert state1.num_rows == 1  # tombstone row
+    assert state1["_deleted"][0].as_py() is True
+    e2 = ev_table(
+        [dict(lsn=3, ts=200, op="update", conv_id="a", turn_idx=0, text="stale", role="user", tool="")]
+    )
+    state2 = apply_events(state1, e2.drop_columns(["ddl"]), schema)
+    assert state2.num_rows == 1
+    assert state2["_deleted"][0].as_py() is True  # still deleted
+
+
+def test_apply_events_resurrect_with_newer_insert():
+    e1 = ev_table([dict(lsn=1, ts=300, op="delete", conv_id="a", turn_idx=0)])
+    schema = LAKE_SCHEMA
+    s1 = apply_events(None, e1.drop_columns(["ddl"]), schema)
+    e2 = ev_table(
+        [dict(lsn=2, ts=400, op="insert", conv_id="a", turn_idx=0, text="back", role="user", tool="")]
+    )
+    s2 = apply_events(s1, e2.drop_columns(["ddl"]), schema)
+    assert s2["_deleted"][0].as_py() is False
+    assert s2["text"][0].as_py() == "back"
+
+
+def test_part_ids_stable_and_salted():
+    conv = pa.array(["a", "b", "a", "c", "a"])
+    turn = pa.array([0, 0, 7, 0, 15], pa.int32())
+    p1 = part_ids_for(conv, turn, 8)
+    p2 = part_ids_for(conv, turn, 8)
+    assert p1.equals(p2)
+    # unsalted: same conv -> same partition
+    vals = p1.to_pylist()
+    assert vals[0] == vals[2] == vals[4]
+    # salted by turn//4: same (conv, turn-bucket) -> same partition; key locality holds
+    s1 = part_ids_for(conv, turn, 8, salt_turn_width=4).to_pylist()
+    s2 = part_ids_for(conv, turn, 8, salt_turn_width=4).to_pylist()
+    assert s1 == s2
+
+
+def test_schema_tracker_add_and_widen():
+    tr = SchemaTracker(LAKE_SCHEMA)
+    tr.apply_ddl(json.dumps({"action": "add_column", "name": "lang", "type": "string"}))
+    assert tr.schema.field("lang").type == pa.string()
+    # _lsn stays last-ish (after payload)
+    names = tr.schema.names
+    assert names.index("lang") < names.index("_lsn")
+    tr.apply_ddl(json.dumps({"action": "widen", "name": "turn_idx", "type": "int64"}))
+    assert tr.schema.field("turn_idx").type == pa.int64()
+    with pytest.raises(ValueError):
+        tr.apply_ddl(json.dumps({"action": "widen", "name": "turn_idx", "type": "int32"}))
+    # serde round-trip
+    assert schema_from_json(schema_to_json(tr.schema)).equals(tr.schema)
+
+
+def test_schema_tracker_unify():
+    tr = SchemaTracker(LAKE_SCHEMA)
+    tr.apply_ddl(json.dumps({"action": "add_column", "name": "lang", "type": "string"}))
+    old = pa.table(
+        {
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["t"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "_lsn": pa.array([0], pa.int64()),
+            "_deleted": pa.array([False]),
+        }
+    )
+    u = tr.unify(old)
+    assert "lang" in u.column_names
+    assert u["lang"].null_count == 1
+
+
+def test_valid_event_mask():
+    t = ev_table(
+        [
+            dict(lsn=1, ts=1, op="insert", conv_id="a", turn_idx=0),
+            dict(lsn=2, ts=1, op="insert", conv_id=None, turn_idx=0),
+            dict(lsn=3, ts=None, op="insert", conv_id="a", turn_idx=0),
+            dict(lsn=4, ts=1, op="insert", conv_id="a", turn_idx=-1),
+            dict(lsn=5, ts=1, op="garbage", conv_id="a", turn_idx=0),
+            dict(lsn=None, ts=1, op="insert", conv_id="a", turn_idx=0),
+        ]
+    )
+    assert valid_event_mask(t).to_pylist() == [True, False, False, False, False, False]
