@@ -1,0 +1,351 @@
+"""Deduplication operators (training-data uplift; no DataX counterpart).
+
+- exact_dedup: content-hash partial dedup inside map_batches, then one
+  groupby over the (much smaller) survivors — the classic combiner pattern,
+  so the all-to-all shuffle moves only unique rows per batch.
+- minhash_lsh_pairs: word-shingle → 64 minhashes → banded LSH buckets →
+  groupby(band, bucket) → candidate pairs → exact Jaccard verify. Only
+  (band_key, doc_id, minhash-sig) rows shuffle, never document text.
+- simhash_pairs: 64-bit simhash, 4×16-bit band index, verify by Hamming
+  distance.
+- embedding_dup_pairs: random-hyperplane LSH buckets over an embedding
+  column, exact cosine verify within buckets.
+
+All pair emitters return (doc_a, doc_b, score) with doc_a < doc_b, sorted.
+At 100 TB each stage stays a map_batches/groupby composition: no driver-side
+loops over documents, and the verify step sees only candidate groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datax_ray.functions.text import content_hash64
+
+# ---------------------------------------------------------------- exact --
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One surviving row (min id) per distinct text value."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # within-batch combiner: keep min-id row per content hash
+        h = content_hash64(t[text_col].to_pylist())
+        t = t.append_column("_h", pa.array(h, pa.uint64()))
+        df = t.select([id_col, text_col, "_h"]).to_pandas()
+        df = df.sort_values(id_col, kind="stable").drop_duplicates("_h", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_h")
+        .map_groups(pick_min, batch_format="pandas")
+    )
+    return out.drop_columns(["_h"])
+
+
+# -------------------------------------------------------------- minhash --
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return content_hash64(grams)
+
+
+class MinHasher:
+    """Per-doc minhash signatures + banded LSH keys. Callable class: the
+    (a, b) hash parameter matrices build once per actor."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 3,
+        seed: int = 7,
+    ):
+        assert num_hashes % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_hashes, self.bands, self.k = num_hashes, bands, shingle_k
+        self.rows_per_band = num_hashes // bands
+        self.a, self.b = _minhash_params(num_hashes, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if len(sh) == 0:
+            return np.full(self.num_hashes, np.uint64(_MERSENNE))
+        # (H, S) permutation-hash matrix, min over shingles
+        v = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        """Explode each doc into `bands` rows: (band, bucket, doc_id, sig)."""
+        texts = t[self.text_col].to_pylist()
+        ids = t[self.id_col].to_pylist()
+        n = len(ids)
+        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
+        for i, x in enumerate(texts):
+            sigs[i] = self.signature(x or "")
+        r = self.rows_per_band
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
+        # bucket key = hash of the band's signature slice
+        resh = sigs.reshape(n, self.bands, r)
+        bucket = resh.sum(axis=2, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15) + resh.min(
+            axis=2
+        )
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sig": pa.array(list(sigs.repeat(self.bands, axis=0)), pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+):
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Signature-based verify: the estimated Jaccard is the fraction of equal
+    minhash components between the two docs' signatures — no second pass
+    over the raw text, so the verify stage is pure numpy over the grouped
+    candidate rows.
+    """
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        jac = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a_idx][keep].astype("int64"),
+                "doc_b": ids[b_idx][keep].astype("int64"),
+                "jaccard": jac[keep],
+            }
+        )
+
+    pairs = (
+        ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                seed=seed,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby(["band", "bucket"])
+        .map_groups(candidates, batch_format="pandas")
+    )
+
+    # a pair can surface from several bands: final exact-dedup of pairs
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup_pairs, batch_format="pandas"
+    )
+
+
+# -------------------------------------------------------------- simhash --
+
+
+class SimHasher:
+    """64-bit simhash over word tokens; emits 4 × 16-bit band keys so any
+    pair within Hamming distance 3 shares at least one band (pigeonhole)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = text.split()
+        if not toks:
+            return np.uint64(0)
+        h = content_hash64(toks)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        vote = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in np.flatnonzero(vote > 0):
+            out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
+        hashes = np.array([self.simhash(x or "") for x in texts], dtype=np.uint64)
+        bands = np.arange(4, dtype=np.int32)
+        band_col = np.tile(bands, len(ids))
+        doc_col = np.repeat(ids, 4)
+        hash_col = np.repeat(hashes, 4)
+        key = (hash_col >> (np.uint64(16) * band_col.astype(np.uint64))) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "band": pa.array(band_col),
+                "key": pa.array(key, pa.uint64()),
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "simhash": pa.array(hash_col, pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
+    """Pairs whose 64-bit simhashes differ in <= max_hamming bits."""
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        a, b = np.triu_indices(len(ids), k=1)
+        x = hs[a] ^ hs[b]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a][keep].astype("int64"),
+                "doc_b": ids[b][keep].astype("int64"),
+                "hamming": ham[keep].astype("int64"),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(
+            SimHasher,
+            fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby(["band", "key"])
+        .map_groups(candidates, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------- n-gram jaccard verify --
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard between two strings (the verify kernel)."""
+    sa, sb = set(_shingles(a, k).tolist()), set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------- embedding near-dup --
+
+
+def embedding_dup_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 5,
+    dim: int | None = None,
+):
+    """Near-duplicate pairs by cosine >= threshold, via random-hyperplane
+    LSH buckets (sign pattern of `num_planes` projections) then exact cosine
+    verify inside each bucket. High-cosine pairs land in the same bucket
+    with high probability; recall rises with fewer planes (bigger buckets).
+    """
+
+    class Project:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal((mat.shape[1], num_planes))
+            signs = (mat @ self.planes) > 0
+            bucket = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    id_col: t[id_col],
+                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                }
+            )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        u = np.stack(g["unit"].to_numpy())
+        order = np.argsort(ids)
+        ids, u = ids[order], u[order]
+        cos = u @ u.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = cos[a, b] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a][keep].astype("int64"),
+                "doc_b": ids[b][keep].astype("int64"),
+                "cosine": cos[a, b][keep],
+            }
+        )
+
+    pairs = (
+        ds.map_batches(Project, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

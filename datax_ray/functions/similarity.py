@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_brute: exact cosine top-k. The query matrix is broadcast once
+  (`ray.put`) and each batch does one numpy matmul against it; per-batch
+  top-k partials flow to a tiny final reduce — only k rows per (query,
+  batch) ever shuffle, never the embeddings.
+- IVFIndex / knn_ivf: the scale path — a seeded k-means-lite coarse
+  quantizer (fit on a driver-side sample, centroids broadcast); each batch
+  routes its vectors to their nearest centroid ("inverted list" as a bucket
+  column), queries probe only the nearest `nprobe` lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    m = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    return m
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def knn_brute(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k for each query row. Returns a Dataset of
+    (query_id, vec_id, cosine) sorted by (query_id, -cosine, vec_id)."""
+    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qunit)
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(t[vec_col]))
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            cos = self.q @ mat.T  # (Q, B)
+            kk = min(k, cos.shape[1])
+            idx = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(len(self.q)), kk)
+            rows_v = idx.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q.astype(np.int64)),
+                    id_col: pa.array(ids[rows_v]),
+                    "cosine": pa.array(cos[rows_q, rows_v]),
+                }
+            )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    out = (
+        ds.map_batches(
+            PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        )
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )
+    return out.sort(["query_id", "cosine", id_col], descending=[False, True, False])
+
+
+class IVFIndex:
+    """Coarse quantizer for IVF-style ANN: seeded k-means-lite centroids."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _unit(centroids)
+
+    @classmethod
+    def fit(cls, sample: np.ndarray, n_lists: int = 16, iters: int = 8, seed: int = 3):
+        rng = np.random.default_rng(seed)
+        x = _unit(np.asarray(sample, dtype=np.float64))
+        picks = rng.choice(len(x), size=min(n_lists, len(x)), replace=False)
+        c = x[picks].copy()
+        for _ in range(iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _unit(c)
+        return cls(c)
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit(mat) @ self.centroids.T, axis=1).astype(np.int64)
+
+    def probe(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _unit(queries) @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+
+
+def knn_ivf(
+    ds,
+    index: IVFIndex,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate cosine top-k probing only `nprobe` inverted lists per
+    query. Same output shape as knn_brute; recall < 1 by design."""
+    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    probe_lists = index.probe(qunit, nprobe)  # (Q, nprobe)
+    wanted: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for li in lists:
+            wanted.setdefault(int(li), []).append(qi)
+    q_ref = ray.put((qunit, wanted))
+    idx_ref = ray.put(index.centroids)
+
+    class PartialTopK:
+        def __init__(self):
+            self.q, self.wanted = ray.get(q_ref)
+            self.index = IVFIndex(ray.get(idx_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(t[vec_col]))
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            assign = self.index.assign(mat)
+            out_q, out_v, out_c = [], [], []
+            for li in np.unique(assign):
+                qis = self.wanted.get(int(li))
+                if not qis:
+                    continue
+                sel = assign == li
+                sub, sub_ids = mat[sel], ids[sel]
+                cos = self.q[qis] @ sub.T
+                kk = min(k, cos.shape[1])
+                top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(qis):
+                    out_q.extend([qi] * kk)
+                    out_v.extend(sub_ids[top[row]].tolist())
+                    out_c.extend(cos[row, top[row]].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+                    id_col: pa.array(np.asarray(out_v, dtype=np.int64)),
+                    "cosine": pa.array(np.asarray(out_c, dtype=np.float64)),
+                }
+            )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    out = (
+        ds.map_batches(
+            PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        )
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )
+    return out.sort(["query_id", "cosine", id_col], descending=[False, True, False])

@@ -1,0 +1,123 @@
+"""Per-record transformer pipeline — DataX's dx_substr / dx_pad / dx_replace /
+dx_filter / dx_groovy re-expressed as vectorized Arrow batch transforms
+(SURVEY.md §2A rows 10-14). DataX ran these row-at-a-time between reader and
+channel; here each is a pyarrow.compute kernel inside `map_batches`, and a
+config list (like DataX's job-config `transformer` array) compiles to one
+fused batch function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def substr(col: str, start: int, length: int) -> Callable[[pa.Table], pa.Table]:
+    """dx_substr: keep [start, start+length) of a string column (0-based)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = pc.utf8_slice_codeunits(t[col], start=start, stop=start + length)
+        return t.set_column(t.schema.get_field_index(col), col, out)
+
+    return fn
+
+
+def pad(col: str, length: int, pad_str: str = " ", side: str = "left") -> Callable:
+    """dx_pad: pad a string column to `length` with `pad_str`."""
+    kernel = pc.utf8_lpad if side == "left" else pc.utf8_rpad
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = kernel(t[col], width=length, padding=pad_str)
+        return t.set_column(t.schema.get_field_index(col), col, out)
+
+    return fn
+
+
+def replace(col: str, pattern: str, replacement: str) -> Callable:
+    """dx_replace: replace every occurrence of a literal substring."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = pc.replace_substring(t[col], pattern=pattern, replacement=replacement)
+        return t.set_column(t.schema.get_field_index(col), col, out)
+
+    return fn
+
+
+_FILTER_KERNELS = {
+    ">": pc.greater,
+    "<": pc.less,
+    ">=": pc.greater_equal,
+    "<=": pc.less_equal,
+    "=": pc.equal,
+    "!=": pc.not_equal,
+}
+
+
+def filter_rows(col: str, op: str, value) -> Callable:
+    """dx_filter: keep rows matching the predicate. `op` is one of
+    > < >= <= = != like not_like ('%' wildcards, translated to a regex)."""
+    if op in _FILTER_KERNELS:
+        kernel = _FILTER_KERNELS[op]
+
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.fill_null(kernel(t[col], value), False))
+
+        return fn
+    if op in ("like", "not_like"):
+        import re
+
+        regex = "^" + ".*".join(re.escape(p) for p in str(value).split("%")) + "$"
+
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.match_substring_regex(t[col], regex)
+            if op == "not_like":
+                m = pc.invert(m)
+            return t.filter(pc.fill_null(m, False))
+
+        return fn
+    raise ValueError(f"unsupported filter op: {op!r}")
+
+
+def udf(fn: Callable[[pa.Table], pa.Table]) -> Callable:
+    """dx_groovy's escape hatch: any Arrow-table → Arrow-table callable."""
+    return fn
+
+
+_BUILDERS = {
+    "dx_substr": lambda p: substr(p["column"], int(p["startIndex"]), int(p["length"])),
+    "dx_pad": lambda p: pad(
+        p["column"], int(p["length"]), p.get("padString", " "), p.get("side", "left")
+    ),
+    "dx_replace": lambda p: replace(p["column"], p["pattern"], p["replacement"]),
+    "dx_filter": lambda p: filter_rows(p["column"], p["op"], p["value"]),
+}
+
+
+def compile_transformers(specs: list[dict]) -> Callable[[pa.Table], pa.Table]:
+    """Compile a DataX-style transformer spec list into ONE fused batch fn,
+    e.g. [{"name": "dx_substr", "column": "text", "startIndex": 0,
+    "length": 10}, ...]. Unknown names may supply {"name": "udf", "fn": f}."""
+    fns = []
+    for s in specs:
+        name = s["name"]
+        if name == "udf":
+            fns.append(s["fn"])
+        else:
+            fns.append(_BUILDERS[name]({k: v for k, v in s.items() if k != "name"}))
+
+    def fused(t: pa.Table) -> pa.Table:
+        for f in fns:
+            t = f(t)
+        return t
+
+    return fused
+
+
+def apply_transformers(ds, specs: list[dict], **map_kwargs):
+    """Attach a transformer chain to a Dataset as a single map_batches stage."""
+    fused = compile_transformers(specs)
+    return ds.map_batches(
+        fused, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )

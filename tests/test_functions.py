@@ -1,0 +1,225 @@
+"""Function-library tests over the driver testdata (sf0.001)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def test_transformers_chain(docs):
+    from datax_ray.functions.transformers import apply_transformers
+
+    out = apply_transformers(
+        docs,
+        [
+            {"name": "dx_substr", "column": "text", "startIndex": 0, "length": 10},
+            {"name": "dx_pad", "column": "lang", "length": 5, "padString": "_"},
+            {"name": "dx_replace", "column": "source", "pattern": "a", "replacement": "@"},
+            {"name": "dx_filter", "column": "n_chars", "op": ">", "value": 10},
+        ],
+    ).take_all()
+    assert out
+    assert all(len(r["text"]) <= 10 for r in out)
+    assert all(len(r["lang"]) == 5 for r in out)
+    assert all("a" not in r["source"] for r in out)
+
+
+def test_filter_like(docs):
+    from datax_ray.functions.transformers import apply_transformers
+
+    out = apply_transformers(
+        docs, [{"name": "dx_filter", "column": "lang", "op": "like", "value": "e%"}]
+    ).take_all()
+    assert out and all(r["lang"].startswith("e") for r in out)
+
+
+def test_text_signals(docs, docs_table):
+    from datax_ray.functions.text import add_quality_signals, add_fingerprint
+
+    out = docs.map_batches(
+        lambda t: add_fingerprint(add_quality_signals(t)), batch_format="pyarrow"
+    ).take_all()
+    assert len(out) == docs_table.num_rows
+    r = out[0]
+    assert r["n_chars_calc"] == len(r["text"])
+    assert r["n_tokens"] == r["text"].count(" ") + 1
+    import hashlib
+
+    assert r["fingerprint"] == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_lang_id(docs):
+    from datax_ray.functions.text import LangId
+
+    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).take_all()
+    langs = {r["lang_pred"] for r in out}
+    assert langs <= {"en", "fr", "de", "es", "unknown"}
+    assert len(langs) > 1  # heuristic actually discriminates
+
+
+def test_exact_dedup(docs, docs_table):
+    from datax_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(docs).take_all()
+    n_distinct = len(set(docs_table["text"].to_pylist()))
+    assert len(out) == n_distinct
+
+
+def test_minhash_self_dup(tmp_path):
+    # a table with exact dup texts and one near-dup must pair up
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "the quick brown fox jumps over the lazy dog again and again ok",  # dup of 0
+        "the quick brown fox jumps over the lazy dog again and again now",  # near 0
+        "completely different content about ray data pipelines at scale yes",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+    from datax_ray.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+    assert all((a, b) != (0, 3) and (a, b) != (1, 3) and (a, b) != (2, 3) for a, b in got)
+
+
+def test_simhash_pairs():
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "unrelated words entirely different domain vocabulary cluster here now",
+    ]
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()), "text": texts})
+    from datax_ray.functions.dedup import simhash_pairs
+
+    pairs = simhash_pairs(ray.data.from_arrow(t)).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (10, 11) in got
+    assert not any(12 in p for p in got)
+
+
+def test_ngram_jaccard():
+    from datax_ray.functions.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_knn_brute_matches_numpy(tmp_path):
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    from datax_ray.functions.similarity import knn_brute
+
+    mat = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    q = mat[:2]
+    out = knn_brute(ds, q, k=5).take_all()
+    # numpy reference
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qu = q / np.linalg.norm(q, axis=1)[:, None]
+    cos = qu @ unit.T
+    for qi in range(2):
+        expect = set(
+            ids[np.lexsort((ids, -cos[qi]))][:5].tolist()
+        )
+        got = {r["vec_id"] for r in out if r["query_id"] == qi}
+        assert got == expect
+
+
+def test_knn_ivf_recall():
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    from datax_ray.functions.similarity import IVFIndex, knn_brute, knn_ivf
+
+    mat = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    q = mat[:3]
+    index = IVFIndex.fit(mat, n_lists=8)
+    exact = knn_brute(ds, q, k=10).take_all()
+    approx = knn_ivf(ds, index, q, k=10, nprobe=4).take_all()
+    for qi in range(3):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) / 10 >= 0.5  # nprobe=4 of 8 lists: decent recall
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16))
+    vecs = np.vstack([base, base[0] + 0.001 * rng.standard_normal(16)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(21, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    from datax_ray.functions.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(ray.data.from_arrow(t), threshold=0.99).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 20)}
+
+
+def test_sessionize_and_windows():
+    events = ray.data.read_parquet(f"{SF}/events.parquet")
+    from datax_ray.functions.windows import sessionize, tumbling_window_counts
+
+    sess = sessionize(events).take_all()
+    assert sess and all(r["n_events"] >= 1 for r in sess)
+    assert all(r["t_end"] >= r["t_start"] for r in sess)
+
+    wins = tumbling_window_counts(events).take_all()
+    total = sum(r["n_events"] for r in wins)
+    assert total == 1000  # sf0.001 events rows
+
+
+def test_broadcast_join_and_topk():
+    import pyarrow.parquet as pq
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    cust = pq.read_table(f"{SF}/customer.parquet")
+    from datax_ray.functions.relational import broadcast_join, top_k
+
+    # join on o_custkey == c_custkey: align names first
+    cust2 = cust.rename_columns(
+        ["o_custkey" if n == "c_custkey" else n for n in cust.column_names]
+    )
+    joined = broadcast_join(orders, cust2, on="o_custkey").take_all()
+    assert joined and "c_mktsegment" in joined[0]
+
+    top = top_k(orders, by="o_totalprice", k=5, tie_col="o_orderkey").take_all()
+    assert len(top) == 5
+    prices = [r["o_totalprice"] for r in top]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_multimodal_stub():
+    from datax_ray.functions.multimodal import (
+        DecodeStub,
+        extract_features,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32)
+    out = extract_features(ray.data.from_arrow(t), feat_dim=8).take_all()
+    assert len(out) == 32
+    assert all(len(r["feature"]) == 8 for r in out)
+    # deterministic: same payload -> same features
+    again = extract_features(ray.data.from_arrow(t), feat_dim=8).take_all()
+    f1 = {r["media_id"]: r["feature"] for r in out}
+    f2 = {r["media_id"]: r["feature"] for r in again}
+    assert f1 == f2
+    with pytest.raises(NotImplementedError):
+        DecodeStub(deterministic_fake=False)._decode_one(b"x", "image")
