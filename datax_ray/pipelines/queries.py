@@ -1,0 +1,550 @@
+"""The driver-facing query catalog: every operator/pipeline from SURVEY.md §2
+as a callable over an sf_dir of parquet tables, each paired (where SQL can
+express it) with a DuckDB oracle in ORACLE_SQL. Column names match the SQL
+exactly — the driver hash-compares values after sorting columns by name.
+
+Float-sum queries use the integer-cents trick (CAST(ROUND(x*100) AS BIGINT)
+per row, then integer sums) so results are exact and order-independent on
+both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from datax_ray.functions.dedup import exact_dedup
+from datax_ray.functions.relational import broadcast_join, partial_agg, top_k
+from datax_ray.functions.text import LangId, add_fingerprint, add_quality_signals
+from datax_ray.functions.transformers import apply_transformers
+from datax_ray.stages.merge import lww_reduce
+
+
+def _read(sf_dir: str, table: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _cents(col, factor: int = 100):
+    return pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
+
+
+# ------------------------------------------------------------------ CDC --
+
+
+def cdc_lww_upsert(sf_dir: str):
+    """LWW upsert over a change stream derived from `events`: key =
+    (user_id, event_type), order = (ts, lsn=event_id), op = delete when
+    event_id % 10 == 0. Exercises the engine's real lww_reduce kernel
+    distributed via groupby(user_id) — all rows of a key share a group."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        op = pa.array(
+            np.where(eid % 10 == 0, "delete", "upsert").astype(object), pa.string()
+        )
+        return pa.table(
+            {
+                "lsn": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "op": op,
+                "value": t["value"],
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=("user_id", "event_type"), order_cols=("ts", "lsn"))
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        return w.select(["user_id", "event_type", "ts", "lsn", "value"])
+
+    ds = _read(sf_dir, "events").map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+CDC_LWW_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts, user_id, event_type,
+         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         value
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT user_id, event_type, ts, lsn, value FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_replay_final(sf_dir: str):
+    """Full engine path (rows-only check — not SQL-expressible): derive a
+    transcript change log from `events`, write segments, replay through
+    normalize → shuffle → merge-apply → manifest, return the final lake."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    events = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    eid = events["event_id"].to_numpy()
+    uid = events["user_id"].to_numpy()
+    op = np.where(eid % 10 == 0, "delete", np.where(eid % 2 == 0, "insert", "update")).astype(object)
+    txt = np.char.add("payload-", eid.astype("U12")).astype(object)
+    txt[op == "delete"] = None
+    changes = pa.table(
+        {
+            "lsn": pa.array(eid, pa.int64()),
+            "ts": events["ts"],
+            "op": pa.array(op, pa.string()),
+            "conv_id": pa.array(
+                np.char.add("conv-", uid.astype("U12")).astype(object), pa.string()
+            ),
+            "turn_idx": pa.array((eid % 25).astype(np.int32), pa.int32()),
+            "role": pa.array(
+                np.where(op == "delete", None, np.where(eid % 2 == 0, "user", "assistant")),
+                pa.string(),
+            ),
+            "text": pa.array(txt, pa.string()),
+            "tool": pa.array(np.where(op == "delete", None, "").astype(object), pa.string()),
+            "ddl": pa.array([None] * len(eid), pa.string()),
+        }
+    )
+    work = f"/tmp/datax_cdc_replay/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    write_segments(changes, f"{work}/changes", seg_rows=20_000)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+# --------------------------------------------------------- transformers --
+
+
+def dx_substr(sf_dir: str):
+    ds = _read(sf_dir, "part")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_sub": pc.utf8_slice_codeunits(t["p_name"], start=0, stop=8),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DX_SUBSTR_SQL = "SELECT p_partkey, substr(p_name, 1, 8) AS name_sub FROM part"
+
+
+def dx_pad(sf_dir: str):
+    ds = _read(sf_dir, "supplier")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "name_pad": pc.utf8_lpad(t["s_name"], width=24, padding="_"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DX_PAD_SQL = "SELECT s_suppkey, lpad(s_name, 24, '_') AS name_pad FROM supplier"
+
+
+def dx_replace(sf_dir: str):
+    ds = _read(sf_dir, "part")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "type_mod": pc.replace_substring(
+                    t["p_type"], pattern="BRASS", replacement="BR@SS"
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DX_REPLACE_SQL = (
+    "SELECT p_partkey, replace(p_type, 'BRASS', 'BR@SS') AS type_mod FROM part"
+)
+
+
+def dx_filter(sf_dir: str):
+    ds = _read(sf_dir, "lineitem")
+    ds = apply_transformers(
+        ds, [{"name": "dx_filter", "column": "l_quantity", "op": ">", "value": 45.0}]
+    )
+    return ds.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+
+
+DX_FILTER_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
+)
+
+
+# ----------------------------------------------------------- relational --
+
+
+def agg_pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with per-batch combiners."""
+    ds = _read(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+                "sum_base_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    return partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "sum_qty", "sum_base_cents": "sum_base_cents"},
+        counts="count_order",
+    )
+
+
+AGG_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation with both small sides broadcast."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    side = (
+        cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+        .select(["c_custkey", "n_name"])
+        .rename_columns(["o_custkey", "n_name"])
+    )
+    orders = _read(sf_dir, "orders")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    joined = broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        side,
+        on="o_custkey",
+    )
+    return partial_agg(
+        joined, keys=["n_name"], sums={"total_cents": "total_cents"}, counts="n_orders"
+    )
+
+
+JOIN_NATION_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def sort_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders").map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return top_k(ds, by="o_totalprice", k=10, tie_col="o_orderkey")
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- text --
+
+
+def dedup_exact_docs(sf_dir: str):
+    return exact_dedup(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
+DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def text_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = add_quality_signals(t)
+        return t.select(["doc_id", "n_chars_calc", "n_tokens", "n_periods", "n_upper"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return add_fingerprint(t).select(["doc_id", "fingerprint"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def lang_id_docs(sf_dir: str):
+    """Heuristic language ID (rows-only: not SQL-expressible)."""
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- events --
+
+
+def events_sessionize(sf_dir: str):
+    from datax_ray.functions.windows import sessionize
+
+    out = sessionize(_read(sf_dir, "events"), gap_us=30 * 60 * 1_000_000)
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_id": pc.cast(t["session_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "t_start": pc.cast(t["t_start"], pa.timestamp("us")),
+                "t_end": pc.cast(t["t_end"], pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM y GROUP BY user_id, session_id
+"""
+
+
+def events_tumbling(sf_dir: str):
+    ds = _read(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        hour = 3_600_000_000
+        win = pc.multiply(pc.divide(ts_us, hour), hour)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.cast(win, pa.timestamp("us")),
+                "value_micros": _cents(t["value"], 1_000_000),
+            }
+        )
+
+    return partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "window_start"],
+        sums={"value_micros": "sum_value_micros"},
+        counts="n_events",
+    )
+
+
+TUMBLING_SQL = """
+SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id, window_start
+"""
+
+
+# ----------------------------------------------------------- similarity --
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Exact cosine top-10 to the vec_id=0 embedding, ranked on the cosine
+    ROUNDED to 6 decimals (ties broken by vec_id) so both engines rank
+    identically despite last-ulp float differences."""
+    import pyarrow.parquet as pq
+
+    from datax_ray.functions.similarity import knn_brute
+
+    emb0 = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "=", 0)]
+    )
+    q = np.stack(emb0["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ds = _read(sf_dir, "embeddings")
+    cand = knn_brute(ds, q, k=32).take_all()  # headroom before re-ranking
+    rows = sorted(
+        ((round(r["cosine"], 6), r["vec_id"]) for r in cand),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    return pa.table(
+        {
+            "vec_id": pa.array([v for _, v in rows], pa.int64()),
+            "cos_sim": pa.array([c for c, _ in rows], pa.float64()),
+        }
+    )
+
+
+ANN_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate variant (rows-only: approximate by design)."""
+    import pyarrow.parquet as pq
+
+    from datax_ray.functions.similarity import IVFIndex, knn_ivf
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    rng = np.random.default_rng(0)
+    sample = mat[rng.choice(len(mat), size=min(2048, len(mat)), replace=False)]
+    index = IVFIndex.fit(sample, n_lists=16)
+    return knn_ivf(_read(sf_dir, "embeddings"), index, mat[:1], k=10, nprobe=4)
+
+
+def minhash_dup_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (rows-only)."""
+    from datax_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents"), threshold=0.6, shingle_k=3
+    )
+
+
+def simhash_dup_pairs(sf_dir: str):
+    from datax_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
+
+def embedding_near_dups(sf_dir: str):
+    from datax_ray.functions.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.95)
+
+
+def multimodal_features(sf_dir: str):
+    """Actor-pool media feature extraction over synthetic binary payloads
+    (decode stubbed; plumbing real — rows-only)."""
+    from datax_ray.functions.multimodal import extract_features, synthesize_media_table
+
+    n = 256 if "0.001" in sf_dir else 1024
+    return extract_features(ray.data.from_arrow(synthesize_media_table(n)))
+
+
+# ---------------------------------------------------------------- registry --
+
+QUERIES = {
+    "cdc_lww_upsert": cdc_lww_upsert,
+    "cdc_replay_final": cdc_replay_final,
+    "dx_substr": dx_substr,
+    "dx_pad": dx_pad,
+    "dx_replace": dx_replace,
+    "dx_filter": dx_filter,
+    "agg_pricing_summary": agg_pricing_summary,
+    "join_orders_by_nation": join_orders_by_nation,
+    "sort_topk_orders": sort_topk_orders,
+    "dedup_exact_docs": dedup_exact_docs,
+    "text_stats": text_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "lang_id_docs": lang_id_docs,
+    "events_sessionize": events_sessionize,
+    "events_tumbling": events_tumbling,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "minhash_dup_pairs": minhash_dup_pairs,
+    "simhash_dup_pairs": simhash_dup_pairs,
+    "embedding_near_dups": embedding_near_dups,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "cdc_lww_upsert": CDC_LWW_SQL,
+    "dx_substr": DX_SUBSTR_SQL,
+    "dx_pad": DX_PAD_SQL,
+    "dx_replace": DX_REPLACE_SQL,
+    "dx_filter": DX_FILTER_SQL,
+    "agg_pricing_summary": AGG_PRICING_SQL,
+    "join_orders_by_nation": JOIN_NATION_SQL,
+    "sort_topk_orders": SORT_TOPK_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "doc_fingerprints": FINGERPRINT_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_tumbling": TUMBLING_SQL,
+    "ann_cosine_topk": ANN_SQL,
+}

@@ -32,24 +32,35 @@ import pyarrow.parquet as pq
 from datax_ray.schemas import LSN_COL, schema_from_json
 from datax_ray.state.metrics import get_metrics_actor
 
-_SORT_KEYS = [
-    ("conv_id", "ascending"),
-    ("turn_idx", "ascending"),
-    ("ts", "ascending"),
-    ("lsn", "ascending"),
-]
+def _key_codes(col: pa.ChunkedArray) -> np.ndarray:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return pc.dictionary_encode(col).indices.to_numpy(zero_copy_only=False)
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False)
 
 
-def lww_reduce(t: pa.Table) -> pa.Table:
-    """Keep the winning row (max (ts, lsn)) per (conv_id, turn_idx)."""
+def lww_reduce(
+    t: pa.Table,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_cols: tuple[str, ...] = ("ts", "lsn"),
+) -> pa.Table:
+    """Keep the winning row (max over order_cols) per key_cols group.
+
+    Vectorized: one multi-column sort, then numpy adjacent-compare over key
+    codes to pick the last row of each run — no per-row Python."""
     if t.num_rows <= 1:
         return t
-    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
-    conv = t["conv_id"].combine_chunks()
-    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
-    turns = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
-    last = np.empty(len(codes), dtype=bool)
-    last[:-1] = (codes[:-1] != codes[1:]) | (turns[:-1] != turns[1:])
+    sort_keys = [(c, "ascending") for c in (*key_cols, *order_cols)]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    neq = None
+    for c in key_cols:
+        arr = _key_codes(t[c])
+        d = arr[:-1] != arr[1:]
+        neq = d if neq is None else (neq | d)
+    last = np.empty(t.num_rows, dtype=bool)
+    last[:-1] = neq
     last[-1] = True
     return t.filter(pa.array(last))
 
