@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Benchmark harness for the datax_ray CDC engine (driver contract).
+
+Headline: replay a deterministically synthesized transcript change log
+(input_hint schema: conv_id/turn_idx/role/text/tool/ts + op/lsn/ddl) through
+the full engine — normalize → salted hash shuffle → LWW merge-apply →
+exactly-once manifest commit — and report wall seconds + events/sec.
+Secondary: time each headline query pipeline over $GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+     "events": E, "events_per_sec": R}
+
+Modes:
+    (default)            full bench at num_cpus=$RAY_GRAFT_CPUS (default 32)
+    --scaling            replay at num_cpus=8 and =32 in FRESH subprocesses
+                         over the SAME input; reports both throughputs and
+                         efficiency = (T32/T8)/4  (sandbox proxy for the
+                         N→4N-node criterion in BASELINE.json:14)
+    --replay-only        internal: one replay run in this process (used by
+                         --scaling subprocesses)
+
+This script OWNS its Ray session (ray.init/ray.shutdown) — the only
+entry point allowed to, per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+BENCH_ROOT = "/tmp/datax_bench"
+GEN_SEED = 7
+EVENTS_PER_SF = 20_000_000  # sf0.1 -> 2M events
+N_CONVS_FRAC = 0.02         # convs = 2% of events (~50 turns/conv avg churn)
+ZIPF_S = 1.1                # hot-key skew: realistic, exercises salting
+
+# Secondary query pipelines to time (a representative cut of QUERIES —
+# relational, text, dedup, similarity, windows).
+BENCH_QUERIES = [
+    "cdc_lww_upsert",
+    "agg_pricing_summary",
+    "join_orders_by_nation",
+    "sort_topk_orders",
+    "dedup_exact_docs",
+    "text_stats",
+    "events_sessionize",
+    "events_tumbling",
+    "minhash_dup_pairs",
+    "ann_cosine_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def n_events_for(sf: float) -> int:
+    return max(100_000, int(EVENTS_PER_SF * sf))
+
+
+def ensure_changes(sf: float) -> tuple[str, int]:
+    """Generate (once, cached) the deterministic change log for this sf."""
+    from datax_ray.fixtures.generator import gen_changes_dir
+
+    n_events = n_events_for(sf)
+    n_convs = max(1000, int(n_events * N_CONVS_FRAC))
+    changes = os.path.join(BENCH_ROOT, f"sf{sf}", "changes")
+    stamp = os.path.join(changes, "_GENERATED.json")
+    want = {"n_events": n_events, "n_convs": n_convs, "seed": GEN_SEED, "zipf": ZIPF_S}
+    if os.path.exists(stamp):
+        try:
+            if json.load(open(stamp)) == want:
+                return changes, n_events
+        except Exception:
+            pass
+    shutil.rmtree(changes, ignore_errors=True)
+    gen_changes_dir(
+        changes,
+        n_events=n_events,
+        n_convs=n_convs,
+        seed=GEN_SEED,
+        seg_rows=250_000,
+        hot_key_zipf_s=ZIPF_S,
+        with_ddl=True,
+    )
+    with open(stamp, "w") as f:
+        json.dump(want, f)
+    return changes, n_events
+
+
+def run_replay(changes: str, lake: str, num_cpus: int) -> float:
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.perf_counter()
+    replay(
+        ReplayConfig(
+            changes_dir=changes,
+            lake_dir=lake,
+            num_partitions=max(32, 2 * num_cpus),
+            segments_per_epoch=None,
+            salt_turn_width=4,
+        )
+    )
+    return time.perf_counter() - t0
+
+
+def consume(result) -> int:
+    """Force full execution of a query result; return row count."""
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    if hasattr(result, "count"):
+        return result.count()
+    return len(result)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_of(args.sf_dir)
+
+    if args.scaling:
+        run_scaling(sf, args.sf_dir)
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        changes, n_events = ensure_changes(sf)
+        lake = os.path.join(BENCH_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
+        replay_sec = run_replay(changes, lake, num_cpus)
+
+        if args.replay_only:
+            print(json.dumps({"replay_sec": replay_sec, "events": n_events,
+                              "num_cpus": num_cpus}))
+            return
+
+        from datax_ray.pipelines.queries import QUERIES
+
+        qtimes: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            consume(fn(args.sf_dir))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+        print(json.dumps({
+            "metric": "cdc_replay_wall_sec",
+            "value": round(replay_sec, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "events": n_events,
+            "events_per_sec": round(n_events / replay_sec, 1),
+        }))
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf: float, sf_dir: str) -> None:
+    """Fresh-process runs at 8 and 32 CPUs on the same input; efficiency
+    = (throughput_32 / throughput_8) / 4 — the sandbox proxy for the
+    north rule's N→4N cluster-size criterion."""
+    # Generate the input once, Ray-free, so both runs see identical bytes.
+    ensure_changes(sf)
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-only",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    n = results[8]["events"]
+    tp8 = n / results[8]["replay_sec"]
+    tp32 = n / results[32]["replay_sec"]
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round((tp32 / tp8) / 4, 3),
+        "unit": "ratio",
+        "sf": sf,
+        "events": n,
+        "replay_sec_8": round(results[8]["replay_sec"], 3),
+        "replay_sec_32": round(results[32]["replay_sec"], 3),
+        "events_per_sec_8": round(tp8, 1),
+        "events_per_sec_32": round(tp32, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
