@@ -46,7 +46,9 @@ def _texts(lsn: np.ndarray, conv_idx: np.ndarray, turn: np.ndarray, rng) -> np.n
         np.char.add("t", lsn.astype("U12")),
         np.char.add(np.char.add("-c", conv_idx.astype("U8")), np.char.add("-x", turn.astype("U4"))),
     )
-    filler = np.array([_FILLER[:n] for n in lens])
+    # Index into the 144 possible prefixes instead of slicing per row.
+    prefixes = np.array([_FILLER[:n] for n in range(16, 160)])
+    filler = prefixes[lens - 16]
     return np.char.add(np.char.add(head, " "), filler).astype(object)
 
 

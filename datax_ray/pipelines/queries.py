@@ -36,19 +36,31 @@ def _cents(col, factor: int = 100):
 # ------------------------------------------------------------------ CDC --
 
 
-def cdc_lww_upsert(sf_dir: str):
+def cdc_lww_upsert(sf_dir: str, num_buckets: int = 64):
     """LWW upsert over a change stream derived from `events`: key =
     (user_id, event_type), order = (ts, lsn=event_id), op = delete when
-    event_id % 10 == 0. Exercises the engine's real lww_reduce kernel
-    distributed via groupby(user_id) — all rows of a key share a group."""
+    event_id % 10 == 0. Exercises the engine's real lww_reduce kernel,
+    distributed the same way the replay engine does it: a vectorized
+    per-batch pre-reduce (combiner — shrinks the shuffle), then a hash
+    bucket per ~64 keys-worth of users so the post-shuffle reduce runs
+    once per BUCKET (vectorized), not once per user."""
+    KEYS = ("user_id", "event_type")
+    ORDER = ("ts", "lsn")
 
     def derive(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
         op = pa.array(
             np.where(eid % 10 == 0, "delete", "upsert").astype(object), pa.string()
         )
-        return pa.table(
+        pre = pa.table(
             {
+                "bucket": pa.array(
+                    ((uid.astype(np.uint64) * 2654435761) % num_buckets).astype(
+                        np.int32
+                    ),
+                    pa.int32(),
+                ),
                 "lsn": t["event_id"],
                 "ts": t["ts"],
                 "user_id": t["user_id"],
@@ -57,16 +69,17 @@ def cdc_lww_upsert(sf_dir: str):
                 "value": t["value"],
             }
         )
+        return lww_reduce(pre, key_cols=KEYS, order_cols=ORDER)
 
-    def per_user(g: pa.Table) -> pa.Table:
-        w = lww_reduce(g, key_cols=("user_id", "event_type"), order_cols=("ts", "lsn"))
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
         w = w.filter(pc.not_equal(w["op"], "delete"))
         return w.select(["user_id", "event_type", "ts", "lsn", "value"])
 
     ds = _read(sf_dir, "events").map_batches(
         derive, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 CDC_LWW_SQL = """

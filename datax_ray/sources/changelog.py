@@ -16,7 +16,6 @@ from __future__ import annotations
 import glob
 import os
 
-import pyarrow.dataset as pads
 import pyarrow.compute as pc
 
 from datax_ray.state.manifest import Manifest
@@ -43,9 +42,31 @@ def plan_epochs(
 
 
 def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
-    """[(lsn, ddl_json)] for op='ddl' rows, in (ts, lsn) order."""
-    ds = pads.dataset(segment_paths, format="parquet")
-    t = ds.to_table(columns=["lsn", "ts", "op", "ddl"], filter=pc.field("op") == "ddl")
+    """[(lsn, ddl_json)] for op='ddl' rows, in (ts, lsn) order.
+
+    Row-group pruning via parquet min/max statistics on `op`: a row group
+    can contain 'ddl' rows only if min(op) <= 'ddl' (every other op string
+    sorts after 'ddl'), so with rare DDL almost no data pages are read and
+    this stays O(files) driver-side at any event scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    for path in segment_paths:
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        idx = md.schema.to_arrow_schema().get_field_index("op")
+        cand = []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max or stats.min <= "ddl":
+                cand.append(rg)
+        if cand:
+            t = f.read_row_groups(cand, columns=["lsn", "ts", "op", "ddl"])
+            tables.append(t.filter(pc.equal(t["op"], "ddl")))
+    if not tables:
+        return []
+    t = pa.concat_tables(tables)
     if t.num_rows == 0:
         return []
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("lsn", "ascending")]))

@@ -136,6 +136,7 @@ class MergeApplier:
         lake_schema_json: list[list[str]],
         metrics: bool = True,
     ):
+        self.__name__ = "MergeApplier"  # Ray Data names task UDFs from this
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.part_files = part_files

@@ -41,6 +41,7 @@ class Normalizer:
         deadletter_dir: str | None = None,
         metrics: bool = True,
     ):
+        self.__name__ = "Normalizer"  # Ray Data names task UDFs from this
         self.schema = schema_from_json(target_schema_json)
         self.payload_cols = [f.name for f in self.schema if f.name != "_lsn"]
         self.num_partitions = num_partitions
