@@ -44,6 +44,7 @@ class ReplayConfig:
     num_partitions: int = 64
     segments_per_epoch: int | None = None  # None => one epoch for all pending
     salt_turn_width: int | None = None
+    compact_every: int = 8  # fold deltas into a new base every K epochs/part
     batch_size: int | None = 65536
     error_limit_rows: int | None = None  # abort epoch if dirty rows exceed
     error_limit_pct: float | None = None  # ... or this fraction of rows_in
@@ -78,8 +79,9 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     schema_json = schema_to_json(lake_schema)
 
     watermark = manifest.committed_lsn_hi()
-    part_files = {
-        pid: rec["file"] for pid, rec in manifest.current_partitions().items()
+    part_recs = {
+        pid: {"base": rec.get("base"), "deltas": list(rec.get("deltas", []))}
+        for pid, rec in manifest.current_partitions().items()
     }
 
     # 2. The Dataset pipeline. Both stages are callable-class actor pools:
@@ -122,8 +124,9 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         MergeApplier(
             lake_dir=cfg.lake_dir,
             epoch=epoch,
-            part_files=part_files,
+            part_recs=part_recs,
             lake_schema_json=schema_json,
+            compact_every=cfg.compact_every,
             metrics=cfg.metrics,
         ),
         batch_format="pyarrow",
@@ -152,14 +155,26 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     ):
         raise DirtyLimitExceeded(f"dirty fraction {dirty/rows_in:.4f} > {cfg.error_limit_pct}")
 
-    # 4. Commit: carry forward untouched partitions, overwrite touched ones.
+    # 4. Commit: carry forward untouched partitions; touched ones either
+    #    append this epoch's delta or (post-compaction) reset to a new base.
     partitions = manifest.current_partitions()
     for r in lineage:
-        partitions[int(r["part_id"])] = {
-            "file": r["file"],
-            "rows": int(r["rows"]),
-            "lsn_hi": int(r["lsn_hi"]),
-        }
+        pid = int(r["part_id"])
+        if r["kind"] == "base":
+            partitions[pid] = {
+                "base": r["file"],
+                "deltas": [],
+                "rows": int(r["rows"]),
+                "lsn_hi": int(r["lsn_hi"]),
+            }
+        else:
+            prev = partitions.get(pid) or {"base": None, "deltas": [], "rows": 0, "lsn_hi": -1}
+            partitions[pid] = {
+                "base": prev.get("base"),
+                "deltas": [*prev.get("deltas", []), r["file"]],
+                "rows": int(prev.get("rows", 0)) + int(r["rows"]),
+                "lsn_hi": max(int(prev.get("lsn_hi", -1)), int(r["lsn_hi"])),
+            }
     lsn_hi = max(watermark, max_lsn(segments))
     manifest.commit(
         epoch,

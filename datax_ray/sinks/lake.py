@@ -1,16 +1,20 @@
 """Lake read side.
 
-The lake is `<lake>/p=NNNNN/e=EEEEEE.parquet` partition files plus the
-`_manifest/` commit log. Readers trust ONLY files referenced by the latest
-committed manifest — orphans from crashed epochs are invisible (SURVEY.md
-§2B-B5). Partition files with mixed historical schemas (pre-/post-DDL) are
-unified to the committed schema on read.
+The lake is base+delta partition files (`<lake>/p=NNNNN/{b,d}=EEEEEE.parquet`)
+plus the `_manifest/` commit log. Readers trust ONLY files referenced by the
+latest committed manifest — orphans from crashed epochs are invisible
+(SURVEY.md §2B-B5). Each read task LWW-merges one partition's base and
+deltas (winner per (conv_id, turn_idx) = max (ts, _lsn)) and drops
+tombstones, after unifying historical pre-DDL schemas to the committed one.
 """
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -25,26 +29,46 @@ def lake_schema(lake_dir: str) -> pa.Schema:
 
 
 def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Dataset:
-    """Committed lake state as a Dataset (live rows only unless asked)."""
+    """Committed lake state as a Dataset (live rows only unless asked):
+    one merge-read task per partition, streaming — never materializes the
+    lake on the driver."""
+    from datax_ray.schemas import schema_to_json
+    from datax_ray.stages.merge import merge_states
+
     m = Manifest(lake_dir)
     schema = m.committed_schema() or LAKE_SCHEMA
-    files = m.current_files()
-    if not files:
+    parts = []
+    for pid, rec in sorted(m.current_partitions().items()):
+        files = ([rec["base"]] if rec.get("base") else []) + list(rec.get("deltas", []))
+        if files:
+            parts.append({"part_id": pid, "files": files})
+    if not parts:
         out_schema = schema if include_internal else pa.schema(
             [f for f in schema if f.name not in INTERNAL_COLS]
         )
         return ray.data.from_arrow(out_schema.empty_table())
-    ds = ray.data.read_parquet(files)
-    tracker = SchemaTracker(schema)
 
-    def unify(t: pa.Table) -> pa.Table:
-        t = tracker.unify(t)
-        live = t.filter(pc.fill_null(pc.invert(t[DELETED_COL]), True))
-        if include_internal:
-            return live
-        return live.drop_columns(list(INTERNAL_COLS))
+    schema_json = schema_to_json(schema)
 
-    return ds.map_batches(unify, batch_format="pyarrow", zero_copy_batch=True)
+    def load_partition(batch: pa.Table) -> pa.Table:
+        from datax_ray.schemas import schema_from_json
+
+        target = schema_from_json(schema_json)
+        tracker = SchemaTracker(target)
+        out = []
+        for files in batch["files"].to_pylist():
+            tables = [
+                tracker.unify(pq.read_table(os.path.join(lake_dir, f)))
+                for f in files
+            ]
+            state = merge_states(tables, target)
+            live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+            out.append(live if include_internal else live.drop_columns(list(INTERNAL_COLS)))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(parts, override_num_blocks=len(parts)).map_batches(
+        load_partition, batch_format="pyarrow", batch_size=None
+    )
 
 
 def final_table(lake_dir: str) -> pa.Table:

@@ -7,17 +7,28 @@ and keep the last row per key — no Python row loop; key-change detection is
 a numpy adjacent-compare over dictionary codes.
 
 `MergeApplier` is the per-partition group function used after the hash
-shuffle (`groupby("part_id").map_groups(...)`). For its partition it:
-  1. reads the partition's current base file (from the committed manifest's
-     partition map shipped in the task closure — O(P) strings);
-  2. unions base rows (as pseudo-events op="base", ts=row ts, lsn=row _lsn)
-     with this epoch's events, unified to the evolved schema;
-  3. LWW-reduces, drops delete-winners (tombstones), sorts by key;
-  4. writes `p=NNNNN/e=EEEEEE.parquet` — DETERMINISTIC name and row order,
-     so Ray's at-least-once retries rewrite the identical file;
-  5. returns ONE tiny lineage row — the data itself never flows back
+shuffle (`groupby("part_id").map_groups(...)`). The lake layout is
+**base + deltas** per partition (LSM-flavored), so per-epoch write cost is
+O(epoch events), NOT O(lake) — the property that keeps sustained 10^10-event
+throughput flat as the lake grows. For its partition the applier:
+  1. LWW-reduces this epoch's events into a DELTA (tombstones kept as
+     _deleted rows) and writes `p=NNNNN/d=EEEEEE.parquet` — DETERMINISTIC
+     name and row order, so Ray's at-least-once retries rewrite the
+     identical file;
+  2. every `compact_every` epochs per partition, instead folds
+     base + committed deltas + this delta into a fresh base
+     `p=NNNNN/b=EEEEEE.parquet` (amortized O(lake/compact_every) per
+     epoch) and the manifest drops the delta list;
+  3. returns ONE tiny lineage row — the data itself never flows back
      through the Dataset, only O(P) metadata reaches the driver, keeping
      the commit step small enough that 4N scaling holds (SURVEY §7 hp-6).
+
+LWW across files is associative: the winner per key under max(ts, _lsn) is
+the same whether applied event-by-event (the oracle), epoch-by-epoch (the
+old full-rewrite plan), or merged once across base+deltas (the read path /
+compaction) — so all three views agree row-for-row. Tombstones must
+OUTLIVE compaction: a late event (lsn above the watermark) may still carry
+an older ts, and only the stored tombstone's (ts, _lsn) can defeat it.
 """
 
 from __future__ import annotations
@@ -114,10 +125,41 @@ def apply_events(
     )
 
 
+def unify_to_schema(t: pa.Table, lake_schema: pa.Schema) -> pa.Table:
+    """Project a (possibly pre-DDL historical) lake-schema table onto the
+    current schema: null-fill added columns, widen-cast evolved ones."""
+    cols = {}
+    for f in lake_schema:
+        if t.schema.get_field_index(f.name) == -1:
+            cols[f.name] = pa.nulls(t.num_rows, f.type)
+        else:
+            c = t[f.name]
+            cols[f.name] = pc.cast(c, f.type) if c.type != f.type else c
+    return pa.table(cols, schema=lake_schema)
+
+
+def merge_states(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Table:
+    """LWW-merge lake-state tables (a base + any number of deltas, any
+    order): winner per (conv_id, turn_idx) is max (ts, _lsn); tombstone
+    rows (_deleted) are kept. Sorted by key — deterministic."""
+    parts = [unify_to_schema(t, lake_schema) for t in tables if t.num_rows]
+    if not parts:
+        return lake_schema.empty_table()
+    merged = lww_reduce(
+        pa.concat_tables(parts), key_cols=("conv_id", "turn_idx"), order_cols=("ts", LSN_COL)
+    )
+    return merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("part_id", pa.int32()),
         ("epoch", pa.int32()),
+        ("kind", pa.string()),  # "delta" | "base" (compaction)
         ("file", pa.string()),
         ("rows", pa.int64()),
         ("events_applied", pa.int64()),
@@ -132,30 +174,42 @@ class MergeApplier:
         self,
         lake_dir: str,
         epoch: int,
-        part_files: dict[int, str],
+        part_recs: dict[int, dict],
         lake_schema_json: list[list[str]],
+        compact_every: int = 8,
         metrics: bool = True,
     ):
         self.__name__ = "MergeApplier"  # Ray Data names task UDFs from this
         self.lake_dir = lake_dir
         self.epoch = epoch
-        self.part_files = part_files
+        self.part_recs = part_recs  # pid -> {"base": rel|None, "deltas": [rel]}
         self.schema = schema_from_json(lake_schema_json)
+        self.compact_every = max(1, compact_every)
         self._metrics = get_metrics_actor() if metrics else None
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return LINEAGE_SCHEMA.empty_table()
         part_id = group["part_id"][0].as_py()
+        rec = self.part_recs.get(part_id) or {"base": None, "deltas": []}
 
-        base = None
-        base_rel = self.part_files.get(part_id)
-        if base_rel:
-            base = pq.read_table(os.path.join(self.lake_dir, base_rel))
+        # This epoch's LWW winners (incl. tombstones) — the delta.
+        delta = apply_events(None, group, self.schema)
 
-        state = apply_events(base, group, self.schema)
+        if len(rec["deltas"]) + 1 >= self.compact_every:
+            prior = [rec["base"]] if rec["base"] else []
+            tables = [
+                pq.read_table(os.path.join(self.lake_dir, f))
+                for f in (*prior, *rec["deltas"])
+            ]
+            state = merge_states([*tables, delta], self.schema)
+            rel = os.path.join(f"p={part_id:05d}", f"b={self.epoch:06d}.parquet")
+            kind = "base"
+        else:
+            state = delta
+            rel = os.path.join(f"p={part_id:05d}", f"d={self.epoch:06d}.parquet")
+            kind = "delta"
 
-        rel = os.path.join(f"p={part_id:05d}", f"e={self.epoch:06d}.parquet")
         path = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -172,12 +226,14 @@ class MergeApplier:
                     "rows_out": state.num_rows,
                     "bytes_out": nbytes,
                     "partitions": 1,
+                    "compactions": int(kind == "base"),
                 },
             )
         return pa.table(
             {
                 "part_id": pa.array([part_id], pa.int32()),
                 "epoch": pa.array([self.epoch], pa.int32()),
+                "kind": pa.array([kind], pa.string()),
                 "file": pa.array([rel], pa.string()),
                 "rows": pa.array([state.num_rows], pa.int64()),
                 "events_applied": pa.array([group.num_rows], pa.int64()),

@@ -72,18 +72,22 @@ class Manifest:
         return schema_from_json(rec["schema"]) if rec else None
 
     def current_partitions(self) -> dict[int, dict]:
-        """part_id -> {"file": relpath, "rows": n, "lsn_hi": int}"""
+        """part_id -> {"base": relpath|None, "deltas": [relpath], "rows": n,
+        "lsn_hi": int}. `rows` counts stored rows (incl. tombstones and
+        superseded delta rows) — informational, not the live count."""
         rec = self.latest()
         if not rec:
             return {}
         return {int(k): v for k, v in rec["partitions"].items()}
 
     def current_files(self) -> list[str]:
-        return [
-            os.path.join(self.lake_dir, v["file"])
-            for v in self.current_partitions().values()
-            if v["rows"] > 0
-        ]
+        """All committed data files (each partition's base + deltas)."""
+        out = []
+        for v in self.current_partitions().values():
+            if v.get("base"):
+                out.append(os.path.join(self.lake_dir, v["base"]))
+            out.extend(os.path.join(self.lake_dir, d) for d in v.get("deltas", []))
+        return out
 
     # -- write side --------------------------------------------------------
 

@@ -24,7 +24,7 @@ def assert_tables_equal(ours: pa.Table, oracle: pa.Table):
 
 def run_case(tmp_path, tag, n_events=4000, n_convs=60, seg_rows=1500, partitions=8, **knobs):
     cfg_knobs = {}
-    for k in ("segments_per_epoch", "salt_turn_width"):
+    for k in ("segments_per_epoch", "salt_turn_width", "compact_every"):
         if k in knobs:
             cfg_knobs[k] = knobs.pop(k)
     changes = gen_changes(n_events, n_convs, seed=42, **knobs)
@@ -87,3 +87,76 @@ def test_replay_everything(tmp_path):
         segments_per_epoch=2,
         salt_turn_width=8,
     )
+
+
+def test_compaction_matches_oracle(tmp_path):
+    """compact_every=2 with per-segment epochs: bases get rewritten while
+    deltas accumulate and fold, and the merged view still equals the
+    sequential oracle."""
+    from datax_ray.state.manifest import Manifest
+
+    reports = run_case(
+        tmp_path,
+        "compact",
+        n_events=6000,
+        seg_rows=1000,
+        segments_per_epoch=1,
+        compact_every=2,
+    )
+    assert len(reports) == 6
+    lake_dir = str(tmp_path / "lake_compact")
+    parts = Manifest(lake_dir).current_partitions()
+    assert any(v.get("base") for v in parts.values()), "no compaction happened"
+    # after an even number of epochs every touched partition just compacted
+    assert all(len(v.get("deltas", [])) < 2 for v in parts.values())
+
+
+def test_tombstone_survives_compaction(tmp_path):
+    """delete (late ts) in epoch 1, stale update (older ts) in epoch 3 after
+    a compaction: the row must stay deleted — tombstones carry (ts, _lsn)
+    through compaction."""
+    import numpy as np
+
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.sinks.lake import final_table
+
+    base_us = 1_767_225_600_000_000
+    rows = [
+        # epoch 0: insert
+        (0, base_us + 1_000, "insert", "conv-x", 1, "user", "hello", ""),
+        # epoch 1: delete with LATE ts
+        (1, base_us + 9_000, "delete", "conv-x", 1, None, None, None),
+        # epoch 2: unrelated traffic so compact_every=2 fires before epoch 3
+        (2, base_us + 10_000, "insert", "conv-y", 1, "user", "other", ""),
+        # epoch 3: stale update (ts older than tombstone, lsn newer)
+        (3, base_us + 5_000, "update", "conv-x", 1, "user", "resurrect?", ""),
+    ]
+    t = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "op": pa.array([r[2] for r in rows], pa.string()),
+            "conv_id": pa.array([r[3] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[4] for r in rows], pa.int32()),
+            "role": pa.array([r[5] for r in rows], pa.string()),
+            "text": pa.array([r[6] for r in rows], pa.string()),
+            "tool": pa.array([r[7] for r in rows], pa.string()),
+            "ddl": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    chg = str(tmp_path / "chg_tomb")
+    lake = str(tmp_path / "lake_tomb")
+    write_segments(t, chg, seg_rows=1)
+    replay(
+        ReplayConfig(
+            changes_dir=chg,
+            lake_dir=lake,
+            num_partitions=4,
+            segments_per_epoch=1,
+            compact_every=2,
+        )
+    )
+    ours = final_table(lake)
+    assert_tables_equal(ours, sequential_replay(t))
+    assert ours.num_rows == 1  # only conv-y survives
+    assert ours["conv_id"][0].as_py() == "conv-y"
