@@ -150,7 +150,11 @@ def main(argv=None):
                         "lsn_hi": rec["lsn_hi"],
                         "segments": rec["segments"],
                         "partitions": len(rec["partitions"]),
-                        "rows": sum(v["rows"] for v in rec["partitions"].values()),
+                        "ranges_with_frags": sum(
+                            1 for v in rec.get("ranges", {}).values() if v.get("frags")
+                        ),
+                        "rows": sum(v["rows"] for v in rec["partitions"].values())
+                        + sum(v.get("rows", 0) for v in rec.get("ranges", {}).values()),
                         "schema": rec["schema"],
                         "metrics": rec.get("metrics", {}),
                     },

@@ -16,6 +16,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from datax_ray.schemas import CHANGES_SCHEMA, TRANSCRIPTS_SCHEMA
@@ -35,21 +36,24 @@ _FILLER = (
 
 
 def _conv_ids(idx: np.ndarray) -> np.ndarray:
-    # Vectorized "conv-%06d" formatting.
-    return np.char.add("conv-", np.char.zfill(idx.astype("U6"), 6)).astype(object)
+    # Vectorized "conv-%06d" formatting via Arrow kernels (np.char is ~10x
+    # slower — it loops a Python-level ufunc over U-dtype temporaries).
+    padded = pc.utf8_lpad(pc.cast(pa.array(idx.astype(np.int64)), pa.string()), width=6, padding="0")
+    out = pc.binary_join_element_wise("conv-", padded, "")
+    return out.to_numpy(zero_copy_only=False)
 
 
 def _texts(lsn: np.ndarray, conv_idx: np.ndarray, turn: np.ndarray, rng) -> np.ndarray:
     """Deterministic per-event text with varying length."""
     lens = rng.integers(16, 160, size=len(lsn))
-    head = np.char.add(
-        np.char.add("t", lsn.astype("U12")),
-        np.char.add(np.char.add("-c", conv_idx.astype("U8")), np.char.add("-x", turn.astype("U4"))),
-    )
     # Index into the 144 possible prefixes instead of slicing per row.
-    prefixes = np.array([_FILLER[:n] for n in range(16, 160)])
-    filler = prefixes[lens - 16]
-    return np.char.add(np.char.add(head, " "), filler).astype(object)
+    prefixes = np.array([_FILLER[:n] for n in range(16, 160)], dtype=object)
+    filler = pa.array(prefixes[lens - 16], pa.string())
+    la = pc.cast(pa.array(lsn), pa.string())
+    ca = pc.cast(pa.array(conv_idx.astype(np.int64)), pa.string())
+    ta = pc.cast(pa.array(turn.astype(np.int64)), pa.string())
+    out = pc.binary_join_element_wise("t", la, "-c", ca, "-x", ta, " ", filler, "")
+    return out.to_numpy(zero_copy_only=False)
 
 
 def _zipf_conv_choice(rng, n_events: int, n_convs: int, s: float) -> np.ndarray:
@@ -224,7 +228,41 @@ def gen_changes_dir(
     n_convs: int = 50,
     seed: int = 42,
     seg_rows: int = 10_000,
+    chunk_rows: int = 2_000_000,
     **knobs,
 ) -> list[str]:
-    table = gen_changes(n_events, n_convs, seed, **knobs)
-    return write_segments(table, out_dir, seg_rows=seg_rows)
+    """Write the change log as segments. Above `chunk_rows` events the log
+    is generated in chunks (np.char temporaries on a U~200 text column cost
+    ~0.8 KB/row — a monolithic 32M-row build would churn >25 GB): chunk c
+    gets seed+c, its LSNs/timestamps offset to stay globally ordered, and
+    DDL events only in chunk 0 (so they precede all data events, the
+    invariant gen_changes documents). Same (seed, knobs) => same bytes."""
+    if n_events <= chunk_rows:
+        table = gen_changes(n_events, n_convs, seed, **knobs)
+        return write_segments(table, out_dir, seg_rows=seg_rows)
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    seg_idx = 0
+    for c, start in enumerate(range(0, n_events, chunk_rows)):
+        n = min(chunk_rows, n_events - start)
+        ck = dict(knobs)
+        if c > 0:
+            ck["with_ddl"] = False
+        t = gen_changes(n, n_convs, seed + c, **ck)
+        # shift lsn/ts into this chunk's global range
+        lsn = pc.add(t["lsn"], start)
+        ts = pc.add(pc.cast(t["ts"], pa.int64()), start * 1_000)
+        t = t.set_column(t.schema.get_field_index("lsn"), "lsn", lsn)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", pc.cast(ts, pa.timestamp("us"))
+        )
+        if c > 0 and "lang" not in t.column_names and knobs.get("with_ddl"):
+            t = t.append_column("lang", pa.nulls(t.num_rows, pa.string()))
+        for s in range(0, n, seg_rows):
+            part = t.slice(s, seg_rows)
+            path = os.path.join(out_dir, f"seg-{seg_idx:05d}.parquet")
+            pq.write_table(part, path)
+            paths.append(path)
+            seg_idx += 1
+    return paths

@@ -40,14 +40,49 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pick_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+        # one COARSE bucket holds many content hashes: a single vectorized
+        # sort + drop_duplicates picks the min-id survivor per hash.
+        return (
+            g.sort_values(id_col, kind="stable")
+            .drop_duplicates("_h", keep="first")
+            .drop(columns=["_grp"])
+        )
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        df["_grp"] = (df["_h"].to_numpy() % 64).astype("int32")
+        return df
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_h")
+        .map_batches(add_grp, batch_format="pandas")
+        .groupby("_grp")
         .map_groups(pick_min, batch_format="pandas")
     )
     return out.drop_columns(["_h"])
+
+
+def _unique_pairs(pairs, score_col: str, num_buckets: int = 64):
+    """Exact-dedup of (doc_a, doc_b) pair rows: coarse hash bucket shuffle,
+    one vectorized drop_duplicates per bucket."""
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy().astype(np.int64)
+        b = df["doc_b"].to_numpy().astype(np.int64)
+        df["_pg"] = ((a * 1000003 + b) % num_buckets).astype("int32")
+        return df
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["doc_a", "doc_b", score_col], kind="stable")
+            .drop_duplicates(["doc_a", "doc_b"], keep="first")
+            .drop(columns=["_pg"])
+        )
+
+    return (
+        pairs.map_batches(add_grp, batch_format="pandas")
+        .groupby("_pg")
+        .map_groups(uniq, batch_format="pandas")
+    )
 
 
 # -------------------------------------------------------------- minhash --
@@ -114,10 +149,16 @@ class MinHasher:
         bucket = resh.sum(axis=2, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15) + resh.min(
             axis=2
         )
+        flat_bucket = bucket.reshape(-1)
+        # coarse shuffle key: many (band, bucket) LSH groups per shuffle
+        # partition, so downstream work is O(shuffle partitions) Python
+        # calls, not O(LSH buckets).
+        grp = ((flat_bucket ^ band_ids.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
         return pa.table(
             {
+                "grp": pa.array(grp, pa.int32()),
                 "band": pa.array(band_ids),
-                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+                "bucket": pa.array(flat_bucket, pa.uint64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "sig": pa.array(list(sigs.repeat(self.bands, axis=0)), pa.list_(pa.uint64())),
             }
@@ -142,24 +183,44 @@ def minhash_lsh_pairs(
     candidate rows.
     """
 
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        jac = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-        keep = jac >= threshold
-        return pd.DataFrame(
-            {
-                "doc_a": ids[a_idx][keep].astype("int64"),
-                "doc_b": ids[b_idx][keep].astype("int64"),
-                "jaccard": jac[keep],
-            }
-        )
+        """One COARSE group = many LSH buckets. Vectorized pre-filter keeps
+        only buckets with >=2 docs (true collisions), then enumerates pairs
+        bucket-by-bucket — the Python loop runs per COLLIDING bucket, a set
+        proportional to the near-dup count, not the corpus."""
+        g = g.drop_duplicates(["band", "bucket", "doc_id"])
+        sizes = g.groupby(["band", "bucket"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        outs = []
+        for _, grp_df in g.groupby(["band", "bucket"], sort=False):
+            ids = grp_df["doc_id"].to_numpy()
+            sigs = np.stack(grp_df["sig"].to_numpy())
+            order = np.argsort(ids)
+            ids, sigs = ids[order], sigs[order]
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            jac = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+            keep = jac >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[a_idx][keep].astype("int64"),
+                            "doc_b": ids[b_idx][keep].astype("int64"),
+                            "jaccard": jac[keep],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         ds.map_batches(
@@ -176,17 +237,11 @@ def minhash_lsh_pairs(
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-        .groupby(["band", "bucket"])
+        .groupby("grp")
         .map_groups(candidates, batch_format="pandas")
     )
-
     # a pair can surface from several bands: final exact-dedup of pairs
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "jaccard")
 
 
 # -------------------------------------------------------------- simhash --
@@ -222,8 +277,10 @@ class SimHasher:
         doc_col = np.repeat(ids, 4)
         hash_col = np.repeat(hashes, 4)
         key = (hash_col >> (np.uint64(16) * band_col.astype(np.uint64))) & np.uint64(0xFFFF)
+        grp = ((key ^ band_col.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
         return pa.table(
             {
+                "grp": pa.array(grp, pa.int32()),
                 "band": pa.array(band_col),
                 "key": pa.array(key, pa.uint64()),
                 "doc_id": pa.array(doc_col, pa.int64()),
@@ -235,25 +292,41 @@ class SimHasher:
 def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
     """Pairs whose 64-bit simhashes differ in <= max_hamming bits."""
 
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        a, b = np.triu_indices(len(ids), k=1)
-        x = hs[a] ^ hs[b]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "doc_a": ids[a][keep].astype("int64"),
-                "doc_b": ids[b][keep].astype("int64"),
-                "hamming": ham[keep].astype("int64"),
-            }
-        )
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        outs = []
+        for _, grp_df in g.groupby(["band", "key"], sort=False):
+            ids = grp_df["doc_id"].to_numpy()
+            hs = grp_df["simhash"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            a, b = np.triu_indices(len(ids), k=1)
+            x = hs[a] ^ hs[b]
+            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[a][keep].astype("int64"),
+                            "doc_b": ids[b][keep].astype("int64"),
+                            "hamming": ham[keep],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         ds.map_batches(
@@ -263,12 +336,10 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-        .groupby(["band", "key"])
+        .groupby("grp")
         .map_groups(candidates, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "hamming")
 
 
 # ------------------------------------------------- n-gram jaccard verify --
@@ -316,36 +387,51 @@ def embedding_dup_pairs(
             unit = mat / norms[:, None]
             return pa.table(
                 {
+                    "grp": pa.array((bucket % 64).astype(np.int32), pa.int32()),
                     "bucket": pa.array(bucket),
                     id_col: t[id_col],
                     "unit": pa.array(list(unit), pa.list_(pa.float64())),
                 }
             )
 
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        u = np.stack(g["unit"].to_numpy())
-        order = np.argsort(ids)
-        ids, u = ids[order], u[order]
-        cos = u @ u.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = cos[a, b] >= threshold
-        return pd.DataFrame(
-            {
-                "doc_a": ids[a][keep].astype("int64"),
-                "doc_b": ids[b][keep].astype("int64"),
-                "cosine": cos[a, b][keep],
-            }
-        )
+        g = g.drop_duplicates(["bucket", id_col])
+        sizes = g.groupby("bucket")[id_col].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        outs = []
+        for _, grp_df in g.groupby("bucket", sort=False):
+            ids = grp_df[id_col].to_numpy()
+            u = np.stack(grp_df["unit"].to_numpy())
+            order = np.argsort(ids)
+            ids, u = ids[order], u[order]
+            cos = u @ u.T
+            a, b = np.triu_indices(len(ids), k=1)
+            keep = cos[a, b] >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[a][keep].astype("int64"),
+                            "doc_b": ids[b][keep].astype("int64"),
+                            "cosine": cos[a, b][keep],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         ds.map_batches(Project, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("bucket")
+        .groupby("grp")
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "cosine")

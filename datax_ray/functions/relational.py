@@ -33,27 +33,38 @@ def partial_agg(
     keys: list[str],
     sums: dict[str, str] | None = None,
     counts: str | None = None,
+    num_buckets: int = 64,
 ):
     """Combiner-style grouped aggregation: per-batch pandas groupby partials
-    (one row per key per batch), then a small global groupby().aggregate()
-    over the partials. `sums` maps source column -> output name; `counts`
-    names a count(*) output column."""
+    (one row per key per batch), then a shuffle of the partials into
+    `num_buckets` coarse hash buckets and ONE vectorized pandas groupby-sum
+    per bucket — never a Python call per key group, so millions of distinct
+    keys cost the same task count as dozens. `sums` maps source column ->
+    output name; `counts` names a count(*) output column."""
     sums = sums or {}
+    out_cols = list(sums.values()) + ([counts] if counts else [])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         aggs = {out: (src, "sum") for src, out in sums.items()}
         if counts:
             df = df.assign(**{counts: 1})
             aggs[counts] = (counts, "sum")
-        return df.groupby(keys, as_index=False).agg(**aggs)
+        g = df.groupby(keys, as_index=False).agg(**aggs)
+        grp = pd.util.hash_pandas_object(g[keys], index=False).to_numpy()
+        g["_grp"] = (grp % num_buckets).astype("int32")
+        return g
 
-    from ray.data.aggregate import Sum
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=["_grp"])
+            .groupby(keys, as_index=False)[out_cols]
+            .sum()
+        )
 
-    final_aggs = [Sum(out, alias_name=out) for out in sums.values()]
-    if counts:
-        final_aggs.append(Sum(counts, alias_name=counts))
-    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(
-        *final_aggs
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(final, batch_format="pandas")
     )
 
 

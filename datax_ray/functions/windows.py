@@ -23,26 +23,40 @@ def sessionize(
     previous event exceeds `gap_us`. Returns (key, session_id, n_events,
     t_start, t_end) — one row per session."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col], kind="stable")
-        ts = g[ts_col].astype("int64").to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        g = g.assign(session_id=sid)
-        out = (
-            g.groupby("session_id")
-            .agg(
-                n_events=(order_col, "count"),
-                t_start=(ts_col, "min"),
-                t_end=(ts_col, "max"),
-            )
-            .reset_index()
-        )
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        grp = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["_grp"] = (grp % 64).astype("int32")
+        return df
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """One coarse bucket holds MANY keys; session assignment is fully
+        vectorized across all of them: sort by (key, ts, order), flag a new
+        session at every key boundary or over-gap step, cumsum, then rebase
+        the running id to start at 0 per key."""
+        df = df.sort_values([key_col, ts_col, order_col], kind="stable")
+        n = len(df)
+        ts = df[ts_col].astype("int64").to_numpy()
+        uid = df[key_col].to_numpy()
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            new[1:] = (~same) | ((ts[1:] - ts[:-1]) > gap_us)
+        gsid = np.cumsum(new) - 1
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]] if n else [])
+        counts = np.diff(np.r_[starts, n])
+        offset = np.repeat(gsid[starts], counts) if n else gsid
+        df = df.assign(session_id=gsid - offset)
+        return df.groupby([key_col, "session_id"], as_index=False).agg(
+            n_events=(order_col, "count"),
+            t_start=(ts_col, "min"),
+            t_end=(ts_col, "max"),
+        )
+
+    return (
+        ds.map_batches(add_grp, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def tumbling_window_counts(
@@ -57,34 +71,22 @@ def tumbling_window_counts(
     groupby over the per-batch partials — the shuffle moves one row per
     (key, window, batch) instead of every event."""
 
-    def partial(t: pa.Table) -> pa.Table:
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
         ts = pc.cast(t[ts_col], pa.int64())
         win = pc.multiply(pc.divide(ts, window_us), window_us)
-        tt = pa.table(
-            {
-                key_col: t[key_col],
-                "window_start": win,
-                "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                "sum_value": t[value_col],
-            }
+        return pa.table(
+            {key_col: t[key_col], "window_start": win, "sum_value": t[value_col]}
         )
-        df = tt.to_pandas()
-        out = (
-            df.groupby([key_col, "window_start"], as_index=False)
-            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+    out = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[key_col, "window_start"],
+        sums={"sum_value": "sum_value"},
+        counts="n_events",
     )
+
     # restore timestamp type for the window edge
     def to_ts(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("window_start")

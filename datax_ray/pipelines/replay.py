@@ -1,32 +1,39 @@
 """The replay pipeline — entry point E1/E2 of SURVEY.md §3.2.
 
-Per epoch:
+Per epoch (NO all-to-all — the lake merge "shuffles via storage", see
+stages/delta.py for the measurements that forced this):
     read_parquet(uncommitted segments)
-      → map_batches(Normalizer)           # stateless: watermark, validate,
-                                          # dirty-route, cast, part_id
-      → groupby("part_id").map_groups(MergeApplier)   # THE shuffle + the
-                                          # stateful per-partition LWW apply;
-                                          # emits O(P) lineage rows only
-      → take_all() lineage (tiny) → 2PC manifest commit (driver)
+      → map_batches(Normalizer)      # stateless: watermark, validate,
+                                     # dirty-route, cast, part_id
+      → map_batches(DeltaWriter)     # within-batch LWW combine; write one
+                                     # fragment per partition-RANGE with a
+                                     # content-hash name; emit lineage rows
+      → take_all() lineage (tiny)
+    then, for ranges whose fragment count reached compact_every:
+      from_items(ranges) → map_batches(Compactor)  # fold bases+frags into
+                                     # fresh per-partition bases
+      → take_all() lineage (tiny)
+    → ONE 2PC manifest commit covering both.
 
 Resume (a crashed/killed run) is the identical code path: the planner skips
-committed segments; orphan partition files are overwritten byte-identically.
+committed segments; orphan files (never referenced by a committed manifest)
+are invisible and re-runs rewrite fragments content-identically.
 
 Never calls ray.init — the caller owns the Ray session (driver contract).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
 import ray
 import ray.data
-from ray.data.context import DataContext, ShuffleStrategy
 
 from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
 from datax_ray.sources.changelog import max_lsn, plan_epochs, scan_ddl
-from datax_ray.stages.merge import MergeApplier
+from datax_ray.stages.delta import Compactor, DeltaWriter
 from datax_ray.stages.normalize import Normalizer
 from datax_ray.state.manifest import Manifest
 from datax_ray.state.metrics import get_metrics_actor, total_dirty
@@ -44,8 +51,10 @@ class ReplayConfig:
     num_partitions: int = 64
     segments_per_epoch: int | None = None  # None => one epoch for all pending
     salt_turn_width: int | None = None
-    compact_every: int = 8  # fold deltas into a new base every K epochs/part
+    frag_ranges: int = 32  # partition ranges = unit of fragment files/compaction
+    compact_every: int = 8  # compact a range when it holds >= this many frags
     batch_size: int | None = 65536
+    frag_batch_size: int | None = 262144  # bigger batches => fewer fragments
     error_limit_rows: int | None = None  # abort epoch if dirty rows exceed
     error_limit_pct: float | None = None  # ... or this fraction of rows_in
     normalize_concurrency: int | tuple | None = None  # task-parallelism cap
@@ -79,37 +88,24 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     schema_json = schema_to_json(lake_schema)
 
     watermark = manifest.committed_lsn_hi()
-    part_recs = {
-        pid: {"base": rec.get("base"), "deltas": list(rec.get("deltas", []))}
-        for pid, rec in manifest.current_partitions().items()
+    # The partition/range layout is a LAKE property, frozen at epoch 0:
+    # resuming with different cfg values must not shift rows across files.
+    layout = manifest.committed_layout() or {
+        "num_partitions": cfg.num_partitions,
+        "frag_ranges": min(cfg.frag_ranges, cfg.num_partitions),
     }
+    num_partitions = int(layout["num_partitions"])
+    frag_ranges = int(layout["frag_ranges"])
+    parts_per_range = max(1, num_partitions // frag_ranges)
 
-    # 2. The Dataset pipeline. Both stages are callable-class actor pools:
-    #    config parsed once per actor in __init__, per-batch/-group work in
-    #    __call__ (the DataX "plugin Task" lifecycle, Ray-natively).
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    # Hash shuffle for the merge exchange: moves each row once to its
-    # keyed aggregator instead of sort-shuffling the whole epoch (measured
-    # 7x faster at 8M events). Shuffle width (aggregator partitions) tracks
-    # the cluster's cores and is DECOUPLED from cfg.num_partitions (the
-    # lake file layout): one shuffle partition carries many part_id groups,
-    # and map_groups still hands MergeApplier complete per-part_id groups.
-    ctx = DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    prev_max_agg = ctx.max_hash_shuffle_aggregators
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    shuffle_width = max(8, min(cfg.num_partitions, ncpu))
-    ctx.max_hash_shuffle_aggregators = min(shuffle_width, ncpu)
-    # Both stages are plain-task stages (instances shipped once via the
-    # object store): they hold only parsed config — no model/index state —
-    # so the task pool's zero spin-up and instant elasticity beat an actor
-    # pool here. cfg.normalize_concurrency/merge_concurrency (when set)
-    # still cap the task parallelism.
+    # 2. Map-only Dataset pipeline (instances shipped once via the object
+    #    store; task pools — zero spin-up, elastic). No shuffle anywhere:
+    #    co-location happens in the lake's file layout itself.
     ds = ray.data.read_parquet(segments)
     ds = ds.map_batches(
         Normalizer(
             target_schema_json=schema_json,
-            num_partitions=cfg.num_partitions,
+            num_partitions=num_partitions,
             watermark_lsn=watermark,
             salt_turn_width=cfg.salt_turn_width,
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
@@ -120,25 +116,25 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         batch_size=cfg.batch_size,
         concurrency=cfg.normalize_concurrency,
     )
-    lineage_ds = ds.groupby("part_id", num_partitions=shuffle_width).map_groups(
-        MergeApplier(
+    lineage_ds = ds.map_batches(
+        DeltaWriter(
             lake_dir=cfg.lake_dir,
             epoch=epoch,
-            part_recs=part_recs,
+            num_partitions=num_partitions,
+            frag_ranges=frag_ranges,
             lake_schema_json=schema_json,
-            compact_every=cfg.compact_every,
             metrics=cfg.metrics,
         ),
         batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.frag_batch_size,
         concurrency=cfg.merge_concurrency,
     )
-    try:
-        lineage = lineage_ds.take_all()  # O(partitions) tiny rows
-    finally:
-        # The DataContext is session-global: restore it so pipelines outside
-        # the replay engine keep their own shuffle configuration.
-        ctx.shuffle_strategy = prev_strategy
-        ctx.max_hash_shuffle_aggregators = prev_max_agg
+    lineage = lineage_ds.take_all()  # O(tasks x ranges) tiny rows
+    if os.environ.get("DATAX_STATS"):
+        import sys
+
+        print(lineage_ds.stats(), file=sys.stderr)
 
     snap = ray.get(metrics.snapshot.remote()) if metrics is not None else {}
     dirty = total_dirty(snap)
@@ -155,26 +151,62 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     ):
         raise DirtyLimitExceeded(f"dirty fraction {dirty/rows_in:.4f} > {cfg.error_limit_pct}")
 
-    # 4. Commit: carry forward untouched partitions; touched ones either
-    #    append this epoch's delta or (post-compaction) reset to a new base.
+    # 4. Fold this epoch's fragments into the range map.
     partitions = manifest.current_partitions()
+    ranges = manifest.current_ranges()
     for r in lineage:
-        pid = int(r["part_id"])
-        if r["kind"] == "base":
-            partitions[pid] = {
+        rid = int(r["range_id"])
+        rec = ranges.get(rid) or {"frags": [], "rows": 0, "lsn_hi": -1, "epochs": []}
+        rec["frags"] = [*rec.get("frags", []), r["file"]]
+        rec["rows"] = int(rec.get("rows", 0)) + int(r["rows"])
+        rec["lsn_hi"] = max(int(rec.get("lsn_hi", -1)), int(r["lsn_hi"]))
+        eps = rec.get("epochs", [])
+        if epoch not in eps:
+            eps = [*eps, epoch]
+        rec["epochs"] = eps
+        ranges[rid] = rec
+
+    # 5. Compaction: ranges that accumulated fragments from >= compact_every
+    #    epochs fold base+frags into fresh per-partition bases (map-only,
+    #    parallel by range; amortized O(lake/compact_every) per epoch).
+    base_lineage = []
+    to_compact = [
+        rid for rid, rec in ranges.items() if len(rec.get("epochs", [])) >= cfg.compact_every
+    ]
+    if to_compact:
+        items = []
+        for rid in sorted(to_compact):
+            pids = range(rid * parts_per_range, min((rid + 1) * parts_per_range, num_partitions))
+            withbase = [(p, partitions[p]["base"]) for p in pids if partitions.get(p, {}).get("base")]
+            items.append(
+                {
+                    "range_id": rid,
+                    "base_pids": [p for p, _ in withbase],
+                    "base_files": [f for _, f in withbase],
+                    "frag_files": list(ranges[rid]["frags"]),
+                }
+            )
+        compact_ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            Compactor(
+                lake_dir=cfg.lake_dir,
+                epoch=epoch,
+                lake_schema_json=schema_json,
+                metrics=cfg.metrics,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        base_lineage = compact_ds.take_all()
+        for r in base_lineage:
+            partitions[int(r["part_id"])] = {
                 "base": r["file"],
-                "deltas": [],
                 "rows": int(r["rows"]),
                 "lsn_hi": int(r["lsn_hi"]),
             }
-        else:
-            prev = partitions.get(pid) or {"base": None, "deltas": [], "rows": 0, "lsn_hi": -1}
-            partitions[pid] = {
-                "base": prev.get("base"),
-                "deltas": [*prev.get("deltas", []), r["file"]],
-                "rows": int(prev.get("rows", 0)) + int(r["rows"]),
-                "lsn_hi": max(int(prev.get("lsn_hi", -1)), int(r["lsn_hi"])),
-            }
+        for rid in to_compact:
+            ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
+
+    # 6. ONE atomic commit covering fragments + compaction.
     lsn_hi = max(watermark, max_lsn(segments))
     manifest.commit(
         epoch,
@@ -182,7 +214,9 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         lsn_hi=lsn_hi,
         schema=lake_schema,
         partitions=partitions,
-        lineage=[dict(r) for r in lineage],
+        ranges=ranges,
+        layout=layout,
+        lineage=[dict(r) for r in (*lineage, *base_lineage)],
         metrics=snap,
     )
     rows_out = sum(int(r["rows"]) for r in lineage)

@@ -37,11 +37,23 @@ def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Data
 
     m = Manifest(lake_dir)
     schema = m.committed_schema() or LAKE_SCHEMA
+    layout = m.committed_layout() or {}
+    num_partitions = int(layout.get("num_partitions", 0) or 0)
+    frag_ranges = int(layout.get("frag_ranges", 1) or 1)
+    ppr = max(1, num_partitions // frag_ranges) if num_partitions else 1
+    partitions = m.current_partitions()
+    range_recs = m.current_ranges()
     parts = []
-    for pid, rec in sorted(m.current_partitions().items()):
-        files = ([rec["base"]] if rec.get("base") else []) + list(rec.get("deltas", []))
+    all_rids = set(range_recs) | {pid // ppr for pid in partitions}
+    for rid in sorted(all_rids):
+        files = [
+            partitions[p]["base"]
+            for p in range(rid * ppr, (rid + 1) * ppr)
+            if partitions.get(p, {}).get("base")
+        ]
+        files += list(range_recs.get(rid, {}).get("frags", []))
         if files:
-            parts.append({"part_id": pid, "files": files})
+            parts.append({"range_id": rid, "files": files})
     if not parts:
         out_schema = schema if include_internal else pa.schema(
             [f for f in schema if f.name not in INTERNAL_COLS]

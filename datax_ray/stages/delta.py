@@ -1,0 +1,220 @@
+"""Fragment-delta sink + range compactor: the lake's exchange-free merge.
+
+Measured on ray 2.49.2 (single node, 32 cpus, 8M rows): every Ray Data
+all-to-all — sort-based or hash-based — burns a large constant (aggregator
+actors busy-poll ~100 cpu-s per execution) plus ~8-25 us/row, versus
+~2 us/row for the actual LWW+parquet kernels. A CDC lake does not need an
+in-memory exchange at all: the lake IS storage, so the merge "shuffles
+via storage", the way Hudi/Delta-style ingest does:
+
+  * `DeltaWriter` (map-only, pipelined after normalize): LWW-reduces its
+    batch, splits it by partition RANGE (`range_id = part_id // parts_per
+    _range`), and appends one FRAGMENT parquet per range with a
+    CONTENT-HASH filename — a retried task rewrites the identical file, so
+    at-least-once execution stays exactly-once. Emits tiny lineage rows.
+  * `Compactor` (map-only over ranges, every `compact_every` epochs per
+    range): reads the range's per-partition bases + accumulated fragments,
+    LWW-merges (tombstones kept — see stages/merge.py for why they must
+    outlive compaction), and rewrites one base per partition.
+
+Per-epoch cost is O(epoch events) with NO all-to-all; compaction is
+amortized O(lake / compact_every) and embarrassingly parallel by range.
+Every stage is a task-pool `map_batches` over Arrow — scaling is linear in
+cores because nothing synchronizes except the (O(ranges)) driver commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from datax_ray.schemas import schema_from_json
+from datax_ray.stages.merge import apply_events, merge_states
+from datax_ray.state.metrics import get_metrics_actor
+
+FRAG_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("range_id", pa.int32()),
+        ("epoch", pa.int32()),
+        ("kind", pa.string()),  # "frag"
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("events_applied", pa.int64()),
+        ("lsn_hi", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+BASE_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("range_id", pa.int32()),
+        ("epoch", pa.int32()),
+        ("kind", pa.string()),  # "base"
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("lsn_hi", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+def _atomic_write(table: pa.Table, path: str) -> int:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+class DeltaWriter:
+    """Map-only fragment sink: one call = one normalized batch in, tiny
+    lineage rows out. The batch's LWW winners (incl. tombstones, with their
+    part_id) land in `<lake>/r=RR/e=EEEEEE-<contenthash>.parquet`."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        num_partitions: int,
+        frag_ranges: int,
+        lake_schema_json: list[list[str]],
+        metrics: bool = True,
+    ):
+        self.__name__ = "DeltaWriter"
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.parts_per_range = max(1, num_partitions // frag_ranges)
+        self.schema = schema_from_json(lake_schema_json)
+        self._metrics = get_metrics_actor() if metrics else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return FRAG_LINEAGE_SCHEMA.empty_table()
+        events_in = batch.num_rows
+        # within-batch LWW combiner (dedups re-delivered rows, shrinks
+        # frags); part_id rides along inside the projected schema.
+        schema_with_part = pa.schema([*self.schema, pa.field("part_id", pa.int32())])
+        delta = apply_events(None, batch, schema_with_part)
+
+        rid_all = (
+            delta["part_id"].to_numpy(zero_copy_only=False) // self.parts_per_range
+        ).astype(np.int32)
+        order = np.argsort(rid_all, kind="stable")
+        delta = delta.take(pa.array(order))
+        rid_sorted = rid_all[order]
+        bounds = np.flatnonzero(np.r_[True, rid_sorted[1:] != rid_sorted[:-1]])
+        bounds = np.r_[bounds, len(rid_sorted)]
+
+        out_rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            rid = int(rid_sorted[lo])
+            piece = delta.slice(lo, hi - lo)
+            sink = pa.BufferOutputStream()
+            pq.write_table(piece, sink)
+            buf = sink.getvalue()
+            digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+            rel = os.path.join(f"r={rid:04d}", f"e={self.epoch:06d}-{digest}.parquet")
+            path = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf.to_pybytes())
+            os.replace(tmp, path)
+            lsn_hi = pc.max(piece["_lsn"]).as_py()
+            out_rows.append(
+                {
+                    "range_id": rid,
+                    "epoch": self.epoch,
+                    "kind": "frag",
+                    "file": rel,
+                    "rows": piece.num_rows,
+                    "events_applied": hi - lo,
+                    "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
+                    "bytes": len(buf),
+                }
+            )
+        if self._metrics is not None:
+            self._metrics.add.remote(
+                "delta_write",
+                {
+                    "events_in": events_in,
+                    "rows_out": delta.num_rows,
+                    "frags": len(out_rows),
+                    "bytes_out": sum(r["bytes"] for r in out_rows),
+                },
+            )
+        return pa.Table.from_pylist(out_rows, schema=FRAG_LINEAGE_SCHEMA)
+
+
+class Compactor:
+    """Map-only range compactor: one call = one range descriptor row in
+    (base files + fragment files), per-partition base lineage rows out."""
+
+    def __init__(self, lake_dir: str, epoch: int, lake_schema_json: list[list[str]], metrics: bool = True):
+        self.__name__ = "Compactor"
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.schema = schema_from_json(lake_schema_json)
+        self._metrics = get_metrics_actor() if metrics else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for item in batch.to_pylist():
+            rid = int(item["range_id"])
+            schema_with_part = pa.schema(
+                [*self.schema, pa.field("part_id", pa.int32())]
+            )
+            tables = []
+            for rel, pid in zip(item["base_files"], item["base_pids"]):
+                t = pq.read_table(os.path.join(self.lake_dir, rel))
+                t = t.append_column(
+                    "part_id", pa.array(np.full(t.num_rows, pid, dtype=np.int32))
+                )
+                tables.append(t)
+            for rel in item["frag_files"]:
+                tables.append(pq.read_table(os.path.join(self.lake_dir, rel)))
+            state = merge_states(tables, schema_with_part)
+
+            pid_all = state["part_id"].to_numpy(zero_copy_only=False)
+            # merge_states sorted by (conv_id, turn_idx); regroup by part
+            order = np.argsort(pid_all, kind="stable")
+            state = state.take(pa.array(order))
+            pid_sorted = pid_all[order]
+            bounds = np.flatnonzero(np.r_[True, pid_sorted[1:] != pid_sorted[:-1]])
+            bounds = np.r_[bounds, len(pid_sorted)]
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                pid = int(pid_sorted[lo])
+                piece = state.slice(lo, hi - lo).drop_columns(["part_id"])
+                rel = os.path.join(f"p={pid:05d}", f"b={self.epoch:06d}.parquet")
+                nbytes = _atomic_write(piece, os.path.join(self.lake_dir, rel))
+                lsn_hi = pc.max(piece["_lsn"]).as_py()
+                out_rows.append(
+                    {
+                        "part_id": pid,
+                        "range_id": rid,
+                        "epoch": self.epoch,
+                        "kind": "base",
+                        "file": rel,
+                        "rows": hi - lo,
+                        "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
+                        "bytes": nbytes,
+                    }
+                )
+            if self._metrics is not None:
+                self._metrics.add.remote(
+                    "compact",
+                    {
+                        "ranges": 1,
+                        "rows_out": state.num_rows,
+                        "files_in": len(tables),
+                    },
+                )
+        return pa.Table.from_pylist(out_rows, schema=BASE_LINEAGE_SCHEMA)

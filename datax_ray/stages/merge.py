@@ -1,47 +1,31 @@
-"""Merge-apply: last-writer-wins upsert per (conv_id, turn_idx) (SURVEY.md
-§2B-B4; the Ray-native descendant of DataX otswriter's per-record
-PutRow/UpdateRow/DeleteRow apply, §2A row 9).
+"""LWW merge kernels: last-writer-wins upsert per (conv_id, turn_idx)
+(SURVEY.md §2B-B4; the Ray-native descendant of DataX otswriter's
+per-record PutRow/UpdateRow/DeleteRow apply, §2A row 9). The pipeline
+stages that call these live in stages/delta.py.
 
-`lww_reduce` is the vectorized kernel: sort by (conv_id, turn_idx, ts, lsn)
-and keep the last row per key — no Python row loop; key-change detection is
-a numpy adjacent-compare over dictionary codes.
+`lww_reduce` is the vectorized core: sort by (key..., order...) and keep
+the last row per key — no Python row loop; key-change detection is a numpy
+adjacent-compare over dictionary codes. `apply_events` turns a batch of
+CDC events into lake-state rows (tombstones kept as _deleted rows);
+`merge_states` LWW-merges any set of lake-state tables (bases +
+fragments).
 
-`MergeApplier` is the per-partition group function used after the hash
-shuffle (`groupby("part_id").map_groups(...)`). The lake layout is
-**base + deltas** per partition (LSM-flavored), so per-epoch write cost is
-O(epoch events), NOT O(lake) — the property that keeps sustained 10^10-event
-throughput flat as the lake grows. For its partition the applier:
-  1. LWW-reduces this epoch's events into a DELTA (tombstones kept as
-     _deleted rows) and writes `p=NNNNN/d=EEEEEE.parquet` — DETERMINISTIC
-     name and row order, so Ray's at-least-once retries rewrite the
-     identical file;
-  2. every `compact_every` epochs per partition, instead folds
-     base + committed deltas + this delta into a fresh base
-     `p=NNNNN/b=EEEEEE.parquet` (amortized O(lake/compact_every) per
-     epoch) and the manifest drops the delta list;
-  3. returns ONE tiny lineage row — the data itself never flows back
-     through the Dataset, only O(P) metadata reaches the driver, keeping
-     the commit step small enough that 4N scaling holds (SURVEY §7 hp-6).
-
-LWW across files is associative: the winner per key under max(ts, _lsn) is
-the same whether applied event-by-event (the oracle), epoch-by-epoch (the
-old full-rewrite plan), or merged once across base+deltas (the read path /
-compaction) — so all three views agree row-for-row. Tombstones must
+LWW under max(ts, lsn) is associative and commutative: the winner per key
+is the same whether applied event-by-event (the sequential oracle), batch
+-by-batch (fragments), or merged once across base+fragments (the read
+path / compaction) — so all views agree row-for-row. Tombstones must
 OUTLIVE compaction: a late event (lsn above the watermark) may still carry
 an older ts, and only the stored tombstone's (ts, _lsn) can defeat it.
 """
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
-from datax_ray.schemas import LSN_COL, schema_from_json
-from datax_ray.state.metrics import get_metrics_actor
+from datax_ray.schemas import LSN_COL
+
 
 def _key_codes(col: pa.ChunkedArray) -> np.ndarray:
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -153,92 +137,3 @@ def merge_states(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Table:
             merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
     )
-
-
-LINEAGE_SCHEMA = pa.schema(
-    [
-        ("part_id", pa.int32()),
-        ("epoch", pa.int32()),
-        ("kind", pa.string()),  # "delta" | "base" (compaction)
-        ("file", pa.string()),
-        ("rows", pa.int64()),
-        ("events_applied", pa.int64()),
-        ("lsn_hi", pa.int64()),
-        ("bytes", pa.int64()),
-    ]
-)
-
-
-class MergeApplier:
-    def __init__(
-        self,
-        lake_dir: str,
-        epoch: int,
-        part_recs: dict[int, dict],
-        lake_schema_json: list[list[str]],
-        compact_every: int = 8,
-        metrics: bool = True,
-    ):
-        self.__name__ = "MergeApplier"  # Ray Data names task UDFs from this
-        self.lake_dir = lake_dir
-        self.epoch = epoch
-        self.part_recs = part_recs  # pid -> {"base": rel|None, "deltas": [rel]}
-        self.schema = schema_from_json(lake_schema_json)
-        self.compact_every = max(1, compact_every)
-        self._metrics = get_metrics_actor() if metrics else None
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return LINEAGE_SCHEMA.empty_table()
-        part_id = group["part_id"][0].as_py()
-        rec = self.part_recs.get(part_id) or {"base": None, "deltas": []}
-
-        # This epoch's LWW winners (incl. tombstones) — the delta.
-        delta = apply_events(None, group, self.schema)
-
-        if len(rec["deltas"]) + 1 >= self.compact_every:
-            prior = [rec["base"]] if rec["base"] else []
-            tables = [
-                pq.read_table(os.path.join(self.lake_dir, f))
-                for f in (*prior, *rec["deltas"])
-            ]
-            state = merge_states([*tables, delta], self.schema)
-            rel = os.path.join(f"p={part_id:05d}", f"b={self.epoch:06d}.parquet")
-            kind = "base"
-        else:
-            state = delta
-            rel = os.path.join(f"p={part_id:05d}", f"d={self.epoch:06d}.parquet")
-            kind = "delta"
-
-        path = os.path.join(self.lake_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(state, tmp)
-        os.replace(tmp, path)  # deterministic name + atomic swap => idempotent
-        nbytes = os.path.getsize(path)
-
-        lsn_hi = pc.max(group["lsn"]).as_py() if group.num_rows else -1
-        if self._metrics is not None:
-            self._metrics.add.remote(
-                "merge_apply",
-                {
-                    "events_in": group.num_rows,
-                    "rows_out": state.num_rows,
-                    "bytes_out": nbytes,
-                    "partitions": 1,
-                    "compactions": int(kind == "base"),
-                },
-            )
-        return pa.table(
-            {
-                "part_id": pa.array([part_id], pa.int32()),
-                "epoch": pa.array([self.epoch], pa.int32()),
-                "kind": pa.array([kind], pa.string()),
-                "file": pa.array([rel], pa.string()),
-                "rows": pa.array([state.num_rows], pa.int64()),
-                "events_applied": pa.array([group.num_rows], pa.int64()),
-                "lsn_hi": pa.array([lsn_hi if lsn_hi is not None else -1], pa.int64()),
-                "bytes": pa.array([nbytes], pa.int64()),
-            },
-            schema=LINEAGE_SCHEMA,
-        )

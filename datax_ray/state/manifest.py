@@ -72,21 +72,35 @@ class Manifest:
         return schema_from_json(rec["schema"]) if rec else None
 
     def current_partitions(self) -> dict[int, dict]:
-        """part_id -> {"base": relpath|None, "deltas": [relpath], "rows": n,
-        "lsn_hi": int}. `rows` counts stored rows (incl. tombstones and
-        superseded delta rows) — informational, not the live count."""
+        """part_id -> {"base": relpath|None, "rows": n, "lsn_hi": int}.
+        `rows` counts stored rows (incl. tombstones) — informational."""
         rec = self.latest()
         if not rec:
             return {}
-        return {int(k): v for k, v in rec["partitions"].items()}
+        return {int(k): v for k, v in rec.get("partitions", {}).items()}
+
+    def current_ranges(self) -> dict[int, dict]:
+        """range_id -> {"frags": [relpath], "rows": n, "lsn_hi": int,
+        "epochs": [int]} — fragment files accumulated since the range's
+        last compaction, and which epochs contributed."""
+        rec = self.latest()
+        if not rec:
+            return {}
+        return {int(k): v for k, v in rec.get("ranges", {}).items()}
+
+    def committed_layout(self) -> dict | None:
+        """{"num_partitions": P, "frag_ranges": R} — frozen at epoch 0."""
+        rec = self.latest()
+        return rec.get("layout") if rec else None
 
     def current_files(self) -> list[str]:
-        """All committed data files (each partition's base + deltas)."""
+        """All committed data files (partition bases + range fragments)."""
         out = []
         for v in self.current_partitions().values():
             if v.get("base"):
                 out.append(os.path.join(self.lake_dir, v["base"]))
-            out.extend(os.path.join(self.lake_dir, d) for d in v.get("deltas", []))
+        for v in self.current_ranges().values():
+            out.extend(os.path.join(self.lake_dir, f) for f in v.get("frags", []))
         return out
 
     # -- write side --------------------------------------------------------
@@ -99,6 +113,8 @@ class Manifest:
         lsn_hi: int,
         schema: pa.Schema,
         partitions: dict[int, dict],
+        ranges: dict[int, dict] | None = None,
+        layout: dict | None = None,
         lineage: list[dict],
         metrics: dict,
     ) -> dict:
@@ -109,6 +125,8 @@ class Manifest:
             "lsn_hi": int(lsn_hi),
             "schema": schema_to_json(schema),
             "partitions": {str(k): v for k, v in partitions.items()},
+            "ranges": {str(k): v for k, v in (ranges or {}).items()},
+            "layout": layout,
             "lineage": lineage,
             "metrics": metrics,
         }

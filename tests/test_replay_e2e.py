@@ -105,10 +105,13 @@ def test_compaction_matches_oracle(tmp_path):
     )
     assert len(reports) == 6
     lake_dir = str(tmp_path / "lake_compact")
-    parts = Manifest(lake_dir).current_partitions()
+    m = Manifest(lake_dir)
+    parts = m.current_partitions()
+    ranges = m.current_ranges()
     assert any(v.get("base") for v in parts.values()), "no compaction happened"
-    # after an even number of epochs every touched partition just compacted
-    assert all(len(v.get("deltas", [])) < 2 for v in parts.values())
+    # after an even number of epochs every range just compacted (< 2 epochs
+    # of fragments pending)
+    assert all(len(v.get("epochs", [])) < 2 for v in ranges.values())
 
 
 def test_tombstone_survives_compaction(tmp_path):
