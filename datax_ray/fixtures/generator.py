@@ -217,7 +217,7 @@ def write_segments(table: pa.Table, out_dir: str, seg_rows: int = 10_000) -> lis
     for i, start in enumerate(range(0, max(table.num_rows, 1), seg_rows)):
         part = table.slice(start, seg_rows)
         path = os.path.join(out_dir, f"seg-{i:05d}.parquet")
-        pq.write_table(part, path)
+        pq.write_table(part, path, compression="zstd", compression_level=1)
         paths.append(path)
     return paths
 
@@ -262,7 +262,7 @@ def gen_changes_dir(
         for s in range(0, n, seg_rows):
             part = t.slice(s, seg_rows)
             path = os.path.join(out_dir, f"seg-{seg_idx:05d}.parquet")
-            pq.write_table(part, path)
+            pq.write_table(part, path, compression="zstd", compression_level=1)
             paths.append(path)
             seg_idx += 1
     return paths

@@ -119,6 +119,7 @@ class MinHasher:
         shingle_k: int = 3,
         seed: int = 7,
     ):
+        self.__name__ = "MinHasher"  # Ray Data names task UDFs from this
         assert num_hashes % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.bands, self.k = num_hashes, bands, shingle_k
@@ -224,8 +225,7 @@ def minhash_lsh_pairs(
 
     pairs = (
         ds.map_batches(
-            MinHasher,
-            fn_constructor_kwargs=dict(
+            MinHasher(
                 text_col=text_col,
                 id_col=id_col,
                 num_hashes=num_hashes,
@@ -235,7 +235,6 @@ def minhash_lsh_pairs(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
         )
         .groupby("grp")
         .map_groups(candidates, batch_format="pandas")
@@ -252,6 +251,7 @@ class SimHasher:
     pair within Hamming distance 3 shares at least one band (pigeonhole)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.__name__ = "SimHasher"
         self.text_col, self.id_col = text_col, id_col
 
     def simhash(self, text: str) -> np.uint64:
@@ -330,11 +330,9 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
 
     pairs = (
         ds.map_batches(
-            SimHasher,
-            fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+            SimHasher(text_col=text_col, id_col=id_col),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
         )
         .groupby("grp")
         .map_groups(candidates, batch_format="pandas")
@@ -373,6 +371,7 @@ def embedding_dup_pairs(
 
     class Project:
         def __init__(self):
+            self.__name__ = "Project"
             self.planes = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -430,7 +429,7 @@ def embedding_dup_pairs(
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
-        ds.map_batches(Project, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(Project(), batch_format="pyarrow")
         .groupby("grp")
         .map_groups(verify, batch_format="pandas")
     )

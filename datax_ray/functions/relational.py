@@ -15,17 +15,15 @@ import ray
 
 def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
     """Join a Dataset against a SMALL table: the small side is ray.put once
-    and merged per batch with pandas — no shuffle of the big side."""
+    and merged per batch with pandas — no shuffle of the big side. Task
+    pool (not actors): ray.get of the broadcast ref is a zero-copy plasma
+    hit after the first fetch per node."""
     small_ref = ray.put(small.to_pandas())
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(small_ref), on=on, how=how)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def partial_agg(

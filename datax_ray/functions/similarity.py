@@ -44,6 +44,7 @@ def knn_brute(
 
     class PartialTopK:
         def __init__(self):
+            self.__name__ = "PartialTopK"
             self.q = ray.get(q_ref)  # fetched once per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -68,7 +69,7 @@ def knn_brute(
 
     out = (
         ds.map_batches(
-            PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+            PartialTopK(), batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("query_id")
         .map_groups(final, batch_format="pandas")
@@ -127,6 +128,7 @@ def knn_ivf(
 
     class PartialTopK:
         def __init__(self):
+            self.__name__ = "PartialTopK"
             self.q, self.wanted = ray.get(q_ref)
             self.index = IVFIndex(ray.get(idx_ref))
 
@@ -162,7 +164,7 @@ def knn_ivf(
 
     out = (
         ds.map_batches(
-            PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+            PartialTopK(), batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("query_id")
         .map_groups(final, batch_format="pandas")

@@ -67,7 +67,7 @@ BASE_LINEAGE_SCHEMA = pa.schema(
 def _atomic_write(table: pa.Table, path: str) -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, compression="zstd", compression_level=1)
     os.replace(tmp, path)
     return os.path.getsize(path)
 
@@ -97,17 +97,21 @@ class DeltaWriter:
         if batch.num_rows == 0:
             return FRAG_LINEAGE_SCHEMA.empty_table()
         events_in = batch.num_rows
-        # within-batch LWW combiner (dedups re-delivered rows, shrinks
-        # frags); part_id rides along inside the projected schema.
+        # Within-batch LWW combiner (dedups re-delivered rows, shrinks
+        # frags); part_id rides along inside the projected schema AND leads
+        # the sort keys, so the single lww sort also groups rows by range —
+        # no second sort/take pass (these copies are the memory-bandwidth
+        # hot spot at full-node concurrency).
         schema_with_part = pa.schema([*self.schema, pa.field("part_id", pa.int32())])
-        delta = apply_events(None, batch, schema_with_part)
+        delta = apply_events(
+            None, batch, schema_with_part, key_cols=("part_id", "conv_id", "turn_idx")
+        )
 
-        rid_all = (
+        if delta.num_rows == 0:
+            return FRAG_LINEAGE_SCHEMA.empty_table()
+        rid_sorted = (
             delta["part_id"].to_numpy(zero_copy_only=False) // self.parts_per_range
         ).astype(np.int32)
-        order = np.argsort(rid_all, kind="stable")
-        delta = delta.take(pa.array(order))
-        rid_sorted = rid_all[order]
         bounds = np.flatnonzero(np.r_[True, rid_sorted[1:] != rid_sorted[:-1]])
         bounds = np.r_[bounds, len(rid_sorted)]
 
@@ -117,7 +121,7 @@ class DeltaWriter:
             rid = int(rid_sorted[lo])
             piece = delta.slice(lo, hi - lo)
             sink = pa.BufferOutputStream()
-            pq.write_table(piece, sink)
+            pq.write_table(piece, sink, compression="zstd", compression_level=1)
             buf = sink.getvalue()
             digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
             rel = os.path.join(f"r={rid:04d}", f"e={self.epoch:06d}-{digest}.parquet")
@@ -180,13 +184,15 @@ class Compactor:
                 tables.append(t)
             for rel in item["frag_files"]:
                 tables.append(pq.read_table(os.path.join(self.lake_dir, rel)))
-            state = merge_states(tables, schema_with_part)
+            # part_id leads the merge sort keys: output arrives grouped by
+            # partition, sorted by (conv_id, turn_idx) within each.
+            state = merge_states(
+                tables, schema_with_part, key_cols=("part_id", "conv_id", "turn_idx")
+            )
 
-            pid_all = state["part_id"].to_numpy(zero_copy_only=False)
-            # merge_states sorted by (conv_id, turn_idx); regroup by part
-            order = np.argsort(pid_all, kind="stable")
-            state = state.take(pa.array(order))
-            pid_sorted = pid_all[order]
+            if state.num_rows == 0:
+                continue
+            pid_sorted = state["part_id"].to_numpy(zero_copy_only=False)
             bounds = np.flatnonzero(np.r_[True, pid_sorted[1:] != pid_sorted[:-1]])
             bounds = np.r_[bounds, len(pid_sorted)]
             for i in range(len(bounds) - 1):

@@ -61,10 +61,19 @@ def lww_reduce(
 
 
 def apply_events(
-    base: pa.Table | None, events: pa.Table, lake_schema: pa.Schema
+    base: pa.Table | None,
+    events: pa.Table,
+    lake_schema: pa.Schema,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> pa.Table:
     """Merge one partition's base state with its new events; returns the new
-    partition state in `lake_schema`, sorted by (conv_id, turn_idx).
+    partition state in `lake_schema`, sorted by `key_cols` (lww_reduce's
+    sort already leaves rows key-ordered — no extra sort pass).
+
+    Callers that need the output grouped by a leading column (e.g. the
+    fragment writer grouping by part_id) prepend it to `key_cols`: since
+    (conv_id, turn_idx) determines part_id, the grouping is unchanged and
+    the single sort does double duty.
 
     Delete-winners are KEPT as tombstone rows (_deleted=True, payload as the
     event carried it — null) so that a late, stale event arriving in a later
@@ -97,16 +106,11 @@ def apply_events(
         parts.append(unify(events, events["op"], events["lsn"]))
     if not parts:
         return lake_schema.empty_table()
-    merged = lww_reduce(pa.concat_tables(parts))
+    merged = lww_reduce(pa.concat_tables(parts), key_cols=key_cols)
     cols = {name: merged[name] for name in payload}
     cols[LSN_COL] = merged["lsn"]
     cols[DELETED_COL] = pc.equal(merged["op"], "delete")
-    out = pa.table(cols, schema=lake_schema)
-    return out.take(
-        pc.sort_indices(
-            out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-    )
+    return pa.table(cols, schema=lake_schema)
 
 
 def unify_to_schema(t: pa.Table, lake_schema: pa.Schema) -> pa.Table:
@@ -122,18 +126,18 @@ def unify_to_schema(t: pa.Table, lake_schema: pa.Schema) -> pa.Table:
     return pa.table(cols, schema=lake_schema)
 
 
-def merge_states(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Table:
-    """LWW-merge lake-state tables (a base + any number of deltas, any
-    order): winner per (conv_id, turn_idx) is max (ts, _lsn); tombstone
-    rows (_deleted) are kept. Sorted by key — deterministic."""
+def merge_states(
+    tables: list[pa.Table],
+    lake_schema: pa.Schema,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """LWW-merge lake-state tables (a base + any number of fragments, any
+    order): winner per key is max (ts, _lsn); tombstone rows (_deleted)
+    are kept. Output is sorted by `key_cols` (courtesy of lww_reduce's
+    sort) — deterministic."""
     parts = [unify_to_schema(t, lake_schema) for t in tables if t.num_rows]
     if not parts:
         return lake_schema.empty_table()
-    merged = lww_reduce(
-        pa.concat_tables(parts), key_cols=("conv_id", "turn_idx"), order_cols=("ts", LSN_COL)
-    )
-    return merged.take(
-        pc.sort_indices(
-            merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
+    return lww_reduce(
+        pa.concat_tables(parts), key_cols=key_cols, order_cols=("ts", LSN_COL)
     )

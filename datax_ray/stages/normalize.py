@@ -59,7 +59,7 @@ class Normalizer:
         os.makedirs(self.deadletter_dir, exist_ok=True)
         # Content-hash name => idempotent under task retry.
         sink = pa.BufferOutputStream()
-        pq.write_table(dirty, sink)
+        pq.write_table(dirty, sink, compression="zstd", compression_level=1)
         buf = sink.getvalue()
         name = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
         path = os.path.join(self.deadletter_dir, f"dl-{name}.parquet")
