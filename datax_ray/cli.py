@@ -54,9 +54,17 @@ def main(argv=None):
     r.add_argument("--batch-size", type=int, default=65536)
     r.add_argument("--num-cpus", type=int, default=None)
 
+    b = sub.add_parser("bootstrap", help="full-load a transcripts snapshot into an empty lake (epoch 0)")
+    b.add_argument("--src", required=True, help="transcripts parquet file/dir")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--partitions", type=int, default=64)
+    b.add_argument("--salt-turn-width", type=int, default=None)
+    b.add_argument("--num-cpus", type=int, default=None)
+
     v = sub.add_parser("verify", help="compare lake state against the sequential oracle")
     v.add_argument("--changes", required=True)
     v.add_argument("--lake", required=True)
+    v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
     v.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("show", help="print the committed manifest summary")
@@ -119,9 +127,33 @@ def main(argv=None):
         ray.shutdown()
         return 0
 
+    if a.cmd == "bootstrap":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.bootstrap import bootstrap
+        from datax_ray.pipelines.replay import ReplayConfig
+
+        rep = bootstrap(
+            a.src,
+            ReplayConfig(
+                changes_dir="",
+                lake_dir=a.lake,
+                num_partitions=a.partitions,
+                salt_turn_width=a.salt_turn_width,
+            ),
+        )
+        print(json.dumps({
+            "epoch": rep.epoch, "rows_in": rep.events_in, "rows_out": rep.rows_out,
+            "dirty_rows": rep.dirty_rows, "wall_s": round(rep.wall_s, 3),
+        }))
+        ray.shutdown()
+        return 0
+
     if a.cmd == "verify":
         _ensure_ray(a.num_cpus)
         import pyarrow.dataset as pads
+        import pyarrow.parquet as _pq
         import ray
 
         from datax_ray.oracle import sequential_replay
@@ -129,7 +161,8 @@ def main(argv=None):
         from datax_ray.sources.changelog import list_segments
 
         changes = pads.dataset(list_segments(a.changes)).to_table()
-        oracle = sequential_replay(changes)
+        base = _pq.read_table(a.base) if a.base else None
+        oracle = sequential_replay(changes, base=base)
         ours = final_table(a.lake)
         ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)
         print(json.dumps({"match": bool(ok), "rows": ours.num_rows, "oracle_rows": oracle.num_rows}))

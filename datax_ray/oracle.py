@@ -28,8 +28,11 @@ _WIDEN = {
 }
 
 
-def sequential_replay(changes: pa.Table) -> pa.Table:
-    """Replay a change table; returns the final lake state sorted by
+def sequential_replay(changes: pa.Table, base: pa.Table | None = None) -> pa.Table:
+    """Replay a change table (optionally on top of a `base` transcripts
+    snapshot — each base row is a pseudo-event op='insert', lsn=-1, ts=row
+    ts, merged into the same (ts, lsn) walk, mirroring the engine's
+    bootstrap path); returns the final lake state sorted by
     (conv_id, turn_idx), with the evolved schema. Dirty rows are skipped
     under the shared validation rules."""
     schema_fields: list[tuple[str, pa.DataType]] = [
@@ -51,6 +54,20 @@ def sequential_replay(changes: pa.Table) -> pa.Table:
     # Interleave ddl + data in (ts, lsn) order via a merged python walk.
     ddl_list = ddl_rows.to_pylist()
     rows = data_rows.to_pylist()
+    if base is not None:
+        for r in base.to_pylist():
+            rows.append(
+                {
+                    "op": "insert",
+                    "lsn": -1,
+                    "ts": r["ts"],
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "role": r.get("role"),
+                    "text": r.get("text"),
+                    "tool": r.get("tool"),
+                }
+            )
 
     def key_of(r):
         return (r["ts"], r["lsn"])

@@ -147,6 +147,40 @@ def cdc_replay_final(sf_dir: str):
     return final_table(f"{work}/lake")
 
 
+def cdc_bootstrap_replay(sf_dir: str):
+    """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
+    change replay (rows-only: not SQL-expressible). Deterministic fixture
+    sized by sf; returns the final lake table."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import gen_changes, gen_transcripts, write_segments
+    from datax_ray.pipelines.bootstrap import bootstrap
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    n_convs = 200 if "0.001" in sf_dir else 2000
+    work = f"/tmp/datax_cdc_bootstrap/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    snap = gen_transcripts(n_convs=n_convs, seed=11, mean_turns=8)
+    os.makedirs(work, exist_ok=True)
+    pq.write_table(snap, f"{work}/snapshot.parquet")
+    changes = gen_changes(
+        n_convs * 20, n_convs, seed=12, out_of_order_frac=0.1, dup_frac=0.02
+    )
+    write_segments(changes, f"{work}/changes", seg_rows=max(1000, n_convs * 5))
+    cfg = ReplayConfig(
+        changes_dir=f"{work}/changes",
+        lake_dir=f"{work}/lake",
+        num_partitions=16,
+        compact_every=2,
+    )
+    bootstrap(f"{work}/snapshot.parquet", cfg)
+    replay(cfg)
+    return final_table(f"{work}/lake")
+
+
 # --------------------------------------------------------- transformers --
 
 
@@ -524,6 +558,7 @@ def multimodal_features(sf_dir: str):
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
+    "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
     "dx_replace": dx_replace,

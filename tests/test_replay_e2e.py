@@ -163,3 +163,45 @@ def test_tombstone_survives_compaction(tmp_path):
     assert_tables_equal(ours, sequential_replay(t))
     assert ours.num_rows == 1  # only conv-y survives
     assert ours["conv_id"][0].as_py() == "conv-y"
+
+
+def test_bootstrap_then_replay_matches_oracle(tmp_path):
+    """Snapshot full-load (epoch 0) + incremental change replay equals the
+    sequential oracle seeded with the same snapshot — including events
+    whose ts is older than the snapshot row they target (snapshot wins)."""
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import gen_transcripts
+    from datax_ray.pipelines.bootstrap import bootstrap
+
+    base = gen_transcripts(n_convs=60, seed=9, mean_turns=10)
+    src = str(tmp_path / "snapshot.parquet")
+    pq.write_table(base, src)
+    changes = gen_changes(3000, 60, seed=10, out_of_order_frac=0.2, dup_frac=0.02)
+    chg = str(tmp_path / "chg_boot")
+    lake = str(tmp_path / "lake_boot")
+    write_segments(changes, chg, seg_rows=1000)
+
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
+                       segments_per_epoch=1, compact_every=2)
+    rep0 = bootstrap(src, cfg)
+    assert rep0.rows_out == base.num_rows and rep0.dirty_rows == 0
+    replay(cfg)
+    assert_tables_equal(
+        final_table(lake), sequential_replay(changes, base=base)
+    )
+
+
+def test_bootstrap_requires_empty_lake(tmp_path):
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import gen_transcripts
+    from datax_ray.pipelines.bootstrap import bootstrap
+
+    src = str(tmp_path / "snap.parquet")
+    pq.write_table(gen_transcripts(n_convs=5, seed=1), src)
+    lake = str(tmp_path / "lake_dbl")
+    cfg = ReplayConfig(changes_dir="", lake_dir=lake, num_partitions=4)
+    bootstrap(src, cfg)
+    with pytest.raises(RuntimeError):
+        bootstrap(src, cfg)
