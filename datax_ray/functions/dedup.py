@@ -351,6 +351,61 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+):
+    """EXACT n-gram-Jaccard near-dup pairs: MinHash-LSH proposes candidates
+    (cheap, estimated-jaccard pre-filter at threshold*0.7), then the small
+    candidate set is verified against the true text with exact Jaccard.
+
+    Scale shape: the expensive text join touches only candidate doc_ids —
+    a per-batch semi-join (candidate ids are ray.put once; the docs Dataset
+    streams past them, emitting only matching (id, text) rows), then one
+    final verify task over the (tiny) candidate texts."""
+    import ray
+
+    cand = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        threshold=threshold * 0.7, shingle_k=shingle_k,
+    ).take_all()  # tiny: near-dup candidates only
+    if not cand:
+        sch = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+        )
+        return sch.empty_table()
+    wanted = sorted({int(r["doc_a"]) for r in cand} | {int(r["doc_b"]) for r in cand})
+    wanted_ref = ray.put(np.asarray(wanted, dtype=np.int64))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, ray.get(wanted_ref))
+        return t.select([id_col, text_col]).filter(pa.array(mask))
+
+    texts = {
+        int(r[id_col]): r[text_col]
+        for r in ds.map_batches(semi, batch_format="pyarrow").take_all()
+    }
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for r in cand:
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        j = ngram_jaccard(texts.get(a) or "", texts.get(b) or "", k=shingle_k)
+        if j >= threshold:
+            out["doc_a"].append(a)
+            out["doc_b"].append(b)
+            out["jaccard"].append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "jaccard": pa.array(out["jaccard"], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------- embedding near-dup --
 
 

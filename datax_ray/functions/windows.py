@@ -95,3 +95,60 @@ def tumbling_window_counts(
         )
 
     return out.map_batches(to_ts, batch_format="pyarrow")
+
+
+def hopping_window_counts(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    hop_us: int = 1_800_000_000,
+):
+    """Hopping (sliding) window aggregate: each event lands in
+    window_us/hop_us overlapping windows. The replication happens inside
+    map_batches (numpy repeat — no flat_map row path), then the same
+    coarse-bucket partial aggregation as tumbling windows."""
+    assert window_us % hop_us == 0, "window must be a multiple of hop"
+    k = window_us // hop_us
+
+    from datax_ray.functions.relational import partial_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        n = len(ts)
+        # latest hop-aligned window containing ts, then k-1 earlier ones
+        w0 = (ts // hop_us) * hop_us
+        starts = np.repeat(w0, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n
+        )
+        idx = np.repeat(np.arange(n), k)
+        keep = starts + window_us > np.repeat(ts, k)  # always true; guard
+        return pa.table(
+            {
+                key_col: pa.array(
+                    t[key_col].to_numpy(zero_copy_only=False)[idx[keep]]
+                ),
+                "window_start": pa.array(starts[keep], pa.int64()),
+                "sum_value": pa.array(
+                    t[value_col].to_numpy(zero_copy_only=False)[idx[keep]]
+                ),
+            }
+        )
+
+    out = partial_agg(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[key_col, "window_start"],
+        sums={"sum_value": "sum_value"},
+        counts="n_events",
+    )
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(
+            i, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
+        )
+
+    return out.map_batches(to_ts, batch_format="pyarrow")

@@ -469,6 +469,63 @@ FROM events GROUP BY user_id, window_start
 """
 
 
+def events_hopping(sf_dir: str):
+    """Hopping/sliding window (1h window, 30min hop): each event counted in
+    2 overlapping windows."""
+    from datax_ray.functions.windows import hopping_window_counts
+
+    ds = _read(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_micros": _cents(t["value"], 1_000_000),
+            }
+        )
+
+    out = hopping_window_counts(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        value_col="value_micros",
+        window_us=3_600_000_000,
+        hop_us=1_800_000_000,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+                "sum_value_micros": pc.cast(t["sum_value"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+HOPPING_SQL = """
+WITH h AS (SELECT unnest(range(2)) AS i),
+x AS (
+  SELECT e.user_id, e.value,
+         make_timestamp((epoch_us(e.ts) // 1800000000 - h.i) * 1800000000) AS window_start
+  FROM events e, h
+)
+SELECT user_id, window_start,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+       COUNT(*) AS n_events
+FROM x GROUP BY user_id, window_start
+"""
+
+
+def ngram_dup_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs, LSH-proposed (rows-only)."""
+    from datax_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
+
+
 # ----------------------------------------------------------- similarity --
 
 
@@ -572,6 +629,8 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "events_sessionize": events_sessionize,
     "events_tumbling": events_tumbling,
+    "events_hopping": events_hopping,
+    "ngram_dup_pairs": ngram_dup_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "minhash_dup_pairs": minhash_dup_pairs,
@@ -594,5 +653,6 @@ ORACLE_SQL = {
     "doc_fingerprints": FINGERPRINT_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_tumbling": TUMBLING_SQL,
+    "events_hopping": HOPPING_SQL,
     "ann_cosine_topk": ANN_SQL,
 }

@@ -32,7 +32,7 @@ import ray
 import ray.data
 
 from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
-from datax_ray.sources.changelog import max_lsn, plan_epochs, scan_ddl
+from datax_ray.sources.changelog import max_lsn, plan_epochs, read_segments, scan_ddl
 from datax_ray.stages.delta import Compactor, DeltaWriter
 from datax_ray.stages.normalize import Normalizer
 from datax_ray.state.manifest import Manifest
@@ -55,6 +55,7 @@ class ReplayConfig:
     compact_every: int = 8  # compact a range when it holds >= this many frags
     batch_size: int | None = 65536
     frag_batch_size: int | None = 262144  # bigger batches => fewer fragments
+    max_events_per_sec: float | None = None  # DataX job.setting.speed analog
     error_limit_rows: int | None = None  # abort epoch if dirty rows exceed
     error_limit_pct: float | None = None  # ... or this fraction of rows_in
     normalize_concurrency: int | tuple | None = None  # task-parallelism cap
@@ -101,7 +102,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     # 2. Map-only Dataset pipeline (instances shipped once via the object
     #    store; task pools — zero spin-up, elastic). No shuffle anywhere:
     #    co-location happens in the lake's file layout itself.
-    ds = ray.data.read_parquet(segments)
+    ds = read_segments(segments)
     ds = ds.map_batches(
         Normalizer(
             target_schema_json=schema_json,
@@ -110,6 +111,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             salt_turn_width=cfg.salt_turn_width,
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
             metrics=cfg.metrics,
+            max_events_per_sec=cfg.max_events_per_sec,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

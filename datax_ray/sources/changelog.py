@@ -21,8 +21,73 @@ import pyarrow.compute as pc
 from datax_ray.state.manifest import Manifest
 
 
+SEGMENT_FORMATS = ("parquet", "jsonl", "csv")
+
+
 def list_segments(changes_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(changes_dir, "seg-*.parquet")))
+    """Ordered change-log segments. Heterogeneous source formats (the DataX
+    reader matrix, SURVEY.md §2A rows 1-4) are supported by extension:
+    seg-NNNNN.parquet | .jsonl | .csv — one log may even mix them."""
+    out: list[str] = []
+    for ext in SEGMENT_FORMATS:
+        out.extend(glob.glob(os.path.join(changes_dir, f"seg-*.{ext}")))
+    return sorted(out)
+
+
+def read_segments(segments: list[str]):
+    """A Dataset over segments of any supported format, normalized to the
+    CHANGES arrow schema (casts happen in the normalize stage)."""
+    import ray.data
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from datax_ray.schemas import CHANGES_SCHEMA
+
+    canon_types = {f.name: f.type for f in CHANGES_SCHEMA}
+
+    def canon(t: pa.Table) -> pa.Table:
+        """Cast a source batch to the canonical changes column types (the
+        DataX type-conversion-matrix analog, SURVEY.md §2A row 20) so
+        blocks from different formats coalesce cleanly."""
+        cols = {}
+        for name in t.column_names:
+            c = t[name]
+            want = canon_types.get(name)
+            cols[name] = _pc.cast(c, want) if want is not None and c.type != want else c
+        return pa.table(cols)
+
+    by_ext: dict[str, list[str]] = {}
+    for s in segments:
+        by_ext.setdefault(s.rsplit(".", 1)[-1], []).append(s)
+    parts = []
+    if by_ext.get("parquet"):
+        parts.append(ray.data.read_parquet(by_ext["parquet"]))
+    if by_ext.get("jsonl"):
+        parts.append(
+            ray.data.read_json(by_ext["jsonl"]).map_batches(
+                canon, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if by_ext.get("csv"):
+        import pyarrow.csv as pacsv
+
+        # CSV null convention: \\N (DataX's nullFormat default for
+        # text sources); bare empty fields remain empty STRINGS.
+        convert = pacsv.ConvertOptions(
+            column_types=canon_types,
+            null_values=["\\N"],
+            strings_can_be_null=True,
+        )
+        parts.append(
+            ray.data.read_csv(by_ext["csv"], convert_options=convert).map_batches(
+                canon, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def plan_epochs(
@@ -53,6 +118,10 @@ def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
 
     tables = []
     for path in segment_paths:
+        if not path.endswith(".parquet"):
+            t = _read_any(path, columns=["lsn", "ts", "op", "ddl"])
+            tables.append(t.filter(pc.equal(t["op"], "ddl")))
+            continue
         f = pq.ParquetFile(path)
         md = f.metadata
         idx = md.schema.to_arrow_schema().get_field_index("op")
@@ -66,6 +135,21 @@ def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
             tables.append(t.filter(pc.equal(t["op"], "ddl")))
     if not tables:
         return []
+    scan_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("op", pa.string()),
+            ("ddl", pa.string()),
+        ]
+    )
+    tables = [
+        pa.table(
+            {f.name: pc.cast(t[f.name], f.type) for f in scan_schema},
+            schema=scan_schema,
+        )
+        for t in tables
+    ]
     t = pa.concat_tables(tables)
     if t.num_rows == 0:
         return []
@@ -73,13 +157,51 @@ def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
     return list(zip(t["lsn"].to_pylist(), t["ddl"].to_pylist()))
 
 
+def _read_any(path: str, columns: list[str] | None = None):
+    """Driver-side single-file read for non-parquet segments (jsonl/csv)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.json as pajson
+
+    from datax_ray.schemas import CHANGES_SCHEMA
+
+    if path.endswith(".jsonl"):
+        t = pajson.read_json(path)
+    elif path.endswith(".csv"):
+        t = pacsv.read_csv(
+            path,
+            convert_options=pacsv.ConvertOptions(
+                column_types={f.name: f.type for f in CHANGES_SCHEMA},
+                null_values=["\\N"],
+                strings_can_be_null=True,
+            ),
+        )
+    else:
+        raise ValueError(f"unsupported segment format: {path}")
+    if columns:
+        have = [c for c in columns if c in t.column_names]
+        t = t.select(have)
+        for c in columns:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+        t = t.select(columns)
+    return t
+
+
 def max_lsn(segment_paths: list[str]) -> int:
     """Max LSN across segments from parquet row-group statistics (no data
-    pages read — metadata only, so this stays O(files) at any scale)."""
+    pages read — metadata only, so this stays O(files) at any scale);
+    non-parquet segments fall back to a driver-side column scan."""
+    import pyarrow.compute as _pc
     import pyarrow.parquet as pq
 
     hi = -1
     for p in segment_paths:
+        if not p.endswith(".parquet"):
+            v = _pc.max(_read_any(p, columns=["lsn"])["lsn"].cast("int64")).as_py()
+            if v is not None:
+                hi = max(hi, int(v))
+            continue
         md = pq.ParquetFile(p).metadata
         idx = md.schema.to_arrow_schema().get_field_index("lsn")
         for rg in range(md.num_row_groups):

@@ -40,6 +40,7 @@ class Normalizer:
         salt_turn_width: int | None = None,
         deadletter_dir: str | None = None,
         metrics: bool = True,
+        max_events_per_sec: float | None = None,
     ):
         self.__name__ = "Normalizer"  # Ray Data names task UDFs from this
         self.schema = schema_from_json(target_schema_json)
@@ -49,6 +50,11 @@ class Normalizer:
         self.salt_turn_width = salt_turn_width
         self.deadletter_dir = deadletter_dir
         self._metrics = get_metrics_actor() if metrics else None
+        self._limiter = None
+        if max_events_per_sec:
+            from datax_ray.state.ratelimit import get_rate_limiter
+
+            self._limiter = get_rate_limiter(max_events_per_sec)
 
     def _spill_dirty(self, dirty: pa.Table) -> None:
         if self.deadletter_dir is None or dirty.num_rows == 0:
@@ -70,6 +76,14 @@ class Normalizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows_in = batch.num_rows
+        if self._limiter is not None and rows_in:
+            import time as _time
+
+            import ray as _ray
+
+            wait = _ray.get(self._limiter.acquire.remote(rows_in))
+            if wait > 0:
+                _time.sleep(wait)
         if self.watermark_lsn >= 0:
             batch = batch.filter(
                 pc.fill_null(pc.greater(batch["lsn"], self.watermark_lsn), False)

@@ -205,3 +205,35 @@ def test_bootstrap_requires_empty_lake(tmp_path):
     bootstrap(src, cfg)
     with pytest.raises(RuntimeError):
         bootstrap(src, cfg)
+
+
+def test_heterogeneous_segment_formats(tmp_path):
+    """One change log split across parquet + jsonl + csv segments replays
+    to the same oracle state (the DataX heterogeneous-reader matrix)."""
+    import json as _json
+    import os
+
+    import pyarrow.csv as pacsv
+
+    changes = gen_changes(3000, 50, seed=21, out_of_order_frac=0.1)
+    chg = str(tmp_path / "chg_mixed")
+    os.makedirs(chg)
+    third = changes.num_rows // 3
+    a, b, c = (
+        changes.slice(0, third),
+        changes.slice(third, third),
+        changes.slice(2 * third),
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(a, f"{chg}/seg-00000.parquet")
+    with open(f"{chg}/seg-00001.jsonl", "w") as f:
+        for r in b.to_pylist():
+            r["ts"] = r["ts"].isoformat()
+            f.write(_json.dumps(r) + "\n")
+    # CSV null convention: \\N (empty field = empty string)
+    c.to_pandas().to_csv(f"{chg}/seg-00002.csv", index=False, na_rep="\\N")
+
+    lake = str(tmp_path / "lake_mixed")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8))
+    assert_tables_equal(final_table(lake), sequential_replay(changes))

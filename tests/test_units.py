@@ -138,3 +138,29 @@ def test_valid_event_mask():
         ]
     )
     assert valid_event_mask(t).to_pylist() == [True, False, False, False, False, False]
+
+
+def test_rate_limit_caps_throughput(tmp_path, ray_session):
+    """DataX job.setting.speed analog: a 5k events/s cap makes a 15k-event
+    replay take >= ~2s; uncapped it is much faster."""
+    import time
+
+    from datax_ray.fixtures.generator import gen_changes_dir
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    chg = str(tmp_path / "chg_rate")
+    gen_changes_dir(chg, n_events=15_000, n_convs=200, seed=6, seg_rows=15_000)
+
+    t0 = time.perf_counter()
+    replay(ReplayConfig(changes_dir=chg, lake_dir=str(tmp_path / "l1"),
+                        num_partitions=4))
+    uncapped = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    replay(ReplayConfig(changes_dir=chg, lake_dir=str(tmp_path / "l2"),
+                        num_partitions=4, max_events_per_sec=5_000,
+                        batch_size=5_000))
+    capped = time.perf_counter() - t0
+    # 15k events at 5k/s with a 1s burst bucket => >= ~1.5s of enforced wait
+    assert capped > uncapped + 1.0
+    assert capped >= 1.5
