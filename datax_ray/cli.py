@@ -67,6 +67,12 @@ def main(argv=None):
     v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
     v.add_argument("--num-cpus", type=int, default=None)
 
+    e = sub.add_parser("export", help="materialize the lake to a parquet/csv/jsonl sink")
+    e.add_argument("--lake", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    e.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -168,6 +174,17 @@ def main(argv=None):
         print(json.dumps({"match": bool(ok), "rows": ours.num_rows, "oracle_rows": oracle.num_rows}))
         ray.shutdown()
         return 0 if ok else 1
+
+    if a.cmd == "export":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.sinks.export import export_lake
+
+        rows = export_lake(a.lake, a.out, fmt=a.format)
+        print(json.dumps({"rows": rows, "out": a.out, "format": a.format}))
+        ray.shutdown()
+        return 0
 
     if a.cmd == "show":
         from datax_ray.state.manifest import Manifest

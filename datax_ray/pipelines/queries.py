@@ -100,7 +100,8 @@ SELECT user_id, event_type, ts, lsn, value FROM w WHERE rn = 1 AND op <> 'delete
 def cdc_replay_final(sf_dir: str):
     """Full engine path (rows-only check — not SQL-expressible): derive a
     transcript change log from `events`, write segments, replay through
-    normalize → shuffle → merge-apply → manifest, return the final lake."""
+    normalize → fragment-delta write → compaction → manifest commit, and
+    return the final lake."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -253,6 +254,35 @@ def dx_filter(sf_dir: str):
 DX_FILTER_SQL = (
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
 )
+
+
+def json_extract_props(sf_dir: str):
+    """JSON scalar extraction from the events.props column (the arbitrary
+    per-record transform slot DataX fills with dx_groovy, §2A row 14):
+    pull props.k as an int. Vectorized via pyarrow's struct parser — one
+    pa.json read per batch, no per-row Python."""
+    ds = _read(sf_dir, "events")
+
+    def fn(t: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.json as pajson
+
+        blob = ("\n".join(t["props"].to_pylist())).encode()
+        parsed = pajson.read_json(io.BytesIO(blob))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "k": pc.cast(parsed["k"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
 
 
 # ----------------------------------------------------------- relational --
@@ -620,6 +650,7 @@ QUERIES = {
     "dx_pad": dx_pad,
     "dx_replace": dx_replace,
     "dx_filter": dx_filter,
+    "json_extract_props": json_extract_props,
     "agg_pricing_summary": agg_pricing_summary,
     "join_orders_by_nation": join_orders_by_nation,
     "sort_topk_orders": sort_topk_orders,
@@ -645,6 +676,7 @@ ORACLE_SQL = {
     "dx_pad": DX_PAD_SQL,
     "dx_replace": DX_REPLACE_SQL,
     "dx_filter": DX_FILTER_SQL,
+    "json_extract_props": JSON_EXTRACT_SQL,
     "agg_pricing_summary": AGG_PRICING_SQL,
     "join_orders_by_nation": JOIN_NATION_SQL,
     "sort_topk_orders": SORT_TOPK_SQL,

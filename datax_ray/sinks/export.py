@@ -1,0 +1,70 @@
+"""Lake export — the writer side of the DataX sync matrix (SURVEY.md §2A
+rows 6-8): materialize the committed lake state to parquet / CSV / JSONL
+sinks, streaming (one task per range, never driver-materialized).
+
+CSV uses the `\\N` null sentinel symmetric with the CSV reader, so a
+lake -> csv -> changes -> lake round trip is lossless for nulls vs empty
+strings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from datax_ray.sinks.lake import read_lake
+
+FORMATS = ("parquet", "csv", "jsonl")
+
+
+def export_lake(lake_dir: str, out_dir: str, fmt: str = "parquet") -> int:
+    """Write the lake's live rows to `out_dir` in `fmt`; returns row count.
+
+    Files are written per-block with Ray Data's native sinks (parquet) or a
+    per-batch writer (csv/jsonl with the null convention) — either way one
+    file per range task, resumable by re-running (full overwrite)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}")
+    ds = read_lake(lake_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+        return ds.count()
+
+    if fmt == "csv":
+        def write_csv_batch(t: pa.Table) -> pa.Table:
+            # pandas na_rep writes the \N sentinel; pyarrow's csv writer
+            # cannot distinguish null from "" on write.
+            import hashlib
+
+            df = t.to_pandas()
+            blob = df.to_csv(index=False, na_rep="\\N").encode()
+            name = hashlib.sha1(blob).hexdigest()[:16]
+            with open(os.path.join(out_dir, f"part-{name}.csv"), "wb") as f:
+                f.write(blob)
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        parts = ds.map_batches(write_csv_batch, batch_format="pyarrow", batch_size=None).take_all()
+        return sum(int(r["rows"]) for r in parts)
+
+    # jsonl
+    def write_jsonl_batch(t: pa.Table) -> pa.Table:
+        import hashlib
+        import json
+
+        lines = []
+        for r in t.to_pylist():
+            for k, v in list(r.items()):
+                if hasattr(v, "isoformat"):
+                    r[k] = v.isoformat()
+            lines.append(json.dumps(r))
+        blob = ("\n".join(lines) + "\n").encode()
+        name = hashlib.sha1(blob).hexdigest()[:16]
+        with open(os.path.join(out_dir, f"part-{name}.jsonl"), "wb") as f:
+            f.write(blob)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(write_jsonl_batch, batch_format="pyarrow", batch_size=None).take_all()
+    return sum(int(r["rows"]) for r in parts)
