@@ -108,3 +108,96 @@ def extract_features(ds, feat_dim: int = 16, concurrency=(1, 4), batch_size: int
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeStub:
+    """Actor-pool image-resize stage (plumbing real, pixel kernel stubbed).
+
+    Real deployment: __init__ picks the resampling kernel once; __call__
+    decodes + resizes each image payload. The stub recomputes width/height
+    to fit `max_side` preserving aspect ratio (the metadata math IS real)
+    and re-hashes the payload as the stand-in for resized bytes."""
+
+    def __init__(self, max_side: int = 224, deterministic_fake: bool = True):
+        self.max_side = max_side
+        self.fake = deterministic_fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires an imaging library not present here; "
+                "plug one into ResizeStub.__call__"
+            )
+        w = t["width"].to_numpy().astype(np.int64)
+        h = t["height"].to_numpy().astype(np.int64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h).clip(min=1))
+        new_w = np.maximum(1, (w * scale).astype(np.int32))
+        new_h = np.maximum(1, (h * scale).astype(np.int32))
+        payloads = [
+            hashlib.sha1(p + bytes([int(nw) % 256, int(nh) % 256])).digest()
+            for p, nw, nh in zip(t["payload"].to_pylist(), new_w, new_h)
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(new_w, pa.int32()),
+                "height": pa.array(new_h, pa.int32()),
+                "duration_ms": t["duration_ms"],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame sampler: one row in -> `fps`-spaced frame rows
+    out (media_id, frame_idx, t_ms, frame payload). Row-count expansion via
+    numpy repeat inside the batch — the real decoder would seek instead of
+    re-hashing."""
+
+    def __init__(self, every_ms: int = 1000, max_frames: int = 16,
+                 deterministic_fake: bool = True):
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+        self.fake = deterministic_fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling requires a video library not present here; "
+                "plug one into FrameSampleStub.__call__"
+            )
+        ids, times, frames, payloads = [], [], [], []
+        for r in t.to_pylist():
+            if r["kind"] != "video" or r["duration_ms"] <= 0:
+                continue
+            n = min(self.max_frames, max(1, r["duration_ms"] // self.every_ms))
+            for i in range(int(n)):
+                ids.append(r["media_id"])
+                frames.append(i)
+                times.append(i * self.every_ms)
+                payloads.append(hashlib.sha1(r["payload"] + bytes([i % 256])).digest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int32()),
+                "t_ms": pa.array(times, pa.int32()),
+                "frame": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def media_pipeline(ds, max_side: int = 224, every_ms: int = 1000, feat_dim: int = 16):
+    """Decode-side media pipeline: resize images (actor pool), frame-sample
+    videos (actor pool), then feature-extract everything. Returns
+    (media_id, kind, feature)."""
+    resized = ds.map_batches(
+        ResizeStub,
+        fn_constructor_kwargs=dict(max_side=max_side),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return extract_features(resized, feat_dim=feat_dim)

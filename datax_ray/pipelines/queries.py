@@ -375,6 +375,114 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def agg_global_extremes(sf_dir: str):
+    """Global (group-less) aggregate: min/max order date + count, computed
+    per batch then reduced over the tiny partials."""
+    ds = _read(sf_dir, "orders")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "min_date": pa.array([pc.min(t["o_orderdate"]).as_py()], pa.timestamp("us")),
+                "max_date": pa.array([pc.max(t["o_orderdate"]).as_py()], pa.timestamp("us")),
+                "n_orders": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return pa.table(
+        {
+            "min_date": pa.array([min(r["min_date"] for r in parts)], pa.timestamp("us")),
+            "max_date": pa.array([max(r["max_date"] for r in parts)], pa.timestamp("us")),
+            "n_orders": pa.array([sum(r["n_orders"] for r in parts)], pa.int64()),
+        }
+    )
+
+
+GLOBAL_EXTREMES_SQL = """
+SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+def distinct_event_types(sf_dir: str):
+    """Distributed DISTINCT: per-batch unique combiner, then one reduce."""
+    ds = _read(sf_dir, "events").select_columns(["event_type"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pc.unique(t["event_type"])})
+
+    partials = ds.map_batches(uniq, batch_format="pyarrow").take_all()
+    vals = sorted({r["event_type"] for r in partials})
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def semi_join_urgent_customers(sf_dir: str):
+    """Semi join (EXISTS): customers having at least one 1-URGENT order.
+    The urgent custkey set is built from the orders side with a per-batch
+    unique combiner, then broadcast as a filter mask — no shuffle."""
+    import ray as _ray
+
+    orders = _read(sf_dir, "orders")
+
+    def urgents(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
+
+    keys = {
+        r["k"] for r in orders.map_batches(urgents, batch_format="pyarrow").take_all()
+    }
+    keys_ref = _ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy()
+        mask = np.isin(ids, _ray.get(keys_ref))
+        return t.select(["c_custkey", "c_name"]).filter(pa.array(mask))
+
+    return _read(sf_dir, "customer").map_batches(pick, batch_format="pyarrow")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_join_quiet_customers(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no 1-URGENT order."""
+    import ray as _ray
+
+    orders = _read(sf_dir, "orders")
+
+    def custs(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
+
+    keys = {
+        r["k"] for r in orders.map_batches(custs, batch_format="pyarrow").take_all()
+    }
+    keys_ref = _ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy()
+        mask = ~np.isin(ids, _ray.get(keys_ref))
+        return t.select(["c_custkey", "c_acctbal"]).filter(pa.array(mask))
+
+    return _read(sf_dir, "customer").map_batches(pick, batch_format="pyarrow")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -640,6 +748,29 @@ def multimodal_features(sf_dir: str):
     return extract_features(ray.data.from_arrow(synthesize_media_table(n)))
 
 
+def multimodal_resize_pipeline(sf_dir: str):
+    """Resize (aspect-preserving metadata math is real, pixels stubbed) then
+    feature-extract — both actor pools (rows-only)."""
+    from datax_ray.functions.multimodal import media_pipeline, synthesize_media_table
+
+    n = 256 if "0.001" in sf_dir else 1024
+    return media_pipeline(ray.data.from_arrow(synthesize_media_table(n)))
+
+
+def multimodal_frame_sample(sf_dir: str):
+    """Video frame sampling: one row per sampled frame (rows-only)."""
+    from datax_ray.functions.multimodal import FrameSampleStub, synthesize_media_table
+
+    n = 256 if "0.001" in sf_dir else 1024
+    return ray.data.from_arrow(synthesize_media_table(n)).map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs=dict(every_ms=1000, max_frames=8),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -654,6 +785,10 @@ QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_orders_by_nation": join_orders_by_nation,
     "sort_topk_orders": sort_topk_orders,
+    "agg_global_extremes": agg_global_extremes,
+    "distinct_event_types": distinct_event_types,
+    "semi_join_urgent_customers": semi_join_urgent_customers,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -668,6 +803,8 @@ QUERIES = {
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_near_dups": embedding_near_dups,
     "multimodal_features": multimodal_features,
+    "multimodal_resize_pipeline": multimodal_resize_pipeline,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -680,6 +817,10 @@ ORACLE_SQL = {
     "agg_pricing_summary": AGG_PRICING_SQL,
     "join_orders_by_nation": JOIN_NATION_SQL,
     "sort_topk_orders": SORT_TOPK_SQL,
+    "agg_global_extremes": GLOBAL_EXTREMES_SQL,
+    "distinct_event_types": DISTINCT_TYPES_SQL,
+    "semi_join_urgent_customers": SEMI_JOIN_SQL,
+    "anti_join_quiet_customers": ANTI_JOIN_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,

@@ -223,3 +223,31 @@ def test_multimodal_stub():
     assert f1 == f2
     with pytest.raises(NotImplementedError):
         DecodeStub(deterministic_fake=False)._decode_one(b"x", "image")
+
+
+def test_multimodal_resize_and_frames():
+    import ray.data
+
+    from datax_ray.functions.multimodal import (
+        FrameSampleStub,
+        media_pipeline,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(64)
+    out = media_pipeline(ray.data.from_arrow(media)).take_all()
+    assert len(out) == 64 and all(len(r["feature"]) == 16 for r in out)
+
+    frames = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            FrameSampleStub,
+            fn_constructor_kwargs=dict(every_ms=1000, max_frames=4),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .take_all()
+    )
+    n_videos = sum(1 for r in media.to_pylist() if r["kind"] == "video")
+    assert len(frames) >= n_videos  # >= one frame per video
+    assert all(0 <= r["frame_idx"] < 4 for r in frames)
