@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "text_stats",
     "events_sessionize",
     "events_tumbling",
+    "events_hopping",
+    "json_extract_props",
     "minhash_dup_pairs",
     "ann_cosine_topk",
 ]

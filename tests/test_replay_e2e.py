@@ -237,3 +237,27 @@ def test_heterogeneous_segment_formats(tmp_path):
     lake = str(tmp_path / "lake_mixed")
     replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8))
     assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
+def test_salting_flattens_hot_ranges(tmp_path):
+    """With zipf-1.8 hot conversations, turn-salted partitioning must cut
+    the max-range/mean-range row ratio materially vs unsalted (the
+    explicit skew handling the north rule requires)."""
+    from datax_ray.state.manifest import Manifest
+
+    changes = gen_changes(20_000, 500, seed=33, hot_key_zipf_s=1.8, max_turns=40)
+    chg = str(tmp_path / "chg_skew")
+    write_segments(changes, chg, seg_rows=20_000)
+
+    def ratio(salt):
+        lake = str(tmp_path / f"lake_salt_{salt}")
+        replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=32,
+                            salt_turn_width=salt))
+        rows = [v["rows"] for v in Manifest(lake).current_ranges().values() if v["rows"]]
+        return max(rows) / (sum(rows) / len(rows))
+
+    unsalted, salted = ratio(None), ratio(4)
+    assert salted < unsalted * 0.8, (unsalted, salted)
+    # and correctness is unaffected by salting
+    lake = str(tmp_path / "lake_salt_4")
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
