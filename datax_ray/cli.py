@@ -67,6 +67,10 @@ def main(argv=None):
     v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
     v.add_argument("--num-cpus", type=int, default=None)
 
+    c = sub.add_parser("compact", help="force-compact all ranges with pending fragments")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+
     e = sub.add_parser("export", help="materialize the lake to a parquet/csv/jsonl sink")
     e.add_argument("--lake", required=True)
     e.add_argument("--out", required=True)
@@ -174,6 +178,17 @@ def main(argv=None):
         print(json.dumps({"match": bool(ok), "rows": ours.num_rows, "oracle_rows": oracle.num_rows}))
         ray.shutdown()
         return 0 if ok else 1
+
+    if a.cmd == "compact":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.replay import ReplayConfig, compact_lake
+
+        out = compact_lake(ReplayConfig(changes_dir="", lake_dir=a.lake))
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
 
     if a.cmd == "export":
         _ensure_ray(a.num_cpus)

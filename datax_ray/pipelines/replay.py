@@ -232,6 +232,73 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     )
 
 
+def compact_lake(cfg: ReplayConfig) -> dict:
+    """Force-compact every range with pending fragments into per-partition
+    bases (same map-only Compactor the replay path uses), committing one
+    epoch with no new segments. Useful before export or when tailing stops."""
+    manifest = Manifest(cfg.lake_dir)
+    committed = manifest.committed_epoch()
+    if committed < 0:
+        return {"compacted_ranges": 0, "epoch": None}
+    layout = manifest.committed_layout() or {
+        "num_partitions": cfg.num_partitions,
+        "frag_ranges": min(cfg.frag_ranges, cfg.num_partitions),
+    }
+    num_partitions = int(layout["num_partitions"])
+    parts_per_range = max(1, num_partitions // int(layout["frag_ranges"]))
+    partitions = manifest.current_partitions()
+    ranges = manifest.current_ranges()
+    schema = manifest.committed_schema() or LAKE_SCHEMA
+    schema_json = schema_to_json(schema)
+    epoch = committed + 1
+
+    to_compact = sorted(rid for rid, rec in ranges.items() if rec.get("frags"))
+    if not to_compact:
+        return {"compacted_ranges": 0, "epoch": None}
+    items = []
+    for rid in to_compact:
+        pids = range(rid * parts_per_range, min((rid + 1) * parts_per_range, num_partitions))
+        withbase = [(p, partitions[p]["base"]) for p in pids if partitions.get(p, {}).get("base")]
+        items.append(
+            {
+                "range_id": rid,
+                "base_pids": [p for p, _ in withbase],
+                "base_files": [f for _, f in withbase],
+                "frag_files": list(ranges[rid]["frags"]),
+            }
+        )
+    lineage = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        Compactor(
+            lake_dir=cfg.lake_dir,
+            epoch=epoch,
+            lake_schema_json=schema_json,
+            metrics=cfg.metrics,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    for r in lineage:
+        partitions[int(r["part_id"])] = {
+            "base": r["file"],
+            "rows": int(r["rows"]),
+            "lsn_hi": int(r["lsn_hi"]),
+        }
+    for rid in to_compact:
+        ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
+    manifest.commit(
+        epoch,
+        segments=[],
+        lsn_hi=manifest.committed_lsn_hi(),
+        schema=schema,
+        partitions=partitions,
+        ranges=ranges,
+        layout=layout,
+        lineage=[dict(r) for r in lineage],
+        metrics={},
+    )
+    return {"compacted_ranges": len(to_compact), "epoch": epoch}
+
+
 def replay(cfg: ReplayConfig) -> list[EpochReport]:
     """Replay all uncommitted segments (fresh run and resume alike)."""
     manifest = Manifest(cfg.lake_dir)

@@ -148,3 +148,22 @@ def test_export_roundtrip_all_formats(tmp_path):
         assert export_lake(lake, out, fmt=fmt) == want.num_rows
         files = os.listdir(out)
         assert files and all(f.endswith(f".{fmt}") for f in files)
+
+
+def test_force_compaction_preserves_state(tmp_path):
+    """compact_lake folds every pending fragment into bases; the merged
+    view is unchanged, and a fresh compact is a no-op."""
+    from datax_ray.pipelines.replay import compact_lake
+
+    changes, chg, lake = _setup(tmp_path, "fc")
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    before = final_table(lake)
+    out = compact_lake(cfg)
+    assert out["compacted_ranges"] > 0
+    m = Manifest(lake)
+    assert all(not v.get("frags") for v in m.current_ranges().values())
+    assert_tables_equal(final_table(lake), before)
+    assert compact_lake(cfg)["compacted_ranges"] == 0
+    # replay remains up-to-date afterwards (no segment re-processing)
+    assert replay(cfg) == []
