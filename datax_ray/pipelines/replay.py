@@ -9,10 +9,11 @@ stages/delta.py for the measurements that forced this):
                                      # fragment per partition-RANGE with a
                                      # content-hash name; emit lineage rows
       → take_all() lineage (tiny)
-    then, for ranges whose fragment count reached compact_every:
+    concurrently, for ranges holding >= compact_every COMMITTED epochs of
+    fragments (disjoint files from this epoch's writes, so the two Dataset
+    executions overlap and fill each other's idle cores):
       from_items(ranges) → map_batches(Compactor)  # fold bases+frags into
                                      # fresh per-partition bases
-      → take_all() lineage (tiny)
     → ONE 2PC manifest commit covering both.
 
 Resume (a crashed/killed run) is the identical code path: the planner skips
@@ -99,7 +100,44 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     frag_ranges = int(layout["frag_ranges"])
     parts_per_range = max(1, num_partitions // frag_ranges)
 
-    # 2. Map-only Dataset pipeline (instances shipped once via the object
+    partitions = manifest.current_partitions()
+    ranges = manifest.current_ranges()
+
+    # 2a. Compaction plan — from COMMITTED state only, so it can execute
+    #     CONCURRENTLY with this epoch's fragment writing (disjoint files:
+    #     compaction reads prior epochs' bases+frags, the delta stage only
+    #     creates new ones). Trigger: a range holding fragments from
+    #     >= compact_every committed epochs.
+    to_compact = sorted(
+        rid for rid, rec in ranges.items()
+        if len(rec.get("epochs", [])) >= cfg.compact_every
+    )
+    compact_ds = None
+    if to_compact:
+        items = []
+        for rid in to_compact:
+            pids = range(rid * parts_per_range, min((rid + 1) * parts_per_range, num_partitions))
+            withbase = [(p, partitions[p]["base"]) for p in pids if partitions.get(p, {}).get("base")]
+            items.append(
+                {
+                    "range_id": rid,
+                    "base_pids": [p for p, _ in withbase],
+                    "base_files": [f for _, f in withbase],
+                    "frag_files": list(ranges[rid]["frags"]),
+                }
+            )
+        compact_ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            Compactor(
+                lake_dir=cfg.lake_dir,
+                epoch=epoch,
+                lake_schema_json=schema_json,
+                metrics=cfg.metrics,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    # 2b. Map-only Dataset pipeline (instances shipped once via the object
     #    store; task pools — zero spin-up, elastic). No shuffle anywhere:
     #    co-location happens in the lake's file layout itself.
     ds = read_segments(segments)
@@ -132,7 +170,20 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         batch_size=cfg.frag_batch_size,
         concurrency=cfg.merge_concurrency,
     )
-    lineage = lineage_ds.take_all()  # O(tasks x ranges) tiny rows
+    # Execute the delta stage and the (independent) compaction concurrently:
+    # both are map-only and neither reads the other's files, so overlapping
+    # them fills the cores a single phase would leave idle.
+    base_lineage: list = []
+    if compact_ds is not None:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            frag_fut = pool.submit(lineage_ds.take_all)
+            comp_fut = pool.submit(compact_ds.take_all)
+            lineage = frag_fut.result()
+            base_lineage = comp_fut.result()
+    else:
+        lineage = lineage_ds.take_all()  # O(tasks x ranges) tiny rows
     if os.environ.get("DATAX_STATS"):
         import sys
 
@@ -153,9 +204,16 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     ):
         raise DirtyLimitExceeded(f"dirty fraction {dirty/rows_in:.4f} > {cfg.error_limit_pct}")
 
-    # 4. Fold this epoch's fragments into the range map.
-    partitions = manifest.current_partitions()
-    ranges = manifest.current_ranges()
+    # 4. Fold: compaction first (it covered the PRIOR epochs' fragments of
+    #    the compacted ranges), then this epoch's fresh fragments on top.
+    for r in base_lineage:
+        partitions[int(r["part_id"])] = {
+            "base": r["file"],
+            "rows": int(r["rows"]),
+            "lsn_hi": int(r["lsn_hi"]),
+        }
+    for rid in to_compact:
+        ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
     for r in lineage:
         rid = int(r["range_id"])
         rec = ranges.get(rid) or {"frags": [], "rows": 0, "lsn_hi": -1, "epochs": []}
@@ -168,47 +226,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         rec["epochs"] = eps
         ranges[rid] = rec
 
-    # 5. Compaction: ranges that accumulated fragments from >= compact_every
-    #    epochs fold base+frags into fresh per-partition bases (map-only,
-    #    parallel by range; amortized O(lake/compact_every) per epoch).
-    base_lineage = []
-    to_compact = [
-        rid for rid, rec in ranges.items() if len(rec.get("epochs", [])) >= cfg.compact_every
-    ]
-    if to_compact:
-        items = []
-        for rid in sorted(to_compact):
-            pids = range(rid * parts_per_range, min((rid + 1) * parts_per_range, num_partitions))
-            withbase = [(p, partitions[p]["base"]) for p in pids if partitions.get(p, {}).get("base")]
-            items.append(
-                {
-                    "range_id": rid,
-                    "base_pids": [p for p, _ in withbase],
-                    "base_files": [f for _, f in withbase],
-                    "frag_files": list(ranges[rid]["frags"]),
-                }
-            )
-        compact_ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-            Compactor(
-                lake_dir=cfg.lake_dir,
-                epoch=epoch,
-                lake_schema_json=schema_json,
-                metrics=cfg.metrics,
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        base_lineage = compact_ds.take_all()
-        for r in base_lineage:
-            partitions[int(r["part_id"])] = {
-                "base": r["file"],
-                "rows": int(r["rows"]),
-                "lsn_hi": int(r["lsn_hi"]),
-            }
-        for rid in to_compact:
-            ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
-
-    # 6. ONE atomic commit covering fragments + compaction.
+    # 5. ONE atomic commit covering fragments + compaction.
     lsn_hi = max(watermark, max_lsn(segments))
     manifest.commit(
         epoch,

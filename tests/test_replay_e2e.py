@@ -109,9 +109,9 @@ def test_compaction_matches_oracle(tmp_path):
     parts = m.current_partitions()
     ranges = m.current_ranges()
     assert any(v.get("base") for v in parts.values()), "no compaction happened"
-    # after an even number of epochs every range just compacted (< 2 epochs
-    # of fragments pending)
-    assert all(len(v.get("epochs", [])) < 2 for v in ranges.values())
+    # compaction triggers on COMMITTED epochs (so it can overlap the delta
+    # stage): at most compact_every epochs of fragments are ever pending
+    assert all(len(v.get("epochs", [])) <= 2 for v in ranges.values())
 
 
 def test_tombstone_survives_compaction(tmp_path):
