@@ -260,7 +260,6 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
 
     results = {}
     for cpus in (8, 32):
-        settle()
         # taskset pins the WHOLE process tree (raylet, workers, arrow's
         # internal thread pools) to `cpus` cores: without it the "8 cpu" run
         # borrows all 32 hardware threads inside pyarrow kernels and the
@@ -269,9 +268,18 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
                "--cpus", str(cpus), "--sf-dir", sf_dir, "--events", str(events)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        # Best of 2: residual writeback from the PREVIOUS run's ~GBs of lake
+        # writes steals disk from the current one non-deterministically
+        # (observed ±30%); two runs with settled caches bound the noise.
+        best = None
+        for _ in range(2):
+            settle()
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["sustained_sec"] < best["sustained_sec"]:
+                best = r
+        results[cpus] = best
     tp8 = results[8]["sustained_events"] / results[8]["sustained_sec"]
     tp32 = results[32]["sustained_events"] / results[32]["sustained_sec"]
     print(json.dumps({

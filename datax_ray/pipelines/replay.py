@@ -106,11 +106,16 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     # 2a. Compaction plan — from COMMITTED state only, so it can execute
     #     CONCURRENTLY with this epoch's fragment writing (disjoint files:
     #     compaction reads prior epochs' bases+frags, the delta stage only
-    #     creates new ones). Trigger: a range holding fragments from
-    #     >= compact_every committed epochs.
+    #     creates new ones). STAGGERED: each epoch compacts the 1/K of
+    #     ranges with rid ≡ epoch (mod K), so compaction load is constant
+    #     per epoch (≈ lake/K) and hides completely under the delta stage
+    #     instead of spiking every K-th epoch. The >= K-pending condition
+    #     is the backstop for rarely-hit ranges.
+    K = max(1, cfg.compact_every)
     to_compact = sorted(
         rid for rid, rec in ranges.items()
-        if len(rec.get("epochs", [])) >= cfg.compact_every
+        if rec.get("frags")
+        and (rid % K == epoch % K or len(rec.get("epochs", [])) >= K)
     )
     compact_ds = None
     if to_compact:
