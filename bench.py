@@ -36,7 +36,10 @@ import sys
 import time
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
-BENCH_ROOT = "/tmp/datax_bench"
+BENCH_ROOT = os.environ.get("DATAX_BENCH_ROOT", "/tmp/datax_bench")
+# Lake output location (DATAX_LAKE_ROOT=/dev/shm/datax puts lakes on tmpfs,
+# isolating the engine's scaling from the sandbox's single shared vdisk).
+LAKE_ROOT = os.environ.get("DATAX_LAKE_ROOT", BENCH_ROOT)
 GEN_SEED = 7
 EVENTS_PER_SF = 160_000_000  # sf0.1 -> 16M events (4 epochs of 4M)
 N_CONVS_FRAC = 0.02         # convs = 2% of events (~50 turns/conv avg churn)
@@ -117,7 +120,7 @@ def run_replay(changes: str, lake: str, num_cpus: int) -> dict:
     if not os.path.isdir(warm_changes):
         gen_changes_dir(warm_changes, n_events=20_000, n_convs=500, seed=1,
                         seg_rows=20_000)
-    warm_lake = os.path.join(BENCH_ROOT, "warmup", f"lake_cpus{num_cpus}")
+    warm_lake = os.path.join(LAKE_ROOT, "warmup", f"lake_cpus{num_cpus}")
     shutil.rmtree(warm_lake, ignore_errors=True)
     replay(ReplayConfig(changes_dir=warm_changes, lake_dir=warm_lake,
                         num_partitions=16))
@@ -193,7 +196,7 @@ def main() -> None:
         logging_level="ERROR",
     )
     try:
-        lake = os.path.join(BENCH_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
+        lake = os.path.join(LAKE_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
         rep = run_replay(changes, lake, num_cpus)
 
         if args.replay_only:
