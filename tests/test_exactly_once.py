@@ -167,3 +167,53 @@ def test_force_compaction_preserves_state(tmp_path):
     assert compact_lake(cfg)["compacted_ranges"] == 0
     # replay remains up-to-date afterwards (no segment re-processing)
     assert replay(cfg) == []
+
+
+def test_sigkill_mid_replay_then_resume(tmp_path):
+    """Hard-crash realism: run replay in a separate OS process (its own Ray
+    cluster), SIGKILL the whole process group after the first epoch commits
+    but before the job finishes, then resume in-process — the lake must
+    equal the oracle exactly (no duplicates from the killed epoch's orphan
+    files, no losses)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    changes = gen_changes(60_000, 800, seed=77, out_of_order_frac=0.1, dup_frac=0.02)
+    chg = str(tmp_path / "chg_kill")
+    lake = str(tmp_path / "lake_kill")
+    write_segments(changes, chg, seg_rows=6_000)  # 10 segments => 10 epochs
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "datax_ray", "replay", "--changes", chg,
+         "--lake", lake, "--partitions", "8", "--segments-per-epoch", "1",
+         "--num-cpus", "2"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True, cwd="/root/repo",
+    )
+    m = Manifest(lake)
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if m.committed_epoch() >= 1:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert m.committed_epoch() >= 1, "subprocess never committed an epoch"
+        assert proc.poll() is None, "replay finished before we could kill it"
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    killed_at = m.committed_epoch()
+    assert killed_at < 9, "kill landed after the job finished; nothing to resume"
+    # resume in the session-scoped Ray cluster: same entry point
+    reports = replay(ReplayConfig(changes_dir=chg, lake_dir=lake,
+                                  num_partitions=8, segments_per_epoch=1))
+    assert reports and reports[0].epoch == killed_at + 1
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
