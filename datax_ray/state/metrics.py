@@ -37,8 +37,14 @@ class MetricsActor:
 
 
 def get_metrics_actor(name: str = METRICS_ACTOR_NAME):
-    """Get-or-create the named metrics actor in the current Ray session."""
-    return MetricsActor.options(name=name, get_if_exists=True).remote()
+    """Get-or-create the named metrics actor in the current Ray session.
+
+    Detached: a named-but-attached actor dies the moment every handle is
+    garbage-collected, and a concurrent get_if_exists can race the dying
+    actor and return a dead handle. Zero-CPU, lives until ray.shutdown."""
+    return MetricsActor.options(
+        name=name, get_if_exists=True, lifetime="detached"
+    ).remote()
 
 
 def total_dirty(snapshot: dict) -> int:

@@ -45,7 +45,7 @@ class RateLimiterActor:
 def get_rate_limiter(rate_per_s: float):
     """Get-or-create the named limiter and (re)set its rate."""
     actor = RateLimiterActor.options(
-        name=RATE_ACTOR_NAME, get_if_exists=True
+        name=RATE_ACTOR_NAME, get_if_exists=True, lifetime="detached"
     ).remote()
     ray.get(actor.set_rate.remote(rate_per_s))
     return actor
