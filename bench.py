@@ -194,6 +194,8 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker/raylet chatter would corrupt the
+        # one-JSON-line stdout contract
     )
     try:
         lake = os.path.join(LAKE_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
