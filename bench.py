@@ -194,6 +194,8 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        namespace="datax",  # detached actors in an anonymous namespace
+        # trigger a raylet stdout notice that would break the JSON contract
         log_to_driver=False,  # worker/raylet chatter would corrupt the
         # one-JSON-line stdout contract
     )

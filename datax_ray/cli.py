@@ -20,7 +20,7 @@ def _ensure_ray(num_cpus: int | None):
     if not ray.is_initialized():
         kwargs = dict(
             address="local", include_dashboard=False, ignore_reinit_error=True,
-            logging_level="ERROR", log_to_driver=False,
+            logging_level="ERROR", log_to_driver=False, namespace="datax",
         )
         if num_cpus:
             kwargs["num_cpus"] = num_cpus

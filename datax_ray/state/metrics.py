@@ -36,15 +36,21 @@ class MetricsActor:
         self._c.clear()
 
 
+_HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
+
+
 def get_metrics_actor(name: str = METRICS_ACTOR_NAME):
     """Get-or-create the named metrics actor in the current Ray session.
 
-    Detached: a named-but-attached actor dies the moment every handle is
+    A named-but-unreferenced actor dies the moment every handle is
     garbage-collected, and a concurrent get_if_exists can race the dying
-    actor and return a dead handle. Zero-CPU, lives until ray.shutdown."""
-    return MetricsActor.options(
-        name=name, get_if_exists=True, lifetime="detached"
-    ).remote()
+    actor and receive a dead handle — so the creating process pins one
+    handle here for the life of the session. (Deliberately not a detached
+    actor: those trigger a raylet stdout notice under anonymous
+    namespaces, which would pollute callers' stdout contracts.)"""
+    if name not in _HANDLES:
+        _HANDLES[name] = MetricsActor.options(name=name, get_if_exists=True).remote()
+    return _HANDLES[name]
 
 
 def total_dirty(snapshot: dict) -> int:

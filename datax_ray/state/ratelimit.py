@@ -42,10 +42,16 @@ class RateLimiterActor:
         return -self.avail / self.rate
 
 
+_HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
+
+
 def get_rate_limiter(rate_per_s: float):
-    """Get-or-create the named limiter and (re)set its rate."""
-    actor = RateLimiterActor.options(
-        name=RATE_ACTOR_NAME, get_if_exists=True, lifetime="detached"
-    ).remote()
+    """Get-or-create the named limiter and (re)set its rate (pinned by a
+    process-level handle; see state/metrics.py for why not detached)."""
+    if RATE_ACTOR_NAME not in _HANDLES:
+        _HANDLES[RATE_ACTOR_NAME] = RateLimiterActor.options(
+            name=RATE_ACTOR_NAME, get_if_exists=True
+        ).remote()
+    actor = _HANDLES[RATE_ACTOR_NAME]
     ray.get(actor.set_rate.remote(rate_per_s))
     return actor
