@@ -261,3 +261,18 @@ def test_salting_flattens_hot_ranges(tmp_path):
     # and correctness is unaffected by salting
     lake = str(tmp_path / "lake_salt_4")
     assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
+def test_ddl_then_compaction(tmp_path):
+    """Schema evolution (add column + widen) with compaction every other
+    epoch: compacted bases adopt the evolved schema, pre-DDL files unify on
+    read, and the whole lake equals the oracle."""
+    run_case(
+        tmp_path,
+        "ddlcompact",
+        n_events=6000,
+        seg_rows=1000,
+        segments_per_epoch=1,
+        compact_every=2,
+        with_ddl=True,
+    )

@@ -164,3 +164,66 @@ def test_rate_limit_caps_throughput(tmp_path, ray_session):
     # 15k events at 5k/s with a 1s burst bucket => >= ~1.5s of enforced wait
     assert capped > uncapped + 1.0
     assert capped >= 1.5
+
+
+def test_lww_reduce_property_random(ray_session):
+    """Property: lww_reduce equals a brute-force per-key python argmax on
+    random tables (keys collide heavily, order values duplicate)."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from datax_ray.stages.merge import lww_reduce
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 300))
+    def check(seed, n):
+        rng = np.random.default_rng(seed)
+        conv = rng.integers(0, 8, size=n)
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{v}" for v in conv], pa.string()),
+                "turn_idx": pa.array(rng.integers(0, 5, size=n).astype("int32")),
+                "ts": pa.array(rng.integers(0, 50, size=n), pa.timestamp("us")),
+                "lsn": pa.array(rng.permutation(n).astype("int64")),
+                "v": pa.array(rng.integers(0, 1000, size=n)),
+            }
+        )
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["ts"], r["lsn"], r["v"])
+            for r in lww_reduce(t).to_pylist()
+        }
+        want: dict = {}
+        for r in t.to_pylist():
+            k = (r["conv_id"], r["turn_idx"])
+            cand = (r["ts"], r["lsn"], r["v"])
+            if k not in want or cand[:2] > want[k][:2]:
+                want[k] = cand
+        assert got == want
+
+    check()
+
+
+def test_layout_frozen_on_resume(tmp_path, ray_session):
+    """Resuming with DIFFERENT partitions/frag_ranges must keep the layout
+    committed at epoch 0 — otherwise rows would shift across files."""
+    from datax_ray.fixtures.generator import gen_changes_dir
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.state.manifest import Manifest
+    import pyarrow.dataset as pads
+    import glob
+
+    chg = str(tmp_path / "chg_layout")
+    gen_changes_dir(chg, n_events=6000, n_convs=100, seed=8, seg_rows=2000)
+    lake = str(tmp_path / "lake_layout")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=16,
+                        frag_ranges=8, segments_per_epoch=2))
+    # resume the tail with conflicting cfg: frozen layout must win
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=64,
+                        frag_ranges=32, segments_per_epoch=2))
+    assert Manifest(lake).committed_layout() == {"num_partitions": 16, "frag_ranges": 8}
+    changes = pads.dataset(sorted(glob.glob(f"{chg}/seg-*.parquet"))).to_table()
+    ours = final_table(lake)
+    assert ours.equals(sequential_replay(changes))
