@@ -25,8 +25,13 @@ from datax_ray.functions.transformers import apply_transformers
 from datax_ray.stages.merge import lww_reduce
 
 
-def _read(sf_dir: str, table: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned read: only the named columns leave storage (parquet
+    projection pushdown) — at 100 TB a full-width read for a two-column
+    transform is the first thing to get wrong."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def _cents(col, factor: int = 100):
@@ -76,9 +81,9 @@ def cdc_lww_upsert(sf_dir: str, num_buckets: int = 64):
         w = w.filter(pc.not_equal(w["op"], "delete"))
         return w.select(["user_id", "event_type", "ts", "lsn", "value"])
 
-    ds = _read(sf_dir, "events").map_batches(
-        derive, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
@@ -186,7 +191,7 @@ def cdc_bootstrap_replay(sf_dir: str):
 
 
 def dx_substr(sf_dir: str):
-    ds = _read(sf_dir, "part")
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -203,7 +208,7 @@ DX_SUBSTR_SQL = "SELECT p_partkey, substr(p_name, 1, 8) AS name_sub FROM part"
 
 
 def dx_pad(sf_dir: str):
-    ds = _read(sf_dir, "supplier")
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -220,7 +225,7 @@ DX_PAD_SQL = "SELECT s_suppkey, lpad(s_name, 24, '_') AS name_pad FROM supplier"
 
 
 def dx_replace(sf_dir: str):
-    ds = _read(sf_dir, "part")
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -241,7 +246,7 @@ DX_REPLACE_SQL = (
 
 
 def dx_filter(sf_dir: str):
-    ds = _read(sf_dir, "lineitem")
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
     ds = apply_transformers(
         ds, [{"name": "dx_filter", "column": "l_quantity", "op": ">", "value": 45.0}]
     )
@@ -261,7 +266,7 @@ def json_extract_props(sf_dir: str):
     per-record transform slot DataX fills with dx_groovy, §2A row 14):
     pull props.k as an int. Vectorized via pyarrow's struct parser — one
     pa.json read per batch, no per-row Python."""
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def fn(t: pa.Table) -> pa.Table:
         import io
@@ -290,7 +295,7 @@ SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 
 def agg_pricing_summary(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with per-batch combiners."""
-    ds = _read(sf_dir, "lineitem")
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -330,7 +335,7 @@ def join_orders_by_nation(sf_dir: str):
         .select(["c_custkey", "n_name"])
         .rename_columns(["o_custkey", "n_name"])
     )
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -362,7 +367,7 @@ GROUP BY n.n_name
 
 
 def sort_topk_orders(sf_dir: str):
-    ds = _read(sf_dir, "orders").map_batches(
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice"]),
         batch_format="pyarrow",
     )
@@ -378,7 +383,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def agg_global_extremes(sf_dir: str):
     """Global (group-less) aggregate: min/max order date + count, computed
     per batch then reduced over the tiny partials."""
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -408,7 +413,7 @@ FROM orders
 
 def distinct_event_types(sf_dir: str):
     """Distributed DISTINCT: per-batch unique combiner, then one reduce."""
-    ds = _read(sf_dir, "events").select_columns(["event_type"])
+    ds = _read(sf_dir, "events", columns=["event_type"])
 
     def uniq(t: pa.Table) -> pa.Table:
         return pa.table({"event_type": pc.unique(t["event_type"])})
@@ -427,7 +432,7 @@ def semi_join_urgent_customers(sf_dir: str):
     unique combiner, then broadcast as a filter mask — no shuffle."""
     import ray as _ray
 
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def urgents(t: pa.Table) -> pa.Table:
         m = pc.equal(t["o_orderpriority"], "1-URGENT")
@@ -443,7 +448,7 @@ def semi_join_urgent_customers(sf_dir: str):
         mask = np.isin(ids, _ray.get(keys_ref))
         return t.select(["c_custkey", "c_name"]).filter(pa.array(mask))
 
-    return _read(sf_dir, "customer").map_batches(pick, batch_format="pyarrow")
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(pick, batch_format="pyarrow")
 
 
 SEMI_JOIN_SQL = """
@@ -457,7 +462,7 @@ def anti_join_quiet_customers(sf_dir: str):
     """Anti join (NOT EXISTS): customers with no 1-URGENT order."""
     import ray as _ray
 
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def custs(t: pa.Table) -> pa.Table:
         m = pc.equal(t["o_orderpriority"], "1-URGENT")
@@ -473,7 +478,7 @@ def anti_join_quiet_customers(sf_dir: str):
         mask = ~np.isin(ids, _ray.get(keys_ref))
         return t.select(["c_custkey", "c_acctbal"]).filter(pa.array(mask))
 
-    return _read(sf_dir, "customer").map_batches(pick, batch_format="pyarrow")
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(pick, batch_format="pyarrow")
 
 
 ANTI_JOIN_SQL = """
@@ -487,14 +492,14 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 def dedup_exact_docs(sf_dir: str):
-    return exact_dedup(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
 
 
 def text_stats(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         t = add_quality_signals(t)
@@ -514,7 +519,7 @@ FROM documents
 
 
 def doc_fingerprints(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         return add_fingerprint(t).select(["doc_id", "fingerprint"])
@@ -540,7 +545,7 @@ def lang_id_docs(sf_dir: str):
 def events_sessionize(sf_dir: str):
     from datax_ray.functions.windows import sessionize
 
-    out = sessionize(_read(sf_dir, "events"), gap_us=30 * 60 * 1_000_000)
+    out = sessionize(_read(sf_dir, "events", columns=["user_id", "ts", "event_id"]), gap_us=30 * 60 * 1_000_000)
 
     def cast_cols(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -577,7 +582,7 @@ FROM y GROUP BY user_id, session_id
 
 
 def events_tumbling(sf_dir: str):
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         ts_us = pc.cast(t["ts"], pa.int64())
@@ -612,7 +617,7 @@ def events_hopping(sf_dir: str):
     2 overlapping windows."""
     from datax_ray.functions.windows import hopping_window_counts
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -661,7 +666,7 @@ def ngram_dup_pairs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs, LSH-proposed (rows-only)."""
     from datax_ray.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.6)
 
 
 # ----------------------------------------------------------- similarity --
@@ -679,7 +684,7 @@ def ann_cosine_topk(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "=", 0)]
     )
     q = np.stack(emb0["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cand = knn_brute(ds, q, k=32).take_all()  # headroom before re-ranking
     rows = sorted(
         ((round(r["cosine"], 6), r["vec_id"]) for r in cand),
@@ -715,7 +720,7 @@ def ann_ivf_topk(sf_dir: str):
     rng = np.random.default_rng(0)
     sample = mat[rng.choice(len(mat), size=min(2048, len(mat)), replace=False)]
     index = IVFIndex.fit(sample, n_lists=16)
-    return knn_ivf(_read(sf_dir, "embeddings"), index, mat[:1], k=10, nprobe=4)
+    return knn_ivf(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), index, mat[:1], k=10, nprobe=4)
 
 
 def minhash_dup_pairs(sf_dir: str):
@@ -723,14 +728,14 @@ def minhash_dup_pairs(sf_dir: str):
     from datax_ray.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(sf_dir, "documents"), threshold=0.6, shingle_k=3
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.6, shingle_k=3
     )
 
 
 def simhash_dup_pairs(sf_dir: str):
     from datax_ray.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3)
 
 
 def embedding_near_dups(sf_dir: str):
@@ -741,7 +746,7 @@ def embedding_near_dups(sf_dir: str):
     from datax_ray.functions.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _read(sf_dir, "embeddings"), threshold=0.4, num_planes=8
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.4, num_planes=8
     )
 
 
