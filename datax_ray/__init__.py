@@ -14,7 +14,10 @@ from datax_ray.schemas import (
     LAKE_SCHEMA,
     TRANSCRIPTS_SCHEMA,
 )
-from datax_ray.pipelines.replay import ReplayConfig, replay
+from datax_ray.pipelines.bootstrap import bootstrap
+from datax_ray.pipelines.replay import ReplayConfig, compact_lake, replay
+from datax_ray.sinks.export import export_lake
+from datax_ray.sinks.lake import final_table, read_lake
 
 __all__ = [
     "CHANGES_SCHEMA",
@@ -22,4 +25,9 @@ __all__ = [
     "TRANSCRIPTS_SCHEMA",
     "ReplayConfig",
     "replay",
+    "bootstrap",
+    "compact_lake",
+    "export_lake",
+    "read_lake",
+    "final_table",
 ]

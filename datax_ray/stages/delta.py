@@ -19,6 +19,13 @@ via storage", the way Hudi/Delta-style ingest does:
 
 Per-epoch cost is O(epoch events) with NO all-to-all; compaction is
 amortized O(lake / compact_every) and embarrassingly parallel by range.
+
+SIZING AT SCALE: a compaction task materializes ONE range (bases + frags)
+in worker heap, so choose the frozen layout with
+  num_partitions ≈ lake_bytes / ~256 MB   and   frag_ranges ≈ total cores,
+keeping range size = lake/frag_ranges within a worker's memory; on a
+256-node cluster that means thousands of partitions and a few thousand
+ranges, not this sandbox's 128/32 defaults.
 Every stage is a task-pool `map_batches` over Arrow — scaling is linear in
 cores because nothing synchronizes except the (O(ranges)) driver commit.
 """
