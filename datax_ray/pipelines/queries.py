@@ -532,7 +532,7 @@ FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 def lang_id_docs(sf_dir: str):
     """Heuristic language ID (rows-only: not SQL-expressible)."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
