@@ -64,6 +64,9 @@ def bootstrap(src_parquet: str, cfg: ReplayConfig) -> EpochReport:
     layout = {
         "num_partitions": cfg.num_partitions,
         "frag_ranges": min(cfg.frag_ranges, cfg.num_partitions),
+        # Part of the frozen layout: later replays must route keys with the
+        # same salt the lake was bootstrapped with (see run_epoch).
+        "salt_turn_width": cfg.salt_turn_width,
     }
     schema_json = schema_to_json(LAKE_SCHEMA)
 

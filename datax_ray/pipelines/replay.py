@@ -92,12 +92,19 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     watermark = manifest.committed_lsn_hi()
     # The partition/range layout is a LAKE property, frozen at epoch 0:
     # resuming with different cfg values must not shift rows across files.
+    # salt_turn_width is part of the layout — part_ids_for depends on it, so
+    # replaying with a different value than the lake was built with would
+    # route existing keys to different ranges (silent dup keys / resurrected
+    # rows). The committed value always wins over cfg on resume.
     layout = manifest.committed_layout() or {
         "num_partitions": cfg.num_partitions,
         "frag_ranges": min(cfg.frag_ranges, cfg.num_partitions),
+        "salt_turn_width": cfg.salt_turn_width,
     }
     num_partitions = int(layout["num_partitions"])
     frag_ranges = int(layout["frag_ranges"])
+    salt_turn_width = layout.get("salt_turn_width")
+    salt_turn_width = int(salt_turn_width) if salt_turn_width is not None else None
     parts_per_range = max(1, num_partitions // frag_ranges)
 
     partitions = manifest.current_partitions()
@@ -151,7 +158,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             target_schema_json=schema_json,
             num_partitions=num_partitions,
             watermark_lsn=watermark,
-            salt_turn_width=cfg.salt_turn_width,
+            salt_turn_width=salt_turn_width,
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
             metrics=cfg.metrics,
             max_events_per_sec=cfg.max_events_per_sec,
@@ -222,6 +229,10 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     for r in lineage:
         rid = int(r["range_id"])
         rec = ranges.get(rid) or {"frags": [], "rows": 0, "lsn_hi": -1, "epochs": []}
+        # Two batches whose LWW-reduced content is byte-identical share a
+        # content-hash path — record the file (and its rows/bytes) once.
+        if r["file"] in rec.get("frags", []):
+            continue
         rec["frags"] = [*rec.get("frags", []), r["file"]]
         rec["rows"] = int(rec.get("rows", 0)) + int(r["rows"])
         rec["lsn_hi"] = max(int(rec.get("lsn_hi", -1)), int(r["lsn_hi"]))

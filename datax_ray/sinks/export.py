@@ -10,6 +10,7 @@ strings.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 
@@ -21,17 +22,41 @@ FORMATS = ("parquet", "csv", "jsonl")
 def export_lake(lake_dir: str, out_dir: str, fmt: str = "parquet") -> int:
     """Write the lake's live rows to `out_dir` in `fmt`; returns row count.
 
-    Files are written per-block with Ray Data's native sinks (parquet) or a
-    per-batch writer (csv/jsonl with the null convention) — either way one
-    file per range task, resumable by re-running (full overwrite)."""
+    Files are written with a per-batch writer (content-hash filenames, one
+    file per range task). Re-running is a TRUE full overwrite: `out_dir` is
+    cleared first, so a reader never sees a stale part file from a previous
+    export of a since-changed lake alongside the new ones."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
     ds = read_lake(lake_dir)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     if fmt == "parquet":
-        ds.write_parquet(out_dir)
-        return ds.count()
+        # Same per-batch writer pattern as csv/jsonl: one pipeline execution
+        # yields both the files and the row count (write_parquet + count()
+        # would run the whole lake merge twice).
+        def write_parquet_batch(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            import pyarrow.parquet as pq
+
+            sink = pa.BufferOutputStream()
+            pq.write_table(t, sink, compression="zstd", compression_level=1)
+            buf = sink.getvalue()
+            name = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.parquet")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.to_pybytes())
+            os.replace(tmp, path)
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        parts = ds.map_batches(
+            write_parquet_batch, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        return sum(int(r["rows"]) for r in parts)
 
     if fmt == "csv":
         def write_csv_batch(t: pa.Table) -> pa.Table:

@@ -44,17 +44,25 @@ def read_segments(segments: list[str]):
 
     from datax_ray.schemas import CHANGES_SCHEMA
 
-    canon_types = {f.name: f.type for f in CHANGES_SCHEMA}
+    canon_types = {f.name: f.type for f in CHANGES_SCHEMA}  # csv ConvertOptions
 
     def canon(t: pa.Table) -> pa.Table:
         """Cast a source batch to the canonical changes column types (the
         DataX type-conversion-matrix analog, SURVEY.md §2A row 20) so
-        blocks from different formats coalesce cleanly."""
+        blocks from different formats coalesce cleanly. Columns a segment
+        omits entirely (e.g. pyarrow.json never infers an all-null `ddl`
+        field) are null-filled, and output columns come in a fixed order
+        (CHANGES first, extras after) so heterogeneous segments align."""
         cols = {}
-        for name in t.column_names:
-            c = t[name]
-            want = canon_types.get(name)
-            cols[name] = _pc.cast(c, want) if want is not None and c.type != want else c
+        for f in CHANGES_SCHEMA:
+            if t.schema.get_field_index(f.name) == -1:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+            else:
+                c = t[f.name]
+                cols[f.name] = _pc.cast(c, f.type) if c.type != f.type else c
+        for name in t.column_names:  # extra payload cols (e.g. DDL-added)
+            if name not in cols:
+                cols[name] = t[name]
         return pa.table(cols)
 
     by_ext: dict[str, list[str]] = {}

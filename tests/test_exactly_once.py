@@ -149,6 +149,16 @@ def test_export_roundtrip_all_formats(tmp_path):
         files = os.listdir(out)
         assert files and all(f.endswith(f".{fmt}") for f in files)
 
+    # Re-export is a TRUE overwrite: a stale file from a prior run of a
+    # since-changed lake must not survive alongside the new part files.
+    stale = os.path.join(pdir, "part-stale.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    assert export_lake(lake, pdir, fmt="parquet") == want.num_rows
+    assert not os.path.exists(stale)
+    got2 = pads.dataset(pdir).to_table()
+    assert got2.num_rows == want.num_rows
+
 
 def test_force_compaction_preserves_state(tmp_path):
     """compact_lake folds every pending fragment into bases; the merged

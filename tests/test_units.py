@@ -223,7 +223,43 @@ def test_layout_frozen_on_resume(tmp_path, ray_session):
     # resume the tail with conflicting cfg: frozen layout must win
     replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=64,
                         frag_ranges=32, segments_per_epoch=2))
-    assert Manifest(lake).committed_layout() == {"num_partitions": 16, "frag_ranges": 8}
+    assert Manifest(lake).committed_layout() == {
+        "num_partitions": 16, "frag_ranges": 8, "salt_turn_width": None,
+    }
     changes = pads.dataset(sorted(glob.glob(f"{chg}/seg-*.parquet"))).to_table()
     ours = final_table(lake)
     assert ours.equals(sequential_replay(changes))
+
+
+def test_salt_turn_width_frozen_on_resume(tmp_path, ray_session):
+    """salt_turn_width is part of the frozen layout: a lake bootstrapped
+    WITH salting must keep routing keys with that salt when a later replay
+    omits the flag — otherwise keys shift ranges and LWW never sees both
+    versions of a key together (duplicate keys / resurrected rows)."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import gen_changes, gen_transcripts, write_segments
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.pipelines.bootstrap import bootstrap
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.state.manifest import Manifest
+
+    snap = gen_transcripts(n_convs=40, seed=21)
+    snap_path = str(tmp_path / "snap.parquet")
+    pq.write_table(snap, snap_path)
+    chg = str(tmp_path / "chg_salt")
+    write_segments(gen_changes(3000, 40, seed=22, hot_key_zipf_s=1.2), chg, seg_rows=1000)
+    lake = str(tmp_path / "lake_salt")
+    cfg_salted = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=16,
+                              salt_turn_width=4, segments_per_epoch=1)
+    bootstrap(snap_path, cfg_salted)
+    # replay WITHOUT the salt flag: the committed layout's salt must win
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=16,
+                        segments_per_epoch=1))
+    assert Manifest(lake).committed_layout()["salt_turn_width"] == 4
+    changes = pads.dataset(sorted(glob.glob(f"{chg}/seg-*.parquet"))).to_table()
+    assert final_table(lake).equals(sequential_replay(changes, base=snap))
