@@ -103,45 +103,27 @@ SELECT user_id, event_type, ts, lsn, value FROM w WHERE rn = 1 AND op <> 'delete
 
 
 def cdc_replay_final(sf_dir: str):
-    """Full engine path (rows-only check — not SQL-expressible): derive a
-    transcript change log from `events`, write segments, replay through
+    """Full engine path: derive a transcript change log from `events`
+    INSIDE map_batches tasks (each task writes its contiguous slice as a
+    segment — the events table never lands on the driver), replay through
     normalize → fragment-delta write → compaction → manifest commit, and
-    return the final lake."""
+    return the final lake. The derivation rule is deterministic, so the
+    DuckDB oracle (CDC_REPLAY_SQL) expresses the expected lake as a
+    row_number() LWW over the same derivation."""
     import shutil
 
-    import pyarrow.parquet as pq
-
-    from datax_ray.fixtures.generator import write_segments
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
 
-    events = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    eid = events["event_id"].to_numpy()
-    uid = events["user_id"].to_numpy()
-    op = np.where(eid % 10 == 0, "delete", np.where(eid % 2 == 0, "insert", "update")).astype(object)
-    txt = np.char.add("payload-", eid.astype("U12")).astype(object)
-    txt[op == "delete"] = None
-    changes = pa.table(
-        {
-            "lsn": pa.array(eid, pa.int64()),
-            "ts": events["ts"],
-            "op": pa.array(op, pa.string()),
-            "conv_id": pa.array(
-                np.char.add("conv-", uid.astype("U12")).astype(object), pa.string()
-            ),
-            "turn_idx": pa.array((eid % 25).astype(np.int32), pa.int32()),
-            "role": pa.array(
-                np.where(op == "delete", None, np.where(eid % 2 == 0, "user", "assistant")),
-                pa.string(),
-            ),
-            "text": pa.array(txt, pa.string()),
-            "tool": pa.array(np.where(op == "delete", None, "").astype(object), pa.string()),
-            "ddl": pa.array([None] * len(eid), pa.string()),
-        }
-    )
     work = f"/tmp/datax_cdc_replay/{os.path.basename(os.path.normpath(sf_dir))}"
     shutil.rmtree(work, ignore_errors=True)
-    write_segments(changes, f"{work}/changes", seg_rows=20_000)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
@@ -153,38 +135,106 @@ def cdc_replay_final(sf_dir: str):
     return final_table(f"{work}/lake")
 
 
+# The derived change stream of ChangeDeriver (sources/derive.py), LWW-folded
+# exactly like the engine's merge: winner per (conv_id, turn_idx) is max
+# (ts, lsn); a winning delete removes the row.
+CDC_REPLAY_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
-    change replay (rows-only: not SQL-expressible). Deterministic fixture
-    sized by sf; returns the final lake table."""
+    change replay. The snapshot derives from `customer` (4 turns per
+    customer conv, constant 1992 ts) and the change stream from `events`
+    ('conv-c' prefix so changes land on snapshot convs) — both in tasks,
+    both deterministic, so CDC_BOOTSTRAP_SQL expresses the final lake."""
     import shutil
 
-    import pyarrow.parquet as pq
-
-    from datax_ray.fixtures.generator import gen_changes, gen_transcripts, write_segments
     from datax_ray.pipelines.bootstrap import bootstrap
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver, SnapshotDeriver
 
-    n_convs = 200 if "0.001" in sf_dir else 2000
     work = f"/tmp/datax_cdc_bootstrap/{os.path.basename(os.path.normpath(sf_dir))}"
     shutil.rmtree(work, ignore_errors=True)
-    snap = gen_transcripts(n_convs=n_convs, seed=11, mean_turns=8)
-    os.makedirs(work, exist_ok=True)
-    pq.write_table(snap, f"{work}/snapshot.parquet")
-    changes = gen_changes(
-        n_convs * 20, n_convs, seed=12, out_of_order_frac=0.1, dup_frac=0.02
-    )
-    write_segments(changes, f"{work}/changes", seg_rows=max(1000, n_convs * 5))
+    _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        SnapshotDeriver(f"{work}/snapshot", turns=4, conv_prefix="conv-c"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes", conv_prefix="conv-c"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
     cfg = ReplayConfig(
         changes_dir=f"{work}/changes",
         lake_dir=f"{work}/lake",
         num_partitions=16,
+        segments_per_epoch=2,
         compact_every=2,
     )
-    bootstrap(f"{work}/snapshot.parquet", cfg)
+    bootstrap(f"{work}/snapshot", cfg)
     replay(cfg)
     return final_table(f"{work}/lake")
+
+
+# Snapshot rows as lsn=-1 pseudo-events (they lose every LWW race against a
+# real change event — 1992 ts vs 2024 event ts), unioned with the derived
+# change stream, then the same row_number() LWW fold.
+CDC_BOOTSTRAP_SQL = """
+WITH snap AS (
+  SELECT 'conv-c' || CAST(c_custkey AS VARCHAR) AS conv_id,
+         CAST(t.i AS INTEGER) AS turn_idx,
+         CASE WHEN t.i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         'snap-' || CAST(c_custkey AS VARCHAR) || '-' || CAST(t.i AS VARCHAR) AS text,
+         '' AS tool,
+         TIMESTAMP '1992-01-01 00:00:00' AS ts,
+         CAST(-1 AS BIGINT) AS lsn,
+         'insert' AS op
+  FROM customer, (SELECT unnest(range(4)) AS i) t
+), chg AS (
+  SELECT 'conv-c' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool,
+         ts,
+         event_id AS lsn,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op
+  FROM events
+), u AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM chg
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM u
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 # --------------------------------------------------------- transformers --
@@ -820,6 +870,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
+    "cdc_replay_final": CDC_REPLAY_SQL,
+    "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
     "dx_replace": DX_REPLACE_SQL,

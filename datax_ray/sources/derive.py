@@ -1,0 +1,151 @@
+"""Task-side change-log derivation for the flagship harness.
+
+The driver's `events` table stands in for an upstream OLTP table; the
+flagship pipelines derive a deterministic transcript change stream from it.
+Derivation runs INSIDE `map_batches` tasks (never materializing the events
+table on the driver) and each task writes its contiguous slice straight to a
+segment file — at 100 TB the driver only ever sees O(segments) lineage rows.
+
+Segment naming: `event_id` is the row index of the events table (verified
+monotonic/contiguous in the testdata), Ray Data's parquet read yields
+contiguous row ranges per batch, so `seg-{min_lsn:012d}.parquet` gives
+name-order == LSN-order with disjoint LSN ranges — exactly the contract
+`plan_epochs`/the watermark dedup rely on. Content is derived purely from
+(event_id, user_id, ts), so a retried task rewrites the identical file.
+
+The derivation rule (shared by the DuckDB oracles in pipelines/queries.py):
+    op      = delete if event_id % 10 == 0 else insert if even else update
+    conv_id = f"{conv_prefix}{user_id}"
+    turn_idx= event_id % turn_mod
+    role    = user if even else assistant   (null on delete)
+    text    = f"payload-{event_id}"         (null on delete)
+    tool    = ""                            (null on delete)
+    lsn, ts = event_id, events.ts
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+LINEAGE_SCHEMA = pa.schema(
+    [("file", pa.string()), ("rows", pa.int64()), ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64())]
+)
+
+
+def _write_atomic(t: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp, compression="zstd", compression_level=1)
+    os.replace(tmp, path)
+
+
+class ChangeDeriver:
+    """map_batches stage: events batch -> derived CDC segment on disk.
+
+    Emits one tiny lineage row per written segment; the change rows
+    themselves never flow back through the pipeline."""
+
+    def __init__(self, out_dir: str, conv_prefix: str = "conv-", turn_mod: int = 25):
+        self.__name__ = "ChangeDeriver"
+        self.out_dir = out_dir
+        self.conv_prefix = conv_prefix
+        self.turn_mod = turn_mod
+
+    def derive(self, t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
+        e = eid.to_numpy()
+        is_del = pa.array(e % 10 == 0)
+        is_even = pa.array(e % 2 == 0)
+        nulls = pa.nulls(t.num_rows, pa.string())
+        conv = pc.binary_join_element_wise(
+            self.conv_prefix, pc.cast(t["user_id"], pa.string()), ""
+        )
+        text = pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), "")
+        op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
+        role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
+        return pa.table(
+            {
+                "lsn": eid,
+                "ts": t["ts"],
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": pc.cast(pa.array(e % self.turn_mod), pa.int32()),
+                "role": role,
+                "text": pc.if_else(is_del, nulls, text),
+                "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
+                "ddl": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        out = self.derive(t)
+        lo = int(pc.min(out["lsn"]).as_py())
+        hi = int(pc.max(out["lsn"]).as_py())
+        path = os.path.join(self.out_dir, f"seg-{lo:012d}.parquet")
+        _write_atomic(out, path)
+        return pa.table(
+            {
+                "file": pa.array([path], pa.string()),
+                "rows": pa.array([out.num_rows], pa.int64()),
+                "lsn_lo": pa.array([lo], pa.int64()),
+                "lsn_hi": pa.array([hi], pa.int64()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+
+class SnapshotDeriver:
+    """map_batches stage: customer batch -> transcripts snapshot parts.
+
+    Snapshot rows carry a constant far-past ts, so every derived change
+    event (2024 timestamps) beats its snapshot row under LWW — same rule
+    the DuckDB oracle expresses with lsn=-1 pseudo-events."""
+
+    SNAP_TS_US = 694_224_000_000_000  # 1992-01-01T00:00:00Z in microseconds
+
+    def __init__(self, out_dir: str, turns: int = 4, conv_prefix: str = "conv-c"):
+        self.__name__ = "SnapshotDeriver"
+        self.out_dir = out_dir
+        self.turns = turns
+        self.conv_prefix = conv_prefix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        ck = t["c_custkey"].combine_chunks() if isinstance(t["c_custkey"], pa.ChunkedArray) else t["c_custkey"]
+        keys = ck.to_numpy()
+        n, k = len(keys), self.turns
+        rep = np.repeat(keys, k)
+        turn = np.tile(np.arange(k, dtype=np.int64), n)
+        ck_s = pc.cast(pa.array(rep), pa.string())
+        turn_s = pc.cast(pa.array(turn), pa.string())
+        out = pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(self.conv_prefix, ck_s, ""),
+                "turn_idx": pc.cast(pa.array(turn), pa.int32()),
+                "role": pc.if_else(pa.array(turn % 2 == 0), "user", "assistant"),
+                "text": pc.binary_join_element_wise("snap-", ck_s, "-", turn_s, ""),
+                "tool": pa.array([""] * (n * k), pa.string()),
+                "ts": pa.array(np.full(n * k, self.SNAP_TS_US, dtype=np.int64), pa.timestamp("us")),
+            }
+        )
+        lo = int(keys.min())
+        path = os.path.join(self.out_dir, f"snap-{lo:012d}.parquet")
+        _write_atomic(out, path)
+        return pa.table(
+            {
+                "file": pa.array([path], pa.string()),
+                "rows": pa.array([out.num_rows], pa.int64()),
+                "lsn_lo": pa.array([-1], pa.int64()),
+                "lsn_hi": pa.array([-1], pa.int64()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
