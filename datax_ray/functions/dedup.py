@@ -28,8 +28,10 @@ from datax_ray.functions.text import content_hash64
 # ---------------------------------------------------------------- exact --
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """One surviving row (min id) per distinct text value."""
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets: int = 64):
+    """One surviving row (min id) per distinct text value. `num_buckets`
+    sizes the coarse shuffle of per-batch survivors — scale with input via
+    functions._buckets.coarse_buckets."""
 
     def partial(t: pa.Table) -> pa.Table:
         # within-batch combiner: keep min-id row per content hash
@@ -49,7 +51,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df["_grp"] = (df["_h"].to_numpy() % 64).astype("int32")
+        df["_grp"] = (df["_h"].to_numpy() % num_buckets).astype("int32")
         return df
 
     out = (
@@ -118,12 +120,14 @@ class MinHasher:
         bands: int = 16,
         shingle_k: int = 3,
         seed: int = 7,
+        num_buckets: int = 64,
     ):
         self.__name__ = "MinHasher"  # Ray Data names task UDFs from this
         assert num_hashes % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.bands, self.k = num_hashes, bands, shingle_k
         self.rows_per_band = num_hashes // bands
+        self.num_buckets = num_buckets
         self.a, self.b = _minhash_params(num_hashes, seed)
 
     def signature(self, text: str) -> np.ndarray:
@@ -154,7 +158,9 @@ class MinHasher:
         # coarse shuffle key: many (band, bucket) LSH groups per shuffle
         # partition, so downstream work is O(shuffle partitions) Python
         # calls, not O(LSH buckets).
-        grp = ((flat_bucket ^ band_ids.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
+        grp = (
+            (flat_bucket ^ band_ids.astype(np.uint64)) % np.uint64(self.num_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
                 "grp": pa.array(grp, pa.int32()),
@@ -175,6 +181,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 7,
+    num_buckets: int = 64,
 ):
     """Near-duplicate pairs with estimated Jaccard >= threshold.
 
@@ -232,6 +239,7 @@ def minhash_lsh_pairs(
                 bands=bands,
                 shingle_k=shingle_k,
                 seed=seed,
+                num_buckets=num_buckets,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -240,7 +248,7 @@ def minhash_lsh_pairs(
         .map_groups(candidates, batch_format="pandas")
     )
     # a pair can surface from several bands: final exact-dedup of pairs
-    return _unique_pairs(pairs, "jaccard")
+    return _unique_pairs(pairs, "jaccard", num_buckets=num_buckets)
 
 
 # -------------------------------------------------------------- simhash --
@@ -250,9 +258,10 @@ class SimHasher:
     """64-bit simhash over word tokens; emits 4 × 16-bit band keys so any
     pair within Hamming distance 3 shares at least one band (pigeonhole)."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
         self.__name__ = "SimHasher"
         self.text_col, self.id_col = text_col, id_col
+        self.num_buckets = num_buckets
 
     def simhash(self, text: str) -> np.uint64:
         toks = text.split()
@@ -277,7 +286,9 @@ class SimHasher:
         doc_col = np.repeat(ids, 4)
         hash_col = np.repeat(hashes, 4)
         key = (hash_col >> (np.uint64(16) * band_col.astype(np.uint64))) & np.uint64(0xFFFF)
-        grp = ((key ^ band_col.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
+        grp = (
+            (key ^ band_col.astype(np.uint64)) % np.uint64(self.num_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
                 "grp": pa.array(grp, pa.int32()),
@@ -289,7 +300,9 @@ class SimHasher:
         )
 
 
-def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
+def simhash_pairs(
+    ds, text_col="text", id_col="doc_id", max_hamming: int = 3, num_buckets: int = 64
+):
     """Pairs whose 64-bit simhashes differ in <= max_hamming bits."""
 
     empty = pd.DataFrame(
@@ -330,14 +343,14 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
 
     pairs = (
         ds.map_batches(
-            SimHasher(text_col=text_col, id_col=id_col),
+            SimHasher(text_col=text_col, id_col=id_col, num_buckets=num_buckets),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .groupby("grp")
         .map_groups(candidates, batch_format="pandas")
     )
-    return _unique_pairs(pairs, "hamming")
+    return _unique_pairs(pairs, "hamming", num_buckets=num_buckets)
 
 
 # ------------------------------------------------- n-gram jaccard verify --
@@ -357,6 +370,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingle_k: int = 3,
+    num_buckets: int = 64,
 ):
     """EXACT n-gram-Jaccard near-dup pairs: MinHash-LSH proposes candidates
     (cheap, estimated-jaccard pre-filter at threshold*0.7), then the small
@@ -370,7 +384,7 @@ def ngram_jaccard_pairs(
 
     cand = minhash_lsh_pairs(
         ds, text_col=text_col, id_col=id_col,
-        threshold=threshold * 0.7, shingle_k=shingle_k,
+        threshold=threshold * 0.7, shingle_k=shingle_k, num_buckets=num_buckets,
     ).take_all()  # tiny: near-dup candidates only
     if not cand:
         sch = pa.schema(
@@ -417,6 +431,7 @@ def embedding_dup_pairs(
     num_planes: int = 12,
     seed: int = 5,
     dim: int | None = None,
+    num_buckets: int = 64,
 ):
     """Near-duplicate pairs by cosine >= threshold, via random-hyperplane
     LSH buckets (sign pattern of `num_planes` projections) then exact cosine
@@ -441,7 +456,7 @@ def embedding_dup_pairs(
             unit = mat / norms[:, None]
             return pa.table(
                 {
-                    "grp": pa.array((bucket % 64).astype(np.int32), pa.int32()),
+                    "grp": pa.array((bucket % num_buckets).astype(np.int32), pa.int32()),
                     "bucket": pa.array(bucket),
                     id_col: t[id_col],
                     "unit": pa.array(list(unit), pa.list_(pa.float64())),
@@ -488,4 +503,4 @@ def embedding_dup_pairs(
         .groupby("grp")
         .map_groups(verify, batch_format="pandas")
     )
-    return _unique_pairs(pairs, "cosine")
+    return _unique_pairs(pairs, "cosine", num_buckets=num_buckets)

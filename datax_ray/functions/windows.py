@@ -18,14 +18,20 @@ def sessionize(
     ts_col: str = "ts",
     order_col: str = "event_id",
     gap_us: int = 30 * 60 * 1_000_000,
+    num_buckets: int = 64,
 ):
     """Assign session ids per key: a new session starts when the gap to the
     previous event exceeds `gap_us`. Returns (key, session_id, n_events,
-    t_start, t_end) — one row per session."""
+    t_start, t_end) — one row per session.
+
+    Sessionize shuffles the FULL event stream (each event must meet its
+    key-neighbours), so `num_buckets` MUST scale with input size — one
+    bucket is one map_groups group on one worker. Use
+    functions._buckets.coarse_buckets(est_rows)."""
 
     def add_grp(df: pd.DataFrame) -> pd.DataFrame:
         grp = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
-        df["_grp"] = (grp % 64).astype("int32")
+        df["_grp"] = (grp % num_buckets).astype("int32")
         return df
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

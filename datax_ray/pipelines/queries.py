@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from datax_ray.functions._buckets import coarse_buckets, parquet_rows
 from datax_ray.functions.dedup import exact_dedup
 from datax_ray.functions.relational import broadcast_join, partial_agg, top_k
 from datax_ray.functions.text import LangId, add_fingerprint, add_quality_signals
@@ -38,10 +39,17 @@ def _cents(col, factor: int = 100):
     return pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
 
 
+def _buckets_for(sf_dir: str, table: str) -> int:
+    """Coarse-bucket count scaled to the input table (parquet footer row
+    count, no data read) — the sizing rule every groupby(map_groups) stage
+    here uses instead of a fixed constant (see functions/_buckets.py)."""
+    return coarse_buckets(parquet_rows(os.path.join(sf_dir, f"{table}.parquet")))
+
+
 # ------------------------------------------------------------------ CDC --
 
 
-def cdc_lww_upsert(sf_dir: str, num_buckets: int = 64):
+def cdc_lww_upsert(sf_dir: str, num_buckets: int | None = None):
     """LWW upsert over a change stream derived from `events`: key =
     (user_id, event_type), order = (ts, lsn=event_id), op = delete when
     event_id % 10 == 0. Exercises the engine's real lww_reduce kernel,
@@ -51,6 +59,8 @@ def cdc_lww_upsert(sf_dir: str, num_buckets: int = 64):
     once per BUCKET (vectorized), not once per user."""
     KEYS = ("user_id", "event_type")
     ORDER = ("ts", "lsn")
+    if num_buckets is None:
+        num_buckets = _buckets_for(sf_dir, "events")
 
     def derive(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy()
@@ -542,7 +552,10 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 def dedup_exact_docs(sf_dir: str):
-    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return exact_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
 
 
 DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
@@ -595,7 +608,11 @@ def lang_id_docs(sf_dir: str):
 def events_sessionize(sf_dir: str):
     from datax_ray.functions.windows import sessionize
 
-    out = sessionize(_read(sf_dir, "events", columns=["user_id", "ts", "event_id"]), gap_us=30 * 60 * 1_000_000)
+    out = sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        gap_us=30 * 60 * 1_000_000,
+        num_buckets=_buckets_for(sf_dir, "events"),
+    )
 
     def cast_cols(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -716,7 +733,11 @@ def ngram_dup_pairs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs, LSH-proposed (rows-only)."""
     from datax_ray.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.6)
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
 
 
 # ----------------------------------------------------------- similarity --
@@ -778,14 +799,21 @@ def minhash_dup_pairs(sf_dir: str):
     from datax_ray.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.6, shingle_k=3
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6,
+        shingle_k=3,
+        num_buckets=_buckets_for(sf_dir, "documents"),
     )
 
 
 def simhash_dup_pairs(sf_dir: str):
     from datax_ray.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3)
+    return simhash_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=3,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
 
 
 def embedding_near_dups(sf_dir: str):
@@ -796,7 +824,10 @@ def embedding_near_dups(sf_dir: str):
     from datax_ray.functions.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.4, num_planes=8
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4,
+        num_planes=8,
+        num_buckets=_buckets_for(sf_dir, "embeddings"),
     )
 
 

@@ -251,3 +251,35 @@ def test_multimodal_resize_and_frames():
     n_videos = sum(1 for r in media.to_pylist() if r["kind"] == "video")
     assert len(frames) >= n_videos  # >= one frame per video
     assert all(0 <= r["frame_idx"] < 4 for r in frames)
+
+
+def test_bucket_count_invariance(docs):
+    """Results are invariant to the coarse shuffle bucket count — the sizing
+    rule (functions/_buckets.py) may pick any value without changing output.
+    Guards the 100 TB path: num_buckets scales with input, correctness
+    doesn't depend on it."""
+    from datax_ray.functions._buckets import coarse_buckets
+    from datax_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
+    from datax_ray.functions.windows import sessionize
+
+    assert coarse_buckets(None) == 64
+    assert coarse_buckets(10_000) == 64
+    assert coarse_buckets(1_000_000_000) == 500
+    assert coarse_buckets(16_000_000_000) == 8000
+
+    def key(rows, cols):
+        return sorted(tuple(r[c] for c in cols) for r in rows)
+
+    d64 = exact_dedup(docs, num_buckets=64).take_all()
+    d512 = exact_dedup(docs, num_buckets=512).take_all()
+    assert key(d64, ["doc_id", "text"]) == key(d512, ["doc_id", "text"])
+
+    m64 = minhash_lsh_pairs(docs, threshold=0.5, num_buckets=64).take_all()
+    m512 = minhash_lsh_pairs(docs, threshold=0.5, num_buckets=512).take_all()
+    assert key(m64, ["doc_a", "doc_b"]) == key(m512, ["doc_a", "doc_b"])
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"])
+    s64 = sessionize(ev, num_buckets=64).take_all()
+    s512 = sessionize(ev, num_buckets=512).take_all()
+    cols = ["user_id", "session_id", "n_events", "t_start", "t_end"]
+    assert key(s64, cols) == key(s512, cols)
