@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from datax_ray.functions._buckets import coarse_buckets
 from datax_ray.functions.text import content_hash64
 
 # ---------------------------------------------------------------- exact --
@@ -373,51 +374,103 @@ def ngram_jaccard_pairs(
     num_buckets: int = 64,
 ):
     """EXACT n-gram-Jaccard near-dup pairs: MinHash-LSH proposes candidates
-    (cheap, estimated-jaccard pre-filter at threshold*0.7), then the small
-    candidate set is verified against the true text with exact Jaccard.
+    (cheap, estimated-jaccard pre-filter at threshold*0.7), then candidate
+    texts are verified DISTRIBUTED with exact Jaccard.
 
-    Scale shape: the expensive text join touches only candidate doc_ids —
-    a per-batch semi-join (candidate ids are ray.put once; the docs Dataset
-    streams past them, emitting only matching (id, text) rows), then one
-    final verify task over the (tiny) candidate texts."""
+    Scale shape: only candidate pair IDS (no text) ever reach the driver —
+    they become a broadcast (id -> pair-bucket) routing table. The docs
+    Dataset streams past it, each batch emitting only its candidate rows
+    tagged with their pair-buckets; the exact-Jaccard verify runs inside
+    map_groups per pair-bucket, where texts and pairs meet. Dup-heavy
+    corpora scale by bucket count, never by driver memory."""
     import ray
 
     cand = minhash_lsh_pairs(
         ds, text_col=text_col, id_col=id_col,
         threshold=threshold * 0.7, shingle_k=shingle_k, num_buckets=num_buckets,
-    ).take_all()  # tiny: near-dup candidates only
-    if not cand:
-        sch = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
-        )
-        return sch.empty_table()
-    wanted = sorted({int(r["doc_a"]) for r in cand} | {int(r["doc_b"]) for r in cand})
-    wanted_ref = ray.put(np.asarray(wanted, dtype=np.int64))
-
-    def semi(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids, ray.get(wanted_ref))
-        return t.select([id_col, text_col]).filter(pa.array(mask))
-
-    texts = {
-        int(r[id_col]): r[text_col]
-        for r in ds.map_batches(semi, batch_format="pyarrow").take_all()
-    }
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for r in cand:
-        a, b = int(r["doc_a"]), int(r["doc_b"])
-        j = ngram_jaccard(texts.get(a) or "", texts.get(b) or "", k=shingle_k)
-        if j >= threshold:
-            out["doc_a"].append(a)
-            out["doc_b"].append(b)
-            out["jaccard"].append(j)
-    return pa.table(
+    ).take_all()  # pair IDS only — O(near-dup candidates), no text
+    empty = pa.table(
         {
-            "doc_a": pa.array(out["doc_a"], pa.int64()),
-            "doc_b": pa.array(out["doc_b"], pa.int64()),
-            "jaccard": pa.array(out["jaccard"], pa.float64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
         }
     )
+    if not cand:
+        return empty
+    # Route each pair to a verify bucket; each involved doc_id to every
+    # bucket one of its pairs lives in (replication factor = pairs per doc,
+    # ~1-2 in practice). Sized so one bucket's texts fit one worker.
+    nvb = coarse_buckets(len(cand), rows_per_bucket=100_000, floor=16)
+    pair_buckets: dict[int, list[tuple[int, int]]] = {}
+    doc_routes: dict[int, set[int]] = {}
+    for r in cand:
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        pb = (a * 1000003 + b) % nvb
+        pair_buckets.setdefault(pb, []).append((a, b))
+        doc_routes.setdefault(a, set()).add(pb)
+        doc_routes.setdefault(b, set()).add(pb)
+    wanted_arr = np.array(sorted(doc_routes), dtype=np.int64)
+    routes_ref = ray.put((wanted_arr, {k: sorted(v) for k, v in doc_routes.items()}))
+    pairs_ref = ray.put(pair_buckets)
+
+    def route(t: pa.Table) -> pa.Table:
+        """Semi-join + explode: candidate docs only, one row per (doc, pb).
+        The full-corpus filter is a vectorized np.isin; the per-row work
+        below it touches only candidate docs."""
+        wanted, routes = ray.get(routes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = np.flatnonzero(np.isin(ids, wanted))
+        if not len(hits):
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                }
+            )
+        sub = t.select([id_col, text_col]).take(pa.array(hits.astype(np.int64)))
+        sub_ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = [len(routes[int(d)]) for d in sub_ids]
+        pbs = [pb for d in sub_ids for pb in routes[int(d)]]
+        idx = np.repeat(np.arange(len(sub_ids)), reps)
+        exploded = sub.take(pa.array(idx, pa.int64()))
+        return exploded.add_column(0, "pb", pa.array(pbs, pa.int32()))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        all_pairs = ray.get(pairs_ref)
+        outs = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for pb, grp_df in g.groupby("pb", sort=False):
+            grp_df = grp_df.drop_duplicates(id_col)
+            sh = {
+                int(d): set(_shingles(x or "", shingle_k).tolist())
+                for d, x in zip(grp_df[id_col], grp_df[text_col])
+            }
+            for a, b in all_pairs.get(int(pb), ()):
+                sa, sb = sh.get(a, set()), sh.get(b, set())
+                j = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+                if j >= threshold:
+                    outs["doc_a"].append(a)
+                    outs["doc_b"].append(b)
+                    outs["jaccard"].append(j)
+        return pd.DataFrame(outs).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return out
 
 
 # ---------------------------------------------------- embedding near-dup --

@@ -283,3 +283,34 @@ def test_bucket_count_invariance(docs):
     s512 = sessionize(ev, num_buckets=512).take_all()
     cols = ["user_id", "session_id", "n_events", "t_start", "t_end"]
     assert key(s64, cols) == key(s512, cols)
+
+
+def test_ngram_pairs_distributed_verify_matches_driver_verify(docs):
+    """The distributed verify (texts routed to pair-buckets, exact Jaccard
+    in map_groups) must produce exactly the rows the naive driver-side
+    verify of the same candidate set does."""
+    from datax_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    threshold, k = 0.6, 3
+    out = ngram_jaccard_pairs(docs, threshold=threshold, shingle_k=k).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+
+    # reference: same candidate generation, naive in-process verify
+    cand = minhash_lsh_pairs(docs, threshold=threshold * 0.7, shingle_k=k).take_all()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        ).take_all()
+    }
+    want = {}
+    for r in cand:
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        j = ngram_jaccard(texts.get(a) or "", texts.get(b) or "", k=k)
+        if j >= threshold:
+            want[(a, b)] = j
+    assert got == want and len(got) > 0
