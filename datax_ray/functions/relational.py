@@ -26,6 +26,62 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
     return ds.map_batches(join, batch_format="pandas")
 
 
+def _join_partitions(requested: int | None) -> int:
+    """Dataset.join spawns one hash-aggregator ACTOR per partition, each
+    holding a 1-CPU slot — more partitions than cores deadlocks a small
+    cluster and starves a big one. Default: half the cluster's cores
+    (leaves the other half for read/map tasks); at scale pass an explicit
+    value sized so one key-bucket of the bigger side fits an aggregator's
+    heap (same rule as functions/_buckets.py)."""
+    if requested is not None:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
+def semi_join(left, right, on: str, right_on: str | None = None,
+              anti: bool = False, num_partitions: int | None = None):
+    """Distributed semi/anti join of two LARGE datasets: Ray Data's
+    hash-partitioned `Dataset.join` (left_semi / left_anti) — both sides
+    shuffle into `num_partitions` key-hash buckets, no driver keyset. The
+    right side pre-shrinks to per-batch unique keys (combiner) since only
+    key existence matters; size num_partitions so one bucket of the LEFT
+    side fits a worker (same rule as functions/_buckets.py).
+
+    For a right side small enough to broadcast, the map-only
+    broadcast_join/np.isin path in pipelines/queries.py is faster — this
+    is the scale path two big tables need."""
+    right_on = right_on or on
+
+    def uniq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({right_on: pc.unique(t[right_on])})
+
+    keys = right.map_batches(uniq, batch_format="pyarrow")
+    return left.join(
+        keys,
+        "left_anti" if anti else "left_semi",
+        _join_partitions(num_partitions),
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def large_join(left, right, on: str, right_on: str | None = None,
+               num_partitions: int | None = None, join_type: str = "inner"):
+    """Large-large equi-join via Ray Data's hash-partitioned Dataset.join.
+    Project both sides to needed columns BEFORE calling (the shuffle moves
+    every surviving column)."""
+    return left.join(
+        right,
+        join_type,
+        _join_partitions(num_partitions),
+        on=(on,),
+        right_on=((right_on or on),),
+    )
+
+
 def partial_agg(
     ds,
     keys: list[str],

@@ -488,27 +488,21 @@ DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 def semi_join_urgent_customers(sf_dir: str):
     """Semi join (EXISTS): customers having at least one 1-URGENT order.
-    The urgent custkey set is built from the orders side with a per-batch
-    unique combiner, then broadcast as a filter mask — no shuffle."""
-    import ray as _ray
+    Distributed shape: both sides hash-shuffle into key buckets via
+    Dataset.join(left_semi) — the urgent-key set never lands on the driver
+    (at 100 TB it is O(customers)). The orders side pre-filters and
+    pre-uniques per batch, so only distinct urgent keys shuffle."""
+    from datax_ray.functions.relational import semi_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-
-    def urgents(t: pa.Table) -> pa.Table:
-        m = pc.equal(t["o_orderpriority"], "1-URGENT")
-        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
-
-    keys = {
-        r["k"] for r in orders.map_batches(urgents, batch_format="pyarrow").take_all()
-    }
-    keys_ref = _ray.put(np.array(sorted(keys), dtype=np.int64))
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t["c_custkey"].to_numpy()
-        mask = np.isin(ids, _ray.get(keys_ref))
-        return t.select(["c_custkey", "c_name"]).filter(pa.array(mask))
-
-    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(pick, batch_format="pyarrow")
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return semi_join(cust, urgent, on="c_custkey", right_on="o_custkey")
 
 
 SEMI_JOIN_SQL = """
@@ -519,32 +513,58 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def anti_join_quiet_customers(sf_dir: str):
-    """Anti join (NOT EXISTS): customers with no 1-URGENT order."""
-    import ray as _ray
+    """Anti join (NOT EXISTS): customers with no 1-URGENT order — same
+    distributed Dataset.join shape as the semi join (left_anti)."""
+    from datax_ray.functions.relational import semi_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-
-    def custs(t: pa.Table) -> pa.Table:
-        m = pc.equal(t["o_orderpriority"], "1-URGENT")
-        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
-
-    keys = {
-        r["k"] for r in orders.map_batches(custs, batch_format="pyarrow").take_all()
-    }
-    keys_ref = _ray.put(np.array(sorted(keys), dtype=np.int64))
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t["c_custkey"].to_numpy()
-        mask = ~np.isin(ids, _ray.get(keys_ref))
-        return t.select(["c_custkey", "c_acctbal"]).filter(pa.array(mask))
-
-    return _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(pick, batch_format="pyarrow")
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    return semi_join(cust, urgent, on="c_custkey", right_on="o_custkey", anti=True)
 
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_acctbal FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def join_lineitem_orders_large(sf_dir: str):
+    """Large-large fact-fact join: lineitem ⋈ orders on orderkey, neither
+    side broadcastable at 100 TB — Ray Data's hash-partitioned Dataset.join
+    (both sides shuffle into key buckets), then the usual combiner agg.
+    Both sides are projected to the join/agg columns before the shuffle."""
+    from datax_ray.functions.relational import large_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    return partial_agg(
+        joined,
+        keys=["o_orderpriority"],
+        sums={"price_cents": "rev_cents"},
+        counts="n_items",
+    )
+
+
+JOIN_LARGE_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """
 
 
@@ -881,6 +901,7 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "semi_join_urgent_customers": semi_join_urgent_customers,
     "anti_join_quiet_customers": anti_join_quiet_customers,
+    "join_lineitem_orders_large": join_lineitem_orders_large,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -915,6 +936,7 @@ ORACLE_SQL = {
     "distinct_event_types": DISTINCT_TYPES_SQL,
     "semi_join_urgent_customers": SEMI_JOIN_SQL,
     "anti_join_quiet_customers": ANTI_JOIN_SQL,
+    "join_lineitem_orders_large": JOIN_LARGE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
