@@ -101,14 +101,23 @@ def add_fingerprint(t: pa.Table, col: str = "text", out: str = "fingerprint") ->
     return t.append_column(out, fp)
 
 
-def content_hash64(texts: list[str | None]) -> np.ndarray:
-    """Stable uint64 content hash (md5-derived) — dedup keys, bucket keys."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, x in enumerate(texts):
-        if x is None:
-            out[i] = 0
-        else:
-            out[i] = int.from_bytes(
-                hashlib.md5(x.encode("utf-8")).digest()[:8], "little"
-            )
-    return out
+def content_hash64(texts) -> np.ndarray:
+    """Stable uint64 content hash — dedup keys, bucket keys, shingles.
+
+    Vectorized via pandas' hash_array (siphash with the library's fixed
+    default key — deterministic across processes, runs and nodes; the same
+    primitive partitioning.py routes part_ids with). None hashes to 0.
+    Round 1 used a per-row Python md5 loop here — the hot loop of the
+    exact-dedup path; the outputs (dedup survivors, LSH buckets) are
+    invariant to which stable hash function is used."""
+    import pandas as pd
+
+    arr = np.asarray(texts, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    mask = pd.isna(arr)
+    if mask.any():
+        out = np.zeros(arr.size, dtype=np.uint64)
+        out[~mask] = pd.util.hash_array(arr[~mask], categorize=False)
+        return out
+    return pd.util.hash_array(arr, categorize=False)

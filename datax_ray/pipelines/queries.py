@@ -324,23 +324,36 @@ DX_FILTER_SQL = (
 def json_extract_props(sf_dir: str):
     """JSON scalar extraction from the events.props column (the arbitrary
     per-record transform slot DataX fills with dx_groovy, §2A row 14):
-    pull props.k as an int. Vectorized via pyarrow's struct parser — one
-    pa.json read per batch, no per-row Python."""
+    pull props.k as an int. Fully Arrow-native: a binary_join kernel
+    newline-terminates every value IN the Arrow buffer, and pa.json parses
+    that buffer directly — no per-row Python strings materialize."""
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def fn(t: pa.Table) -> pa.Table:
-        import io
-
         import pyarrow.json as pajson
 
-        blob = ("\n".join(t["props"].to_pylist())).encode()
-        parsed = pajson.read_json(io.BytesIO(blob))
-        return pa.table(
-            {
-                "event_id": t["event_id"],
-                "k": pc.cast(parsed["k"], pa.int64()),
-            }
-        )
+        col = t["props"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        valid = None
+        if col.null_count:  # rare path: parse valid rows, null-scatter back
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            col = col.drop_null()
+        nl = pc.binary_join_element_wise(col, "", "\n")  # value + "\n", in-buffer
+        nl = nl.combine_chunks() if isinstance(nl, pa.ChunkedArray) else nl
+        # StringArray buffers: [validity, int32 offsets, data] — the data
+        # buffer between the first and last offset IS the newline-delimited
+        # JSON blob; hand it to the parser without any Python strings.
+        offs = np.frombuffer(nl.buffers()[1], dtype=np.int32)
+        start = int(offs[nl.offset])
+        end = int(offs[nl.offset + len(nl)])
+        blob = nl.buffers()[2].slice(start, end - start)
+        parsed = pajson.read_json(pa.BufferReader(blob))
+        k = pc.cast(parsed["k"], pa.int64())
+        if valid is not None:
+            full = np.full(t.num_rows, None, dtype=object)
+            full[valid] = k.to_pylist()
+            k = pa.array(full, pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
