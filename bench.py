@@ -199,6 +199,16 @@ def main() -> None:
         log_to_driver=False,  # worker/raylet chatter would corrupt the
         # one-JSON-line stdout contract
     )
+    # Ray Data's driver-side executor logger is configured independently of
+    # ray.init(logging_level=...). Its INFO plan dumps and the benign
+    # "RefBundle with a different schema" WARNING (emitted for EMPTY shuffle
+    # partitions when a key-shuffle has more partitions than keys — our UDFs
+    # all return schema-typed empties) would flood the bench tail.
+    import logging as _logging
+
+    import ray.data as _rd  # noqa: F401  (triggers ray.data logger setup)
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
     try:
         lake = os.path.join(LAKE_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
         rep = run_replay(changes, lake, num_cpus)

@@ -63,18 +63,30 @@ def knn_brute(
                 }
             )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
-        return g.head(k)
-
-    out = (
-        ds.map_batches(
-            PartialTopK(), batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
+    out = _topk_reduce(
+        ds.map_batches(PartialTopK(), batch_format="pyarrow", zero_copy_batch=True),
+        k,
+        id_col,
     )
     return out.sort(["query_id", "cosine", id_col], descending=[False, True, False])
+
+
+def _topk_reduce(partials, k: int, id_col: str):
+    """Final reduce of per-batch top-k partials: the partial set is tiny
+    (k rows per query per input block), so a single vectorized reduce task
+    beats a groupby(query_id) shuffle — Q is small, and a key-shuffle with
+    more partitions than keys emits empty zero-schema blocks (executor
+    schema warnings). repartition(1) keeps every block schema-typed."""
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True], kind="stable"
+        )
+        return df.groupby("query_id", sort=False).head(k)
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
 
 
 class IVFIndex:
@@ -158,15 +170,9 @@ def knn_ivf(
                 }
             )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
-        return g.head(k)
-
-    out = (
-        ds.map_batches(
-            PartialTopK(), batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
+    out = _topk_reduce(
+        ds.map_batches(PartialTopK(), batch_format="pyarrow", zero_copy_batch=True),
+        k,
+        id_col,
     )
     return out.sort(["query_id", "cosine", id_col], descending=[False, True, False])
