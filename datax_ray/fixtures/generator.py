@@ -266,3 +266,66 @@ def gen_changes_dir(
             paths.append(path)
             seg_idx += 1
     return paths
+
+
+def gen_docs_with_near_dups(
+    n_docs: int = 300,
+    n_dup_pairs: int = 30,
+    seed: int = 9,
+    n_tokens: int = 40,
+    mutate: int = 2,
+) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Documents with PLANTED near-duplicate pairs — the ground truth for
+    dedup recall tests (the approximate family must be measured against a
+    known answer, not tuned to a dataset's accidental distribution).
+
+    Base docs are random token sequences over a large vocabulary (random
+    pairs have ~zero 3-gram Jaccard). Each planted dup copies base doc j
+    with `mutate` of its `n_tokens` tokens replaced: word-3-gram Jaccard
+    ≈ (n-3m)/(n+3m) — e.g. 40 tokens / 2 mutations ≈ 0.73. Returns
+    (table, [(base_id, dup_id), ...]) with dup ids n_docs..n_docs+pairs-1.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"tok{i:04d}" for i in range(5000)], dtype=object)
+    base = rng.integers(0, len(vocab), size=(n_docs, n_tokens))
+    texts = [" ".join(vocab[row]) for row in base]
+    planted = []
+    for j in range(n_dup_pairs):
+        row = base[j].copy()
+        pos = rng.choice(n_tokens, size=mutate, replace=False)
+        row[pos] = rng.integers(0, len(vocab), size=mutate)
+        texts.append(" ".join(vocab[row]))
+        planted.append((j, n_docs + j))
+    ids = np.arange(n_docs + n_dup_pairs, dtype=np.int64)
+    return (
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}),
+        planted,
+    )
+
+
+def gen_embeddings_with_near_dups(
+    n: int = 500,
+    n_dup_pairs: int = 40,
+    dim: int = 32,
+    seed: int = 9,
+    noise: float = 0.02,
+) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Embeddings with planted near-duplicates: dup vector = base + noise·g
+    (cosine ≈ 1/sqrt(1+noise²) ≈ 0.9998 at the default). Random base pairs
+    in 32-dim are near-orthogonal, so the planted pairs are the only ones
+    above any high threshold. Returns (table, planted_pairs)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    dups = base[:n_dup_pairs] + noise * rng.standard_normal((n_dup_pairs, dim))
+    vecs = np.vstack([base, dups])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    planted = [(j, n + j) for j in range(n_dup_pairs)]
+    return (
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        planted,
+    )
