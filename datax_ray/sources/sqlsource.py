@@ -1,0 +1,192 @@
+"""SQL (JDBC-shaped) source + sink — DataX's rdbms reader/writer contract
+(SURVEY.md §2A rows 1, 6) re-expressed Ray-Data-first.
+
+DataX's mysql/oracle/sqlserver/pg readers all share one plan: pick a
+numeric `splitPk`, read MIN/MAX once, cut [min, max] into ranges, and give
+each channel `SELECT cols FROM t WHERE pk >= lo AND pk < hi`. Here the
+ranges become `from_items` rows and each range is fetched INSIDE a
+map_batches task over the task's own DB connection (a connection cannot
+cross process boundaries; the factory callable ships instead). Column
+pruning and WHERE pushdown happen in the generated SQL — only requested
+columns/rows leave the database.
+
+The sandbox has no network DB; sqlite3 (stdlib) plays the role of the
+JDBC endpoint in tests and in the `sql_source_events` catalog query. Any
+DB-API connection factory works the same way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+import ray.data
+
+# Arrow types we map DB-API values into when the caller declares a schema.
+_DEFAULT_BATCH_ROWS = 65536
+
+
+def plan_pk_splits(
+    connection_factory: Callable,
+    table: str,
+    split_pk: str,
+    num_splits: int,
+    where: str | None = None,
+) -> list[tuple[int, int]]:
+    """DataX splitPk planning: one MIN/MAX query, then half-open integer
+    ranges [lo, hi) covering [min, max+1). Returns [] for an empty table."""
+    conn = connection_factory()
+    try:
+        cond = f" WHERE {where}" if where else ""
+        cur = conn.execute(
+            f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {table}{cond}"
+        )
+        lo, hi = cur.fetchone()
+    finally:
+        conn.close()
+    if lo is None:
+        return []
+    lo, hi = int(lo), int(hi) + 1
+    n = max(1, min(num_splits, hi - lo))
+    step = (hi - lo + n - 1) // n
+    return [(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+
+class SqlRangeReader:
+    """map_batches stage: one split-range row in, that range's rows out.
+
+    The connection opens lazily ONCE per worker (callable-class state), not
+    per range. Output is Arrow; a declared `schema` pins column types
+    (e.g. int64 microseconds -> timestamp[us]) so blocks from every range
+    coalesce identically."""
+
+    def __init__(
+        self,
+        connection_factory: Callable,
+        table: str,
+        columns: list[str],
+        split_pk: str,
+        where: str | None = None,
+        schema: pa.Schema | None = None,
+    ):
+        self.__name__ = "SqlRangeReader"
+        self.factory = connection_factory
+        self.table = table
+        self.columns = columns
+        self.split_pk = split_pk
+        self.where = where
+        self.schema_json = (
+            [[f.name, str(f.type)] for f in schema] if schema is not None else None
+        )
+        self._conn = None
+
+    def _sql(self, lo: int, hi: int) -> str:
+        cols = ", ".join(self.columns)
+        cond = f"{self.split_pk} >= {lo} AND {self.split_pk} < {hi}"
+        if self.where:
+            cond = f"({self.where}) AND {cond}"
+        return (
+            f"SELECT {cols} FROM {self.table} WHERE {cond} ORDER BY {self.split_pk}"
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from datax_ray.schemas import schema_from_json
+
+        if self._conn is None:
+            self._conn = self.factory()
+        target = (
+            schema_from_json(self.schema_json) if self.schema_json is not None else None
+        )
+        out: list[pa.Table] = []
+        for lo, hi in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
+            rows = self._conn.execute(self._sql(int(lo), int(hi))).fetchall()
+            cols = list(zip(*rows)) if rows else [[] for _ in self.columns]
+            if target is not None:
+                tab = pa.table(
+                    {
+                        name: pa.array(vals, target.field(name).type)
+                        for name, vals in zip(self.columns, cols)
+                    }
+                )
+            else:
+                tab = pa.table(
+                    {name: pa.array(list(vals)) for name, vals in zip(self.columns, cols)}
+                )
+            out.append(tab)
+        if not out:
+            return (target or pa.schema([])).empty_table()
+        return pa.concat_tables(out)
+
+
+def read_sql_table(
+    connection_factory: Callable,
+    table: str,
+    columns: list[str],
+    split_pk: str,
+    num_splits: int = 16,
+    where: str | None = None,
+    schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Parallel range-split SQL read as a streaming Dataset. The split plan
+    is O(1) driver work (one MIN/MAX query); each range fetches in its own
+    task. Size num_splits so one range fits a worker (DataX channel rule)."""
+    splits = plan_pk_splits(connection_factory, table, split_pk, num_splits, where)
+    if not splits:
+        out_schema = schema or pa.schema([(c, pa.null()) for c in columns])
+        return ray.data.from_arrow(out_schema.empty_table())
+    items = [{"lo": lo, "hi": hi} for lo, hi in splits]
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        SqlRangeReader(
+            connection_factory, table, columns, split_pk, where=where, schema=schema
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+class SqlBatchWriter:
+    """map_batches sink stage: INSERT (or INSERT OR REPLACE — DataX's
+    insert/replace writeMode) one batch per executemany. Each task owns its
+    connection and commits per batch; emits one (rows) lineage row."""
+
+    def __init__(
+        self,
+        connection_factory: Callable,
+        table: str,
+        columns: list[str],
+        mode: str = "insert",
+    ):
+        self.__name__ = "SqlBatchWriter"
+        assert mode in ("insert", "replace")
+        self.factory = connection_factory
+        self.table = table
+        self.columns = columns
+        self.mode = mode
+        self._conn = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._conn is None:
+            self._conn = self.factory()
+        verb = "INSERT OR REPLACE" if self.mode == "replace" else "INSERT"
+        ph = ", ".join(["?"] * len(self.columns))
+        sql = f"{verb} INTO {self.table} ({', '.join(self.columns)}) VALUES ({ph})"
+        data = list(zip(*[t[c].to_pylist() for c in self.columns]))
+        self._conn.executemany(sql, data)
+        self._conn.commit()
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+
+def write_sql_table(
+    ds: ray.data.Dataset,
+    connection_factory: Callable,
+    table: str,
+    columns: list[str],
+    mode: str = "insert",
+) -> int:
+    parts = ds.map_batches(
+        SqlBatchWriter(connection_factory, table, columns, mode=mode),
+        batch_format="pyarrow",
+        batch_size=_DEFAULT_BATCH_ROWS,
+    ).take_all()
+    return sum(int(r["rows"]) for r in parts)

@@ -1,0 +1,83 @@
+"""SQL (JDBC-shaped) source/sink over a sqlite stand-in."""
+
+import functools
+import sqlite3
+
+import pyarrow as pa
+import ray.data
+
+
+def _mkdb(path, n=1000):
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (pk INTEGER PRIMARY KEY, v INTEGER, s TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, i * 7 % 101, f"s{i}") for i in range(n)],
+    )
+    con.commit()
+    con.close()
+
+
+def _factory(path):
+    return functools.partial(sqlite3.connect, path, 30.0, check_same_thread=False)
+
+
+def test_split_planning(tmp_path):
+    from datax_ray.sources.sqlsource import plan_pk_splits
+
+    db = str(tmp_path / "a.db")
+    _mkdb(db, n=100)
+    splits = plan_pk_splits(_factory(db), "t", "pk", 4)
+    assert len(splits) == 4
+    # half-open, contiguous, covering [0, 100)
+    assert splits[0][0] == 0 and splits[-1][1] == 100
+    assert all(a[1] == b[0] for a, b in zip(splits, splits[1:]))
+    # empty table -> no splits
+    con = sqlite3.connect(str(tmp_path / "e.db"))
+    con.execute("CREATE TABLE t (pk INTEGER, v INTEGER, s TEXT)")
+    con.commit(); con.close()
+    assert plan_pk_splits(_factory(str(tmp_path / "e.db")), "t", "pk", 4) == []
+
+
+def test_read_matches_direct_query(tmp_path, ray_session):
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    db = str(tmp_path / "b.db")
+    _mkdb(db, n=1000)
+    schema = pa.schema([("pk", pa.int64()), ("v", pa.int64()), ("s", pa.string())])
+    ds = read_sql_table(
+        _factory(db), "t", ["pk", "v", "s"], split_pk="pk", num_splits=7,
+        where="v % 2 = 0", schema=schema,
+    )
+    rows = sorted((r["pk"], r["v"], r["s"]) for r in ds.take_all())
+    con = sqlite3.connect(db)
+    want = sorted(
+        (pk, v, s)
+        for pk, v, s in con.execute("SELECT pk, v, s FROM t WHERE v % 2 = 0")
+    )
+    con.close()
+    assert rows == want and len(rows) > 0
+
+
+def test_write_roundtrip(tmp_path, ray_session):
+    from datax_ray.sources.sqlsource import read_sql_table, write_sql_table
+
+    src = str(tmp_path / "c.db")
+    _mkdb(src, n=500)
+    dst = str(tmp_path / "d.db")
+    con = sqlite3.connect(dst)
+    con.execute("CREATE TABLE t2 (pk INTEGER PRIMARY KEY, v INTEGER)")
+    con.commit(); con.close()
+
+    schema = pa.schema([("pk", pa.int64()), ("v", pa.int64())])
+    ds = read_sql_table(_factory(src), "t", ["pk", "v"], split_pk="pk",
+                        num_splits=4, schema=schema)
+    n = write_sql_table(ds, _factory(dst), "t2", ["pk", "v"], mode="replace")
+    assert n == 500
+    # idempotent re-run under replace mode (DataX writeMode=replace)
+    n2 = write_sql_table(ds, _factory(dst), "t2", ["pk", "v"], mode="replace")
+    assert n2 == 500
+    con = sqlite3.connect(dst)
+    assert con.execute("SELECT COUNT(*), SUM(v) FROM t2").fetchone() == \
+        sqlite3.connect(src).execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+    con.close()
