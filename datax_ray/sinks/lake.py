@@ -28,15 +28,10 @@ def lake_schema(lake_dir: str) -> pa.Schema:
     return m.committed_schema() or LAKE_SCHEMA
 
 
-def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Dataset:
-    """Committed lake state as a Dataset (live rows only unless asked):
-    one merge-read task per partition, streaming — never materializes the
-    lake on the driver."""
-    from datax_ray.schemas import schema_to_json
-    from datax_ray.stages.merge import merge_states
-
-    m = Manifest(lake_dir)
-    schema = m.committed_schema() or LAKE_SCHEMA
+def _range_plan(lake_dir: str, m: Manifest) -> list[dict]:
+    """[{range_id, files, rows}] from the committed manifest — the unit of
+    merge-read parallelism (base files of the range's partitions + its
+    pending fragments)."""
     layout = m.committed_layout() or {}
     num_partitions = int(layout.get("num_partitions", 0) or 0)
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
@@ -51,36 +46,104 @@ def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Data
             for p in range(rid * ppr, (rid + 1) * ppr)
             if partitions.get(p, {}).get("base")
         ]
-        files += list(range_recs.get(rid, {}).get("frags", []))
+        rows = sum(
+            int(partitions[p].get("rows", 0))
+            for p in range(rid * ppr, (rid + 1) * ppr)
+            if partitions.get(p, {}).get("base")
+        )
+        rec = range_recs.get(rid, {})
+        files += list(rec.get("frags", []))
+        rows += int(rec.get("rows", 0))
         if files:
-            parts.append({"range_id": rid, "files": files})
-    if not parts:
-        out_schema = schema if include_internal else pa.schema(
-            [f for f in schema if f.name not in INTERNAL_COLS]
+            parts.append({"range_id": rid, "files": files, "rows": rows})
+    return parts
+
+
+def _merge_read_range(
+    lake_dir: str, files: list[str], schema_json, include_internal: bool
+) -> pa.Table:
+    """Merge-read one range: LWW-fold its base+fragment files, drop
+    tombstones, unify historical pre-DDL schemas to the committed one."""
+    from datax_ray.schemas import schema_from_json
+    from datax_ray.stages.merge import merge_states
+
+    target = schema_from_json(schema_json)
+    tracker = SchemaTracker(target)
+    tables = [tracker.unify(pq.read_table(os.path.join(lake_dir, f))) for f in files]
+    state = merge_states(tables, target)
+    live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+    return live if include_internal else live.drop_columns(list(INTERNAL_COLS))
+
+
+class LakeDatasource(ray.data.Datasource):
+    """Custom `ray.data.Datasource` over the committed lake (SURVEY §2A
+    row 3's keyed-range reader): one ReadTask per partition-RANGE, each
+    carrying real BlockMetadata (row counts from the manifest, on-disk
+    bytes, input files) so Ray's planner sees size/locality per task —
+    the pattern to copy for new keyed-range sources."""
+
+    def __init__(self, lake_dir: str, include_internal: bool = False):
+        from datax_ray.schemas import schema_to_json
+
+        self._lake_dir = lake_dir
+        self._include_internal = include_internal
+        m = Manifest(lake_dir)
+        self._schema = m.committed_schema() or LAKE_SCHEMA
+        self._schema_json = schema_to_json(self._schema)
+        self._parts = _range_plan(lake_dir, m)
+
+    def get_name(self) -> str:
+        return "DataxLake"
+
+    def estimate_inmemory_data_size(self) -> int | None:
+        return sum(self._disk_bytes(p["files"]) for p in self._parts) or None
+
+    def _disk_bytes(self, files: list[str]) -> int:
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(self._lake_dir, f))
+            except OSError:
+                pass
+        return total
+
+    def get_read_tasks(self, parallelism: int) -> list:
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        lake_dir, schema_json, internal = (
+            self._lake_dir,
+            self._schema_json,
+            self._include_internal,
+        )
+        tasks = []
+        for p in self._parts:
+            files = list(p["files"])
+            meta = BlockMetadata(
+                num_rows=int(p["rows"]) or None,  # stored rows incl. tombstones
+                size_bytes=self._disk_bytes(files) or None,
+                exec_stats=None,
+                input_files=[os.path.join(lake_dir, f) for f in files],
+            )
+
+            def read_fn(files=files):
+                yield _merge_read_range(lake_dir, files, schema_json, internal)
+
+            tasks.append(ReadTask(read_fn, meta))
+        return tasks
+
+
+def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Dataset:
+    """Committed lake state as a Dataset (live rows only unless asked):
+    one merge-read task per partition range via LakeDatasource, streaming —
+    never materializes the lake on the driver."""
+    src = LakeDatasource(lake_dir, include_internal=include_internal)
+    if not src._parts:
+        out_schema = src._schema if include_internal else pa.schema(
+            [f for f in src._schema if f.name not in INTERNAL_COLS]
         )
         return ray.data.from_arrow(out_schema.empty_table())
-
-    schema_json = schema_to_json(schema)
-
-    def load_partition(batch: pa.Table) -> pa.Table:
-        from datax_ray.schemas import schema_from_json
-
-        target = schema_from_json(schema_json)
-        tracker = SchemaTracker(target)
-        out = []
-        for files in batch["files"].to_pylist():
-            tables = [
-                tracker.unify(pq.read_table(os.path.join(lake_dir, f)))
-                for f in files
-            ]
-            state = merge_states(tables, target)
-            live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
-            out.append(live if include_internal else live.drop_columns(list(INTERNAL_COLS)))
-        return pa.concat_tables(out)
-
-    return ray.data.from_items(parts, override_num_blocks=len(parts)).map_batches(
-        load_partition, batch_format="pyarrow", batch_size=None
-    )
+    return ray.data.read_datasource(src, override_num_blocks=len(src._parts))
 
 
 def final_table(lake_dir: str) -> pa.Table:
