@@ -16,10 +16,16 @@ Modes:
     (default)            full bench at num_cpus=$RAY_GRAFT_CPUS (default 32)
     --scaling            replay at num_cpus=8 and =32 in FRESH subprocesses
                          over the SAME input; reports both throughputs and
-                         efficiency = (T32/T8)/4  (sandbox proxy for the
-                         N→4N-node criterion in BASELINE.json:14)
+                         efficiency = (T32/T8)/4  (single-process proxy for
+                         the N→4N-node criterion in BASELINE.json:14)
+    --scaling-nodes      REAL multi-node evidence: the same job on a
+                         1-node×8-cpu Ray cluster vs a 4-node×8-cpu cluster
+                         (`ray start` head + workers, each raylet pinned to
+                         its own 8 hardware cores — separate raylets and
+                         object stores, plasma transfers between nodes).
+                         The closest one box gets to "N and 4N nodes".
     --replay-only        internal: one replay run in this process (used by
-                         --scaling subprocesses)
+                         the scaling subprocesses)
 
 This script OWNS its Ray session (ray.init/ray.shutdown) — the only
 entry point allowed to, per the driver contract.
@@ -169,9 +175,13 @@ def consume(result) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-nodes", action="store_true")
+    ap.add_argument("--membw", action="store_true")
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--events", type=int, default=None)
+    ap.add_argument("--address", default=None,
+                    help="connect to an EXISTING Ray cluster instead of local")
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
     args = ap.parse_args()
 
@@ -181,6 +191,12 @@ def main() -> None:
     if args.scaling:
         run_scaling(sf, args.sf_dir, args.events)
         return
+    if args.scaling_nodes:
+        run_scaling_nodes(sf, args.sf_dir, args.events)
+        return
+    if args.membw:
+        run_membw()
+        return
 
     # Generate BEFORE ray.init: the 2M-row synthesis churns the driver heap
     # and must not share the process phase with the timed pipeline.
@@ -188,17 +204,29 @@ def main() -> None:
 
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=num_cpus,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-        namespace="datax",  # detached actors in an anonymous namespace
-        # trigger a raylet stdout notice that would break the JSON contract
-        log_to_driver=False,  # worker/raylet chatter would corrupt the
-        # one-JSON-line stdout contract
-    )
+    if args.address:
+        os.environ.pop("RAY_ADDRESS", None)
+        ray.init(
+            address=args.address,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            namespace="datax",
+            log_to_driver=False,
+        )
+        num_cpus = int(ray.cluster_resources().get("CPU", num_cpus))
+    else:
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            namespace="datax",  # detached actors in an anonymous namespace
+            # trigger a raylet stdout notice that would break the JSON contract
+            log_to_driver=False,  # worker/raylet chatter would corrupt the
+            # one-JSON-line stdout contract
+        )
     # Ray Data's driver-side executor logger is configured independently of
     # ray.init(logging_level=...). Its INFO plan dumps and the benign
     # "RefBundle with a different schema" WARNING (emitted for EMPTY shuffle
@@ -311,6 +339,147 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
         "events_per_sec_32": round(tp32, 1),
         "total_sec_8": round(results[8]["total_sec"], 3),
         "total_sec_32": round(results[32]["total_sec"], 3),
+    }))
+
+
+def _membw_worker(q, seconds: float) -> None:
+    import numpy as np
+
+    a = np.ones(128 << 20, dtype=np.uint8)  # 128 MiB source
+    b = np.empty_like(a)
+    b[:] = a  # fault in both buffers BEFORE the timer (first-touch pages)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        b[:] = a  # one memcpy: 128 MiB read + 128 MiB write
+        n += 1
+    q.put(n * a.nbytes)
+
+
+def run_membw(seconds: float = 4.0) -> None:
+    """STREAM-like hardware control for the scaling analysis: aggregate
+    memcpy bandwidth at 1/8/16/32 concurrent processes. If the MACHINE's
+    copy bandwidth stops scaling past ~8-16 workers (one shared DRAM
+    controller), then NO memory-traffic-bound engine can scale 4x from 8
+    to 32 cores on this box — locating the observed 16→32 throughput knee
+    in the hardware, outside the engine. (A real 4-node cluster has 4
+    DRAM controllers; the --scaling-nodes mode is still bounded by this
+    box's single one.)"""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (1, 8, 16, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=_membw_worker, args=(q, seconds)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        out[procs] = total / seconds / (1 << 30)  # copied GiB/s (counting each copy once)
+    print(json.dumps({
+        "metric": "memcpy_bandwidth_gib_per_s",
+        "unit": "GiB/s copied",
+        "by_procs": {str(k): round(v, 1) for k, v in out.items()},
+        "eff_8_to_32": round((out[32] / out[8]) / 4, 3),
+        "eff_8_to_16": round((out[16] / out[8]) / 2, 3),
+    }))
+
+
+def _ray_cli(args_list: list[str], pin: str | None, env_extra: dict | None = None):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # preset 'local' would hijack `ray start`
+    if env_extra:
+        env.update(env_extra)
+    cmd = list(args_list)
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", pin] + cmd
+    return subprocess.run(cmd, capture_output=True, text=True, env=env)
+
+
+def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None:
+    """N→4N on REAL Ray clusters: 1 node × 8 cpus vs 4 nodes × 8 cpus.
+
+    Each raylet (`ray start`) is taskset-pinned to its own disjoint 8
+    hardware cores, so a node cannot borrow another node's cycles; nodes
+    have separate object stores and exchange blocks through plasma like a
+    real cluster. Storage (change segments + lake) is the shared disk —
+    the analog of cluster shared storage. The one thing a single box
+    cannot split is the DRAM controller; the --membw control quantifies
+    that ceiling separately (see BASELINE.md)."""
+    events = events or max(64_000_000, 4 * n_events_for(sf))
+    ensure_changes(sf, events)
+    changes_dir = os.path.join(BENCH_ROOT, f"sf{sf}-{events}", "changes")
+    port = 6411
+    addr = f"127.0.0.1:{port}"
+    obj_store = str(6 * (1 << 30))  # 6 GiB per node: 4 nodes fit alongside heap
+
+    def settle():
+        subprocess.run(["sync"], check=False)
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(changes_dir, "seg-*.parquet")):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    def cluster(n_nodes: int):
+        _ray_cli(["ray", "stop", "--force"], pin=None)
+        r = _ray_cli(
+            ["ray", "start", "--head", f"--port={port}", "--num-cpus=8",
+             "--include-dashboard=false", "--disable-usage-stats",
+             f"--object-store-memory={obj_store}"],
+            pin="0-7",
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"ray start --head failed: {r.stderr[-500:]}")
+        for i in range(1, n_nodes):
+            lo, hi = 8 * i, 8 * i + 7
+            r = _ray_cli(
+                ["ray", "start", f"--address={addr}", "--num-cpus=8",
+                 f"--object-store-memory={obj_store}"],
+                pin=f"{lo}-{hi}",
+            )
+            if r.returncode != 0:
+                raise RuntimeError(f"ray start worker {i} failed: {r.stderr[-500:]}")
+        time.sleep(3)
+
+    results = {}
+    try:
+        for n_nodes in (1, 4):
+            cluster(n_nodes)
+            cmd = [sys.executable, os.path.abspath(__file__), "--replay-only",
+                   "--address", addr, "--sf-dir", sf_dir, "--events", str(events)]
+            pin = f"0-{8 * n_nodes - 1}"  # driver shares the cluster's cores
+            best = None
+            for _ in range(2):  # best-of-2: bound writeback noise
+                settle()
+                env = dict(os.environ)
+                env.pop("RAY_ADDRESS", None)
+                run_cmd = (["taskset", "-c", pin] + cmd) if shutil.which("taskset") else cmd
+                out = subprocess.run(run_cmd, capture_output=True, text=True, env=env)
+                if out.returncode != 0:
+                    raise RuntimeError(f"replay at {n_nodes} nodes failed: {out.stderr[-800:]}")
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                if best is None or r["sustained_sec"] < best["sustained_sec"]:
+                    best = r
+            results[n_nodes] = best
+    finally:
+        _ray_cli(["ray", "stop", "--force"], pin=None)
+    tp1 = results[1]["sustained_events"] / results[1]["sustained_sec"]
+    tp4 = results[4]["sustained_events"] / results[4]["sustained_sec"]
+    print(json.dumps({
+        "metric": "scaling_efficiency_1_to_4_nodes",
+        "value": round((tp4 / tp1) / 4, 3),
+        "unit": "ratio",
+        "sf": sf,
+        "cpus_per_node": 8,
+        "sustained_events": results[1]["sustained_events"],
+        "sustained_sec_1node": round(results[1]["sustained_sec"], 3),
+        "sustained_sec_4node": round(results[4]["sustained_sec"], 3),
+        "events_per_sec_1node": round(tp1, 1),
+        "events_per_sec_4node": round(tp4, 1),
     }))
 
 

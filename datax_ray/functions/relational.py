@@ -13,17 +13,21 @@ import pyarrow as pa
 import ray
 
 
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
+
 def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
     """Join a Dataset against a SMALL table: the small side is ray.put once
-    and merged per batch with pandas — no shuffle of the big side. Task
-    pool (not actors): ray.get of the broadcast ref is a zero-copy plasma
-    hit after the first fetch per node."""
-    small_ref = ray.put(small.to_pandas())
+    (zero-copy plasma hit after the first fetch per node) and joined per
+    batch with Arrow's native hash join — the stream stays Arrow end to
+    end, no pandas conversion."""
+    small_ref = ray.put(small)
+    join_type = _ARROW_JOIN_TYPE.get(how, how)
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(ray.get(small_ref), on=on, how=how)
+    def join(t: pa.Table) -> pa.Table:
+        return t.join(ray.get(small_ref), keys=[on], join_type=join_type)
 
-    return ds.map_batches(join, batch_format="pandas")
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _join_partitions(requested: int | None) -> int:
