@@ -64,9 +64,10 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets:
     return out.drop_columns(["_h"])
 
 
-def _unique_pairs(pairs, score_col: str, num_buckets: int = 64):
+def _unique_pairs(pairs, score_col: str | None, num_buckets: int = 64):
     """Exact-dedup of (doc_a, doc_b) pair rows: coarse hash bucket shuffle,
-    one vectorized drop_duplicates per bucket."""
+    one vectorized drop_duplicates per bucket. score_col=None dedups bare
+    ID pairs."""
 
     def add_grp(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy().astype(np.int64)
@@ -75,8 +76,9 @@ def _unique_pairs(pairs, score_col: str, num_buckets: int = 64):
         return df
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = ["doc_a", "doc_b"] + ([score_col] if score_col else [])
         return (
-            df.sort_values(["doc_a", "doc_b", score_col], kind="stable")
+            df.sort_values(sort_cols, kind="stable")
             .drop_duplicates(["doc_a", "doc_b"], keep="first")
             .drop(columns=["_pg"])
         )
@@ -90,6 +92,12 @@ def _unique_pairs(pairs, score_col: str, num_buckets: int = 64):
 
 # -------------------------------------------------------------- minhash --
 
+# Below this many input rows the per-stage work is dwarfed by a key-shuffle's
+# fixed constant (~100 cpu-s aggregator/sort overhead measured on this ray
+# version) — fold in one task instead. ID-only band rows at the threshold:
+# 16 bands x 28 B x 200k docs ~ 90 MB, comfortably one worker.
+_SINGLE_REDUCE_ROWS = 200_000
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -100,13 +108,33 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     return a, b
 
 
+# Odd multipliers combining k consecutive token hashes into one shingle hash
+# (injective-whp on distinct shingles; replaces string-join + re-hash, so the
+# only O(text) Python work left is str.split itself).
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
+     0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD], dtype=np.uint64,
+)
+
+
+def _combine_windows(h: np.ndarray, k: int) -> np.ndarray:
+    """Rolling combine of k consecutive token hashes -> shingle hashes
+    (len(h)-k+1 windows), fully vectorized."""
+    n = len(h) - k + 1
+    out = h[:n] * _SHINGLE_MIX[0]
+    for j in range(1, k):
+        out = out ^ (h[j : j + n] * _SHINGLE_MIX[j])
+    return out
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = content_hash64(toks)
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return content_hash64(grams)
+        return _combine_windows(h, len(h))  # one shingle: the whole doc
+    return _combine_windows(h, k)
 
 
 class MinHasher:
@@ -139,14 +167,60 @@ class MinHasher:
         v = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
         return v.min(axis=1)
 
+    def signatures(self, texts: list[str | None]) -> np.ndarray:
+        """Whole-batch signatures: ONE vectorized token-hash pass over every
+        token of every doc, rolling window-combine into shingle hashes, then
+        chunked (H, S) permute matrices reduced per doc with
+        np.minimum.reduceat — the per-doc Python loop of signature() runs
+        only for the rare short/empty docs."""
+        n = len(texts)
+        M = np.uint64(_MERSENNE)
+        sigs = np.full((n, self.num_hashes), M, dtype=np.uint64)
+        toks = [(x or "").split() for x in texts]
+        counts = np.array([len(t) for t in toks], dtype=np.int64)
+        long = np.flatnonzero(counts >= self.k)
+        short = np.flatnonzero((counts > 0) & (counts < self.k))
+        for i in short:  # rare: whole-doc shingle
+            sigs[i] = self.signature(texts[i] or "")
+        if len(long) == 0:
+            return sigs
+        flat = content_hash64([w for i in long for w in toks[i]])
+        c = counts[long]
+        n_sh = c - self.k + 1
+        doc_starts = np.r_[0, np.cumsum(c)][:-1]
+        sh_starts = np.r_[0, np.cumsum(n_sh)][:-1]
+        total_sh = int(n_sh.sum())
+        # global window-start index per shingle, never crossing doc bounds
+        ar = np.arange(total_sh)
+        intra = ar - np.repeat(sh_starts, n_sh)
+        idx = intra + np.repeat(doc_starts, n_sh)
+        sh_all = flat[idx] * _SHINGLE_MIX[0]
+        for j in range(1, self.k):
+            sh_all = sh_all ^ (flat[idx + j] * _SHINGLE_MIX[j])
+        # chunk the (H, S) permute matrix to bound the temporary at ~32 MB
+        CHUNK = 65536
+        d = 0  # doc cursor
+        while d < len(long):
+            e = d
+            while e < len(long) and (sh_starts[e] + n_sh[e]) - sh_starts[d] <= CHUNK:
+                e += 1
+            e = max(e, d + 1)
+            lo, hi = sh_starts[d], sh_starts[e - 1] + n_sh[e - 1]
+            v = (np.outer(self.a, sh_all[lo:hi]) + self.b[:, None]) % M
+            mins = np.minimum.reduceat(v, sh_starts[d:e] - lo, axis=1)
+            sigs[long[d:e]] = mins.T
+            d = e
+        return sigs
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        """Explode each doc into `bands` rows: (band, bucket, doc_id, sig)."""
+        """Explode each doc into `bands` ID-ONLY rows (grp, band, bucket,
+        doc_id) — ~28 bytes/row. Signatures are NOT shipped through the
+        shuffle (that would be a 16× num_hashes·8B blowup per doc); the
+        verify stage recomputes them for the tiny candidate set instead."""
         texts = t[self.text_col].to_pylist()
         ids = t[self.id_col].to_pylist()
         n = len(ids)
-        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
-        for i, x in enumerate(texts):
-            sigs[i] = self.signature(x or "")
+        sigs = self.signatures(texts)
         r = self.rows_per_band
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
@@ -168,9 +242,161 @@ class MinHasher:
                 "band": pa.array(band_ids),
                 "bucket": pa.array(flat_bucket, pa.uint64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "sig": pa.array(list(sigs.repeat(self.bands, axis=0)), pa.list_(pa.uint64())),
             }
         )
+
+
+def _lsh_candidate_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+    num_buckets: int,
+    est_rows: int | None = None,
+):
+    """(doc_a, doc_b) pairs colliding in >=1 LSH band (may repeat across
+    bands — callers dedupe). Only ID rows shuffle; the pair set is
+    O(near-dups), never O(corpus).
+
+    Adaptive reduce: when the caller knows the input is SMALL
+    (est_rows <= _SINGLE_REDUCE_ROWS, e.g. from parquet metadata), the
+    ID-only band rows fold in ONE task instead of a key-shuffle — each
+    groupby here costs a fixed multi-second shuffle constant that dwarfs
+    the actual work at small scale. The bucketed path is the 100 TB
+    default."""
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def collisions(g: pd.DataFrame) -> pd.DataFrame:
+        """One COARSE group = many LSH buckets. Vectorized pre-filter keeps
+        only buckets with >=2 docs (true collisions); the Python loop runs
+        per COLLIDING bucket — proportional to near-dups, not corpus."""
+        g = g.drop_duplicates(["band", "bucket", "doc_id"])
+        sizes = g.groupby(["band", "bucket"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        outs = []
+        for _, grp_df in g.groupby(["band", "bucket"], sort=False):
+            ids = np.sort(grp_df["doc_id"].to_numpy())
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[a_idx].astype("int64"),
+                        "doc_b": ids[b_idx].astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    hashed = ds.map_batches(
+        MinHasher(
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            num_buckets=num_buckets,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if est_rows is not None and est_rows <= _SINGLE_REDUCE_ROWS:
+        return hashed.repartition(1).map_batches(
+            collisions, batch_format="pandas", batch_size=None
+        )
+    return hashed.groupby("grp").map_groups(collisions, batch_format="pandas")
+    # NOTE: a pair can collide in several bands — callers dedupe the
+    # (tiny, ID-only) pair list driver-side while building the verify
+    # routing table, saving a whole shuffle round.
+
+
+def _routed_pair_verify(
+    ds,
+    cand: list[tuple[int, int]],
+    verify_pairs,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    est_rows: int | None = None,
+):
+    """Distributed verify of candidate pairs against document text.
+
+    Candidate pair IDS (no text) become a broadcast routing table; the docs
+    Dataset streams past it (vectorized np.isin semi-join), each batch
+    emitting its candidate rows tagged with their pair-buckets; inside
+    map_groups per bucket `verify_pairs(texts: dict, pairs: list)` returns
+    {"doc_a": [...], "doc_b": [...], "<score>": [...]} for the surviving
+    pairs. Dup-heavy corpora scale by bucket count, never driver memory."""
+    import ray
+
+    probe = verify_pairs({}, [])
+    score_cols = [c for c in probe if c not in ("doc_a", "doc_b")]
+    out_dtypes = {"doc_a": "int64", "doc_b": "int64", **{c: "float64" for c in score_cols}}
+    empty_pd = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in out_dtypes.items()})
+
+    nvb = coarse_buckets(len(cand), rows_per_bucket=100_000, floor=16)
+    pair_buckets: dict[int, list[tuple[int, int]]] = {}
+    doc_routes: dict[int, set[int]] = {}
+    for a, b in cand:
+        pb = (a * 1000003 + b) % nvb
+        pair_buckets.setdefault(pb, []).append((a, b))
+        doc_routes.setdefault(a, set()).add(pb)
+        doc_routes.setdefault(b, set()).add(pb)
+    wanted_arr = np.array(sorted(doc_routes), dtype=np.int64)
+    routes_ref = ray.put((wanted_arr, {k: sorted(v) for k, v in doc_routes.items()}))
+    pairs_ref = ray.put(pair_buckets)
+
+    def route(t: pa.Table) -> pa.Table:
+        wanted, routes = ray.get(routes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = np.flatnonzero(np.isin(ids, wanted))
+        if not len(hits):
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                }
+            )
+        sub = t.select([id_col, text_col]).take(pa.array(hits.astype(np.int64)))
+        sub_ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = [len(routes[int(d)]) for d in sub_ids]
+        pbs = [pb for d in sub_ids for pb in routes[int(d)]]
+        idx = np.repeat(np.arange(len(sub_ids)), reps)
+        exploded = sub.take(pa.array(idx, pa.int64()))
+        return exploded.add_column(0, "pb", pa.array(pbs, pa.int32()))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty_pd
+        all_pairs = ray.get(pairs_ref)
+        outs = []
+        for pb, grp_df in g.groupby("pb", sort=False):
+            grp_df = grp_df.drop_duplicates(id_col)
+            texts = dict(zip(grp_df[id_col].astype(int), grp_df[text_col]))
+            res = verify_pairs(texts, all_pairs.get(int(pb), []))
+            outs.append(pd.DataFrame(res))
+        out = pd.concat(outs, ignore_index=True) if outs else empty_pd
+        return out.astype(out_dtypes)
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+    if est_rows is not None and est_rows <= _SINGLE_REDUCE_ROWS:
+        # routed rows = candidate docs only (tiny): one vectorized verify task
+        return routed.repartition(1).map_batches(
+            verify, batch_format="pandas", batch_size=None
+        )
+    return routed.groupby("pb").map_groups(verify, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
@@ -183,73 +409,51 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     seed: int = 7,
     num_buckets: int = 64,
+    est_rows: int | None = None,
 ):
-    """Near-duplicate pairs with estimated Jaccard >= threshold.
+    """Near-duplicate pairs with estimated Jaccard >= threshold (fraction of
+    equal minhash components).
 
-    Signature-based verify: the estimated Jaccard is the fraction of equal
-    minhash components between the two docs' signatures — no second pass
-    over the raw text, so the verify stage is pure numpy over the grouped
-    candidate rows.
-    """
-
-    empty = pd.DataFrame(
-        {
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64"),
-        }
+    Two-phase scale shape: (1) banded-LSH collision proposal over ID-only
+    rows (the shuffle never carries text OR signatures), (2) routed verify
+    that recomputes signatures for just the candidate docs (deterministic —
+    same (a, b) parameter matrices) and filters on estimated Jaccard."""
+    mh = MinHasher(
+        text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, seed=seed,
     )
-
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        """One COARSE group = many LSH buckets. Vectorized pre-filter keeps
-        only buckets with >=2 docs (true collisions), then enumerates pairs
-        bucket-by-bucket — the Python loop runs per COLLIDING bucket, a set
-        proportional to the near-dup count, not the corpus."""
-        g = g.drop_duplicates(["band", "bucket", "doc_id"])
-        sizes = g.groupby(["band", "bucket"])["doc_id"].transform("size")
-        g = g[sizes >= 2]
-        if g.empty:
-            return empty
-        outs = []
-        for _, grp_df in g.groupby(["band", "bucket"], sort=False):
-            ids = grp_df["doc_id"].to_numpy()
-            sigs = np.stack(grp_df["sig"].to_numpy())
-            order = np.argsort(ids)
-            ids, sigs = ids[order], sigs[order]
-            a_idx, b_idx = np.triu_indices(len(ids), k=1)
-            jac = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-            keep = jac >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": ids[a_idx][keep].astype("int64"),
-                            "doc_b": ids[b_idx][keep].astype("int64"),
-                            "jaccard": jac[keep],
-                        }
-                    )
-                )
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
-    pairs = (
-        ds.map_batches(
-            MinHasher(
-                text_col=text_col,
-                id_col=id_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_k=shingle_k,
-                seed=seed,
-                num_buckets=num_buckets,
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    cand_ds = _lsh_candidate_pairs(
+        ds, text_col, id_col, num_hashes, bands, shingle_k, seed, num_buckets,
+        est_rows=est_rows,
+    )
+    cand = sorted({(int(r["doc_a"]), int(r["doc_b"])) for r in cand_ds.take_all()})
+    if not cand:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
         )
-        .groupby("grp")
-        .map_groups(candidates, batch_format="pandas")
+
+    def verify_pairs(texts: dict, pairs: list) -> dict:
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        if not pairs:
+            return out
+        ids = sorted({d for p in pairs for d in p})
+        sigs = mh.signatures([texts.get(d) for d in ids])
+        pos = {d: i for i, d in enumerate(ids)}
+        for a, b in pairs:
+            jac = float((sigs[pos[a]] == sigs[pos[b]]).mean())
+            if jac >= threshold:
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["jaccard"].append(jac)
+        return out
+
+    return _routed_pair_verify(
+        ds, cand, verify_pairs, text_col, id_col, num_buckets, est_rows=est_rows
     )
-    # a pair can surface from several bands: final exact-dedup of pairs
-    return _unique_pairs(pairs, "jaccard", num_buckets=num_buckets)
 
 
 # -------------------------------------------------------------- simhash --
@@ -328,7 +532,13 @@ def simhash_pairs(
             ids, hs = ids[order], hs[order]
             a, b = np.triu_indices(len(ids), k=1)
             x = hs[a] ^ hs[b]
-            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+                if len(x)
+                else np.empty(0, dtype=np.int64)
+            )
             keep = ham <= max_hamming
             if keep.any():
                 outs.append(
@@ -372,105 +582,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     shingle_k: int = 3,
     num_buckets: int = 64,
+    est_rows: int | None = None,
 ):
-    """EXACT n-gram-Jaccard near-dup pairs: MinHash-LSH proposes candidates
-    (cheap, estimated-jaccard pre-filter at threshold*0.7), then candidate
-    texts are verified DISTRIBUTED with exact Jaccard.
-
-    Scale shape: only candidate pair IDS (no text) ever reach the driver —
-    they become a broadcast (id -> pair-bucket) routing table. The docs
-    Dataset streams past it, each batch emitting only its candidate rows
-    tagged with their pair-buckets; the exact-Jaccard verify runs inside
-    map_groups per pair-bucket, where texts and pairs meet. Dup-heavy
-    corpora scale by bucket count, never by driver memory."""
-    import ray
-
-    cand = minhash_lsh_pairs(
-        ds, text_col=text_col, id_col=id_col,
-        threshold=threshold * 0.7, shingle_k=shingle_k, num_buckets=num_buckets,
-    ).take_all()  # pair IDS only — O(near-dup candidates), no text
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
+    """EXACT n-gram-Jaccard near-dup pairs: banded MinHash-LSH proposes
+    collision candidates (ID-only shuffle), then candidate texts are
+    verified DISTRIBUTED with exact Jaccard via the shared routed-verify
+    stage (_routed_pair_verify) — only pair IDS touch the driver; texts
+    meet pairs inside map_groups per pair-bucket."""
+    cand_ds = _lsh_candidate_pairs(
+        ds, text_col, id_col, 64, 16, shingle_k, 7, num_buckets, est_rows=est_rows
     )
+    cand = sorted({(int(r["doc_a"]), int(r["doc_b"])) for r in cand_ds.take_all()})
     if not cand:
-        return empty
-    # Route each pair to a verify bucket; each involved doc_id to every
-    # bucket one of its pairs lives in (replication factor = pairs per doc,
-    # ~1-2 in practice). Sized so one bucket's texts fit one worker.
-    nvb = coarse_buckets(len(cand), rows_per_bucket=100_000, floor=16)
-    pair_buckets: dict[int, list[tuple[int, int]]] = {}
-    doc_routes: dict[int, set[int]] = {}
-    for r in cand:
-        a, b = int(r["doc_a"]), int(r["doc_b"])
-        pb = (a * 1000003 + b) % nvb
-        pair_buckets.setdefault(pb, []).append((a, b))
-        doc_routes.setdefault(a, set()).add(pb)
-        doc_routes.setdefault(b, set()).add(pb)
-    wanted_arr = np.array(sorted(doc_routes), dtype=np.int64)
-    routes_ref = ray.put((wanted_arr, {k: sorted(v) for k, v in doc_routes.items()}))
-    pairs_ref = ray.put(pair_buckets)
-
-    def route(t: pa.Table) -> pa.Table:
-        """Semi-join + explode: candidate docs only, one row per (doc, pb).
-        The full-corpus filter is a vectorized np.isin; the per-row work
-        below it touches only candidate docs."""
-        wanted, routes = ray.get(routes_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        hits = np.flatnonzero(np.isin(ids, wanted))
-        if not len(hits):
-            return pa.table(
-                {
-                    "pb": pa.array([], pa.int32()),
-                    id_col: pa.array([], pa.int64()),
-                    text_col: pa.array([], pa.string()),
-                }
-            )
-        sub = t.select([id_col, text_col]).take(pa.array(hits.astype(np.int64)))
-        sub_ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        reps = [len(routes[int(d)]) for d in sub_ids]
-        pbs = [pb for d in sub_ids for pb in routes[int(d)]]
-        idx = np.repeat(np.arange(len(sub_ids)), reps)
-        exploded = sub.take(pa.array(idx, pa.int64()))
-        return exploded.add_column(0, "pb", pa.array(pbs, pa.int32()))
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "jaccard": pd.Series([], dtype="float64"),
-                }
-            )
-        all_pairs = ray.get(pairs_ref)
-        outs = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for pb, grp_df in g.groupby("pb", sort=False):
-            grp_df = grp_df.drop_duplicates(id_col)
-            sh = {
-                int(d): set(_shingles(x or "", shingle_k).tolist())
-                for d, x in zip(grp_df[id_col], grp_df[text_col])
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
             }
-            for a, b in all_pairs.get(int(pb), ()):
-                sa, sb = sh.get(a, set()), sh.get(b, set())
-                j = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
-                if j >= threshold:
-                    outs["doc_a"].append(a)
-                    outs["doc_b"].append(b)
-                    outs["jaccard"].append(j)
-        return pd.DataFrame(outs).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
 
-    out = (
-        ds.map_batches(route, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(verify, batch_format="pandas")
-    )
-    return out
+    def verify_pairs(texts: dict, pairs: list) -> dict:
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        sh = {
+            d: set(_shingles(x or "", shingle_k).tolist()) for d, x in texts.items()
+        }
+        for a, b in pairs:
+            sa, sb = sh.get(a, set()), sh.get(b, set())
+            j = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["jaccard"].append(j)
+        return out
+
+    return _routed_pair_verify(ds, cand, verify_pairs, text_col, id_col, num_buckets)
 
 
 # ---------------------------------------------------- embedding near-dup --

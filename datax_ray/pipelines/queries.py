@@ -832,6 +832,7 @@ def ngram_dup_pairs(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         threshold=0.6,
         num_buckets=_buckets_for(sf_dir, "documents"),
+        est_rows=parquet_rows(os.path.join(sf_dir, "documents.parquet")),
     )
 
 
@@ -898,6 +899,7 @@ def minhash_dup_pairs(sf_dir: str):
         threshold=0.6,
         shingle_k=3,
         num_buckets=_buckets_for(sf_dir, "documents"),
+        est_rows=parquet_rows(os.path.join(sf_dir, "documents.parquet")),
     )
 
 

@@ -290,7 +290,7 @@ def test_ngram_pairs_distributed_verify_matches_driver_verify(docs):
     in map_groups) must produce exactly the rows the naive driver-side
     verify of the same candidate set does."""
     from datax_ray.functions.dedup import (
-        minhash_lsh_pairs,
+        _lsh_candidate_pairs,
         ngram_jaccard,
         ngram_jaccard_pairs,
     )
@@ -300,7 +300,7 @@ def test_ngram_pairs_distributed_verify_matches_driver_verify(docs):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
 
     # reference: same candidate generation, naive in-process verify
-    cand = minhash_lsh_pairs(docs, threshold=threshold * 0.7, shingle_k=k).take_all()
+    cand = _lsh_candidate_pairs(docs, "text", "doc_id", 64, 16, k, 7, 64).take_all()
     texts = {
         r["doc_id"]: r["text"]
         for r in docs.map_batches(
