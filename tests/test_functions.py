@@ -205,9 +205,32 @@ def test_broadcast_join_and_topk():
     assert prices == sorted(prices, reverse=True)
 
 
-def test_multimodal_stub():
+def test_multimodal_codecs_roundtrip():
+    """The pure-numpy codecs are REAL: encode->decode is identity."""
     from datax_ray.functions.multimodal import (
-        DecodeStub,
+        decode_ppm,
+        decode_ppmv,
+        decode_wav,
+        encode_ppm,
+        encode_ppmv,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(23, 41, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    wave = (rng.standard_normal(4000) * 10000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(wave, rate=8000))
+    assert rate == 8000 and (back == wave).all()
+    frames = rng.integers(0, 256, size=(5, 16, 17, 3), dtype=np.uint8)
+    fr, ms = decode_ppmv(encode_ppmv(frames, 500))
+    assert ms == 500 and (fr == frames).all()
+
+
+def test_multimodal_features():
+    from datax_ray.functions.multimodal import (
+        MediaDecoder,
+        decode_ppm,
         extract_features,
         synthesize_media_table,
     )
@@ -221,8 +244,16 @@ def test_multimodal_stub():
     f1 = {r["media_id"]: r["feature"] for r in out}
     f2 = {r["media_id"]: r["feature"] for r in again}
     assert f1 == f2
-    with pytest.raises(NotImplementedError):
-        DecodeStub(deterministic_fake=False)._decode_one(b"x", "image")
+    # the image features really derive from decoded pixels: first three
+    # dims are per-channel means / 255
+    rows = t.to_pylist()
+    img_row = next(r for r in rows if r["kind"] == "image")
+    img = decode_ppm(img_row["payload"]).astype(np.float64)
+    want = img.mean(axis=(0, 1)) / 255
+    got = f1[img_row["media_id"]][:3]
+    assert np.allclose(got, want)
+    with pytest.raises(ValueError):
+        MediaDecoder()._image_features(b"not a ppm")
 
 
 def test_multimodal_resize_and_frames():
@@ -235,8 +266,25 @@ def test_multimodal_resize_and_frames():
     )
 
     media = synthesize_media_table(64)
-    out = media_pipeline(ray.data.from_arrow(media)).take_all()
+    out = media_pipeline(ray.data.from_arrow(media), max_side=24).take_all()
     assert len(out) == 64 and all(len(r["feature"]) == 16 for r in out)
+
+    # resize really shrinks pixels: every resized image payload decodes to
+    # dims <= max_side with aspect preserved
+    from datax_ray.functions.multimodal import ImageResizer, decode_ppm
+
+    resized = (
+        ray.data.from_arrow(media)
+        .map_batches(ImageResizer, fn_constructor_kwargs=dict(max_side=24),
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .take_all()
+    )
+    for r in resized:
+        if r["kind"] != "image":
+            continue
+        img = decode_ppm(r["payload"])
+        assert img.shape[0] <= 24 and img.shape[1] <= 24
+        assert img.shape[:2] == (r["height"], r["width"])
 
     frames = (
         ray.data.from_arrow(media)
@@ -251,6 +299,11 @@ def test_multimodal_resize_and_frames():
     n_videos = sum(1 for r in media.to_pylist() if r["kind"] == "video")
     assert len(frames) >= n_videos  # >= one frame per video
     assert all(0 <= r["frame_idx"] < 4 for r in frames)
+    # each emitted frame is a decodable PPM of the video's dims
+    dims = {r["media_id"]: (r["height"], r["width"]) for r in media.to_pylist()}
+    for r in frames:
+        img = decode_ppm(r["frame"])
+        assert img.shape[:2] == dims[r["media_id"]]
 
 
 def test_bucket_count_invariance(docs):
