@@ -86,24 +86,84 @@ def large_join(left, right, on: str, right_on: str | None = None,
     )
 
 
+def asof_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 64,
+):
+    """AS-OF join (inner, direction=backward): each left row matches the
+    right row with the same `key` and the greatest `right_ts` <= `left_ts`.
+
+    Ray Data has no asof operator; per the brief this composes from
+    primitives: both sides hash-bucket by key (coarse buckets — many keys
+    per bucket, scale via functions/_buckets.py), then ONE vectorized
+    pd.merge_asof per bucket over the co-located rows. Right-side rows are
+    assumed unique per (key, right_ts) — pre-aggregate otherwise, or the
+    match among ties is undefined (same caveat as SQL ASOF JOIN)."""
+
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def tag(side: int, have: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (df[c] if c in have else pd.NA) for c in all_cols})
+            out["_side"] = np.int8(side)
+            out["_jb"] = (
+                pd.util.hash_array(df[key].to_numpy(), categorize=False)
+                % num_buckets
+            ).astype("int32")
+            return out
+
+        fn.__name__ = f"asof_tag_{side}"
+        return fn
+
+    l_tagged = left.map_batches(tag(0, l_cols), batch_format="pandas")
+    r_tagged = right.map_batches(tag(1, r_cols), batch_format="pandas")
+    both = l_tagged.union(r_tagged)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0][l_cols]
+        rf = g[g["_side"] == 1][r_cols]
+        if lf.empty or rf.empty:
+            return pd.DataFrame(columns=out_cols)
+        lf = lf.sort_values(left_ts, kind="stable")
+        rf = rf.sort_values(right_ts, kind="stable")
+        out = pd.merge_asof(
+            lf, rf, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward",
+        )
+        return out.dropna(subset=[right_ts])[out_cols]  # inner semantics
+
+    return both.groupby("_jb").map_groups(merge, batch_format="pandas")
+
+
 def partial_agg(
     ds,
     keys: list[str],
     sums: dict[str, str] | None = None,
     counts: str | None = None,
+    maxs: dict[str, str] | None = None,
     num_buckets: int = 64,
 ):
     """Combiner-style grouped aggregation: per-batch pandas groupby partials
     (one row per key per batch), then a shuffle of the partials into
-    `num_buckets` coarse hash buckets and ONE vectorized pandas groupby-sum
+    `num_buckets` coarse hash buckets and ONE vectorized pandas groupby
     per bucket — never a Python call per key group, so millions of distinct
-    keys cost the same task count as dozens. `sums` maps source column ->
-    output name; `counts` names a count(*) output column."""
+    keys cost the same task count as dozens. `sums`/`maxs` map source
+    column -> output name; `counts` names a count(*) output column (both
+    decomposable aggregates, so partial-of-partial is exact)."""
     sums = sums or {}
-    out_cols = list(sums.values()) + ([counts] if counts else [])
+    maxs = maxs or {}
+    out_cols = list(sums.values()) + ([counts] if counts else []) + list(maxs.values())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         aggs = {out: (src, "sum") for src, out in sums.items()}
+        aggs.update({out: (src, "max") for src, out in maxs.items()})
         if counts:
             df = df.assign(**{counts: 1})
             aggs[counts] = (counts, "sum")
@@ -113,10 +173,12 @@ def partial_agg(
         return g
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = {c: (c, "sum") for c in out_cols if c not in maxs.values()}
+        aggs.update({c: (c, "max") for c in maxs.values()})
         return (
             df.drop(columns=["_grp"])
-            .groupby(keys, as_index=False)[out_cols]
-            .sum()
+            .groupby(keys, as_index=False)
+            .agg(**aggs)
         )
 
     return (

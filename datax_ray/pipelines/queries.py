@@ -643,6 +643,119 @@ def sql_source_events(sf_dir: str):
 SQL_SOURCE_SQL = "SELECT event_id, user_id FROM events WHERE user_id % 3 = 0"
 
 
+def asof_join_latest_order(sf_dir: str):
+    """AS-OF join (the brief's canonical custom operator): each event joins
+    the latest order of the same customer at-or-before the event time.
+    Composition: coarse key-hash bucket both sides + one vectorized
+    pd.merge_asof per bucket (functions/relational.py:asof_join). The right
+    side pre-reduces to one row per (custkey, orderdate) so tie-breaks are
+    engine-independent."""
+    from datax_ray.functions.relational import asof_join, partial_agg
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {"custkey": t["user_id"], "event_id": t["event_id"], "ts": t["ts"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_orderkey": t["o_orderkey"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dedup_orders = partial_agg(
+        orders.map_batches(
+            lambda t: t.rename_columns(["custkey", "o_orderdate", "max_orderkey"]),
+            batch_format="pyarrow",
+        ),
+        keys=["custkey", "o_orderdate"],
+        maxs={"max_orderkey": "max_orderkey"},
+    )
+    joined = asof_join(
+        events, dedup_orders, key="custkey", left_ts="ts", right_ts="o_orderdate"
+    )
+
+    def cast_out(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "custkey": df["custkey"].astype("int64"),
+                "ts": pd.to_datetime(df["ts"]),
+                "o_orderdate": pd.to_datetime(df["o_orderdate"]),
+                "max_orderkey": df["max_orderkey"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(cast_out, batch_format="pandas")
+
+
+ASOF_JOIN_SQL = """
+WITH o AS (
+  SELECT o_custkey AS custkey, o_orderdate,
+         MAX(o_orderkey) AS max_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id AS custkey, e.ts, o.o_orderdate, o.max_orderkey
+FROM events e
+ASOF JOIN o ON e.user_id = o.custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def sample_events_hash(sf_dir: str):
+    """Deterministic distributed sampling: hash-bernoulli on the row key
+    (the only sampling that is reproducible AND embarrassingly parallel at
+    100 TB — no global row numbering, no RNG state coordination)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy()
+        return t.filter(pa.array((e * 2654435761) % 100 < 10))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_SQL = """
+SELECT event_id, user_id FROM events WHERE (event_id * 2654435761) % 100 < 10
+"""
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish subword token counting via a word/number/punct regex — both
+    engines run the same RE2 pattern (pyarrow count_substring_regex vs
+    DuckDB regexp_extract_all)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], pattern=pat), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -980,6 +1093,9 @@ QUERIES = {
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "join_lineitem_orders_large": join_lineitem_orders_large,
     "sql_source_events": sql_source_events,
+    "asof_join_latest_order": asof_join_latest_order,
+    "sample_events_hash": sample_events_hash,
+    "token_count_bpe": token_count_bpe,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -1016,6 +1132,9 @@ ORACLE_SQL = {
     "anti_join_quiet_customers": ANTI_JOIN_SQL,
     "join_lineitem_orders_large": JOIN_LARGE_SQL,
     "sql_source_events": SQL_SOURCE_SQL,
+    "asof_join_latest_order": ASOF_JOIN_SQL,
+    "sample_events_hash": SAMPLE_SQL,
+    "token_count_bpe": TOKEN_BPE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
