@@ -65,6 +65,49 @@ def sessionize(
     )
 
 
+def rolling_window_counts(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+    num_buckets: int = 64,
+):
+    """Range join / sliding count: for each row, how many rows of the SAME
+    key fall in the half-open time window (ts - window, ts]. The classic
+    burst-detection primitive; SQL expresses it as an inequality self-join.
+
+    Shape: coarse key-hash buckets (all rows of a key co-locate), then one
+    vectorized pandas groupby-rolling count per bucket — no per-key Python,
+    no O(n²) pair materialization."""
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        grp = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["_grp"] = (grp % num_buckets).astype("int32")
+        return df
+
+    win = pd.Timedelta(microseconds=window_us)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        counts = (
+            df.groupby(key_col, sort=False)
+            .rolling(win, on=ts_col, closed="right")[id_col]
+            .count()
+            .to_numpy()
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "n_win": counts}
+        )
+
+    return (
+        ds.map_batches(add_grp, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def tumbling_window_counts(
     ds,
     key_col: str = "user_id",

@@ -170,6 +170,60 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_replay_dirty_routed(sf_dir: str):
+    """The dirty-record/dead-letter path, driver-verified: the derived
+    change log carries deterministic corruption (event_id % 97 == 3 ⇒
+    turn_idx = -1, which fails validation and routes to the dead-letter
+    sink), so the final lake must equal the LWW fold of the CLEAN subset —
+    which the oracle expresses with one extra WHERE clause."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_dirty/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes", corrupt_mod=97),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_DIRTY_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+  WHERE event_id % 97 <> 3  -- the corrupted (dead-lettered) events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
     change replay. The snapshot derives from `customer` (4 turns per
@@ -756,6 +810,83 @@ FROM documents
 """
 
 
+def range_join_event_burst(sf_dir: str):
+    """Range join (inequality self-join): per event, the count of same-user
+    events in the trailing 1-hour window — implemented as coarse key-hash
+    buckets + vectorized groupby-rolling, not an O(n²) pair join."""
+    from datax_ray.functions.windows import rolling_window_counts
+
+    out = rolling_window_counts(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        window_us=3_600_000_000,
+        num_buckets=_buckets_for(sf_dir, "events"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "n_win": pc.cast(t["n_win"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, COUNT(*) AS n_win
+FROM events e JOIN events e2
+  ON e.user_id = e2.user_id
+ AND e2.ts <= e.ts AND e2.ts > e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id
+"""
+
+
+def quantile_sketch_order_price(sf_dir: str):
+    """Distributed exact quantiles at bounded value resolution (whole
+    dollars): per-batch value-count combiners shuffle a HISTOGRAM
+    (O(distinct grid values), never O(rows)); the driver folds cumulative
+    counts with quantile_disc's index rule ceil(q·n)−1. The grid resolution
+    is the sketch's documented accuracy knob — at 100 TB the histogram
+    stays ~10^5 rows regardless of input size."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"dollars": _cents(t["o_totalprice"], 1)})
+
+    hist = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["dollars"],
+        counts="n",
+    ).take_all()  # bounded by the value grid, not row count
+    hist.sort(key=lambda r: r["dollars"])
+    values = np.array([r["dollars"] for r in hist], dtype=np.int64)
+    counts = np.array([r["n"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+
+    def q_at(q: float) -> int:
+        idx = max(0, int(np.ceil(q * total)) - 1)  # quantile_disc's rule
+        return int(values[np.searchsorted(cum, idx + 1)])
+
+    return pa.table(
+        {
+            "p50": pa.array([q_at(0.5)], pa.int64()),
+            "p90": pa.array([q_at(0.9)], pa.int64()),
+            "p99": pa.array([q_at(0.99)], pa.int64()),
+        }
+    )
+
+
+QUANTILE_SQL = """
+SELECT quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.5) AS p50,
+       quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.9) AS p90,
+       quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.99) AS p99
+FROM orders
+"""
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -1078,6 +1209,7 @@ def multimodal_frame_sample(sf_dir: str):
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
+    "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
@@ -1096,6 +1228,8 @@ QUERIES = {
     "asof_join_latest_order": asof_join_latest_order,
     "sample_events_hash": sample_events_hash,
     "token_count_bpe": token_count_bpe,
+    "range_join_event_burst": range_join_event_burst,
+    "quantile_sketch_order_price": quantile_sketch_order_price,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -1117,6 +1251,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
+    "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
@@ -1135,6 +1270,8 @@ ORACLE_SQL = {
     "asof_join_latest_order": ASOF_JOIN_SQL,
     "sample_events_hash": SAMPLE_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
+    "range_join_event_burst": RANGE_JOIN_SQL,
+    "quantile_sketch_order_price": QUANTILE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,

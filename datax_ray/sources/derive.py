@@ -51,11 +51,22 @@ class ChangeDeriver:
     Emits one tiny lineage row per written segment; the change rows
     themselves never flow back through the pipeline."""
 
-    def __init__(self, out_dir: str, conv_prefix: str = "conv-", turn_mod: int = 25):
+    def __init__(
+        self,
+        out_dir: str,
+        conv_prefix: str = "conv-",
+        turn_mod: int = 25,
+        corrupt_mod: int | None = None,
+    ):
+        """corrupt_mod=N marks every event with event_id % N == 3 dirty
+        (turn_idx = -1, which fails validation) — a deterministic,
+        SQL-expressible corruption so the dirty-record/dead-letter path
+        gets its own DuckDB oracle."""
         self.__name__ = "ChangeDeriver"
         self.out_dir = out_dir
         self.conv_prefix = conv_prefix
         self.turn_mod = turn_mod
+        self.corrupt_mod = corrupt_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
@@ -69,13 +80,16 @@ class ChangeDeriver:
         text = pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), "")
         op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
         role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
+        turn = e % self.turn_mod
+        if self.corrupt_mod:
+            turn = np.where(e % self.corrupt_mod == 3, -1, turn)
         return pa.table(
             {
                 "lsn": eid,
                 "ts": t["ts"],
                 "op": op,
                 "conv_id": conv,
-                "turn_idx": pc.cast(pa.array(e % self.turn_mod), pa.int32()),
+                "turn_idx": pc.cast(pa.array(turn), pa.int32()),
                 "role": role,
                 "text": pc.if_else(is_del, nulls, text),
                 "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
