@@ -149,6 +149,7 @@ def partial_agg(
     counts: str | None = None,
     maxs: dict[str, str] | None = None,
     num_buckets: int = 64,
+    single_reduce: bool = False,
 ):
     """Combiner-style grouped aggregation: per-batch pandas groupby partials
     (one row per key per batch), then a shuffle of the partials into
@@ -156,7 +157,12 @@ def partial_agg(
     per bucket — never a Python call per key group, so millions of distinct
     keys cost the same task count as dozens. `sums`/`maxs` map source
     column -> output name; `counts` names a count(*) output column (both
-    decomposable aggregates, so partial-of-partial is exact)."""
+    decomposable aggregates, so partial-of-partial is exact).
+
+    single_reduce=True folds the partials in ONE task instead of a
+    key-shuffle — pick it when the caller KNOWS the key space is small
+    (e.g. a handful of status/flag combinations): a shuffle execution
+    costs a fixed multi-second constant that dwarfs a tiny reduce."""
     sums = sums or {}
     maxs = maxs or {}
     out_cols = list(sums.values()) + ([counts] if counts else []) + list(maxs.values())
@@ -181,11 +187,12 @@ def partial_agg(
             .agg(**aggs)
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("_grp")
-        .map_groups(final, batch_format="pandas")
-    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if single_reduce:
+        return partials.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=None
+        )
+    return partials.groupby("_grp").map_groups(final, batch_format="pandas")
 
 
 def top_k(ds, by: str, k: int, tie_col: str | None = None, descending: bool = True):

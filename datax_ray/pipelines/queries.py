@@ -439,6 +439,7 @@ def agg_pricing_summary(sf_dir: str):
         keys=["l_returnflag", "l_linestatus"],
         sums={"sum_qty": "sum_qty", "sum_base_cents": "sum_base_cents"},
         counts="count_order",
+        single_reduce=True,  # 6 flag/status combos — skip the shuffle
     )
 
 
@@ -478,7 +479,9 @@ def join_orders_by_nation(sf_dir: str):
         on="o_custkey",
     )
     return partial_agg(
-        joined, keys=["n_name"], sums={"total_cents": "total_cents"}, counts="n_orders"
+        joined, keys=["n_name"], sums={"total_cents": "total_cents"},
+        counts="n_orders",
+        single_reduce=True,  # 25 nations — skip the shuffle
     )
 
 
@@ -623,6 +626,7 @@ def join_lineitem_orders_large(sf_dir: str):
         keys=["o_orderpriority"],
         sums={"price_cents": "rev_cents"},
         counts="n_items",
+        single_reduce=True,  # 5 priorities — skip the shuffle
     )
 
 
