@@ -1072,6 +1072,309 @@ FROM x GROUP BY user_id, window_start
 """
 
 
+def window_user_running(sf_dir: str):
+    """SQL window functions per key: row_number, lag-gap and running sum
+    over each user's event stream ordered by (ts, event_id). Coarse
+    key-hash buckets + one vectorized pass per bucket (functions/ordered.py)."""
+    from datax_ray.functions.ordered import keyed_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_micros": _cents(t["value"], 1_000_000),
+            }
+        )
+
+    out = keyed_window(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        num_buckets=_buckets_for(sf_dir, "events"),
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rn": pc.cast(t["rn"], pa.int64()),
+                "gap_us": pc.cast(t["gap_us"], pa.int64()),
+                "run_value_micros": pc.cast(t["run_value"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+WINDOW_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_value_micros
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 history of the derived transcript change stream: one row
+    per non-delete VERSION with [valid_from, valid_to) interval and
+    is_current flag — the warehouse-history twin of the LWW merge (keep
+    every superseded version instead of folding to the latest). Derivation
+    runs inside map_batches (sources/derive.py:derive_changes); history
+    assembly is the coarse-bucket window stage in functions/ordered.py."""
+    from datax_ray.functions.ordered import scd2_history
+    from datax_ray.sources.derive import derive_changes
+
+    changes = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        derive_changes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = scd2_history(changes, num_buckets=_buckets_for(sf_dir, "events"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "version": pc.cast(t["version"], pa.int64()),
+                "role": t["role"],
+                "text": t["text"],
+                "valid_from": pc.cast(t["valid_from"], pa.timestamp("us")),
+                "valid_to": pc.cast(t["valid_to"], pa.timestamp("us")),
+                "is_current": t["is_current"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SCD2_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, CAST(row_number() OVER k AS BIGINT) AS version,
+         lead(ts) OVER k AS valid_to
+  FROM c WINDOW k AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+)
+SELECT conv_id, turn_idx, version, role, text,
+       ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM w WHERE op <> 'delete'
+"""
+
+
+def rollup_order_stats(sf_dir: str):
+    """Grouping sets (ROLLUP): order counts + exact cent-sums at three
+    levels — (status, priority), (status), (). One pass: each batch emits
+    combiner partials for all three levels (coarser levels derived from the
+    finest partial, so the extra work per batch is O(distinct keys)), then
+    one single-task reduce (the key space is statuses x priorities)."""
+    SENT = "\x00ALL"  # sentinel for rolled-up key (pandas groupby drops real NULLs)
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    import pandas as pd
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        g0 = df.assign(n_orders=1).groupby(
+            ["o_orderstatus", "o_orderpriority"], as_index=False
+        ).agg(n_orders=("n_orders", "sum"), sum_price_cents=("price_cents", "sum"))
+        g1 = g0.groupby("o_orderstatus", as_index=False)[
+            ["n_orders", "sum_price_cents"]
+        ].sum().assign(o_orderpriority=SENT)
+        g2 = pd.DataFrame(
+            {
+                "o_orderstatus": [SENT],
+                "o_orderpriority": [SENT],
+                "n_orders": [g0["n_orders"].sum()],
+                "sum_price_cents": [g0["sum_price_cents"].sum()],
+            }
+        )
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders", "sum_price_cents"]
+        return pd.concat([g0[cols], g1[cols], g2[cols]], ignore_index=True)
+
+    out = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            levels, batch_format="pandas"
+        ),
+        keys=["o_orderstatus", "o_orderpriority"],
+        sums={"n_orders": "n_orders", "sum_price_cents": "sum_price_cents"},
+        single_reduce=True,
+    )
+
+    def unsentinel(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("o_orderstatus", "o_orderpriority"):
+            df[c] = df[c].where(df[c] != SENT, None)
+        return df
+
+    return out.map_batches(unsentinel, batch_format="pandas")
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def doc_chunks(sf_dir: str, size: int = 512, stride: int = 384):
+    """Fixed-size overlapping document chunking (the LLM-training prep
+    step): 512-char windows every 384 chars. Vectorized by looping over
+    chunk SLOTS (a handful) with a whole-column utf8 slice per slot — never
+    over rows; a batch's slot count adapts to its own longest doc."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("chunk_idx", pa.int64()), ("chunk_text", pa.string())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        lens = pc.utf8_length(t["text"])
+        max_len = pc.max(lens).as_py() or 0
+        parts = []
+        k = 0
+        while k * stride < max_len:
+            start = k * stride
+            mask = pc.greater(lens, start)
+            sub = t.filter(mask)
+            if sub.num_rows:
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": sub["doc_id"],
+                            "chunk_idx": pa.array(
+                                np.full(sub.num_rows, k, dtype=np.int64)
+                            ),
+                            "chunk_text": pc.utf8_slice_codeunits(
+                                sub["text"], start=start, stop=start + size
+                            ),
+                        },
+                        schema=schema,
+                    )
+                )
+            k += 1
+        return pa.concat_tables(parts) if parts else schema.empty_table()
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNKS_SQL = """
+WITH mx AS (
+  SELECT CAST(CEIL(MAX(length(text)) / 384.0) AS BIGINT) AS nk FROM documents
+), k AS (
+  SELECT unnest(range((SELECT nk FROM mx))) AS i
+)
+SELECT d.doc_id, CAST(k.i AS BIGINT) AS chunk_idx,
+       substr(d.text, CAST(k.i * 384 + 1 AS BIGINT), 512) AS chunk_text
+FROM documents d, k
+WHERE k.i * 384 < length(d.text)
+"""
+
+
+def except_unsupplied_nations(sf_dir: str):
+    """Set difference (EXCEPT) between two datasets: nations that have
+    customers but no suppliers. Both sides union into one stream tagged
+    with side-indicator columns, then a single combiner aggregation sums
+    the indicators per key and a filter keeps left-only keys — a fully
+    distributed set op (rows shuffled = distinct keys per batch, never the
+    raw inputs; no driver keyset), the same plan EXCEPT/INTERSECT take at
+    any scale."""
+    left = _read(sf_dir, "customer", columns=["c_nationkey"])
+    right = _read(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def tag(col: str, l: int, r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "nationkey": pc.cast(t[col], pa.int32()),
+                    "l_n": pa.array(np.full(t.num_rows, l, dtype=np.int64)),
+                    "r_n": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
+                }
+            )
+
+        fn.__name__ = f"tag_{col}"
+        return fn
+
+    both = left.map_batches(tag("c_nationkey", 1, 0), batch_format="pyarrow").union(
+        right.map_batches(tag("s_nationkey", 0, 1), batch_format="pyarrow")
+    )
+    out = partial_agg(
+        both, keys=["nationkey"], sums={"l_n": "l_n", "r_n": "r_n"},
+        single_reduce=True,  # key space = 25 nations
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["l_n"], 0), pc.equal(t["r_n"], 0))
+        return t.filter(keep).select(["nationkey"])
+
+    return out.map_batches(pick, batch_format="pyarrow")
+
+
+SET_EXCEPT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def quality_filter_docs(sf_dir: str):
+    """Heuristic quality gate over documents (training-data curation):
+    keep docs whose token count is in a sane band and whose mean token
+    length (integer ratio n_chars < 6*n_tokens — exact arithmetic, no
+    float division) looks like prose, not noise. Signals come from
+    functions/text.py so the SQL oracle hashes identically."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = add_quality_signals(t)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], 20), pc.less_equal(t["n_tokens"], 5000)
+            ),
+            pc.less(t["n_chars_calc"], pc.multiply(t["n_tokens"], 6)),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "n_chars_calc"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_calc FROM s
+WHERE n_tokens BETWEEN 20 AND 5000 AND n_chars_calc < n_tokens * 6
+"""
+
+
 def ngram_dup_pairs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs, LSH-proposed (rows-only)."""
     from datax_ray.functions.dedup import ngram_jaccard_pairs
@@ -1241,6 +1544,12 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
+    "window_user_running": window_user_running,
+    "cdc_scd2_history": cdc_scd2_history,
+    "rollup_order_stats": rollup_order_stats,
+    "doc_chunks": doc_chunks,
+    "except_unsupplied_nations": except_unsupplied_nations,
+    "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1282,5 +1591,11 @@ ORACLE_SQL = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_tumbling": TUMBLING_SQL,
     "events_hopping": HOPPING_SQL,
+    "window_user_running": WINDOW_SQL,
+    "cdc_scd2_history": SCD2_SQL,
+    "rollup_order_stats": ROLLUP_SQL,
+    "doc_chunks": CHUNKS_SQL,
+    "except_unsupplied_nations": SET_EXCEPT_SQL,
+    "quality_filter_docs": QUALITY_SQL,
     "ann_cosine_topk": ANN_SQL,
 }

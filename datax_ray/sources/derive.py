@@ -45,6 +45,45 @@ def _write_atomic(t: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def derive_changes(
+    t: pa.Table,
+    conv_prefix: str = "conv-",
+    turn_mod: int = 25,
+    corrupt_mod: int | None = None,
+) -> pa.Table:
+    """Pure derivation: events batch -> change-stream batch (CHANGES
+    schema). Shared by ChangeDeriver (which also writes segments) and by
+    pipelines that consume the derived stream in-flight (e.g. SCD2
+    history), so the DuckDB oracles stay single-sourced on this rule."""
+    eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
+    e = eid.to_numpy()
+    is_del = pa.array(e % 10 == 0)
+    is_even = pa.array(e % 2 == 0)
+    nulls = pa.nulls(t.num_rows, pa.string())
+    conv = pc.binary_join_element_wise(
+        conv_prefix, pc.cast(t["user_id"], pa.string()), ""
+    )
+    text = pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), "")
+    op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
+    role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
+    turn = e % turn_mod
+    if corrupt_mod:
+        turn = np.where(e % corrupt_mod == 3, -1, turn)
+    return pa.table(
+        {
+            "lsn": eid,
+            "ts": t["ts"],
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": pc.cast(pa.array(turn), pa.int32()),
+            "role": role,
+            "text": pc.if_else(is_del, nulls, text),
+            "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
+            "ddl": pa.nulls(t.num_rows, pa.string()),
+        }
+    )
+
+
 class ChangeDeriver:
     """map_batches stage: events batch -> derived CDC segment on disk.
 
@@ -69,33 +108,7 @@ class ChangeDeriver:
         self.corrupt_mod = corrupt_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
-        eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
-        e = eid.to_numpy()
-        is_del = pa.array(e % 10 == 0)
-        is_even = pa.array(e % 2 == 0)
-        nulls = pa.nulls(t.num_rows, pa.string())
-        conv = pc.binary_join_element_wise(
-            self.conv_prefix, pc.cast(t["user_id"], pa.string()), ""
-        )
-        text = pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), "")
-        op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
-        role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
-        turn = e % self.turn_mod
-        if self.corrupt_mod:
-            turn = np.where(e % self.corrupt_mod == 3, -1, turn)
-        return pa.table(
-            {
-                "lsn": eid,
-                "ts": t["ts"],
-                "op": op,
-                "conv_id": conv,
-                "turn_idx": pc.cast(pa.array(turn), pa.int32()),
-                "role": role,
-                "text": pc.if_else(is_del, nulls, text),
-                "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
-                "ddl": pa.nulls(t.num_rows, pa.string()),
-            }
-        )
+        return derive_changes(t, self.conv_prefix, self.turn_mod, self.corrupt_mod)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
