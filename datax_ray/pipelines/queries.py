@@ -1387,6 +1387,56 @@ def ngram_dup_pairs(sf_dir: str):
     )
 
 
+def dedup_cluster_docs(sf_dir: str):
+    """Near-dup CLUSTER assignment (rows-only: LSH-proposed pairs are
+    approximate by design): ngram-Jaccard verified pairs → distributed
+    min-label connected components → (doc_id, cluster_id). The step that
+    turns pairwise dedup into keep-one-per-cluster curation; pytest checks
+    it against a sequential union-find on the same pairs."""
+    from datax_ray.functions.dedup import ngram_jaccard_pairs
+    from datax_ray.functions.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+        est_rows=parquet_rows(os.path.join(sf_dir, "documents.parquet")),
+    )
+    out = connected_components(
+        pairs, num_buckets=_buckets_for(sf_dir, "documents")
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def pack_docs_sequences(sf_dir: str):
+    """Sequence packing (rows-only: bin assignment is order-dependent,
+    not SQL-expressible): whitespace token counts → first-fit-decreasing
+    bins of 256 tokens inside coarse hash buckets. Deterministic; pytest
+    asserts the packing invariants (every doc once, fills respect the
+    budget, waste bounded)."""
+    from datax_ray.functions.packing import pack_sequences
+    from datax_ray.functions.text import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(
+        lambda t: add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pack_sequences(
+        counted, budget=256, num_buckets=_buckets_for(sf_dir, "documents")
+    )
+
+
 # ----------------------------------------------------------- similarity --
 
 
@@ -1551,6 +1601,8 @@ QUERIES = {
     "except_unsupplied_nations": except_unsupplied_nations,
     "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
+    "dedup_cluster_docs": dedup_cluster_docs,
+    "pack_docs_sequences": pack_docs_sequences,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "minhash_dup_pairs": minhash_dup_pairs,

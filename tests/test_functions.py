@@ -367,3 +367,90 @@ def test_ngram_pairs_distributed_verify_matches_driver_verify(docs):
         if j >= threshold:
             want[(a, b)] = j
     assert got == want and len(got) > 0
+
+
+def test_connected_components_matches_union_find():
+    """Distributed min-label CC == sequential union-find on the same edges:
+    a path, a triangle merged with a star, singleton-free coverage, and a
+    long chain (exercises multi-round propagation past the fused init)."""
+    from datax_ray.functions.graph import connected_components
+
+    edges = [
+        (1, 2), (2, 3),              # path: {1,2,3}
+        (10, 11), (11, 12), (10, 12),  # triangle
+        (12, 13),                    # star arm merging into the triangle
+        (20, 21),                    # pair
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # chain, diameter 5
+    ]
+    pairs = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in edges])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, num_buckets=8).take_all()
+    }
+
+    # sequential union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_connected_components_bucket_invariance():
+    from datax_ray.functions.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 38)]
+    pairs = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in edges])
+    a = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, num_buckets=4).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, num_buckets=32).take_all()
+    )
+    assert a == b
+
+
+def test_pack_sequences_invariants(docs):
+    """Every doc packed exactly once; no bin over budget (except documented
+    singleton overflow); bin_fill consistent; deterministic across runs."""
+    from datax_ray.functions.packing import pack_sequences
+    from datax_ray.functions.text import add_token_count
+
+    counted = docs.map_batches(
+        lambda t: add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    budget = 64
+    rows = pack_sequences(counted, budget=budget, num_buckets=8).take_all()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    import collections
+
+    fill = collections.defaultdict(int)
+    members = collections.defaultdict(list)
+    for r in rows:
+        fill[r["bin_id"]] += r["n_tokens"]
+        members[r["bin_id"]].append(r)
+    for b, tot in fill.items():
+        assert all(r["bin_fill"] == tot for r in members[b])
+        if tot > budget:  # only a singleton oversized doc may overflow
+            assert len(members[b]) == 1 and members[b][0]["n_tokens"] > budget
+
+    rows2 = pack_sequences(counted, budget=budget, num_buckets=8).take_all()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in rows2) == sorted(
+        (r["doc_id"], r["bin_id"]) for r in rows
+    )
