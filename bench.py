@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "json_extract_props",
     "minhash_dup_pairs",
     "ann_cosine_topk",
+    "window_user_running",
+    "cdc_scd2_history",
+    "doc_chunks",
+    "dedup_cluster_docs",
 ]
 
 

@@ -29,6 +29,37 @@ def _bucket(vals: np.ndarray, num_buckets: int) -> np.ndarray:
     )
 
 
+# Below this many edges, iterating distributed rounds is all fixed shuffle
+# constant (two groupby executions per round at a multi-second floor each on
+# this ray version) while a single-task union-find finishes in well under a
+# second — same adaptive rule as dedup._SINGLE_REDUCE_ROWS. 5M edges of two
+# int64s is 80 MB: comfortably one worker.
+_SINGLE_TASK_EDGES = 5_000_000
+
+
+def _union_find_cc(df: pd.DataFrame) -> pd.DataFrame:
+    """Sequential union-find over one co-located edge table (the adaptive
+    small-graph path — exact, and the reference the distributed path is
+    tested against)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(df["src"].to_numpy(), df["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    labels = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes))
+    order = np.argsort(nodes)
+    return pd.DataFrame({"node": nodes[order], "label": labels[order]})
+
+
 def connected_components(
     pairs,
     a_col: str = "doc_a",
@@ -50,6 +81,17 @@ def connected_components(
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    if edges.count() <= _SINGLE_TASK_EDGES:
+        labels = edges.repartition(1).map_batches(
+            _union_find_cc, batch_format="pandas", batch_size=None
+        )
+        return labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["node"], "cluster_id": df["label"]}
+            ),
+            batch_format="pandas",
+        )
 
     # initial labels: each node labeled by the min of itself and its direct
     # neighbors (this IS round one of propagation, fused into init)

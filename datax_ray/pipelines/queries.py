@@ -224,6 +224,64 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_replay_ddl(sf_dir: str):
+    """Schema evolution through the full engine, driver-verified: every
+    event with event_id % 500 == 499 becomes an op='ddl'
+    add_column("sentiment", string) event. scan_ddl folds it into the
+    SchemaTracker at the epoch boundary, later epochs write the widened
+    schema, and the merged final lake carries the new (all-null) column —
+    which the oracle expresses by excluding ddl events from the LWW fold
+    and appending CAST(NULL AS VARCHAR) AS sentiment."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_ddl/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes", ddl_mod=500),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_DDL_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+  WHERE event_id % 500 <> 499  -- the ddl events (schema-only, no row)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(NULL AS VARCHAR) AS sentiment, ts
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
     change replay. The snapshot derives from `customer` (4 turns per
@@ -1296,49 +1354,57 @@ WHERE k.i * 384 < length(d.text)
 """
 
 
-def except_unsupplied_nations(sf_dir: str):
-    """Set difference (EXCEPT) between two datasets: nations that have
-    customers but no suppliers. Both sides union into one stream tagged
-    with side-indicator columns, then a single combiner aggregation sums
-    the indicators per key and a filter keeps left-only keys — a fully
-    distributed set op (rows shuffled = distinct keys per batch, never the
-    raw inputs; no driver keyset), the same plan EXCEPT/INTERSECT take at
-    any scale."""
-    left = _read(sf_dir, "customer", columns=["c_nationkey"])
-    right = _read(sf_dir, "supplier", columns=["s_nationkey"])
+def except_open_orderkeys(sf_dir: str):
+    """Set difference (EXCEPT) between two LARGE datasets: order keys that
+    appear in lineitem but not among finished ('F') orders. Both sides
+    union into one stream tagged with side-indicator columns, then a single
+    combiner aggregation sums the indicators per key and a filter keeps
+    left-only keys — a fully distributed set op (rows shuffled = distinct
+    keys per batch, never the raw inputs; no driver keyset), the same plan
+    EXCEPT/INTERSECT take at any scale."""
+    left = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    right = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
 
-    def tag(col: str, l: int, r: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "nationkey": pc.cast(t[col], pa.int32()),
-                    "l_n": pa.array(np.full(t.num_rows, l, dtype=np.int64)),
-                    "r_n": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
-                }
-            )
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "r_n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
 
-        fn.__name__ = f"tag_{col}"
-        return fn
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table(
+            {
+                "orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "l_n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "r_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
 
-    both = left.map_batches(tag("c_nationkey", 1, 0), batch_format="pyarrow").union(
-        right.map_batches(tag("s_nationkey", 0, 1), batch_format="pyarrow")
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
     )
     out = partial_agg(
-        both, keys=["nationkey"], sums={"l_n": "l_n", "r_n": "r_n"},
-        single_reduce=True,  # key space = 25 nations
+        both,
+        keys=["orderkey"],
+        sums={"l_n": "l_n", "r_n": "r_n"},
+        num_buckets=_buckets_for(sf_dir, "orders"),
     )
 
     def pick(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.greater(t["l_n"], 0), pc.equal(t["r_n"], 0))
-        return t.filter(keep).select(["nationkey"])
+        return t.filter(keep).select(["orderkey"])
 
     return out.map_batches(pick, batch_format="pyarrow")
 
 
 SET_EXCEPT_SQL = """
-SELECT DISTINCT c_nationkey AS nationkey FROM customer
+SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
 EXCEPT
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+SELECT DISTINCT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
@@ -1567,6 +1633,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
+    "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
@@ -1598,7 +1665,7 @@ QUERIES = {
     "cdc_scd2_history": cdc_scd2_history,
     "rollup_order_stats": rollup_order_stats,
     "doc_chunks": doc_chunks,
-    "except_unsupplied_nations": except_unsupplied_nations,
+    "except_open_orderkeys": except_open_orderkeys,
     "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
@@ -1617,6 +1684,7 @@ ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
+    "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
@@ -1647,7 +1715,7 @@ ORACLE_SQL = {
     "cdc_scd2_history": SCD2_SQL,
     "rollup_order_stats": ROLLUP_SQL,
     "doc_chunks": CHUNKS_SQL,
-    "except_unsupplied_nations": SET_EXCEPT_SQL,
+    "except_open_orderkeys": SET_EXCEPT_SQL,
     "quality_filter_docs": QUALITY_SQL,
     "ann_cosine_topk": ANN_SQL,
 }

@@ -45,16 +45,26 @@ def _write_atomic(t: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+_DDL_ADD_SENTIMENT = '{"action": "add_column", "name": "sentiment", "type": "string"}'
+
+
 def derive_changes(
     t: pa.Table,
     conv_prefix: str = "conv-",
     turn_mod: int = 25,
     corrupt_mod: int | None = None,
+    ddl_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
     pipelines that consume the derived stream in-flight (e.g. SCD2
-    history), so the DuckDB oracles stay single-sourced on this rule."""
+    history), so the DuckDB oracles stay single-sourced on this rule.
+
+    ddl_mod=N turns every event with event_id % N == N-1 into an op='ddl'
+    add_column("sentiment", string) event (idempotent in SchemaTracker) —
+    a deterministic, SQL-expressible schema-evolution rule: the oracle
+    excludes those events from the LWW fold and appends an all-null
+    sentiment column."""
     eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
     e = eid.to_numpy()
     is_del = pa.array(e % 10 == 0)
@@ -69,6 +79,16 @@ def derive_changes(
     turn = e % turn_mod
     if corrupt_mod:
         turn = np.where(e % corrupt_mod == 3, -1, turn)
+    ddl = pa.nulls(t.num_rows, pa.string())
+    if ddl_mod:
+        is_ddl = pa.array(e % ddl_mod == ddl_mod - 1)
+        op = pc.if_else(is_ddl, "ddl", op)
+        role = pc.if_else(is_ddl, nulls, role)
+        ddl = pc.if_else(
+            is_ddl,
+            pa.array(np.full(t.num_rows, _DDL_ADD_SENTIMENT, dtype=object), pa.string()),
+            ddl,
+        )
     return pa.table(
         {
             "lsn": eid,
@@ -79,7 +99,7 @@ def derive_changes(
             "role": role,
             "text": pc.if_else(is_del, nulls, text),
             "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
-            "ddl": pa.nulls(t.num_rows, pa.string()),
+            "ddl": ddl,
         }
     )
 
@@ -96,19 +116,23 @@ class ChangeDeriver:
         conv_prefix: str = "conv-",
         turn_mod: int = 25,
         corrupt_mod: int | None = None,
+        ddl_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
         SQL-expressible corruption so the dirty-record/dead-letter path
-        gets its own DuckDB oracle."""
+        gets its own DuckDB oracle. ddl_mod: see derive_changes."""
         self.__name__ = "ChangeDeriver"
         self.out_dir = out_dir
         self.conv_prefix = conv_prefix
         self.turn_mod = turn_mod
         self.corrupt_mod = corrupt_mod
+        self.ddl_mod = ddl_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
-        return derive_changes(t, self.conv_prefix, self.turn_mod, self.corrupt_mod)
+        return derive_changes(
+            t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

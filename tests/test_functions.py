@@ -388,6 +388,21 @@ def test_connected_components_matches_union_find():
         for r in connected_components(pairs, num_buckets=8).take_all()
     }
 
+    # force the distributed label-propagation path (adaptive single-task
+    # threshold bypassed) — must agree with the small-graph path
+    import datax_ray.functions.graph as graph_mod
+
+    old = graph_mod._SINGLE_TASK_EDGES
+    graph_mod._SINGLE_TASK_EDGES = 0
+    try:
+        got_dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, num_buckets=8).take_all()
+        }
+    finally:
+        graph_mod._SINGLE_TASK_EDGES = old
+    assert got_dist == got
+
     # sequential union-find reference
     parent: dict[int, int] = {}
 
