@@ -844,6 +844,32 @@ SELECT event_id, user_id FROM events WHERE (event_id * 2654435761) % 100 < 10
 """
 
 
+def sample_events_stratified(sf_dir: str):
+    """Stratified deterministic sampling: a different hash-bernoulli rate
+    per stratum (down-weight the dominant 'view'/'click' strata, keep all
+    rare 'error' rows) — the class-balance step of training-data curation.
+    Same embarrassingly-parallel shape as sample_events_hash: no per-class
+    counting pass, no RNG coordination, reproducible on any cluster."""
+    RATES = {"view": 5, "click": 10, "error": 100}  # percent kept; default 20
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy()
+        et = t["event_type"].to_pandas()
+        rate = et.map(RATES).fillna(20).to_numpy(dtype=np.int64)
+        return t.filter(pa.array((e * 2654435761) % 100 < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_STRAT_SQL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE (event_id * 2654435761) % 100 <
+      CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 10
+                      WHEN 'error' THEN 100 ELSE 20 END
+"""
+
+
 def token_count_bpe(sf_dir: str):
     """BPE-ish subword token counting via a word/number/punct regex — both
     engines run the same RE2 pattern (pyarrow count_substring_regex vs
@@ -946,6 +972,54 @@ SELECT quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.5) AS p50,
        quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.9) AS p90,
        quantile_disc(CAST(ROUND(o_totalprice) AS BIGINT), 0.99) AS p99
 FROM orders
+"""
+
+
+def grouped_median_order_price(sf_dir: str):
+    """Per-group EXACT median (cent resolution): the same histogram
+    combiner as quantile_sketch_order_price but keyed by (group, value) —
+    the shuffle moves O(groups x distinct cents), never O(rows) — then one
+    vectorized fold applies quantile_disc's index rule per group. The
+    grouped-quantile shape that a 100 TB curation pipeline uses for
+    per-source length/score cutoffs."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    hist = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority", "cents"],
+        counts="n",
+        single_reduce=True,  # histogram is bounded by the value grid
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "cents"], kind="stable")
+        prios, medians = [], []
+        for pr, g in df.groupby("o_orderpriority", sort=True):
+            cum = g["n"].cumsum().to_numpy()
+            idx = max(0, int(np.ceil(0.5 * cum[-1])) - 1)
+            medians.append(int(g["cents"].to_numpy()[np.searchsorted(cum, idx + 1)]))
+            prios.append(pr)
+        return pd.DataFrame({"o_orderpriority": prios, "p50_cents": medians})
+
+    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+GROUPED_MEDIAN_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents
+FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -1651,9 +1725,11 @@ QUERIES = {
     "sql_source_events": sql_source_events,
     "asof_join_latest_order": asof_join_latest_order,
     "sample_events_hash": sample_events_hash,
+    "sample_events_stratified": sample_events_stratified,
     "token_count_bpe": token_count_bpe,
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
+    "grouped_median_order_price": grouped_median_order_price,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -1702,9 +1778,11 @@ ORACLE_SQL = {
     "sql_source_events": SQL_SOURCE_SQL,
     "asof_join_latest_order": ASOF_JOIN_SQL,
     "sample_events_hash": SAMPLE_SQL,
+    "sample_events_stratified": SAMPLE_STRAT_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,
+    "grouped_median_order_price": GROUPED_MEDIAN_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
