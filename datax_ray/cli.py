@@ -77,6 +77,23 @@ def main(argv=None):
     e.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
     e.add_argument("--num-cpus", type=int, default=None)
 
+    tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
+    tl.add_argument("--changes", required=True)
+    tl.add_argument("--lake", required=True)
+    tl.add_argument("--partitions", type=int, default=64)
+    tl.add_argument("--segments-per-epoch", type=int, default=4)
+    tl.add_argument("--salt-turn-width", type=int, default=None)
+    tl.add_argument("--interval", type=float, default=2.0, help="poll interval seconds")
+    tl.add_argument("--max-polls", type=int, default=None)
+    tl.add_argument("--idle-exit", type=int, default=None,
+                    help="stop after this many consecutive empty polls")
+    tl.add_argument("--num-cpus", type=int, default=None)
+
+    mvp = sub.add_parser("mv", help="refresh the per-conversation stats materialized view")
+    mvp.add_argument("--lake", required=True)
+    mvp.add_argument("--mv", required=True, help="MV output directory")
+    mvp.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -134,6 +151,44 @@ def main(argv=None):
             )
         if not reports:
             print(json.dumps({"status": "up-to-date (all segments committed)"}))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "tail":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.replay import ReplayConfig, tail
+
+        def _emit(rep):
+            print(
+                json.dumps(
+                    {
+                        "epoch": rep.epoch,
+                        "segments": len(rep.segments),
+                        "events_in": rep.events_in,
+                        "rows_out": rep.rows_out,
+                        "dirty_rows": rep.dirty_rows,
+                        "wall_s": round(rep.wall_s, 3),
+                    }
+                ),
+                flush=True,
+            )
+
+        reports = tail(
+            ReplayConfig(
+                changes_dir=a.changes,
+                lake_dir=a.lake,
+                num_partitions=a.partitions,
+                segments_per_epoch=a.segments_per_epoch,
+                salt_turn_width=a.salt_turn_width,
+            ),
+            poll_interval_s=a.interval,
+            max_polls=a.max_polls,
+            idle_exit=a.idle_exit,
+            on_epoch=_emit,
+        )
+        print(json.dumps({"status": "tail-exit", "epochs": len(reports)}))
         ray.shutdown()
         return 0
 
@@ -198,6 +253,17 @@ def main(argv=None):
 
         rows = export_lake(a.lake, a.out, fmt=a.format)
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format}))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "mv":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.mv import refresh_mv
+
+        out = refresh_mv(a.lake, a.mv)
+        print(json.dumps(out))
         ray.shutdown()
         return 0
 

@@ -282,6 +282,59 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_mv_conv_stats(sf_dir: str):
+    """Incremental materialized view through the full engine: derive +
+    replay the change log, then refresh a per-conversation stats MV
+    (pipelines/mv.py — only ranges whose committed file set changed are
+    recomputed; here that is all of them on the first refresh) and return
+    the folded MV. The oracle aggregates the same LWW-final lake the
+    cdc_replay_final oracle derives."""
+    import shutil
+
+    from datax_ray.pipelines.mv import read_mv, refresh_mv
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_mv/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    refresh_mv(f"{work}/lake", f"{work}/mv")
+    return read_mv(f"{work}/mv")
+
+
+CDC_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, turn_idx, ts FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, COUNT(*) AS n_turns, MAX(ts) AS last_ts
+FROM final GROUP BY conv_id
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
     change replay. The snapshot derives from `customer` (4 turns per
@@ -614,6 +667,59 @@ def distinct_event_types(sf_dir: str):
 DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 
+def count_distinct_users_daily(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group, distributed: per-batch (day, user)
+    unique combiner, a coarse hash shuffle of the SURVIVORS (one row per
+    distinct pair per batch, never raw events), one per-bucket exact dedup
+    + count, then a tiny per-day fold. The daily-active-users shape; at
+    100 TB the shuffle payload is bounded by distinct pairs, not events."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.multiply(
+                pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+                86_400_000_000,
+            ),
+            pa.timestamp("us"),
+        )
+        both = pa.table({"day": day, "user_id": t["user_id"]})
+        df = both.to_pandas().drop_duplicates(["day", "user_id"])
+        grp = pd.util.hash_pandas_object(
+            df["user_id"], index=False
+        ).to_numpy()  # bucket by user so a pair dedups exactly once
+        df["_grp"] = (grp % num_buckets).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["day", "user_id"])
+        return df.groupby("day", as_index=False).agg(n_users=("user_id", "count"))
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", as_index=False)["n_users"].sum()
+        return out.astype({"n_users": "int64"})
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY day
+"""
+
+
 def semi_join_urgent_customers(sf_dir: str):
     """Semi join (EXISTS): customers having at least one 1-URGENT order.
     Distributed shape: both sides hash-shuffle into key buckets via
@@ -694,6 +800,43 @@ SELECT o.o_orderpriority,
        COUNT(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
+"""
+
+
+def left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER large-large join: every customer with their order count,
+    zero-order customers kept with n_orders=0. Order counts pre-shrink via
+    the combiner (one row per custkey) before the hash-partitioned outer
+    join, so the shuffle moves one row per customer per side."""
+    from datax_ray.functions.relational import large_join, partial_agg
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    counts = partial_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        keys=["o_custkey"],
+        counts="n",
+        num_buckets=_buckets_for(sf_dir, "customer"),
+    )
+    joined = large_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.fill_null(pc.cast(t["n"], pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+LEFT_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
 """
 
 
@@ -1020,6 +1163,138 @@ GROUPED_MEDIAN_SQL = """
 SELECT o_orderpriority,
        quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents
 FROM orders GROUP BY o_orderpriority
+"""
+
+
+def scrub_pii_docs(sf_dir: str):
+    """PII scrubbing (training-data hygiene): redact email-shaped and
+    long-digit-run tokens via compiled RE2 patterns — both engines run the
+    SAME regexes (pyarrow replace_substring_regex vs DuckDB
+    regexp_replace 'g'), so the redacted text hashes identically."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    DIGITS = r"[0-9]{6,}"
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t["text"], pattern=EMAIL, replacement="<EMAIL>")
+        s = pc.replace_substring_regex(s, pattern=DIGITS, replacement="<NUM>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scrubbed": s,
+                "redacted": pc.invert(pc.equal(s, t["text"])),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+       regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') <> text AS redacted
+FROM documents
+"""
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Corpus-level TF-IDF scoring, fully distributed: per-batch tokenize +
+    term-count combiners → global (doc, term) tf table → term df table →
+    hash-partitioned join (Dataset.join; at crawl scale the vocabulary is
+    too big to broadcast) → per-doc top-k inside coarse doc-hash buckets.
+    idf is integer-scaled (n_docs*1000 // df) so both engines rank and hash
+    identically — no float log in the compare path."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import large_join, partial_agg
+
+    n_docs = parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    num_buckets = _buckets_for(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[
+            ["doc_id", "term"]
+        ]
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    tf = partial_agg(
+        ds.map_batches(term_counts, batch_format="pandas"),
+        keys=["doc_id", "term"],
+        sums={"tf": "tf"},
+        num_buckets=num_buckets,
+    )
+
+    def one_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are unique per (doc, term) ⇒ df = row count per term
+        return df[["term"]].assign(df=np.int64(1))
+
+    df_tbl = partial_agg(
+        tf.map_batches(one_doc, batch_format="pandas"),
+        keys=["term"],
+        sums={"df": "df"},
+        num_buckets=num_buckets,
+    )
+
+    joined = large_join(tf, df_tbl, on="term")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf = (np.int64(n_docs) * 1000) // df["df"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "term": df["term"],
+                "score_milli": df["tf"].to_numpy(dtype=np.int64) * idf,
+            }
+        )
+        grp = pd.util.hash_pandas_object(out["doc_id"], index=False).to_numpy()
+        out["_grp"] = (grp % num_buckets).astype("int32")
+        return out
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "score_milli", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df = df.assign(rnk=df.groupby("doc_id").cumcount() + 1)
+        df = df[df["rnk"] <= k]
+        return df[["doc_id", "term", "rnk", "score_milli"]].astype(
+            {"rnk": "int64", "score_milli": "int64"}
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ((n.n * 1000) // df.df) AS score_milli
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk,
+       CAST(score_milli AS BIGINT) AS score_milli
+FROM ranked WHERE rnk <= 3
 """
 
 
@@ -1617,6 +1892,71 @@ LIMIT 10
 """
 
 
+def label_centroids(sf_dir: str):
+    """Vector AGGREGATE over an embedding column: per-label element-wise
+    centroid. Per-batch numpy partial sums (one (label, sum_vec, n) row per
+    label per batch — the combiner moves vectors, never rows), one
+    single-task fold (labels are few), long-form (label, i, c) output with
+    the round-to-6 trick so both engines hash identically despite
+    summation-order float differences."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy()
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(vecs[m].sum(axis=0))
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "sum_vec": pa.array([s.tolist() for s in out_s], pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        labs, idxs, cs = [], [], []
+        for lab, g in df.groupby("label", sort=True):
+            s = np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0)
+            c = np.round(s / g["n"].sum(), 6)
+            labs.extend([int(lab)] * len(c))
+            idxs.extend(range(1, len(c) + 1))
+            cs.extend(c.tolist())
+        return pd.DataFrame(
+            {
+                "label": np.asarray(labs, dtype=np.int64),
+                "i": np.asarray(idxs, dtype=np.int64),
+                "c": np.asarray(cs, dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+CENTROID_SQL = """
+WITH u AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+FROM u GROUP BY label, i
+"""
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate variant (rows-only: approximate by design)."""
     import pyarrow.parquet as pq
@@ -1708,6 +2048,7 @@ QUERIES = {
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_replay_ddl": cdc_replay_ddl,
+    "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
@@ -1719,14 +2060,18 @@ QUERIES = {
     "sort_topk_orders": sort_topk_orders,
     "agg_global_extremes": agg_global_extremes,
     "distinct_event_types": distinct_event_types,
+    "count_distinct_users_daily": count_distinct_users_daily,
     "semi_join_urgent_customers": semi_join_urgent_customers,
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "join_lineitem_orders_large": join_lineitem_orders_large,
+    "left_join_customer_orders": left_join_customer_orders,
     "sql_source_events": sql_source_events,
     "asof_join_latest_order": asof_join_latest_order,
     "sample_events_hash": sample_events_hash,
     "sample_events_stratified": sample_events_stratified,
     "token_count_bpe": token_count_bpe,
+    "tfidf_top_terms": tfidf_top_terms,
+    "scrub_pii_docs": scrub_pii_docs,
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
     "grouped_median_order_price": grouped_median_order_price,
@@ -1747,6 +2092,7 @@ QUERIES = {
     "dedup_cluster_docs": dedup_cluster_docs,
     "pack_docs_sequences": pack_docs_sequences,
     "ann_cosine_topk": ann_cosine_topk,
+    "label_centroids": label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_dup_pairs": simhash_dup_pairs,
@@ -1761,6 +2107,7 @@ ORACLE_SQL = {
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
+    "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
@@ -1772,14 +2119,18 @@ ORACLE_SQL = {
     "sort_topk_orders": SORT_TOPK_SQL,
     "agg_global_extremes": GLOBAL_EXTREMES_SQL,
     "distinct_event_types": DISTINCT_TYPES_SQL,
+    "count_distinct_users_daily": COUNT_DISTINCT_SQL,
     "semi_join_urgent_customers": SEMI_JOIN_SQL,
     "anti_join_quiet_customers": ANTI_JOIN_SQL,
     "join_lineitem_orders_large": JOIN_LARGE_SQL,
+    "left_join_customer_orders": LEFT_JOIN_SQL,
     "sql_source_events": SQL_SOURCE_SQL,
     "asof_join_latest_order": ASOF_JOIN_SQL,
     "sample_events_hash": SAMPLE_SQL,
     "sample_events_stratified": SAMPLE_STRAT_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "scrub_pii_docs": SCRUB_SQL,
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,
     "grouped_median_order_price": GROUPED_MEDIAN_SQL,
@@ -1796,4 +2147,5 @@ ORACLE_SQL = {
     "except_open_orderkeys": SET_EXCEPT_SQL,
     "quality_filter_docs": QUALITY_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "label_centroids": CENTROID_SQL,
 }

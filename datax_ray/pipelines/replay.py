@@ -343,3 +343,45 @@ def replay(cfg: ReplayConfig) -> list[EpochReport]:
         reports.append(run_epoch(cfg, manifest, segments, epoch_no))
         epoch_no += 1
     return reports
+
+
+def tail(
+    cfg: ReplayConfig,
+    poll_interval_s: float = 2.0,
+    max_polls: int | None = None,
+    idle_exit: int | None = None,
+    on_epoch=None,
+) -> list[EpochReport]:
+    """Continuous CDC tailing (the north rule's 'binlog/WAL tail → lake
+    upsert' loop): poll the change directory, replay any newly-landed
+    uncommitted segments as incremental epochs, sleep when idle. Each poll
+    is exactly a `replay()` call, so crash/resume semantics are identical
+    to batch replay — killing a tailer and restarting it resumes from the
+    committed manifest like any other run.
+
+    Stops after `max_polls` polls or `idle_exit` CONSECUTIVE empty polls
+    (None = run until the other bound; at least one must be set)."""
+    import time as _time
+
+    if max_polls is None and idle_exit is None:
+        raise ValueError("tail needs max_polls or idle_exit (else it never stops)")
+    all_reports: list[EpochReport] = []
+    idle = 0
+    polls = 0
+    while True:
+        reports = replay(cfg)
+        polls += 1
+        if reports:
+            idle = 0
+            all_reports.extend(reports)
+            if on_epoch:
+                for r in reports:
+                    on_epoch(r)
+        else:
+            idle += 1
+        if max_polls is not None and polls >= max_polls:
+            break
+        if idle_exit is not None and idle >= idle_exit:
+            break
+        _time.sleep(poll_interval_s)
+    return all_reports

@@ -276,3 +276,120 @@ def test_ddl_then_compaction(tmp_path):
         compact_every=2,
         with_ddl=True,
     )
+
+
+def test_incremental_mv_refresh(tmp_path):
+    """MV refresh recomputes only ranges whose committed file set changed:
+    first refresh computes all, an idempotent re-refresh skips all, a second
+    small epoch (few convs) refreshes a strict subset — and after every
+    refresh the folded MV equals the aggregate of the final lake."""
+    import collections
+
+    import pyarrow.compute as pc
+
+    from datax_ray.pipelines.mv import read_mv, refresh_mv
+
+    chg_dir = str(tmp_path / "chg_mv")
+    lake_dir = str(tmp_path / "lake_mv")
+    mv_dir = str(tmp_path / "mv")
+
+    big = gen_changes(4000, 120, seed=11)
+    write_segments(big, chg_dir, seg_rows=2000)
+    replay(ReplayConfig(changes_dir=chg_dir, lake_dir=lake_dir, num_partitions=32))
+
+    r1 = refresh_mv(lake_dir, mv_dir)
+    assert r1["refreshed"] > 0 and r1["skipped"] == 0
+
+    r2 = refresh_mv(lake_dir, mv_dir)  # nothing committed since
+    assert r2["refreshed"] == 0 and r2["skipped"] == r1["refreshed"]
+
+    def mv_equals_lake():
+        lake = final_table(lake_dir)
+        want = collections.Counter(lake["conv_id"].to_pylist())
+        got_rows = read_mv(mv_dir).take_all()
+        got = {r["conv_id"]: r["n_turns"] for r in got_rows}
+        assert got == dict(want)
+        # last_ts: max ts per conv
+        want_ts = {}
+        for conv, ts in zip(lake["conv_id"].to_pylist(), lake["ts"].to_pylist()):
+            if conv not in want_ts or ts > want_ts[conv]:
+                want_ts[conv] = ts
+        got_ts = {r["conv_id"]: r["last_ts"] for r in got_rows}
+        assert got_ts == want_ts
+
+    mv_equals_lake()
+
+    # small tail epoch touching few convs: shift lsn/ts past the first batch
+    small = gen_changes(300, 3, seed=12)
+    shift = 4000
+    small = small.set_column(
+        small.schema.get_field_index("lsn"), "lsn", pc.add(small["lsn"], shift)
+    )
+    small = small.set_column(
+        small.schema.get_field_index("ts"),
+        "ts",
+        pc.cast(
+            pc.add(pc.cast(small["ts"], pa.int64()), shift * 1_000),
+            pa.timestamp("us"),
+        ),
+    )
+    import pyarrow.parquet as pq
+    import os
+
+    pq.write_table(small, os.path.join(chg_dir, f"seg-{shift:012d}.parquet"))
+    replay(ReplayConfig(changes_dir=chg_dir, lake_dir=lake_dir, num_partitions=32))
+
+    r3 = refresh_mv(lake_dir, mv_dir)
+    assert r3["refreshed"] > 0, "tail epoch must dirty some ranges"
+    assert r3["skipped"] > 0, "tail epoch touching 3 convs must leave ranges untouched"
+    mv_equals_lake()
+
+
+def test_tail_catches_up_with_live_segments(tmp_path):
+    """Tail loop: segments landing WHILE the tailer polls are picked up as
+    incremental epochs, and the final lake equals the sequential oracle
+    over the full (initial + late) change stream."""
+    import os
+    import threading
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datax_ray.pipelines.replay import tail
+
+    chg_dir = str(tmp_path / "chg_tail")
+    lake_dir = str(tmp_path / "lake_tail")
+
+    first = gen_changes(2000, 50, seed=21)
+    write_segments(first, chg_dir, seg_rows=1000)
+
+    late = gen_changes(600, 50, seed=22)
+    shift = 2000
+    late = late.set_column(
+        late.schema.get_field_index("lsn"), "lsn", pc.add(late["lsn"], shift)
+    )
+    late = late.set_column(
+        late.schema.get_field_index("ts"),
+        "ts",
+        pc.cast(
+            pc.add(pc.cast(late["ts"], pa.int64()), shift * 1_000), pa.timestamp("us")
+        ),
+    )
+
+    def land_late():
+        pq.write_table(late, os.path.join(chg_dir, f"seg-{shift:012d}.parquet"))
+
+    t = threading.Timer(0.5, land_late)
+    t.start()
+    try:
+        reports = tail(
+            ReplayConfig(changes_dir=chg_dir, lake_dir=lake_dir, num_partitions=16),
+            poll_interval_s=0.3,
+            idle_exit=4,
+        )
+    finally:
+        t.join()
+    assert len(reports) >= 2, "initial batch and late segment must replay separately"
+
+    both = pa.concat_tables([first, late])
+    assert_tables_equal(final_table(lake_dir), sequential_replay(both))
