@@ -1757,6 +1757,88 @@ SELECT DISTINCT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def intersect_finished_orderkeys(sf_dir: str):
+    """Set INTERSECTION of two large key sets (same side-indicator-union
+    plan as except_open_orderkeys, opposite filter): order keys that appear
+    in lineitem AND belong to a finished order."""
+    left = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    right = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "r_n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table(
+            {
+                "orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "l_n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "r_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out = partial_agg(
+        both,
+        keys=["orderkey"],
+        sums={"l_n": "l_n", "r_n": "r_n"},
+        num_buckets=_buckets_for(sf_dir, "orders"),
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["l_n"], 0), pc.greater(t["r_n"], 0))
+        return t.filter(keep).select(["orderkey"])
+
+    return out.map_batches(pick, batch_format="pyarrow")
+
+
+SET_INTERSECT_SQL = """
+SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+INTERSECT
+SELECT DISTINCT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def pivot_user_event_counts(sf_dir: str):
+    """PIVOT: one wide row per user with a count column per event type —
+    indicator-sum combiners (the pivot happens inside map_batches, so the
+    shuffle moves one wide row per user per batch, never events)."""
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    return partial_agg(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        sums={f"n_{ty}": f"n_{ty}" for ty in TYPES},
+        num_buckets=_buckets_for(sf_dir, "events"),
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def quality_filter_docs(sf_dir: str):
     """Heuristic quality gate over documents (training-data curation):
     keep docs whose token count is in a sane band and whose mean token
@@ -2087,6 +2169,8 @@ QUERIES = {
     "rollup_order_stats": rollup_order_stats,
     "doc_chunks": doc_chunks,
     "except_open_orderkeys": except_open_orderkeys,
+    "intersect_finished_orderkeys": intersect_finished_orderkeys,
+    "pivot_user_event_counts": pivot_user_event_counts,
     "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
@@ -2145,6 +2229,8 @@ ORACLE_SQL = {
     "rollup_order_stats": ROLLUP_SQL,
     "doc_chunks": CHUNKS_SQL,
     "except_open_orderkeys": SET_EXCEPT_SQL,
+    "intersect_finished_orderkeys": SET_INTERSECT_SQL,
+    "pivot_user_event_counts": PIVOT_SQL,
     "quality_filter_docs": QUALITY_SQL,
     "ann_cosine_topk": ANN_SQL,
     "label_centroids": CENTROID_SQL,

@@ -469,3 +469,43 @@ def test_pack_sequences_invariants(docs):
     assert sorted((r["doc_id"], r["bin_id"]) for r in rows2) == sorted(
         (r["doc_id"], r["bin_id"]) for r in rows
     )
+
+
+def test_connected_components_property_random_graphs():
+    """Property: on arbitrary random edge lists (self-loops, duplicates,
+    multi-component) the distributed CC labels equal sequential union-find."""
+    from hypothesis import given, settings, strategies as st
+
+    from datax_ray.functions.graph import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(edges):
+        pairs = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in edges])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, num_buckets=4).take_all()
+        }
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert got == want
+
+    check()
