@@ -15,7 +15,8 @@ from datax_ray.schemas import (
     TRANSCRIPTS_SCHEMA,
 )
 from datax_ray.pipelines.bootstrap import bootstrap
-from datax_ray.pipelines.replay import ReplayConfig, compact_lake, replay
+from datax_ray.pipelines.mv import read_mv, refresh_mv
+from datax_ray.pipelines.replay import ReplayConfig, compact_lake, replay, tail
 from datax_ray.sinks.export import export_lake
 from datax_ray.sinks.lake import final_table, read_lake
 
@@ -25,8 +26,11 @@ __all__ = [
     "TRANSCRIPTS_SCHEMA",
     "ReplayConfig",
     "replay",
+    "tail",
     "bootstrap",
     "compact_lake",
+    "refresh_mv",
+    "read_mv",
     "export_lake",
     "read_lake",
     "final_table",
