@@ -94,6 +94,10 @@ def main(argv=None):
     mvp.add_argument("--mv", required=True, help="MV output directory")
     mvp.add_argument("--num-cpus", type=int, default=None)
 
+    vac = sub.add_parser("vacuum", help="drop time-travel history older than --keep-epochs")
+    vac.add_argument("--lake", required=True)
+    vac.add_argument("--keep-epochs", type=int, default=1)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -254,6 +258,13 @@ def main(argv=None):
         rows = export_lake(a.lake, a.out, fmt=a.format)
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format}))
         ray.shutdown()
+        return 0
+
+    if a.cmd == "vacuum":
+        from datax_ray.state.manifest import Manifest
+
+        out = Manifest(a.lake).vacuum(keep_epochs=a.keep_epochs)
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "mv":

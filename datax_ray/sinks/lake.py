@@ -23,21 +23,24 @@ from datax_ray.state.manifest import Manifest
 from datax_ray.state.schema_tracker import SchemaTracker
 
 
-def lake_schema(lake_dir: str) -> pa.Schema:
+def lake_schema(lake_dir: str, as_of_epoch: int | None = None) -> pa.Schema:
     m = Manifest(lake_dir)
-    return m.committed_schema() or LAKE_SCHEMA
+    return m.committed_schema(as_of_epoch) or LAKE_SCHEMA
 
 
-def _range_plan(lake_dir: str, m: Manifest) -> list[dict]:
+def _range_plan(
+    lake_dir: str, m: Manifest, as_of_epoch: int | None = None
+) -> list[dict]:
     """[{range_id, files, rows}] from the committed manifest — the unit of
     merge-read parallelism (base files of the range's partitions + its
-    pending fragments)."""
-    layout = m.committed_layout() or {}
+    pending fragments). `as_of_epoch` plans against that epoch's record
+    (time travel)."""
+    layout = m.committed_layout(as_of_epoch) or {}
     num_partitions = int(layout.get("num_partitions", 0) or 0)
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
     ppr = max(1, num_partitions // frag_ranges) if num_partitions else 1
-    partitions = m.current_partitions()
-    range_recs = m.current_ranges()
+    partitions = m.current_partitions(as_of_epoch)
+    range_recs = m.current_ranges(as_of_epoch)
     parts = []
     all_rids = set(range_recs) | {pid // ppr for pid in partitions}
     for rid in sorted(all_rids):
@@ -82,15 +85,25 @@ class LakeDatasource(ray.data.Datasource):
     bytes, input files) so Ray's planner sees size/locality per task —
     the pattern to copy for new keyed-range sources."""
 
-    def __init__(self, lake_dir: str, include_internal: bool = False):
+    def __init__(
+        self,
+        lake_dir: str,
+        include_internal: bool = False,
+        as_of_epoch: int | None = None,
+    ):
         from datax_ray.schemas import schema_to_json
 
         self._lake_dir = lake_dir
         self._include_internal = include_internal
         m = Manifest(lake_dir)
-        self._schema = m.committed_schema() or LAKE_SCHEMA
+        if as_of_epoch is not None and m.at_epoch(as_of_epoch) is None:
+            raise ValueError(
+                f"no committed manifest at or before epoch {as_of_epoch} "
+                "(never committed, or dropped by vacuum)"
+            )
+        self._schema = m.committed_schema(as_of_epoch) or LAKE_SCHEMA
         self._schema_json = schema_to_json(self._schema)
-        self._parts = _range_plan(lake_dir, m)
+        self._parts = _range_plan(lake_dir, m, as_of_epoch)
 
     def get_name(self) -> str:
         return "DataxLake"
@@ -133,11 +146,20 @@ class LakeDatasource(ray.data.Datasource):
         return tasks
 
 
-def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Dataset:
+def read_lake(
+    lake_dir: str,
+    *,
+    include_internal: bool = False,
+    as_of_epoch: int | None = None,
+) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
-    never materializes the lake on the driver."""
-    src = LakeDatasource(lake_dir, include_internal=include_internal)
+    never materializes the lake on the driver. `as_of_epoch` reads the
+    lake AS OF that committed epoch (time travel over retained manifests —
+    any epoch `vacuum` hasn't dropped)."""
+    src = LakeDatasource(
+        lake_dir, include_internal=include_internal, as_of_epoch=as_of_epoch
+    )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(
             [f for f in src._schema if f.name not in INTERNAL_COLS]
@@ -146,18 +168,18 @@ def read_lake(lake_dir: str, *, include_internal: bool = False) -> ray.data.Data
     return ray.data.read_datasource(src, override_num_blocks=len(src._parts))
 
 
-def final_table(lake_dir: str) -> pa.Table:
+def final_table(lake_dir: str, as_of_epoch: int | None = None) -> pa.Table:
     """Materialized final state sorted by (conv_id, turn_idx) — the
     verification view (BASELINE.json: per-turn text equality under stable
     turn ordering). Only for test/small-scale use: materializes."""
     batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in read_lake(lake_dir).iter_batches(
+        for b in read_lake(lake_dir, as_of_epoch=as_of_epoch).iter_batches(
             batch_format="pyarrow", batch_size=65536
         )
     ]
     schema = pa.schema(
-        [f for f in lake_schema(lake_dir) if f.name not in INTERNAL_COLS]
+        [f for f in lake_schema(lake_dir, as_of_epoch) if f.name not in INTERNAL_COLS]
     )
     if not batches:
         return schema.empty_table()

@@ -56,6 +56,20 @@ class Manifest:
         with open(files[-1][1]) as f:
             return json.load(f)
 
+    def at_epoch(self, epoch: int | None) -> dict | None:
+        """The committed record AS OF `epoch` (largest committed epoch <=
+        epoch) — the time-travel read point. Every epoch's manifest is
+        retained (until `vacuum`), and data files are content-hash/epoch
+        named and never overwritten, so any retained epoch reconstructs
+        that exact lake state. None = latest."""
+        if epoch is None:
+            return self.latest()
+        files = [(e, p) for e, p in self._epoch_files() if e <= epoch]
+        if not files:
+            return None
+        with open(files[-1][1]) as f:
+            return json.load(f)
+
     def committed_segments(self) -> set[str]:
         segs: set[str] = set()
         for _, p in self._epoch_files():
@@ -67,30 +81,30 @@ class Manifest:
         rec = self.latest()
         return rec["lsn_hi"] if rec else -1
 
-    def committed_schema(self) -> pa.Schema | None:
-        rec = self.latest()
+    def committed_schema(self, epoch: int | None = None) -> pa.Schema | None:
+        rec = self.at_epoch(epoch)
         return schema_from_json(rec["schema"]) if rec else None
 
-    def current_partitions(self) -> dict[int, dict]:
+    def current_partitions(self, epoch: int | None = None) -> dict[int, dict]:
         """part_id -> {"base": relpath|None, "rows": n, "lsn_hi": int}.
         `rows` counts stored rows (incl. tombstones) — informational."""
-        rec = self.latest()
+        rec = self.at_epoch(epoch)
         if not rec:
             return {}
         return {int(k): v for k, v in rec.get("partitions", {}).items()}
 
-    def current_ranges(self) -> dict[int, dict]:
+    def current_ranges(self, epoch: int | None = None) -> dict[int, dict]:
         """range_id -> {"frags": [relpath], "rows": n, "lsn_hi": int,
         "epochs": [int]} — fragment files accumulated since the range's
         last compaction, and which epochs contributed."""
-        rec = self.latest()
+        rec = self.at_epoch(epoch)
         if not rec:
             return {}
         return {int(k): v for k, v in rec.get("ranges", {}).items()}
 
-    def committed_layout(self) -> dict | None:
+    def committed_layout(self, epoch: int | None = None) -> dict | None:
         """{"num_partitions": P, "frag_ranges": R} — frozen at epoch 0."""
-        rec = self.latest()
+        rec = self.at_epoch(epoch)
         return rec.get("layout") if rec else None
 
     def current_files(self) -> list[str]:
@@ -102,6 +116,42 @@ class Manifest:
         for v in self.current_ranges().values():
             out.extend(os.path.join(self.lake_dir, f) for f in v.get("frags", []))
         return out
+
+    # -- retention ---------------------------------------------------------
+
+    def vacuum(self, keep_epochs: int = 1) -> dict:
+        """Drop time-travel history: retain the newest `keep_epochs`
+        manifest records and delete (a) older manifest files and (b) any
+        data file under p=*/r=* not referenced by a retained record.
+        Offline operation — do not run concurrently with replay/compact
+        (they only ADD files, but a reader pinned to a dropped epoch would
+        lose its files). Dead-letter files are never touched."""
+        files = self._epoch_files()
+        keep = files[-keep_epochs:] if keep_epochs > 0 else files
+        drop = files[: len(files) - len(keep)]
+        referenced: set[str] = set()
+        for _, p in keep:
+            with open(p) as f:
+                rec = json.load(f)
+            for v in rec.get("partitions", {}).values():
+                if v.get("base"):
+                    referenced.add(v["base"])
+            for v in rec.get("ranges", {}).values():
+                referenced.update(v.get("frags", []))
+        removed = 0
+        for pattern in ("p=*", "r=*"):
+            for path in glob.glob(os.path.join(self.lake_dir, pattern, "*.parquet")):
+                rel = os.path.relpath(path, self.lake_dir)
+                if rel not in referenced:
+                    os.remove(path)
+                    removed += 1
+        for _, p in drop:
+            os.remove(p)
+        return {
+            "manifests_removed": len(drop),
+            "files_removed": removed,
+            "epochs_kept": [e for e, _ in keep],
+        }
 
     # -- write side --------------------------------------------------------
 

@@ -227,3 +227,52 @@ def test_sigkill_mid_replay_then_resume(tmp_path):
                                   num_partitions=8, segments_per_epoch=1))
     assert reports and reports[0].epoch == killed_at + 1
     assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
+def test_time_travel_and_vacuum(tmp_path):
+    """AS-OF reads reconstruct every committed epoch's exact state from
+    retained manifests; vacuum drops history (old manifests + unreferenced
+    files) without disturbing the latest state."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.state.manifest import Manifest
+
+    chg_dir = str(tmp_path / "chg_tt")
+    lake_dir = str(tmp_path / "lake_tt")
+    changes = gen_changes(3000, 80, seed=31, out_of_order_frac=0.1, dup_frac=0.02)
+    write_segments(changes, chg_dir, seg_rows=1000)
+    replay(
+        ReplayConfig(
+            changes_dir=chg_dir, lake_dir=lake_dir, num_partitions=16,
+            segments_per_epoch=1,
+        )
+    )
+    segs = sorted(glob.glob(os.path.join(chg_dir, "*.parquet")))
+    n_epochs = Manifest(lake_dir).committed_epoch() + 1
+    assert n_epochs == len(segs) >= 3
+
+    from tests.test_replay_e2e import assert_tables_equal
+
+    for k in range(n_epochs):
+        prefix = pa.concat_tables([pq.read_table(s) for s in segs[: k + 1]])
+        assert_tables_equal(
+            final_table(lake_dir, as_of_epoch=k), sequential_replay(prefix)
+        )
+
+    # vacuum to latest only: old manifests + now-unreferenced files go away
+    out = Manifest(lake_dir).vacuum(keep_epochs=1)
+    assert out["manifests_removed"] == n_epochs - 1
+    assert out["epochs_kept"] == [n_epochs - 1]
+    # latest state is untouched
+    assert_tables_equal(final_table(lake_dir), sequential_replay(changes))
+    # dropped history is an explicit error, not a silent empty read
+    with _pytest.raises(ValueError, match="vacuum"):
+        final_table(lake_dir, as_of_epoch=0)
