@@ -75,6 +75,8 @@ def main(argv=None):
     e.add_argument("--lake", required=True)
     e.add_argument("--out", required=True)
     e.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    e.add_argument("--as-of-epoch", type=int, default=None,
+                   help="export the lake AS OF this committed epoch (time travel)")
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
@@ -255,7 +257,7 @@ def main(argv=None):
 
         from datax_ray.sinks.export import export_lake
 
-        rows = export_lake(a.lake, a.out, fmt=a.format)
+        rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch)
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format}))
         ray.shutdown()
         return 0

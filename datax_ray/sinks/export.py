@@ -19,8 +19,14 @@ from datax_ray.sinks.lake import read_lake
 FORMATS = ("parquet", "csv", "jsonl")
 
 
-def export_lake(lake_dir: str, out_dir: str, fmt: str = "parquet") -> int:
+def export_lake(
+    lake_dir: str,
+    out_dir: str,
+    fmt: str = "parquet",
+    as_of_epoch: int | None = None,
+) -> int:
     """Write the lake's live rows to `out_dir` in `fmt`; returns row count.
+    `as_of_epoch` exports a past committed state (time travel).
 
     Files are written with a per-batch writer (content-hash filenames, one
     file per range task). Re-running is a TRUE full overwrite: `out_dir` is
@@ -28,7 +34,7 @@ def export_lake(lake_dir: str, out_dir: str, fmt: str = "parquet") -> int:
     export of a since-changed lake alongside the new ones."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
-    ds = read_lake(lake_dir)
+    ds = read_lake(lake_dir, as_of_epoch=as_of_epoch)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
