@@ -1648,11 +1648,15 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
-def doc_chunks(sf_dir: str, size: int = 512, stride: int = 384):
+def doc_chunks(sf_dir: str, size: int = 512, stride: int = 384,
+               max_chunks: int = 100_000):
     """Fixed-size overlapping document chunking (the LLM-training prep
     step): 512-char windows every 384 chars. Vectorized by looping over
     chunk SLOTS (a handful) with a whole-column utf8 slice per slot — never
-    over rows; a batch's slot count adapts to its own longest doc."""
+    over rows; a batch's slot count adapts to its own longest doc.
+    `max_chunks` caps the slot loop (38M chars/doc at the default stride) so
+    one pathological giant document cannot degenerate the loop into
+    millions of single-row column ops — clip such docs upstream."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
@@ -1665,7 +1669,7 @@ def doc_chunks(sf_dir: str, size: int = 512, stride: int = 384):
         max_len = pc.max(lens).as_py() or 0
         parts = []
         k = 0
-        while k * stride < max_len:
+        while k * stride < max_len and k < max_chunks:
             start = k * stride
             mask = pc.greater(lens, start)
             sub = t.filter(mask)
@@ -1912,6 +1916,24 @@ def dedup_cluster_docs(sf_dir: str):
         )
 
     return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def dedup_fuzzy_survivors(sf_dir: str):
+    """End-to-end fuzzy-dedup curation (rows-only: LSH-proposed): keep ONE
+    doc per near-dup cluster (the cluster's min doc_id) plus every
+    unclustered doc — i.e. the corpus a training run would actually consume.
+    Cluster losers anti-join away via the distributed semi_join path."""
+    from datax_ray.functions.relational import semi_join
+
+    clusters = dedup_cluster_docs(sf_dir)
+    losers = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return semi_join(docs, losers, on="doc_id", anti=True)
 
 
 def pack_docs_sequences(sf_dir: str):
@@ -2174,6 +2196,7 @@ QUERIES = {
     "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
+    "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "pack_docs_sequences": pack_docs_sequences,
     "ann_cosine_topk": ann_cosine_topk,
     "label_centroids": label_centroids,
