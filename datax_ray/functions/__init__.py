@@ -24,6 +24,7 @@ from datax_ray.functions.relational import (
     top_k,
 )
 from datax_ray.functions.similarity import knn_brute, knn_ivf
+from datax_ray.functions.sketch import hll_count_distinct
 from datax_ray.functions.text import (
     LangId,
     add_fingerprint,
@@ -56,6 +57,7 @@ __all__ = [
     "top_k",
     "knn_brute",
     "knn_ivf",
+    "hll_count_distinct",
     "LangId",
     "add_fingerprint",
     "add_quality_signals",

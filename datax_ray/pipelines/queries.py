@@ -2145,6 +2145,175 @@ def multimodal_frame_sample(sf_dir: str):
     )
 
 
+def user_event_path(sf_dir: str):
+    """Ordered per-key string aggregation (SQL string_agg ... ORDER BY):
+    each user's event-type sequence joined in (ts, event_id) order — the
+    transcript-assembly shape an LLM-data pipeline uses to fold turn rows
+    back into one training document per conversation. Coarse user-hash
+    buckets co-locate a key's rows (scale rule: functions/_buckets.py);
+    within a bucket one sort + groupby-join pass builds every path (the
+    join per group is a C-level str.join over an already-sorted slice)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        grp = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        return df.assign(_grp=(grp % num_buckets).astype("int32"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False).agg(
+            path=("event_type", ">".join), n_events=("event_type", "size")
+        )
+        return g.reset_index().astype({"n_events": "int64"})
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+EVENT_PATH_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def orders_monthly_revenue(sf_dir: str):
+    """Temporal rollup: revenue + order count per calendar month. The
+    date_trunc happens inside map_batches (Arrow year/month kernels → one
+    int64 yyyymm key) and the month key-space is tiny, so the combiner
+    partials fold in a single reduce task — no shuffle execution at all."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        yyyymm = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 100),
+            pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+        )
+        return pa.table(
+            {"yyyymm": yyyymm, "revenue_cents": _cents(t["o_totalprice"])}
+        )
+
+    return partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["yyyymm"],
+        sums={"revenue_cents": "revenue_cents"},
+        counts="n_orders",
+        single_reduce=True,  # key space = months, a few dozen rows
+    )
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY yyyymm
+"""
+
+
+def top_terms_global(sf_dir: str, k: int = 20):
+    """Exact global heavy hitters: the k most frequent tokens across the
+    corpus. Per-batch tokenize + count combiners (one row per distinct term
+    per batch), a coarse term-hash shuffle of the partials, then the
+    distributed top-k tree (per-bucket partial top-k → one tiny final sort
+    over k·buckets rows). The vocabulary never broadcasts and no stage sees
+    O(corpus) rows after the first combiner."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import top_k
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[["term"]]
+        g = ex.groupby("term", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = partial_agg(
+        ds.map_batches(term_counts, batch_format="pandas"),
+        keys=["term"],
+        sums={"cnt": "cnt"},
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    def cast_out(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["term", "cnt"]].astype({"cnt": "int64"})
+
+    return top_k(counts, by="cnt", k=k, tie_col="term").map_batches(
+        cast_out, batch_format="pandas"
+    )
+
+
+TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counted AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+)
+SELECT term, cnt FROM counted ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+def union_distinct_orderkeys(sf_dir: str):
+    """Set UNION (distinct) of two large key sets — completes the set-op
+    family next to EXCEPT/INTERSECT: order keys appearing in lineitem OR
+    orders. Both sides project to the key, pre-unique per batch (combiner),
+    and one coarse-bucket aggregation dedups the survivors — shuffled rows
+    are bounded by distinct keys per batch, never raw inputs."""
+    left = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    right = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def uniq_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"orderkey": pc.unique(pc.cast(t["l_orderkey"], pa.int64()))}
+        )
+
+    def uniq_r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"orderkey": pc.unique(pc.cast(t["o_orderkey"], pa.int64()))}
+        )
+
+    both = left.map_batches(uniq_l, batch_format="pyarrow").union(
+        right.map_batches(uniq_r, batch_format="pyarrow")
+    )
+    out = partial_agg(
+        both,
+        keys=["orderkey"],
+        counts="n",
+        num_buckets=_buckets_for(sf_dir, "orders"),
+    )
+    return out.map_batches(
+        lambda t: t.select(["orderkey"]), batch_format="pyarrow"
+    )
+
+
+SET_UNION_SQL = """
+SELECT l_orderkey AS orderkey FROM lineitem
+UNION
+SELECT o_orderkey AS orderkey FROM orders
+"""
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) over events
+    (functions/sketch.py): per-batch 2^12-register combiners, max-merged in
+    one reduce — the shuffle is bounded by the register count at ANY input
+    size, the sketch a 100 TB pipeline reaches for when the exact
+    distinct-pair path (count_distinct_users_daily) would shuffle O(keys).
+    Approximate by design (~1.6% standard error at p=12) → rows-only check;
+    the error floor vs exact is pytest-verified (tests/test_functions.py)."""
+    from datax_ray.functions.sketch import hll_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_count_distinct(ds, "user_id", p=12)
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -2207,6 +2376,11 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize_pipeline": multimodal_resize_pipeline,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "user_event_path": user_event_path,
+    "orders_monthly_revenue": orders_monthly_revenue,
+    "top_terms_global": top_terms_global,
+    "union_distinct_orderkeys": union_distinct_orderkeys,
+    "approx_distinct_users": approx_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -2257,4 +2431,8 @@ ORACLE_SQL = {
     "quality_filter_docs": QUALITY_SQL,
     "ann_cosine_topk": ANN_SQL,
     "label_centroids": CENTROID_SQL,
+    "user_event_path": EVENT_PATH_SQL,
+    "orders_monthly_revenue": MONTHLY_REVENUE_SQL,
+    "top_terms_global": TOP_TERMS_SQL,
+    "union_distinct_orderkeys": SET_UNION_SQL,
 }

@@ -509,3 +509,33 @@ def test_connected_components_property_random_graphs():
         assert got == want
 
     check()
+
+
+def test_hll_error_bound_vs_exact():
+    """HLL estimate within 5% of the exact distinct count (p=12 standard
+    error is ~1.6%; 5% is >3 sigma) across two cardinality regimes, incl.
+    one small enough to take the linear-counting correction path."""
+    from datax_ray.functions.sketch import hll_count_distinct
+
+    rng = np.random.default_rng(11)
+    for n_distinct in (300, 20_000):
+        vals = rng.choice(
+            np.arange(n_distinct, dtype=np.int64), size=3 * n_distinct
+        )
+        exact = len(np.unique(vals))  # draws may miss some keys
+        ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(8)
+        est = hll_count_distinct(ds, "k", p=12)["approx_distinct"][0].as_py()
+        assert abs(est - exact) / exact < 0.05, (exact, est)
+
+
+def test_hll_merge_decomposable():
+    """Register merge is order/partition independent: 1 block vs 16 blocks
+    of the same values give the identical estimate."""
+    from datax_ray.functions.sketch import hll_count_distinct
+
+    vals = (np.arange(5000, dtype=np.int64) * 7919) % 4001
+    one = ray.data.from_arrow(pa.table({"k": vals})).repartition(1)
+    many = ray.data.from_arrow(pa.table({"k": vals})).repartition(16)
+    e1 = hll_count_distinct(one, "k")["approx_distinct"][0].as_py()
+    e16 = hll_count_distinct(many, "k")["approx_distinct"][0].as_py()
+    assert e1 == e16
