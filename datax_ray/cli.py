@@ -100,6 +100,10 @@ def main(argv=None):
     vac.add_argument("--lake", required=True)
     vac.add_argument("--keep-epochs", type=int, default=1)
 
+    jb = sub.add_parser("job", help="run a DataX-style JSON job config (reader → transformers → writer)")
+    jb.add_argument("config", help="path to the job JSON file")
+    jb.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -276,6 +280,17 @@ def main(argv=None):
         from datax_ray.pipelines.mv import refresh_mv
 
         out = refresh_mv(a.lake, a.mv)
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "job":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.job import run_job
+
+        out = run_job(a.config)
         print(json.dumps(out))
         ray.shutdown()
         return 0

@@ -1,0 +1,207 @@
+"""DataX-style JSON job runner tests (pipelines/job.py): reader →
+transformer → writer configs over the driver testdata, dirty-record
+errorLimit, writeModes, streamreader determinism, sqlite round trip."""
+
+import glob
+import json
+import os
+import sqlite3
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from datax_ray.pipelines.job import DirtyLimitExceeded, run_job
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cfg(reader, writer, transformers=None, setting=None):
+    content = {"reader": reader, "writer": writer}
+    if transformers:
+        content["transformer"] = transformers
+    job = {"content": [content]}
+    if setting:
+        job["setting"] = setting
+    return {"job": job}
+
+
+def test_parquet_to_parquet_with_transformers(tmp_path):
+    out = str(tmp_path / "out")
+    cfg = _cfg(
+        {
+            "name": "parquetreader",
+            "parameter": {
+                "path": f"{SF}/documents.parquet",
+                "column": ["doc_id", "text", "lang"],
+            },
+        },
+        {"name": "parquetwriter", "parameter": {"path": out}},
+        transformers=[
+            {"name": "dx_filter", "parameter": {"column": "lang", "op": "=", "value": "en"}},
+            {
+                "name": "dx_substr",
+                "parameter": {"column": "text", "startIndex": 0, "length": 10},
+            },
+        ],
+    )
+    summary = run_job(cfg)
+    got = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    want = duckdb.sql(
+        f"""SELECT doc_id, substr(text, 1, 10) AS text, lang
+            FROM read_parquet('{SF}/documents.parquet') WHERE lang = 'en'"""
+    ).df()
+    assert summary["records"] == len(want) == len(got)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_job_config_from_file_and_csv_writer(tmp_path):
+    out = str(tmp_path / "csvout")
+    cfg = _cfg(
+        {"name": "parquetreader", "parameter": {"path": f"{SF}/region.parquet"}},
+        {"name": "csvwriter", "parameter": {"path": out}},
+    )
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(cfg))
+    summary = run_job(str(cfg_path))
+    rows = sum(
+        len(pd.read_csv(p)) for p in glob.glob(f"{out}/part-*.csv")
+    )
+    assert rows == summary["records"] == 5  # TPC-H regions
+
+
+def test_write_modes(tmp_path):
+    out = str(tmp_path / "modes")
+    base = _cfg(
+        {"name": "parquetreader", "parameter": {"path": f"{SF}/region.parquet"}},
+        {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "truncate"}},
+    )
+    run_job(base)
+    n1 = len(glob.glob(f"{out}/part-*.parquet"))
+    run_job(base)  # truncate: identical file count after re-run
+    assert len(glob.glob(f"{out}/part-*.parquet")) == n1
+    base["job"]["content"][0]["writer"]["parameter"]["writeMode"] = "nonConflict"
+    with pytest.raises(FileExistsError):
+        run_job(base)
+
+
+def test_streamreader_deterministic_and_speed_cap(tmp_path):
+    out = str(tmp_path / "stream")
+    cfg = _cfg(
+        {
+            "name": "streamreader",
+            "parameter": {
+                "count": 5000,
+                "seed": 3,
+                "column": [
+                    {"name": "k", "type": "long", "random": [0, 100]},
+                    {"name": "v", "type": "double", "value": 1.5},
+                    {"name": "tag", "type": "string", "value": "fixed"},
+                ],
+            },
+        },
+        {"name": "parquetwriter", "parameter": {"path": out}},
+        setting={"speed": {"record": 1_000_000}},
+    )
+    s1 = run_job(cfg)
+    t1 = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    s2 = run_job(cfg)
+    t2 = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    assert s1["records"] == s2["records"] == 5000
+    k1 = t1.sort_values(["k", "v"]).reset_index(drop=True)
+    k2 = t2.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(k1, k2)
+    assert t1["tag"].eq("fixed").all()
+    assert t1["k"].between(0, 99).all()
+
+
+def test_dirty_cast_routing_and_error_limit(tmp_path):
+    src = tmp_path / "src.csv"
+    n_bad = 7
+    rows = ["id,num"] + [f"{i},{i * 2}" for i in range(93)] + [
+        f"{90 + i},not-a-number" for i in range(n_bad)
+    ]
+    src.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "out")
+
+    cfg = _cfg(
+        {
+            "name": "csvreader",
+            "parameter": {"path": str(src), "casts": {"num": "long"}},
+        },
+        {"name": "parquetwriter", "parameter": {"path": out}},
+        setting={"errorLimit": {"record": 100}},
+    )
+    summary = run_job(cfg, job_dir=str(tmp_path / "job"))
+    assert summary["records"] == 93
+    assert summary["dirty_records"] == n_bad
+    dl = glob.glob(f"{tmp_path}/job/deadletter/dl-*.csv")
+    assert dl
+    spilled = pd.concat([pd.read_csv(p) for p in dl])
+    assert set(spilled["reason"]) == {"cast_failed:num:long"}
+
+    cfg["job"]["setting"] = {"errorLimit": {"record": 2}}
+    with pytest.raises(DirtyLimitExceeded):
+        run_job(cfg, job_dir=str(tmp_path / "job2"))
+
+    cfg["job"]["setting"] = {"errorLimit": {"percentage": 0.01}}
+    with pytest.raises(DirtyLimitExceeded):
+        run_job(cfg, job_dir=str(tmp_path / "job3"))
+
+
+def test_sqlite_roundtrip_with_pre_post_sql(tmp_path):
+    db = str(tmp_path / "x.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, name TEXT)")
+    con.executemany(
+        "INSERT INTO src VALUES (?, ?)", [(i, f"n{i}") for i in range(200)]
+    )
+    con.commit()
+    con.close()
+
+    cfg = _cfg(
+        {
+            "name": "sqlitereader",
+            "parameter": {
+                "db": db,
+                "table": "src",
+                "column": ["id", "name"],
+                "splitPk": "id",
+                "numSplits": 4,
+                "where": "id < 150",
+            },
+        },
+        {
+            "name": "sqlitewriter",
+            "parameter": {
+                "db": db,
+                "table": "dst",
+                "column": ["id", "name"],
+                "writeMode": "replace",
+                "preSql": [
+                    "CREATE TABLE IF NOT EXISTS dst (id INTEGER PRIMARY KEY, name TEXT)",
+                    "DELETE FROM dst",
+                ],
+                "postSql": ["CREATE INDEX IF NOT EXISTS dst_name ON dst(name)"],
+            },
+        },
+    )
+    summary = run_job(cfg, job_dir=str(tmp_path / "job"))
+    assert summary["records"] == 150
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM dst").fetchone()[0] == 150
+    assert con.execute(
+        "SELECT name FROM sqlite_master WHERE name='dst_name'"
+    ).fetchone()
+    con.close()
+
+
+def test_streamwriter_counts(tmp_path):
+    cfg = _cfg(
+        {"name": "parquetreader", "parameter": {"path": f"{SF}/nation.parquet"}},
+        {"name": "streamwriter"},
+    )
+    assert run_job(cfg, job_dir=str(tmp_path))["records"] == 25
