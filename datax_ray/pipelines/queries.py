@@ -2314,6 +2314,229 @@ def approx_distinct_users(sf_dir: str):
     return hll_count_distinct(ds, "user_id", p=12)
 
 
+def top_bigrams_global(sf_dir: str, k: int = 20):
+    """Exact global top-k BIGRAMS — the n-gram statistics pass of an LM
+    data pipeline. Per-batch: explode tokens with positions, build each
+    doc's adjacent pairs via a vectorized within-doc shift (groupby.shift,
+    no Python loop over docs), count partials; then the same combiner
+    shuffle + top-k tree as top_terms_global."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[
+            ["doc_id", "term"]
+        ]
+        nxt = ex.groupby("doc_id", sort=False)["term"].shift(-1)
+        big = (ex["term"] + " " + nxt).dropna()
+        g = big.to_frame("bigram").groupby("bigram", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = partial_agg(
+        ds.map_batches(bigram_counts, batch_format="pandas"),
+        keys=["bigram"],
+        sums={"cnt": "cnt"},
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    def cast_out(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["bigram", "cnt"]].astype({"cnt": "int64"})
+
+    return top_k(counts, by="cnt", k=k, tie_col="bigram").map_batches(
+        cast_out, batch_format="pandas"
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+         AS bigram
+  FROM tok
+), counted AS (
+  SELECT bigram, COUNT(*) AS cnt FROM pairs WHERE bigram IS NOT NULL
+  GROUP BY bigram
+)
+SELECT bigram, cnt FROM counted ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+def docs_length_histogram(sf_dir: str):
+    """Fixed-bin histogram of document lengths (100-char bins) — the
+    length-distribution profile every curation run starts with. Binning is
+    one Arrow kernel in map_batches; the bin key-space is tiny, so the
+    combiner partials fold in a single reduce."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin_lo": pc.multiply(
+                    pc.cast(
+                        pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), 100.0)),
+                        pa.int64(),
+                    ),
+                    100,
+                )
+            }
+        )
+
+    return partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bin_lo"],
+        counts="n_docs",
+        single_reduce=True,  # bins, not rows
+    )
+
+
+LENGTH_HIST_SQL = """
+SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY bin_lo
+"""
+
+
+def star_join_order_region(sf_dir: str):
+    """Star-schema enrichment: revenue per region name via THREE chained
+    broadcast joins (orders → customer → nation → region). The dimension
+    tables ship once per node via ray.put (never per batch); the fact
+    stream stays Arrow end to end and only the joined key columns survive
+    to the final combiner aggregation — the canonical 'broadcast the small
+    sides' plan for a fact table too big to shuffle."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).rename_columns(["o_custkey", "c_nationkey"])  # align join-key names
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = broadcast_join(ds, cust, on="o_custkey")
+
+    def rekey1(t: pa.Table) -> pa.Table:
+        return pa.table({"n_nationkey": t["c_nationkey"], "cents": t["cents"]})
+
+    ds = broadcast_join(
+        ds.map_batches(rekey1, batch_format="pyarrow"), nation, on="n_nationkey"
+    )
+
+    def rekey2(t: pa.Table) -> pa.Table:
+        return pa.table({"r_regionkey": t["n_regionkey"], "cents": t["cents"]})
+
+    ds = broadcast_join(
+        ds.map_batches(rekey2, batch_format="pyarrow"), region, on="r_regionkey"
+    )
+
+    return partial_agg(
+        ds,
+        keys=["r_name"],
+        sums={"cents": "revenue_cents"},
+        counts="n_orders",
+        single_reduce=True,  # 5 regions
+    )
+
+
+STAR_JOIN_SQL = """
+SELECT r_name,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape: orders priced above their OWN customer's
+    average. Two passes over orders, no driver state: (1) per-customer
+    (sum, count) combiners; (2) hash-partitioned join back to the fact
+    stream and an INTEGER cross-multiplication filter
+    (cents·n > sum_cents ⟺ price > avg, exact — no float division on
+    either engine)."""
+    from datax_ray.functions.relational import large_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    fact = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    stats = partial_agg(
+        fact,
+        keys=["o_custkey"],
+        sums={"cents": "sum_cents"},
+        counts="n_orders",
+        num_buckets=_buckets_for(sf_dir, "orders"),
+    )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": t["o_custkey"],
+                "sum_cents": t["sum_cents"],
+                "n": t["n_orders"],
+            }
+        )
+
+    joined = large_join(
+        fact, stats.map_batches(rekey, batch_format="pyarrow"),
+        on="o_custkey", right_on="cust",
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t["cents"], pc.cast(t["n"], pa.int64())),
+            t["sum_cents"],
+        )
+        out = t.filter(keep)
+        return pa.table(
+            {"o_orderkey": out["o_orderkey"], "price_cents": out["cents"]}
+        )
+
+    return joined.map_batches(pick, batch_format="pyarrow")
+
+
+ABOVE_AVG_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN s USING (o_custkey)
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * n > sum_cents
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -2381,6 +2604,10 @@ QUERIES = {
     "top_terms_global": top_terms_global,
     "union_distinct_orderkeys": union_distinct_orderkeys,
     "approx_distinct_users": approx_distinct_users,
+    "top_bigrams_global": top_bigrams_global,
+    "docs_length_histogram": docs_length_histogram,
+    "star_join_order_region": star_join_order_region,
+    "orders_above_customer_avg": orders_above_customer_avg,
 }
 
 ORACLE_SQL = {
@@ -2435,4 +2662,8 @@ ORACLE_SQL = {
     "orders_monthly_revenue": MONTHLY_REVENUE_SQL,
     "top_terms_global": TOP_TERMS_SQL,
     "union_distinct_orderkeys": SET_UNION_SQL,
+    "top_bigrams_global": TOP_BIGRAMS_SQL,
+    "docs_length_histogram": LENGTH_HIST_SQL,
+    "star_join_order_region": STAR_JOIN_SQL,
+    "orders_above_customer_avg": ABOVE_AVG_SQL,
 }
