@@ -2537,6 +2537,168 @@ WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * n > sum_cents
 """
 
 
+def events_funnel_users(sf_dir: str):
+    """First-touch funnel: users whose FIRST view precedes their first
+    click, which precedes their first purchase. One pass of per-(user,
+    step) min-ts combiners (shuffle = O(users × steps), never events),
+    then a vectorized per-user ordering check inside the same reduce
+    buckets — the conversion-funnel shape of product analytics."""
+    import pandas as pd
+
+    STEPS = ["view", "click", "purchase"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(STEPS)))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "neg_us": pc.negate_checked(pc.cast(t["ts"], pa.int64())),
+            }
+        )
+
+    mins = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "event_type"],
+        maxs={"neg_us": "neg_us"},  # max(-ts) = min(ts), exact in int64 us
+        num_buckets=_buckets_for(sf_dir, "events"),
+    )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(
+            index="user_id", columns="event_type", values="neg_us", aggfunc="max"
+        )
+        for s in STEPS:
+            if s not in wide.columns:
+                wide[s] = np.nan
+        first = -wide[STEPS]  # back to min-ts microseconds
+        ok = (
+            first["view"].notna()
+            & first["click"].notna()
+            & first["purchase"].notna()
+            & (first["view"] < first["click"])
+            & (first["click"] < first["purchase"])
+        )
+        out = first[ok].reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "first_view_us": out["view"].astype("int64"),
+                "first_purchase_us": out["purchase"].astype("int64"),
+            }
+        )
+
+    # mins is already bucketed by (user, step) hash; re-bucket by user so
+    # one task sees all of a user's step rows (input already combiner-shrunk
+    # to O(users × steps); bucket count still scales with input size).
+    n_user_buckets = _buckets_for(sf_dir, "events")
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        grp = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        return df.assign(_ugrp=(grp % n_user_buckets).astype("int32"))
+
+    return (
+        mins.map_batches(rebucket, batch_format="pandas")
+        .groupby("_ugrp")
+        .map_groups(check, batch_format="pandas")
+    )
+
+
+FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT user_id, v AS first_view_us, p AS first_purchase_us
+FROM firsts
+WHERE v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL AND v < c AND c < p
+"""
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by FIRST active day, counted
+    per day-offset of later activity. Distributed plan: distinct
+    (user, day) pair combiners → per-user min-day (second combiner) →
+    hash-partitioned join of the pair stream back to its user's cohort →
+    (cohort_day, offset) count combiners. Every shuffle is bounded by
+    distinct pairs/users — the raw event stream never moves."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import large_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000), pa.int64()
+        )
+        df = pa.table({"user_id": t["user_id"], "day": day}).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["user_id", "day"]), preserve_index=False
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # Dedup the pairs exactly (a pair may appear in many batches), keyed by
+    # user so the min-day fold below can reuse the same bucketing.
+    uniq_pairs = partial_agg(
+        pair_ds, keys=["user_id", "day"], counts="_n", num_buckets=num_buckets
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "neg_day": pc.negate_checked(t["day"])}
+        )
+
+    cohort = partial_agg(
+        uniq_pairs.map_batches(neg, batch_format="pyarrow"),
+        keys=["user_id"],
+        maxs={"neg_day": "neg_day"},
+        num_buckets=num_buckets,
+    )
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"uid": t["user_id"], "cohort_day": pc.negate_checked(t["neg_day"])}
+        )
+
+    joined = large_join(
+        uniq_pairs,
+        cohort.map_batches(to_cohort, batch_format="pyarrow"),
+        on="user_id",
+        right_on="uid",
+    )
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        off = (df["day"] - df["cohort_day"]).astype("int64")
+        return pd.DataFrame({"cohort_day": df["cohort_day"], "day_offset": off})
+
+    return partial_agg(
+        joined.map_batches(offsets, batch_format="pandas"),
+        keys=["cohort_day", "day_offset"],
+        counts="n_users",
+        single_reduce=True,  # cohorts × offsets is a small grid
+    )
+
+
+RETENTION_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM pairs GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+       CAST(p.day - c.cohort_day AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM pairs p JOIN cohorts c USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -2608,6 +2770,8 @@ QUERIES = {
     "docs_length_histogram": docs_length_histogram,
     "star_join_order_region": star_join_order_region,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "events_funnel_users": events_funnel_users,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -2666,4 +2830,6 @@ ORACLE_SQL = {
     "docs_length_histogram": LENGTH_HIST_SQL,
     "star_join_order_region": STAR_JOIN_SQL,
     "orders_above_customer_avg": ABOVE_AVG_SQL,
+    "events_funnel_users": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_SQL,
 }
