@@ -1,0 +1,125 @@
+"""AtomicDirDatasink — the `ray.data.Datasink` extension exemplar
+(SURVEY.md §2C: "a sink = ray.data.Datasink or a write stage + commit").
+
+DataX's hdfswriter writes to a temp dir and atomically renames into place
+(SURVEY.md §2A row 7); this generalizes that into Ray Data's native sink
+interface with the same exactly-once recipe the lake uses
+(state/manifest.py): write tasks emit part files with CONTENT-HASH names
+(a retried task rewrites the identical bytes to the identical name — no
+dupes), and `on_write_complete` publishes one `_MANIFEST.json` via
+os.replace listing exactly the committed files. A failed job leaves no
+manifest; orphan parts are ignored by `read_committed` and overwritten
+byte-identically on re-run.
+
+Use `ds.write_datasink(AtomicDirDatasink(out, fmt))`; a user writing a new
+sink for this engine copies this file's shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterable
+
+import pyarrow as pa
+
+import ray.data
+
+
+def serialize_table(t: pa.Table, fmt: str) -> tuple[bytes, str]:
+    """One block → (serialized bytes, file extension)."""
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        sink = pa.BufferOutputStream()
+        pq.write_table(t, sink, compression="zstd", compression_level=1)
+        return sink.getvalue().to_pybytes(), "parquet"
+    if fmt == "csv":
+        return t.to_pandas().to_csv(index=False, na_rep="\\N").encode(), "csv"
+    if fmt == "jsonl":
+        rows = []
+        for r in t.to_pylist():
+            for k, v in list(r.items()):
+                if hasattr(v, "isoformat"):
+                    r[k] = v.isoformat()
+            rows.append(json.dumps(r))
+        return ("\n".join(rows) + "\n").encode(), "jsonl"
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+class AtomicDirDatasink(ray.data.Datasink):
+    """Two-phase-commit directory sink: staged content-hash parts, one
+    atomic manifest publish. `write()` returns this task's file list; the
+    aggregated returns become the manifest in `on_write_complete`."""
+
+    MANIFEST = "_MANIFEST.json"
+
+    def __init__(self, out_dir: str, fmt: str = "parquet"):
+        self.out_dir = out_dir
+        self.fmt = fmt
+
+    def on_write_start(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        # A fresh write invalidates any previous commit until it completes.
+        try:
+            os.remove(os.path.join(self.out_dir, self.MANIFEST))
+        except FileNotFoundError:
+            pass
+
+    def write(self, blocks: Iterable, ctx) -> list[dict]:
+        out = []
+        for block in blocks:
+            t = (
+                block
+                if isinstance(block, pa.Table)
+                else pa.Table.from_pandas(block, preserve_index=False)
+            )
+            if t.num_rows == 0:
+                continue
+            blob, ext = serialize_table(t, self.fmt)
+            name = f"part-{hashlib.sha1(blob).hexdigest()[:16]}.{ext}"
+            path = os.path.join(self.out_dir, name)
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            out.append({"file": name, "rows": t.num_rows})
+        return out
+
+    def on_write_complete(self, write_result) -> None:
+        files: list[dict] = []
+        seen = set()
+        for task_files in write_result.write_returns:
+            for rec in task_files:
+                # Two blocks with identical content hash to the same file;
+                # list it once (it holds one copy of the rows on disk).
+                if rec["file"] not in seen:
+                    seen.add(rec["file"])
+                    files.append(rec)
+        manifest = {
+            "format": self.fmt,
+            "files": sorted(files, key=lambda r: r["file"]),
+            "rows": sum(r["rows"] for r in files),
+        }
+        path = os.path.join(self.out_dir, self.MANIFEST)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
+
+def read_committed(out_dir: str) -> ray.data.Dataset:
+    """Read back ONLY the files named by the committed manifest — orphans
+    from failed/partial writes are invisible, like the lake's reader."""
+    with open(os.path.join(out_dir, AtomicDirDatasink.MANIFEST)) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(out_dir, r["file"]) for r in manifest["files"]]
+    fmt = manifest["format"]
+    if not paths:
+        return ray.data.from_arrow(pa.schema([]).empty_table())
+    if fmt == "parquet":
+        return ray.data.read_parquet(paths)
+    if fmt == "csv":
+        return ray.data.read_csv(paths)
+    return ray.data.read_json(paths)
