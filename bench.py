@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "cdc_scd2_history",
     "doc_chunks",
     "dedup_cluster_docs",
+    "top_terms_global",
+    "star_join_order_region",
+    "retention_cohorts",
 ]
 
 
