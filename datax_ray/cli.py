@@ -104,6 +104,12 @@ def main(argv=None):
     jb.add_argument("config", help="path to the job JSON file")
     jb.add_argument("--num-cpus", type=int, default=None)
 
+    lk = sub.add_parser("lookup", help="keyed point lookup: live rows for specific conv_ids")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--conv", action="append", required=True, help="conv_id (repeatable)")
+    lk.add_argument("--as-of-epoch", type=int, default=None)
+    lk.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -292,6 +298,26 @@ def main(argv=None):
 
         out = run_job(a.config)
         print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "lookup":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.sinks.lake import LakeDatasource, read_lake
+
+        src = LakeDatasource(a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv)
+        rows = []
+        if src._parts:
+            t = read_lake(
+                a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv
+            ).sort(["conv_id", "turn_idx"]).take_all()
+            rows = [
+                {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.items()}
+                for r in t
+            ]
+        print(json.dumps({"ranges_read": len(src._parts), "rows": rows}))
         ray.shutdown()
         return 0
 

@@ -170,6 +170,52 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_point_lookup(sf_dir: str):
+    """Keyed point lookup over the CDC lake (the HBase/OTS keyed-range
+    read of SURVEY §2A row 3): replay the derived change log into a lake,
+    then fetch three conversations via `read_lake(conv_ids=...)` — the
+    plan is pruned to the ranges whose hash routing can hold those keys
+    (manifest-only; untouched ranges are never opened), and the result is
+    exactly the LWW-final rows of those conversations. At 100 TB this is
+    the difference between reading 3 ranges and reading the lake."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import LakeDatasource, read_lake
+    from datax_ray.sources.derive import ChangeDeriver
+
+    keys = ["conv-1", "conv-7", "conv-13"]
+    work = f"/tmp/datax_cdc_lookup/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    src = LakeDatasource(f"{work}/lake", conv_ids=keys)
+    total = LakeDatasource(f"{work}/lake")
+    assert len(src._parts) < len(total._parts) or len(total._parts) <= len(keys), (
+        "point lookup failed to prune the range plan"
+    )
+    return read_lake(f"{work}/lake", conv_ids=keys).to_pandas()
+
+
+CDC_LOOKUP_SQL = CDC_REPLAY_SQL.replace(
+    "WHERE rn = 1 AND op <> 'delete'",
+    "WHERE rn = 1 AND op <> 'delete' "
+    "AND conv_id IN ('conv-1', 'conv-7', 'conv-13')",
+)
+
+
 def cdc_replay_dirty_routed(sf_dir: str):
     """The dirty-record/dead-letter path, driver-verified: the derived
     change log carries deterministic corruption (event_id % 97 == 3 ⇒
@@ -2705,6 +2751,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
+    "cdc_point_lookup": cdc_point_lookup,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
@@ -2778,6 +2825,7 @@ ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
+    "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,

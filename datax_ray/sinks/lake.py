@@ -28,13 +28,39 @@ def lake_schema(lake_dir: str, as_of_epoch: int | None = None) -> pa.Schema:
     return m.committed_schema(as_of_epoch) or LAKE_SCHEMA
 
 
+def _lookup_rids(
+    layout: dict, conv_ids: list[str]
+) -> set[int] | None:
+    """Range ids that can contain `conv_ids`, from the manifest alone
+    (no storage reads) — the keyed-range pruning of SURVEY §2A row 3:
+    recompute the same dictionary hash the writer used (partitioning.py)
+    and map pid -> rid. Returns None when pruning is impossible: with
+    `salt_turn_width` set, a conversation's rows are spread over
+    partitions by (turn_idx // W), so any range may hold a key — salting
+    deliberately trades point-lookup pruning for hot-key spreading."""
+    import numpy as np
+
+    from datax_ray.stages.partitioning import _stable_hash_strings
+
+    num_partitions = int(layout.get("num_partitions", 0) or 0)
+    if not num_partitions or layout.get("salt_turn_width"):
+        return None
+    frag_ranges = int(layout.get("frag_ranges", 1) or 1)
+    ppr = max(1, num_partitions // frag_ranges)
+    h = _stable_hash_strings(np.asarray(list(conv_ids), dtype=object))
+    pids = (h % np.uint64(num_partitions)).astype(np.int64)
+    return {int(pid) // ppr for pid in pids}
+
+
 def _range_plan(
-    lake_dir: str, m: Manifest, as_of_epoch: int | None = None
+    lake_dir: str, m: Manifest, as_of_epoch: int | None = None,
+    only_rids: set[int] | None = None,
 ) -> list[dict]:
     """[{range_id, files, rows}] from the committed manifest — the unit of
     merge-read parallelism (base files of the range's partitions + its
     pending fragments). `as_of_epoch` plans against that epoch's record
-    (time travel)."""
+    (time travel); `only_rids` restricts the plan to those ranges (keyed
+    point lookup)."""
     layout = m.committed_layout(as_of_epoch) or {}
     num_partitions = int(layout.get("num_partitions", 0) or 0)
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
@@ -43,6 +69,8 @@ def _range_plan(
     range_recs = m.current_ranges(as_of_epoch)
     parts = []
     all_rids = set(range_recs) | {pid // ppr for pid in partitions}
+    if only_rids is not None:
+        all_rids &= only_rids
     for rid in sorted(all_rids):
         files = [
             partitions[p]["base"]
@@ -63,16 +91,25 @@ def _range_plan(
 
 
 def _merge_read_range(
-    lake_dir: str, files: list[str], schema_json, include_internal: bool
+    lake_dir: str, files: list[str], schema_json, include_internal: bool,
+    conv_ids: list[str] | None = None,
 ) -> pa.Table:
     """Merge-read one range: LWW-fold its base+fragment files, drop
-    tombstones, unify historical pre-DDL schemas to the committed one."""
+    tombstones, unify historical pre-DDL schemas to the committed one.
+    `conv_ids` filters each file BEFORE the merge — safe because the LWW
+    fold is independent per (conv_id, turn_idx) key."""
     from datax_ray.schemas import schema_from_json
     from datax_ray.stages.merge import merge_states
 
     target = schema_from_json(schema_json)
     tracker = SchemaTracker(target)
-    tables = [tracker.unify(pq.read_table(os.path.join(lake_dir, f))) for f in files]
+    keyset = pa.array(conv_ids, type=pa.string()) if conv_ids is not None else None
+    tables = []
+    for f in files:
+        t = tracker.unify(pq.read_table(os.path.join(lake_dir, f)))
+        if keyset is not None:
+            t = t.filter(pc.is_in(t["conv_id"], value_set=keyset))
+        tables.append(t)
     state = merge_states(tables, target)
     live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
     return live if include_internal else live.drop_columns(list(INTERNAL_COLS))
@@ -90,11 +127,13 @@ class LakeDatasource(ray.data.Datasource):
         lake_dir: str,
         include_internal: bool = False,
         as_of_epoch: int | None = None,
+        conv_ids: list[str] | None = None,
     ):
         from datax_ray.schemas import schema_to_json
 
         self._lake_dir = lake_dir
         self._include_internal = include_internal
+        self._conv_ids = sorted(set(conv_ids)) if conv_ids is not None else None
         m = Manifest(lake_dir)
         if as_of_epoch is not None and m.at_epoch(as_of_epoch) is None:
             raise ValueError(
@@ -103,7 +142,12 @@ class LakeDatasource(ray.data.Datasource):
             )
         self._schema = m.committed_schema(as_of_epoch) or LAKE_SCHEMA
         self._schema_json = schema_to_json(self._schema)
-        self._parts = _range_plan(lake_dir, m, as_of_epoch)
+        only_rids = (
+            _lookup_rids(m.committed_layout(as_of_epoch) or {}, self._conv_ids)
+            if self._conv_ids is not None
+            else None
+        )
+        self._parts = _range_plan(lake_dir, m, as_of_epoch, only_rids=only_rids)
 
     def get_name(self) -> str:
         return "DataxLake"
@@ -124,10 +168,11 @@ class LakeDatasource(ray.data.Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
 
-        lake_dir, schema_json, internal = (
+        lake_dir, schema_json, internal, conv_ids = (
             self._lake_dir,
             self._schema_json,
             self._include_internal,
+            self._conv_ids,
         )
         tasks = []
         for p in self._parts:
@@ -140,7 +185,9 @@ class LakeDatasource(ray.data.Datasource):
             )
 
             def read_fn(files=files):
-                yield _merge_read_range(lake_dir, files, schema_json, internal)
+                yield _merge_read_range(
+                    lake_dir, files, schema_json, internal, conv_ids
+                )
 
             tasks.append(ReadTask(read_fn, meta))
         return tasks
@@ -151,14 +198,23 @@ def read_lake(
     *,
     include_internal: bool = False,
     as_of_epoch: int | None = None,
+    conv_ids: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
     never materializes the lake on the driver. `as_of_epoch` reads the
     lake AS OF that committed epoch (time travel over retained manifests —
-    any epoch `vacuum` hasn't dropped)."""
+    any epoch `vacuum` hasn't dropped). `conv_ids` is a keyed point
+    lookup: the plan is pruned to the ranges that can hold those keys
+    (manifest-only hash routing, no storage reads for other ranges), and
+    rows are filtered to exactly those conversations; with a salted
+    layout the plan can't prune (keys spread by design) but the filter
+    still applies."""
     src = LakeDatasource(
-        lake_dir, include_internal=include_internal, as_of_epoch=as_of_epoch
+        lake_dir,
+        include_internal=include_internal,
+        as_of_epoch=as_of_epoch,
+        conv_ids=conv_ids,
     )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(

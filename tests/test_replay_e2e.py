@@ -393,3 +393,83 @@ def test_tail_catches_up_with_live_segments(tmp_path):
 
     both = pa.concat_tables([first, late])
     assert_tables_equal(final_table(lake_dir), sequential_replay(both))
+
+
+def _build_lookup_lake(tmp_path, tag, salt_turn_width=None):
+    changes = gen_changes(3000, 40, seed=7)
+    chg_dir = str(tmp_path / f"chg_{tag}")
+    lake_dir = str(tmp_path / f"lake_{tag}")
+    write_segments(changes, chg_dir, seg_rows=1500)
+    replay(
+        ReplayConfig(
+            changes_dir=chg_dir,
+            lake_dir=lake_dir,
+            num_partitions=16,
+            salt_turn_width=salt_turn_width,
+        )
+    )
+    return lake_dir
+
+
+def test_point_lookup_prunes_and_matches(tmp_path):
+    """read_lake(conv_ids=...) must plan strictly fewer ranges (unsalted
+    layout) and return exactly the full read filtered to those keys."""
+    import pyarrow.compute as pc
+
+    from datax_ray.sinks.lake import LakeDatasource, read_lake
+
+    lake = _build_lookup_lake(tmp_path, "lookup")
+    full = final_table(lake)
+    keys = sorted(set(full["conv_id"].to_pylist()))[:3]
+
+    pruned = LakeDatasource(lake, conv_ids=keys)
+    everything = LakeDatasource(lake)
+    assert len(pruned._parts) < len(everything._parts)
+
+    got = (
+        read_lake(lake, conv_ids=keys)
+        .sort(["conv_id", "turn_idx"])
+        .take_all()
+    )
+    want = (
+        full.filter(pc.is_in(full["conv_id"], value_set=pa.array(keys)))
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        .to_pylist()
+    )
+    assert got == want
+
+
+def test_point_lookup_salted_layout_no_prune_still_correct(tmp_path):
+    """With salt_turn_width set a key's rows spread across partitions, so
+    the plan cannot prune — but the row filter must still be exact."""
+    import pyarrow.compute as pc
+
+    from datax_ray.sinks.lake import LakeDatasource, read_lake
+
+    lake = _build_lookup_lake(tmp_path, "lookup_salt", salt_turn_width=4)
+    full = final_table(lake)
+    keys = sorted(set(full["conv_id"].to_pylist()))[:2]
+
+    pruned = LakeDatasource(lake, conv_ids=keys)
+    everything = LakeDatasource(lake)
+    assert len(pruned._parts) == len(everything._parts)  # salting defeats pruning
+
+    got = (
+        read_lake(lake, conv_ids=keys)
+        .sort(["conv_id", "turn_idx"])
+        .take_all()
+    )
+    want = (
+        full.filter(pc.is_in(full["conv_id"], value_set=pa.array(keys)))
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        .to_pylist()
+    )
+    assert got == want
+
+
+def test_point_lookup_missing_key_empty(tmp_path):
+    from datax_ray.sinks.lake import read_lake
+
+    lake = _build_lookup_lake(tmp_path, "lookup_miss")
+    got = read_lake(lake, conv_ids=["conv-does-not-exist"]).take_all()
+    assert got == []
