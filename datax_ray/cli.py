@@ -104,6 +104,13 @@ def main(argv=None):
     jb.add_argument("config", help="path to the job JSON file")
     jb.add_argument("--num-cpus", type=int, default=None)
 
+    mr = sub.add_parser("mirror", help="exactly-once incremental mirror of the lake into a SQL table")
+    mr.add_argument("--lake", required=True)
+    mr.add_argument("--db", required=True, help="sqlite database path (stands in for the JDBC endpoint)")
+    mr.add_argument("--table", default="lake_mirror")
+    mr.add_argument("--concurrency", type=int, default=4)
+    mr.add_argument("--num-cpus", type=int, default=None)
+
     lk = sub.add_parser("lookup", help="keyed point lookup: live rows for specific conv_ids")
     lk.add_argument("--lake", required=True)
     lk.add_argument("--conv", action="append", required=True, help="conv_id (repeatable)")
@@ -298,6 +305,25 @@ def main(argv=None):
 
         out = run_job(a.config)
         print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "mirror":
+        _ensure_ray(a.num_cpus)
+        import functools
+        import sqlite3
+
+        import ray
+
+        from datax_ray.pipelines.mirror import mirror_to_sql
+
+        stats = mirror_to_sql(
+            a.lake,
+            functools.partial(sqlite3.connect, a.db, 30.0, check_same_thread=False),
+            a.table,
+            concurrency=a.concurrency,
+        )
+        print(json.dumps(stats))
         ray.shutdown()
         return 0
 

@@ -216,6 +216,59 @@ CDC_LOOKUP_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_sql_mirror(sf_dir: str):
+    """Full downstream-replication loop, driver-verified: derive → replay
+    into the lake → exactly-once incremental mirror into a SQL table
+    (pipelines/mirror.py; sqlite stands in for the JDBC endpoint) →
+    parallel range-split read BACK through the JDBC-shaped source
+    (sqlsource.read_sql_table over rowid). The mirrored table must equal
+    the LWW-final lake, so the oracle is the same row_number() fold."""
+    import functools
+    import shutil
+    import sqlite3
+
+    import pandas as pd
+
+    from datax_ray.pipelines.mirror import mirror_to_sql
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sources.derive import ChangeDeriver
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    work = f"/tmp/datax_cdc_mirror/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    db = f"{work}/mirror.db"
+    factory = functools.partial(sqlite3.connect, db, 30.0, check_same_thread=False)
+    mirror_to_sql(f"{work}/lake", factory, "lake_mirror")
+    out = read_sql_table(
+        factory,
+        "lake_mirror",
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        split_pk="rowid",
+        num_splits=8,
+    ).to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"])
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+CDC_MIRROR_SQL = CDC_REPLAY_SQL
+
+
 def cdc_replay_dirty_routed(sf_dir: str):
     """The dirty-record/dead-letter path, driver-verified: the derived
     change log carries deterministic corruption (event_id % 97 == 3 ⇒
@@ -2752,6 +2805,7 @@ QUERIES = {
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
@@ -2826,6 +2880,7 @@ ORACLE_SQL = {
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
+    "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
