@@ -104,6 +104,13 @@ def main(argv=None):
     jb.add_argument("config", help="path to the job JSON file")
     jb.add_argument("--num-cpus", type=int, default=None)
 
+    fd = sub.add_parser("feed", help="change data feed: committed change rows of epochs (from, to]")
+    fd.add_argument("--lake", required=True)
+    fd.add_argument("--from-epoch", type=int, default=-1)
+    fd.add_argument("--to-epoch", type=int, default=None)
+    fd.add_argument("--out", default=None, help="write the feed as parquet here (else just count)")
+    fd.add_argument("--num-cpus", type=int, default=None)
+
     mr = sub.add_parser("mirror", help="exactly-once incremental mirror of the lake into a SQL table")
     mr.add_argument("--lake", required=True)
     mr.add_argument("--db", required=True, help="sqlite database path (stands in for the JDBC endpoint)")
@@ -305,6 +312,29 @@ def main(argv=None):
 
         out = run_job(a.config)
         print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "feed":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.feed import plan_change_feed, read_change_feed
+
+        plan = plan_change_feed(a.lake, a.from_epoch, a.to_epoch)
+        ds = read_change_feed(a.lake, a.from_epoch, a.to_epoch)
+        if a.out:
+            ds.write_parquet(a.out)
+        rows = ds.count() if not a.out else None
+        print(
+            json.dumps(
+                {
+                    "files": len(plan),
+                    "epochs": sorted({p["epoch"] for p in plan}),
+                    **({"rows": rows} if rows is not None else {"out": a.out}),
+                }
+            )
+        )
         ray.shutdown()
         return 0
 

@@ -216,6 +216,66 @@ CDC_LOOKUP_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_change_feed_rebuild(sf_dir: str):
+    """Change-data-feed completeness, driver-verified: replay the derived
+    change log into a lake, then reconstruct the final state using ONLY
+    the change feed (pipelines/feed.py — the fragment files each epoch's
+    manifest first referenced, read as a Dataset and LWW-folded per
+    key-hash bucket). If the feed dropped or duplicated any change, the
+    fold diverges from the row_number() oracle."""
+    import shutil
+
+    from datax_ray.pipelines.feed import read_change_feed
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.schemas import DELETED_COL, INTERNAL_COLS
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_feed/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    feed = read_change_feed(f"{work}/lake", -1)
+
+    def fold(g: pa.Table) -> pa.Table:
+        state = lww_reduce(
+            g.drop_columns(["_epoch", "_kb"]),
+            key_cols=("conv_id", "turn_idx"),
+            order_cols=("ts", "_lsn"),
+        )
+        live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+        return live.drop_columns(list(INTERNAL_COLS))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        h = pd_.util.hash_array(
+            t["conv_id"].to_pandas().to_numpy(dtype=object), categorize=False
+        )
+        return t.append_column("_kb", pa.array((h % 64).astype("int32")))
+
+    return (
+        feed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+CDC_FEED_SQL = CDC_REPLAY_SQL
+
+
 def cdc_sql_mirror(sf_dir: str):
     """Full downstream-replication loop, driver-verified: derive → replay
     into the lake → exactly-once incremental mirror into a SQL table
@@ -2806,6 +2866,7 @@ QUERIES = {
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_sql_mirror": cdc_sql_mirror,
+    "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
@@ -2881,6 +2942,7 @@ ORACLE_SQL = {
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
+    "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,

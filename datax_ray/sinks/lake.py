@@ -92,7 +92,7 @@ def _range_plan(
 
 def _merge_read_range(
     lake_dir: str, files: list[str], schema_json, include_internal: bool,
-    conv_ids: list[str] | None = None,
+    conv_ids: list[str] | None = None, keep_tombstones: bool = False,
 ) -> pa.Table:
     """Merge-read one range: LWW-fold its base+fragment files, drop
     tombstones, unify historical pre-DDL schemas to the committed one.
@@ -111,8 +111,9 @@ def _merge_read_range(
             t = t.filter(pc.is_in(t["conv_id"], value_set=keyset))
         tables.append(t)
     state = merge_states(tables, target)
-    live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
-    return live if include_internal else live.drop_columns(list(INTERNAL_COLS))
+    if not keep_tombstones:
+        state = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+    return state if include_internal else state.drop_columns(list(INTERNAL_COLS))
 
 
 class LakeDatasource(ray.data.Datasource):
@@ -128,11 +129,13 @@ class LakeDatasource(ray.data.Datasource):
         include_internal: bool = False,
         as_of_epoch: int | None = None,
         conv_ids: list[str] | None = None,
+        keep_tombstones: bool = False,
     ):
         from datax_ray.schemas import schema_to_json
 
         self._lake_dir = lake_dir
         self._include_internal = include_internal
+        self._keep_tombstones = keep_tombstones
         self._conv_ids = sorted(set(conv_ids)) if conv_ids is not None else None
         m = Manifest(lake_dir)
         if as_of_epoch is not None and m.at_epoch(as_of_epoch) is None:
@@ -168,11 +171,12 @@ class LakeDatasource(ray.data.Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
 
-        lake_dir, schema_json, internal, conv_ids = (
+        lake_dir, schema_json, internal, conv_ids, tombs = (
             self._lake_dir,
             self._schema_json,
             self._include_internal,
             self._conv_ids,
+            self._keep_tombstones,
         )
         tasks = []
         for p in self._parts:
@@ -186,7 +190,7 @@ class LakeDatasource(ray.data.Datasource):
 
             def read_fn(files=files):
                 yield _merge_read_range(
-                    lake_dir, files, schema_json, internal, conv_ids
+                    lake_dir, files, schema_json, internal, conv_ids, tombs
                 )
 
             tasks.append(ReadTask(read_fn, meta))
@@ -199,6 +203,7 @@ def read_lake(
     include_internal: bool = False,
     as_of_epoch: int | None = None,
     conv_ids: list[str] | None = None,
+    keep_tombstones: bool = False,
 ) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
@@ -209,12 +214,16 @@ def read_lake(
     (manifest-only hash routing, no storage reads for other ranges), and
     rows are filtered to exactly those conversations; with a salted
     layout the plan can't prune (keys spread by design) but the filter
-    still applies."""
+    still applies. `keep_tombstones` (with include_internal) returns the
+    full internal state INCLUDING delete markers — the state-handoff view
+    a downstream CDC consumer needs so late out-of-order events in a
+    subsequent change-feed window cannot resurrect deleted keys."""
     src = LakeDatasource(
         lake_dir,
         include_internal=include_internal,
         as_of_epoch=as_of_epoch,
         conv_ids=conv_ids,
+        keep_tombstones=keep_tombstones,
     )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(
