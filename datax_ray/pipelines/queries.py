@@ -247,6 +247,8 @@ def cdc_change_feed_rebuild(sf_dir: str):
         )
     )
     feed = read_change_feed(f"{work}/lake", -1)
+    # bucket count scales with input size (feed rows <= derived events)
+    nb = _buckets_for(sf_dir, "events")
 
     def fold(g: pa.Table) -> pa.Table:
         state = lww_reduce(
@@ -263,7 +265,7 @@ def cdc_change_feed_rebuild(sf_dir: str):
         h = pd_.util.hash_array(
             t["conv_id"].to_pandas().to_numpy(dtype=object), categorize=False
         )
-        return t.append_column("_kb", pa.array((h % 64).astype("int32")))
+        return t.append_column("_kb", pa.array((h % nb).astype("int32")))
 
     return (
         feed.map_batches(add_bucket, batch_format="pyarrow")
