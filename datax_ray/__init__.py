@@ -15,6 +15,8 @@ from datax_ray.schemas import (
     TRANSCRIPTS_SCHEMA,
 )
 from datax_ray.pipelines.bootstrap import bootstrap
+from datax_ray.pipelines.feed import plan_change_feed, read_change_feed
+from datax_ray.pipelines.mirror import mirror_to_sql
 from datax_ray.pipelines.mv import read_mv, refresh_mv
 from datax_ray.pipelines.replay import ReplayConfig, compact_lake, replay, tail
 from datax_ray.sinks.export import export_lake
@@ -34,4 +36,7 @@ __all__ = [
     "export_lake",
     "read_lake",
     "final_table",
+    "read_change_feed",
+    "plan_change_feed",
+    "mirror_to_sql",
 ]
