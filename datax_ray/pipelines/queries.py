@@ -1327,6 +1327,114 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def grouped_percentiles_order_price(sf_dir: str):
+    """Per-group INTERPOLATED quantiles (percentile_cont) from the same
+    O(groups x distinct-cents) histogram combiner as the grouped median —
+    no per-row shuffle. Quartile positions q*(n-1) have fractional parts
+    in {0, .25, .5, .75}, so value*4 is an exact integer: results are
+    returned x4 (`pNN_x4`) to make the float interpolation hash-exact
+    against the SQL oracle (no 1-ulp drift at cent scale)."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    hist = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority", "cents"],
+        counts="n",
+        single_reduce=True,  # histogram is bounded by the value grid
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "cents"], kind="stable")
+        out = {"o_orderpriority": []}
+        qs = {"p25_x4": 0.25, "p50_x4": 0.5, "p75_x4": 0.75}
+        for c in qs:
+            out[c] = []
+        for pr, g in df.groupby("o_orderpriority", sort=True):
+            vals = g["cents"].to_numpy()
+            cum = g["n"].cumsum().to_numpy()
+            n = int(cum[-1])
+            out["o_orderpriority"].append(pr)
+            for col, q in qs.items():
+                pos = q * (n - 1)
+                lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+                v_lo = int(vals[np.searchsorted(cum, lo + 1)])
+                v_hi = int(vals[np.searchsorted(cum, hi + 1)])
+                out[col].append(round(4 * v_lo + (pos - lo) * 4 * (v_hi - v_lo)))
+        return pd.DataFrame(out).astype(
+            {c: "int64" for c in qs} | {"o_orderpriority": "object"}
+        )
+
+    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+GROUPED_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(ROUND(4 * percentile_cont(0.25) WITHIN GROUP
+            (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS BIGINT) AS p25_x4,
+       CAST(ROUND(4 * percentile_cont(0.5) WITHIN GROUP
+            (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS BIGINT) AS p50_x4,
+       CAST(ROUND(4 * percentile_cont(0.75) WITHIN GROUP
+            (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS BIGINT) AS p75_x4
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Relational ARG-MAX (latest order per customer) via the engine's own
+    LWW kernel: per-batch lww_reduce keeps one candidate per custkey
+    (combiner — only survivors shuffle), then per coarse key-hash bucket
+    the same kernel picks the global winner, ordered by
+    (o_orderdate, o_orderkey). The CDC merge and SQL's
+    row_number()=1-over-desc are literally the same operator here."""
+    from datax_ray.stages.merge import lww_reduce
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    nb = _buckets_for(sf_dir, "orders")
+    key = ("o_custkey",)
+    order = ("o_orderdate", "o_orderkey")
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = lww_reduce(t, key_cols=key, order_cols=order)
+        h = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("_kb", pa.array((h % nb).astype("int32")))
+
+    def pick(g: pa.Table) -> pa.Table:
+        return lww_reduce(g.drop_columns(["_kb"]), key_cols=key, order_cols=order)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 def scrub_pii_docs(sf_dir: str):
     """PII scrubbing (training-data hygiene): redact email-shaped and
     long-digit-run tokens via compiled RE2 patterns — both engines run the
@@ -2897,6 +3005,8 @@ QUERIES = {
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
     "grouped_median_order_price": grouped_median_order_price,
+    "grouped_percentiles_order_price": grouped_percentiles_order_price,
+    "latest_order_per_customer": latest_order_per_customer,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -2973,6 +3083,8 @@ ORACLE_SQL = {
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,
     "grouped_median_order_price": GROUPED_MEDIAN_SQL,
+    "grouped_percentiles_order_price": GROUPED_PERCENTILES_SQL,
+    "latest_order_per_customer": LATEST_ORDER_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
