@@ -2890,14 +2890,14 @@ WHERE v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL AND v < c AND c < p
 
 def retention_cohorts(sf_dir: str):
     """Cohort retention matrix: users grouped by FIRST active day, counted
-    per day-offset of later activity. Distributed plan: distinct
-    (user, day) pair combiners → per-user min-day (second combiner) →
-    hash-partitioned join of the pair stream back to its user's cohort →
-    (cohort_day, offset) count combiners. Every shuffle is bounded by
-    distinct pairs/users — the raw event stream never moves."""
+    per day-offset of later activity. ONE-shuffle plan: per-batch distinct
+    (user, day) pairs bucketed by hash(user_id) — ALL of a user's pairs
+    land in its bucket, so the per-bucket map_groups computes the user's
+    cohort (min day) AND the (cohort_day, offset) partial counts in the
+    same vectorized pass; the final fold is one tiny task over the
+    cohorts × offsets grid. The shuffle is bounded by distinct pairs —
+    the raw event stream never moves, and no join stage exists."""
     import pandas as pd
-
-    from datax_ray.functions.relational import large_join
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     num_buckets = _buckets_for(sf_dir, "events")
@@ -2907,50 +2907,43 @@ def retention_cohorts(sf_dir: str):
             pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000), pa.int64()
         )
         df = pa.table({"user_id": t["user_id"], "day": day}).to_pandas()
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["user_id", "day"]), preserve_index=False
+        df = df.drop_duplicates(["user_id", "day"])
+        df["_grp"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % num_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # Pairs may repeat across source batches — exact-dedup inside the
+        # bucket, then cohort + offset in two vectorized ops.
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort.astype("int64"),
+                "day_offset": (df["day"] - cohort).astype("int64"),
+            }
+        )
+        out["n_users"] = np.int64(1)
+        return out.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("n_users", "sum")
         )
 
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    # Dedup the pairs exactly (a pair may appear in many batches), keyed by
-    # user so the min-day fold below can reuse the same bucketing.
-    uniq_pairs = partial_agg(
-        pair_ds, keys=["user_id", "day"], counts="_n", num_buckets=num_buckets
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(bucket, batch_format="pandas")
     )
 
-    def neg(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"user_id": t["user_id"], "neg_day": pc.negate_checked(t["day"])}
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("n_users", "sum")
         )
 
-    cohort = partial_agg(
-        uniq_pairs.map_batches(neg, batch_format="pyarrow"),
-        keys=["user_id"],
-        maxs={"neg_day": "neg_day"},
-        num_buckets=num_buckets,
-    )
-
-    def to_cohort(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"uid": t["user_id"], "cohort_day": pc.negate_checked(t["neg_day"])}
-        )
-
-    joined = large_join(
-        uniq_pairs,
-        cohort.map_batches(to_cohort, batch_format="pyarrow"),
-        on="user_id",
-        right_on="uid",
-    )
-
-    def offsets(df: pd.DataFrame) -> pd.DataFrame:
-        off = (df["day"] - df["cohort_day"]).astype("int64")
-        return pd.DataFrame({"cohort_day": df["cohort_day"], "day_offset": off})
-
-    return partial_agg(
-        joined.map_batches(offsets, batch_format="pandas"),
-        keys=["cohort_day", "day_offset"],
-        counts="n_users",
-        single_reduce=True,  # cohorts × offsets is a small grid
+    # cohorts × offsets is a small grid — one-task fold, no second shuffle
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
     )
 
 
