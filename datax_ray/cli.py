@@ -124,6 +124,18 @@ def main(argv=None):
     lk.add_argument("--as-of-epoch", type=int, default=None)
     lk.add_argument("--num-cpus", type=int, default=None)
 
+    pg = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: tombstone all rows of conv_ids; "
+        "--hard compacts affected ranges and vacuums history so the "
+        "payload bytes are physically removed",
+    )
+    pg.add_argument("--lake", required=True)
+    pg.add_argument("--conv", action="append", required=True, help="conv_id (repeatable)")
+    pg.add_argument("--hard", action="store_true")
+    pg.add_argument("--keep-epochs", type=int, default=1)
+    pg.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -355,6 +367,15 @@ def main(argv=None):
         )
         print(json.dumps(stats))
         ray.shutdown()
+        return 0
+
+    if a.cmd == "purge":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.purge import purge
+
+        print(json.dumps(purge(
+            a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
+        )))
         return 0
 
     if a.cmd == "lookup":

@@ -216,6 +216,70 @@ CDC_LOOKUP_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_purge_forget(sf_dir: str):
+    """Right-to-be-forgotten, driver-verified (pipelines/purge.py): replay
+    the derived change log into a lake, then HARD-purge every conversation
+    of users with user_id % 41 == 0 — tombstone fragments for the live
+    rows (manifest-pruned range plan, O(purged keys)), force-compaction of
+    the affected ranges, and a history vacuum so the payload bytes are
+    physically gone. Returns the final lake, which must equal the LWW
+    oracle minus the purged conversations."""
+    import shutil
+
+    from datax_ray.pipelines.purge import purge
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_purge/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+
+    # The forget-request keyset: distinct matching users (per-batch unique
+    # combiner — the driver only ever sees the already-small keyset, the
+    # realistic shape of a GDPR request list).
+    def forget_keys(t: pa.Table) -> pa.Table:
+        uid = pc.unique(t["user_id"])
+        hit = pa.array(uid.to_numpy(zero_copy_only=False) % 41 == 0)
+        return pa.table({"conv_id": pc.binary_join_element_wise(
+            "conv-", pc.cast(uid.filter(hit), pa.string()), ""
+        )})
+
+    keys = sorted(
+        {
+            r["conv_id"]
+            for r in _read(sf_dir, "events", columns=["user_id"])
+            .map_batches(forget_keys, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        }
+    )
+    purge(f"{work}/lake", keys, hard=True)
+    return final_table(f"{work}/lake")
+
+
+CDC_PURGE_SQL = CDC_REPLAY_SQL.replace(
+    "         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool\n",
+    "         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool,\n"
+    "         user_id\n",
+).replace(
+    "WHERE rn = 1 AND op <> 'delete'",
+    "WHERE rn = 1 AND op <> 'delete' AND user_id % 41 <> 0",
+)
+
+
 def cdc_change_feed_rebuild(sf_dir: str):
     """Change-data-feed completeness, driver-verified: replay the derived
     change log into a lake, then reconstruct the final state using ONLY
@@ -2968,6 +3032,7 @@ QUERIES = {
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_purge_forget": cdc_purge_forget,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
@@ -3046,6 +3111,7 @@ ORACLE_SQL = {
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
+    "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,

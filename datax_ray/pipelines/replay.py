@@ -266,10 +266,12 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     )
 
 
-def compact_lake(cfg: ReplayConfig) -> dict:
+def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
     """Force-compact every range with pending fragments into per-partition
     bases (same map-only Compactor the replay path uses), committing one
-    epoch with no new segments. Useful before export or when tailing stops."""
+    epoch with no new segments. Useful before export or when tailing stops.
+    `only_rids` restricts compaction to those ranges (purge's hard phase
+    compacts only the ranges that can hold the purged keys)."""
     manifest = Manifest(cfg.lake_dir)
     committed = manifest.committed_epoch()
     if committed < 0:
@@ -286,7 +288,11 @@ def compact_lake(cfg: ReplayConfig) -> dict:
     schema_json = schema_to_json(schema)
     epoch = committed + 1
 
-    to_compact = sorted(rid for rid, rec in ranges.items() if rec.get("frags"))
+    to_compact = sorted(
+        rid
+        for rid, rec in ranges.items()
+        if rec.get("frags") and (only_rids is None or rid in only_rids)
+    )
     if not to_compact:
         return {"compacted_ranges": 0, "epoch": None}
     items = []
