@@ -136,6 +136,20 @@ def main(argv=None):
     pg.add_argument("--keep-epochs", type=int, default=1)
     pg.add_argument("--num-cpus", type=int, default=None)
 
+    rp = sub.add_parser(
+        "repartition",
+        help="migrate the lake to a new partition/salt layout in one "
+        "atomic epoch (rows re-routed via storage, no in-memory shuffle); "
+        "subsequent replays adopt the new layout automatically",
+    )
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+    rp.add_argument("--frag-ranges", type=int, default=None)
+    rp.add_argument("--salt-turn-width", type=int, default=None,
+                    help="omit to drop any existing salt")
+    rp.add_argument("--no-compact", action="store_true")
+    rp.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -375,6 +389,19 @@ def main(argv=None):
 
         print(json.dumps(purge(
             a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
+        )))
+        return 0
+
+    if a.cmd == "repartition":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.repartition import repartition_lake
+
+        print(json.dumps(repartition_lake(
+            a.lake,
+            a.partitions,
+            frag_ranges=a.frag_ranges,
+            salt_turn_width=a.salt_turn_width,
+            compact=not a.no_compact,
         )))
         return 0
 

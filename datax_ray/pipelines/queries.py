@@ -280,6 +280,50 @@ CDC_PURGE_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_repartition_migrate(sf_dir: str):
+    """Online layout migration mid-stream, driver-verified
+    (pipelines/repartition.py): replay the FIRST HALF of the derived
+    change log into a 16-partition unsalted lake, migrate it to 48
+    partitions + turn-salt 8 in one atomic epoch (rows re-routed through
+    storage, tombstones included), then replay the SECOND HALF — the new
+    events route under the NEW layout and must LWW-meet the migrated
+    rows. Final state must equal the plain LWW oracle: a correct
+    migration is invisible to the data."""
+    import glob as _glob
+    import shutil
+
+    from datax_ray.pipelines.repartition import repartition_lake
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+    from datax_ray.state.manifest import Manifest
+
+    work = f"/tmp/datax_cdc_repart/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=2)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    repartition_lake(f"{work}/lake", 48, salt_turn_width=8)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    assert Manifest(f"{work}/lake").committed_layout()["num_partitions"] == 48
+    return final_table(f"{work}/lake")
+
+
 def cdc_change_feed_rebuild(sf_dir: str):
     """Change-data-feed completeness, driver-verified: replay the derived
     change log into a lake, then reconstruct the final state using ONLY
@@ -3033,6 +3077,7 @@ QUERIES = {
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_purge_forget": cdc_purge_forget,
+    "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
@@ -3112,6 +3157,7 @@ ORACLE_SQL = {
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_purge_forget": CDC_PURGE_SQL,
+    "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
