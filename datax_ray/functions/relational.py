@@ -209,3 +209,44 @@ def top_k(ds, by: str, k: int, tie_col: str | None = None, descending: bool = Tr
     cols = [by] + ([tie_col] if tie_col else [])
     desc = [descending] + ([False] if tie_col else [])
     return partials.sort(cols, descending=desc).limit(k)
+
+
+def top_n_per_key(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    n: int,
+    num_buckets: int = 64,
+    descending: bool = True,
+):
+    """Grouped top-N (row_number() <= N per key): per-batch combiner keeps
+    at most N rows per key (vectorized sort + groupby-head — no Python per
+    group), so only N·distinct-keys-per-batch rows shuffle; then the same
+    head-N per key inside each coarse key-hash bucket. The generalization
+    of the LWW arg-max (N=1, queries.py:latest_order_per_customer) to any
+    N — same combiner-bounded shuffle shape."""
+    asc = [True] * len(keys) + [not descending] * len(order_cols)
+    sort_cols = keys + order_cols
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(sort_cols, ascending=asc, kind="stable")
+            .groupby(keys, as_index=False, sort=False)
+            .head(n)
+        )
+        grp = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        return out.assign(_grp=(grp % num_buckets).astype("int32"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=["_grp"])
+            .sort_values(sort_cols, ascending=asc, kind="stable")
+            .groupby(keys, as_index=False, sort=False)
+            .head(n)
+        )
+
+    return (
+        ds.map_batches(head_n, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1543,6 +1543,165 @@ FROM (
 """
 
 
+def top3_orders_per_customer(sf_dir: str):
+    """Grouped top-N (N=3 most recent orders per customer) via the
+    combiner-bounded top_n_per_key kernel (functions/relational.py): at
+    most 3 rows per key leave any batch, so the shuffle carries
+    O(3 × customers), never O(orders)."""
+    from datax_ray.functions.relational import top_n_per_key
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return top_n_per_key(
+        ds,
+        keys=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        n=3,
+        num_buckets=_buckets_for(sf_dir, "orders"),
+    )
+
+
+TOP3_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def unpivot_part_measures(sf_dir: str):
+    """UNPIVOT (wide -> long; completes the PIVOT family): each part row
+    becomes one row per measure column. Pure map-side Arrow reshape —
+    embarrassingly parallel, no shuffle, columns concatenated zero-copy
+    per batch."""
+    measures = ["p_size", "p_retailprice"]
+
+    def to_long(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = pa.concat_arrays(
+            [t["p_partkey"].combine_chunks()] * len(measures)
+        )
+        names = pa.concat_arrays(
+            [pa.array([m] * n, pa.string()) for m in measures]
+        )
+        vals = pa.concat_arrays(
+            [pc.cast(t[m], pa.float64()).combine_chunks() for m in measures]
+        )
+        return pa.table(
+            {"p_partkey": keys, "measure": names, "value": vals}
+        )
+
+    return _read(sf_dir, "part", columns=["p_partkey", *measures]).map_batches(
+        to_long, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+"""
+
+
+def percent_rank_orders(sf_dir: str):
+    """Window percent_rank per customer, integer-exact: emits rank and
+    partition count as integers plus percent_rank scaled to basis points
+    via integer floor-division — float-free, so the value hash matches
+    the oracle bit-for-bit. Per-key machinery: within-batch nothing can
+    be final (rank needs the whole partition), so orders shuffle by
+    coarse customer-hash bucket and ONE vectorized pandas pass per bucket
+    ranks every partition in it (same shape as window_user_running)."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    nb = _buckets_for(sf_dir, "orders")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["o_custkey"].to_numpy())
+        return df.assign(_grp=(h % nb).astype("int32"))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_grp"]).sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], kind="stable"
+        )
+        g = df.groupby("o_custkey", sort=False)
+        rnk = g["o_totalprice"].rank(method="min").astype("int64")
+        cnt = g["o_custkey"].transform("size").astype("int64")
+        pr_bp = ((rnk - 1) * 10000) // (cnt - 1).where(cnt > 1, 1)
+        return df.assign(
+            rnk=rnk, part_n=cnt, pr_bp=pr_bp.where(cnt > 1, 0).astype("int64")
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("_grp")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+PERCENT_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rnk AS BIGINT) AS rnk, CAST(part_n AS BIGINT) AS part_n,
+       CASE WHEN part_n = 1 THEN 0
+            ELSE (rnk - 1) * 10000 // (part_n - 1) END AS pr_bp
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS rnk,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS part_n
+  FROM orders
+)
+"""
+
+
+def term_postings_lookup(sf_dir: str):
+    """Inverted-index probe: the distinct postings (term, doc_id) for a
+    small query-term set. The term filter applies INSIDE the tokenizing
+    map task, so only matching postings ever shuffle — probing 3 terms
+    over a 100 TB corpus moves O(matching docs) rows, not the token
+    stream. Dedup via the distinct-pair combiner (partial_agg on the
+    pair key with count sink discarded)."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    terms = ["merge", "spark", "window"]
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df["text"].str.split(" ")).explode("term")
+        ex = ex[ex["term"].isin(terms)][["term", "doc_id"]]
+        return ex.drop_duplicates()
+
+    hits = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        postings, batch_format="pandas"
+    )
+    dedup = partial_agg(
+        hits,
+        keys=["term", "doc_id"],
+        counts="_c",
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    def drop_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["term", "doc_id"]].astype({"doc_id": "int64"})
+
+    return dedup.map_batches(drop_cnt, batch_format="pandas")
+
+
+TERM_POSTINGS_SQL = """
+SELECT DISTINCT term, doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term IN ('merge', 'spark', 'window')
+"""
+
+
 def scrub_pii_docs(sf_dir: str):
     """PII scrubbing (training-data hygiene): redact email-shaped and
     long-digit-run tokens via compiled RE2 patterns — both engines run the
@@ -3110,6 +3269,10 @@ QUERIES = {
     "grouped_median_order_price": grouped_median_order_price,
     "grouped_percentiles_order_price": grouped_percentiles_order_price,
     "latest_order_per_customer": latest_order_per_customer,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "unpivot_part_measures": unpivot_part_measures,
+    "percent_rank_orders": percent_rank_orders,
+    "term_postings_lookup": term_postings_lookup,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -3190,6 +3353,10 @@ ORACLE_SQL = {
     "grouped_median_order_price": GROUPED_MEDIAN_SQL,
     "grouped_percentiles_order_price": GROUPED_PERCENTILES_SQL,
     "latest_order_per_customer": LATEST_ORDER_SQL,
+    "top3_orders_per_customer": TOP3_ORDERS_SQL,
+    "unpivot_part_measures": UNPIVOT_SQL,
+    "percent_rank_orders": PERCENT_RANK_SQL,
+    "term_postings_lookup": TERM_POSTINGS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
