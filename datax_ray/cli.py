@@ -136,6 +136,26 @@ def main(argv=None):
     pg.add_argument("--keep-epochs", type=int, default=1)
     pg.add_argument("--num-cpus", type=int, default=None)
 
+    ix = sub.add_parser(
+        "index",
+        help="refresh the incremental inverted text index (only ranges "
+        "whose committed file set changed are re-tokenized)",
+    )
+    ix.add_argument("--lake", required=True)
+    ix.add_argument("--idx", required=True)
+    ix.add_argument("--num-cpus", type=int, default=None)
+
+    se = sub.add_parser(
+        "search",
+        help="probe the inverted index: rows containing any/all terms",
+    )
+    se.add_argument("--idx", required=True)
+    se.add_argument("--term", action="append", required=True, help="repeatable")
+    se.add_argument("--all", action="store_true",
+                    help="require ALL terms in the same turn")
+    se.add_argument("--limit", type=int, default=50)
+    se.add_argument("--num-cpus", type=int, default=None)
+
     rp = sub.add_parser(
         "repartition",
         help="migrate the lake to a new partition/salt layout in one "
@@ -390,6 +410,22 @@ def main(argv=None):
         print(json.dumps(purge(
             a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
         )))
+        return 0
+
+    if a.cmd == "index":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.index import refresh_index
+
+        print(json.dumps(refresh_index(a.lake, a.idx)))
+        return 0
+
+    if a.cmd == "search":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.index import search_index
+
+        ds = search_index(a.idx, a.term, mode="all" if a.all else "any")
+        rows = ds.limit(a.limit).take_all()
+        print(json.dumps({"hits": len(rows), "rows": rows}))
         return 0
 
     if a.cmd == "repartition":

@@ -324,6 +324,73 @@ def cdc_repartition_migrate(sf_dir: str):
     return final_table(f"{work}/lake")
 
 
+def cdc_text_search(sf_dir: str):
+    """Secondary-index probe, driver-verified (pipelines/index.py):
+    replay the derived change log into a lake, refresh the incremental
+    inverted text index (per-range postings, manifest-fingerprint skip),
+    and search it for a deterministic spread sample of payload tokens.
+    The index derives from the LIVE merge-read state, so hits are exactly
+    the LWW winners whose text is in the term set — which is what the
+    oracle (LWW SQL filtered to the same sample) asserts. Rows that LOST
+    the LWW race for their key must NOT appear even though their term is
+    probed: the index cannot resurrect overwritten data."""
+    import shutil
+
+    from datax_ray.pipelines.index import refresh_index, search_index
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_search/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    refresh_index(f"{work}/lake", f"{work}/idx")
+
+    # The query-term set: payload tokens of a deterministic event sample
+    # (every 997th id — a search term list is small BY NATURE; computing
+    # it is a pruned column scan + tiny take).
+    def sample_terms(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        import numpy as np_
+
+        hit = pa.array(
+            eid.to_numpy(zero_copy_only=False).astype(np_.int64) % 997 == 0
+        )
+        return pa.table({
+            "term": pc.binary_join_element_wise(
+                "payload-", pc.cast(eid.filter(hit), pa.string()), ""
+            )
+        })
+
+    terms = sorted({
+        r["term"]
+        for r in _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(sample_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    })
+    return search_index(f"{work}/idx", terms)
+
+
+CDC_SEARCH_SQL = CDC_REPLAY_SQL.replace(
+    "SELECT conv_id, turn_idx, role, text, tool, ts FROM w "
+    "WHERE rn = 1 AND op <> 'delete'",
+    "SELECT text AS term, conv_id, turn_idx FROM w "
+    "WHERE rn = 1 AND op <> 'delete' AND lsn % 997 = 0",
+)
+
+
 def cdc_change_feed_rebuild(sf_dir: str):
     """Change-data-feed completeness, driver-verified: replay the derived
     change log into a lake, then reconstruct the final state using ONLY
@@ -3237,6 +3304,7 @@ QUERIES = {
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_purge_forget": cdc_purge_forget,
     "cdc_repartition_migrate": cdc_repartition_migrate,
+    "cdc_text_search": cdc_text_search,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
@@ -3321,6 +3389,7 @@ ORACLE_SQL = {
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
+    "cdc_text_search": CDC_SEARCH_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
