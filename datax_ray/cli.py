@@ -52,6 +52,9 @@ def main(argv=None):
     r.add_argument("--error-limit-rows", type=int, default=None)
     r.add_argument("--error-limit-pct", type=float, default=None)
     r.add_argument("--batch-size", type=int, default=65536)
+    r.add_argument("--transformers", default=None,
+                   help="JSON file with a DataX-style transformer spec "
+                   "list applied to valid change rows before the write")
     r.add_argument("--num-cpus", type=int, default=None)
 
     b = sub.add_parser("bootstrap", help="full-load a transcripts snapshot into an empty lake (epoch 0)")
@@ -170,6 +173,15 @@ def main(argv=None):
     rp.add_argument("--no-compact", action="store_true")
     rp.add_argument("--num-cpus", type=int, default=None)
 
+    fk = sub.add_parser(
+        "fsck",
+        help="check lake invariants: manifest chain, referenced files, "
+        "orphans, row accounting; --deep re-hashes fragment bytes",
+    )
+    fk.add_argument("--lake", required=True)
+    fk.add_argument("--deep", action="store_true")
+    fk.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -209,6 +221,9 @@ def main(argv=None):
                 error_limit_rows=a.error_limit_rows,
                 error_limit_pct=a.error_limit_pct,
                 batch_size=a.batch_size,
+                transformers=(
+                    json.load(open(a.transformers)) if a.transformers else None
+                ),
             )
         )
         for rep in reports:
@@ -411,6 +426,15 @@ def main(argv=None):
             a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
         )))
         return 0
+
+    if a.cmd == "fsck":
+        if a.deep:
+            _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.fsck import fsck
+
+        rep = fsck(a.lake, deep=a.deep)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
 
     if a.cmd == "index":
         _ensure_ray(a.num_cpus)

@@ -61,6 +61,16 @@ class ReplayConfig:
     error_limit_pct: float | None = None  # ... or this fraction of rows_in
     normalize_concurrency: int | tuple | None = None  # task-parallelism cap
     merge_concurrency: int | tuple | None = None  # task-parallelism cap
+    # DataX job.transformer parity in the CDC path: a dx_*/udf spec list
+    # (functions/transformers.py) fused into ONE map stage between
+    # normalize and the fragment write. Transformers see only VALID
+    # normalized change rows (dirty rows are already dead-lettered) and
+    # must not touch routing/ordering columns — conv_id, turn_idx, ts,
+    # lsn — or LWW/partitioning would silently break (enforced). Job-level
+    # config, not lake layout: committed epochs are never reapplied, so
+    # changing the spec affects only future epochs (keep it stable across
+    # resumes of one logical job, exactly as with a DataX job config).
+    transformers: list[dict] | None = None
     metrics: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -168,6 +178,23 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         batch_size=cfg.batch_size,
         concurrency=cfg.normalize_concurrency,
     )
+    if cfg.transformers:
+        from datax_ray.functions.transformers import compile_transformers
+
+        banned = {"conv_id", "turn_idx", "ts", "lsn", "op", "_lsn", "part_id"}
+        touched = {s.get("column") for s in cfg.transformers} & banned
+        if touched:
+            raise ValueError(
+                f"replay transformers must not modify routing/ordering "
+                f"columns {sorted(touched)}"
+            )
+        ds = ds.map_batches(
+            compile_transformers(cfg.transformers),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=cfg.normalize_concurrency,
+        )
     lineage_ds = ds.map_batches(
         DeltaWriter(
             lake_dir=cfg.lake_dir,
