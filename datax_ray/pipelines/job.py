@@ -275,19 +275,31 @@ def _flatten_transformer(spec: dict) -> dict:
 
 
 class RateStage:
-    """`job.setting.speed.record` — one token-bucket RPC per batch against
-    the shared named limiter actor (state/ratelimit.py)."""
+    """`job.setting.speed.{record,byte}` — one token-bucket RPC per batch
+    against a shared named limiter actor per unit (state/ratelimit.py).
+    Both caps may be active; the batch sleeps the max of the two waits
+    (DataX applies whichever limit binds first)."""
 
-    def __init__(self, records_per_s: float):
+    def __init__(self, records_per_s: float | None, bytes_per_s: float | None = None):
         self.__name__ = "RateStage"
-        from datax_ray.state.ratelimit import get_rate_limiter
+        from datax_ray.state.ratelimit import RATE_ACTOR_NAME, get_rate_limiter
 
-        self._limiter = get_rate_limiter(records_per_s)
+        self._rec = get_rate_limiter(records_per_s) if records_per_s else None
+        self._byt = (
+            get_rate_limiter(bytes_per_s, name=RATE_ACTOR_NAME + "_bytes")
+            if bytes_per_s
+            else None
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        wait = _ray.get(self._limiter.acquire.remote(t.num_rows))
+        waits = []
+        if self._rec is not None:
+            waits.append(self._rec.acquire.remote(t.num_rows))
+        if self._byt is not None:
+            waits.append(self._byt.acquire.remote(t.nbytes))
+        wait = max(_ray.get(waits), default=0.0)
         if wait > 0:
             time.sleep(wait)
         return t
@@ -331,10 +343,12 @@ def run_job(cfg: dict | str, job_dir: str | None = None) -> dict:
         fused = compile_transformers(specs)
         ds = ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
 
-    rate = setting.get("speed", {}).get("record")
-    if rate:
+    speed = setting.get("speed", {})
+    if speed.get("record") or speed.get("byte"):
         ds = ds.map_batches(
-            RateStage(rate), batch_format="pyarrow", zero_copy_batch=True
+            RateStage(speed.get("record"), speed.get("byte")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
     records = run_writer(ds, writer_cfg)

@@ -44,20 +44,30 @@ def lww_reduce(
     """Keep the winning row (max over order_cols) per key_cols group.
 
     Vectorized: one multi-column sort, then numpy adjacent-compare over key
-    codes to pick the last row of each run — no per-row Python."""
+    codes to pick the last row of each run — no per-row Python.
+
+    The payload is gathered ONCE: winner detection runs on sort INDICES +
+    key codes only (ints), and the single `take` at the end moves only the
+    winning rows' bytes. The naive sort-whole-table-then-filter shape
+    moves every payload byte twice (full gather + winner copy) — measured
+    ~20% slower on a 262k-row low-dup batch, and the saved memcpy is DRAM
+    bandwidth, the scaling-limiting resource at full-node concurrency
+    (BASELINE.md's membw analysis)."""
     if t.num_rows <= 1:
         return t
     sort_keys = [(c, "ascending") for c in (*key_cols, *order_cols)]
-    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    idx = pc.sort_indices(t, sort_keys=sort_keys).to_numpy(
+        zero_copy_only=False
+    )
     neq = None
     for c in key_cols:
-        arr = _key_codes(t[c])
+        arr = _key_codes(t[c])[idx]
         d = arr[:-1] != arr[1:]
         neq = d if neq is None else (neq | d)
-    last = np.empty(t.num_rows, dtype=bool)
+    last = np.empty(len(idx), dtype=bool)
     last[:-1] = neq
     last[-1] = True
-    return t.filter(pa.array(last))
+    return t.take(pa.array(idx[last]))
 
 
 def apply_events(

@@ -45,13 +45,17 @@ class RateLimiterActor:
 _HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
 
 
-def get_rate_limiter(rate_per_s: float):
-    """Get-or-create the named limiter and (re)set its rate (pinned by a
-    process-level handle; see state/metrics.py for why not detached)."""
-    if RATE_ACTOR_NAME not in _HANDLES:
-        _HANDLES[RATE_ACTOR_NAME] = RateLimiterActor.options(
-            name=RATE_ACTOR_NAME, get_if_exists=True
+def get_rate_limiter(rate_per_s: float, name: str = RATE_ACTOR_NAME):
+    """Get-or-create a named limiter and (re)set its rate (pinned by a
+    process-level handle; see state/metrics.py for why not detached).
+    The token unit is whatever the caller acquires — rows for the
+    records/s cap, bytes for the bytes/s cap (DataX speed.record vs
+    speed.byte) — so the same actor class serves both under distinct
+    names."""
+    if name not in _HANDLES:
+        _HANDLES[name] = RateLimiterActor.options(
+            name=name, get_if_exists=True
         ).remote()
-    actor = _HANDLES[RATE_ACTOR_NAME]
+    actor = _HANDLES[name]
     ray.get(actor.set_rate.remote(rate_per_s))
     return actor

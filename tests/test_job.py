@@ -118,6 +118,46 @@ def test_streamreader_deterministic_and_speed_cap(tmp_path):
     assert t1["k"].between(0, 99).all()
 
 
+def test_speed_byte_cap_throttles(tmp_path):
+    """job.setting.speed.byte (DataX's bytes/s cap): the same job with a
+    byte cap far below its payload size must take measurably longer, and
+    still write every record."""
+    import time as _time
+
+    def cfg_for(out, setting):
+        return _cfg(
+            {
+                "name": "streamreader",
+                "parameter": {
+                    "count": 4000,
+                    "seed": 9,
+                    "column": [
+                        {"name": "k", "type": "long", "random": [0, 100]},
+                        {"name": "payload", "type": "string",
+                         "value": "x" * 64},
+                    ],
+                },
+            },
+            {"name": "parquetwriter", "parameter": {"path": out}},
+            setting=setting,
+        )
+
+    t0 = _time.perf_counter()
+    s_fast = run_job(cfg_for(str(tmp_path / "fast"), {}))
+    fast = _time.perf_counter() - t0
+
+    # ~4000 * ~72B ≈ 290 KB of Arrow payload; cap at 150 KB/s (burst = one
+    # second of rate) => at least ~0.9 s of enforced sleep.
+    t0 = _time.perf_counter()
+    s_slow = run_job(
+        cfg_for(str(tmp_path / "slow"), {"speed": {"byte": 150_000}})
+    )
+    slow = _time.perf_counter() - t0
+
+    assert s_fast["records"] == s_slow["records"] == 4000
+    assert slow > fast + 0.5, (fast, slow)
+
+
 def test_dirty_cast_routing_and_error_limit(tmp_path):
     src = tmp_path / "src.csv"
     n_bad = 7
