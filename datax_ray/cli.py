@@ -173,6 +173,17 @@ def main(argv=None):
     rp.add_argument("--no-compact", action="store_true")
     rp.add_argument("--num-cpus", type=int, default=None)
 
+    cl = sub.add_parser(
+        "clone",
+        help="branch the lake at an epoch into a new directory "
+        "(hardlinks — O(metadata), copy-on-write at file granularity)",
+    )
+    cl.add_argument("--src", required=True)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--as-of-epoch", type=int, default=None)
+    cl.add_argument("--copy", action="store_true",
+                    help="physical copy instead of hardlinks")
+
     fk = sub.add_parser(
         "fsck",
         help="check lake invariants: manifest chain, referenced files, "
@@ -424,6 +435,14 @@ def main(argv=None):
 
         print(json.dumps(purge(
             a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
+        )))
+        return 0
+
+    if a.cmd == "clone":
+        from datax_ray.pipelines.clone import clone_lake
+
+        print(json.dumps(clone_lake(
+            a.src, a.dst, as_of_epoch=a.as_of_epoch, copy=a.copy
         )))
         return 0
 
