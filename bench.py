@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "top_terms_global",
     "star_join_order_region",
     "retention_cohorts",
+    "top3_orders_per_customer",
+    "term_postings_lookup",
 ]
 
 

@@ -30,6 +30,11 @@ from datax_ray.schemas import schema_from_json, schema_to_json
 _EPOCH_RE = re.compile(r"epoch=(\d{6})\.json$")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same epoch; the loser gets this
+    instead of silently clobbering the winner's record."""
+
+
 class Manifest:
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
@@ -181,10 +186,24 @@ class Manifest:
             "metrics": metrics,
         }
         final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
-        tmp = final + ".tmp"
+        tmp = final + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)  # atomic: the commit point
+        # Atomic AND exclusive commit point: os.link fails with EEXIST if
+        # the epoch is already committed, so two drivers racing the same
+        # lake get one winner and one loud ConcurrentCommitError — never a
+        # silently overwritten record (the loser's fragments are orphaned
+        # content-hash files; its segments stay uncommitted and re-apply
+        # idempotently on the next replay).
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"epoch {epoch} already committed at {final} — another "
+                f"writer is active on this lake"
+            ) from exc
+        os.remove(tmp)
         return rec

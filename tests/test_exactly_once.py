@@ -276,3 +276,33 @@ def test_time_travel_and_vacuum(tmp_path):
     # dropped history is an explicit error, not a silent empty read
     with _pytest.raises(ValueError, match="vacuum"):
         final_table(lake_dir, as_of_epoch=0)
+
+
+def test_concurrent_commit_raises_not_clobbers(tmp_path):
+    """Two drivers racing the same epoch: one winner, one loud error —
+    the winner's record is never silently overwritten."""
+    import pytest
+
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.state.manifest import ConcurrentCommitError, Manifest
+
+    chg, lake = str(tmp_path / "chg"), str(tmp_path / "lake")
+    write_segments(gen_changes(1000, 20, seed=88), chg, seg_rows=500)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4))
+
+    m = Manifest(lake)
+    winner = m.latest()
+    with pytest.raises(ConcurrentCommitError):
+        m.commit(
+            m.committed_epoch(),  # same epoch as the winner
+            segments=["seg-imposter.parquet"],
+            lsn_hi=m.committed_lsn_hi(),
+            schema=m.committed_schema(),
+            partitions={},
+            ranges={},
+            layout=m.committed_layout(),
+            lineage=[],
+            metrics={},
+        )
+    assert m.latest() == winner  # record unchanged
