@@ -1728,6 +1728,55 @@ FROM (
 """
 
 
+def sample2_orders_per_customer(sf_dir: str):
+    """Deterministic per-key reservoir sample (k=2 orders per customer):
+    priority = Knuth multiplicative hash of the row id, computable
+    identically in SQL, so the sample is EXACT-oracle-checkable — unlike
+    random() sampling. Physically it is the same combiner-bounded
+    top_n_per_key shuffle as grouped top-N: at most k rows per key leave
+    any batch regardless of group size (the scale answer to 'give me k
+    examples per user over 100 TB')."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import top_n_per_key
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        # Knuth multiplicative hash in uint32 space — bit-identical to the
+        # oracle's (o_orderkey * 2654435761) % 4294967296.
+        h = (df["o_orderkey"].to_numpy().astype(np.uint64) * 2654435761) % (1 << 32)
+        return df.assign(prio=h.astype("int64"))
+
+    out = top_n_per_key(
+        ds.map_batches(prio, batch_format="pandas"),
+        keys=["o_custkey"],
+        order_cols=["prio", "o_orderkey"],
+        n=2,
+        num_buckets=_buckets_for(sf_dir, "orders"),
+        descending=False,  # smallest priorities win: a true k-minwise sample
+    )
+
+    def cast_out(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_custkey", "o_orderkey", "prio"]]
+
+    return out.map_batches(cast_out, batch_format="pandas")
+
+
+SAMPLE2_SQL = """
+SELECT o_custkey, o_orderkey, prio
+FROM (
+  SELECT o_custkey, o_orderkey,
+         (o_orderkey * 2654435761) % 4294967296 AS prio,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
 def term_postings_lookup(sf_dir: str):
     """Inverted-index probe: the distinct postings (term, doc_id) for a
     small query-term set. The term filter applies INSIDE the tokenizing
@@ -3341,6 +3390,7 @@ QUERIES = {
     "unpivot_part_measures": unpivot_part_measures,
     "percent_rank_orders": percent_rank_orders,
     "term_postings_lookup": term_postings_lookup,
+    "sample2_orders_per_customer": sample2_orders_per_customer,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats": text_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -3426,6 +3476,7 @@ ORACLE_SQL = {
     "unpivot_part_measures": UNPIVOT_SQL,
     "percent_rank_orders": PERCENT_RANK_SQL,
     "term_postings_lookup": TERM_POSTINGS_SQL,
+    "sample2_orders_per_customer": SAMPLE2_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
