@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -58,7 +59,14 @@ def main(argv=None):
     r.add_argument("--num-cpus", type=int, default=None)
 
     b = sub.add_parser("bootstrap", help="full-load a transcripts snapshot into an empty lake (epoch 0)")
-    b.add_argument("--src", required=True, help="transcripts parquet file/dir")
+    b.add_argument("--src", default=None, help="transcripts parquet file/dir")
+    b.add_argument("--sql", default=None,
+                   help="sqlite db path: bootstrap from a SQL table instead "
+                   "of parquet (DataX JDBC-full-sync -> lake; range-split "
+                   "parallel read via --split-pk)")
+    b.add_argument("--table", default="transcripts")
+    b.add_argument("--split-pk", default="rowid")
+    b.add_argument("--sql-splits", type=int, default=16)
     b.add_argument("--lake", required=True)
     b.add_argument("--partitions", type=int, default=64)
     b.add_argument("--salt-turn-width", type=int, default=None)
@@ -196,6 +204,13 @@ def main(argv=None):
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
+    hi = sub.add_parser(
+        "history",
+        help="one JSON line per committed epoch: segments, rows written, "
+        "lsn watermark, operation kind (replay/compact/purge/migration/...)",
+    )
+    hi.add_argument("--lake", required=True)
+
     a = p.parse_args(argv)
 
     if a.cmd == "gen":
@@ -301,6 +316,34 @@ def main(argv=None):
         from datax_ray.pipelines.bootstrap import bootstrap
         from datax_ray.pipelines.replay import ReplayConfig
 
+        if bool(a.src) == bool(a.sql):
+            raise SystemExit("bootstrap: pass exactly one of --src / --sql")
+        src_ds = None
+        label = None
+        if a.sql:
+            import functools
+            import sqlite3
+
+            import pyarrow as _pa
+
+            from datax_ray.schemas import LAKE_SCHEMA
+            from datax_ray.sources.sqlsource import read_sql_table
+
+            cols = [f.name for f in LAKE_SCHEMA if not f.name.startswith("_")]
+            src_ds = read_sql_table(
+                functools.partial(
+                    sqlite3.connect, a.sql, 30.0, check_same_thread=False
+                ),
+                a.table,
+                columns=cols,
+                split_pk=a.split_pk,
+                num_splits=a.sql_splits,
+                schema=_pa.schema([
+                    (f.name, f.type) for f in LAKE_SCHEMA
+                    if not f.name.startswith("_")
+                ]),
+            )
+            label = f"{os.path.basename(a.sql)}:{a.table}"
         rep = bootstrap(
             a.src,
             ReplayConfig(
@@ -309,6 +352,8 @@ def main(argv=None):
                 num_partitions=a.partitions,
                 salt_turn_width=a.salt_turn_width,
             ),
+            src_ds=src_ds,
+            src_label=label,
         )
         print(json.dumps({
             "epoch": rep.epoch, "rows_in": rep.events_in, "rows_out": rep.rows_out,
@@ -502,6 +547,34 @@ def main(argv=None):
             ]
         print(json.dumps({"ranges_read": len(src._parts), "rows": rows}))
         ray.shutdown()
+        return 0
+
+    if a.cmd == "history":
+        from datax_ray.state.manifest import Manifest
+
+        m = Manifest(a.lake)
+        for e, p in m._epoch_files():
+            rec = json.load(open(p))
+            metrics = rec.get("metrics") or {}
+            if "purge" in metrics:
+                kind = "purge"
+            elif "repartition" in metrics:
+                kind = "migration"
+            elif "branch" in metrics:
+                kind = "branch-point"
+            elif rec.get("segments"):
+                kind = "replay"
+            else:
+                kind = "compact"
+            lineage = rec.get("lineage") or []
+            print(json.dumps({
+                "epoch": e,
+                "kind": kind,
+                "segments": len(rec.get("segments", [])),
+                "files_written": len(lineage),
+                "rows_written": sum(int(r.get("rows", 0)) for r in lineage),
+                "lsn_hi": rec.get("lsn_hi"),
+            }))
         return 0
 
     if a.cmd == "show":

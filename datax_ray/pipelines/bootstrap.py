@@ -49,8 +49,19 @@ def _snapshot_to_changes(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def bootstrap(src_parquet: str, cfg: ReplayConfig) -> EpochReport:
-    """Load a transcripts snapshot into an EMPTY lake as epoch 0."""
+def bootstrap(
+    src_parquet: str | None,
+    cfg: ReplayConfig,
+    src_ds: "ray.data.Dataset | None" = None,
+    src_label: str | None = None,
+) -> EpochReport:
+    """Load a transcripts snapshot into an EMPTY lake as epoch 0.
+
+    The snapshot is a parquet path by default; pass `src_ds` to bootstrap
+    from ANY transcripts-shaped Dataset instead — e.g. the range-split SQL
+    source (`sources/sqlsource.py:read_sql_table`), which is exactly
+    DataX's JDBC-full-sync → lake story (`--sql` on the CLI). `src_label`
+    names the pseudo-segment in the manifest for lineage."""
     t0 = time.perf_counter()
     manifest = Manifest(cfg.lake_dir)
     if manifest.committed_epoch() >= 0:
@@ -70,7 +81,7 @@ def bootstrap(src_parquet: str, cfg: ReplayConfig) -> EpochReport:
     }
     schema_json = schema_to_json(LAKE_SCHEMA)
 
-    ds = ray.data.read_parquet(src_parquet)
+    ds = src_ds if src_ds is not None else ray.data.read_parquet(src_parquet)
     ds = ds.map_batches(
         _snapshot_to_changes, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -116,7 +127,10 @@ def bootstrap(src_parquet: str, cfg: ReplayConfig) -> EpochReport:
 
     manifest.commit(
         0,
-        segments=[f"__snapshot__{os.path.basename(os.path.normpath(src_parquet))}"],
+        segments=[
+            "__snapshot__"
+            + (src_label or os.path.basename(os.path.normpath(src_parquet or "ds")))
+        ],
         lsn_hi=-1,
         schema=LAKE_SCHEMA,
         partitions={},

@@ -81,3 +81,63 @@ def test_write_roundtrip(tmp_path, ray_session):
     assert con.execute("SELECT COUNT(*), SUM(v) FROM t2").fetchone() == \
         sqlite3.connect(src).execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
     con.close()
+
+
+def test_bootstrap_from_sql_source(tmp_path):
+    """DataX's JDBC-full-sync -> lake story: bootstrap epoch 0 from a
+    range-split sqlite read, tail the change log on top, and match the
+    sequential oracle replayed over the same base snapshot."""
+    import functools
+    import sqlite3
+
+    import pyarrow as pa
+
+    from datax_ray.fixtures.generator import gen_changes, gen_transcripts, write_segments
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.pipelines.bootstrap import bootstrap
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.schemas import LAKE_SCHEMA
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    snap = gen_transcripts(n_convs=120, seed=4)
+    db = str(tmp_path / "snap.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE transcripts "
+        "(conv_id TEXT, turn_idx INT, role TEXT, text TEXT, tool TEXT, ts INT)"
+    )
+    con.executemany(
+        "INSERT INTO transcripts VALUES (?,?,?,?,?,?)",
+        [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+             int(r["ts"].timestamp() * 1_000_000))
+            for r in snap.to_pylist()
+        ],
+    )
+    con.commit()
+    con.close()
+
+    cols = [f.name for f in LAKE_SCHEMA if not f.name.startswith("_")]
+    src_ds = read_sql_table(
+        functools.partial(sqlite3.connect, db, 30.0, check_same_thread=False),
+        "transcripts",
+        columns=cols,
+        split_pk="rowid",
+        num_splits=6,
+        schema=pa.schema(
+            [(f.name, f.type) for f in LAKE_SCHEMA if not f.name.startswith("_")]
+        ),
+    )
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(changes_dir="", lake_dir=lake, num_partitions=8)
+    rep = bootstrap(None, cfg, src_ds=src_ds, src_label="snap.db:transcripts")
+    assert rep.rows_out == snap.num_rows
+
+    changes = gen_changes(2500, 120, seed=5)
+    chg = str(tmp_path / "chg")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8))
+
+    assert final_table(lake).equals(sequential_replay(changes, base=snap))
