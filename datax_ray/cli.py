@@ -120,6 +120,10 @@ def main(argv=None):
     fd.add_argument("--from-epoch", type=int, default=-1)
     fd.add_argument("--to-epoch", type=int, default=None)
     fd.add_argument("--out", default=None, help="write the feed as parquet here (else just count)")
+    fd.add_argument("--preimages", action="store_true",
+                    help="Delta-CDF-style rows: insert / update_preimage "
+                    "/ update_postimage / delete (old values on pre/delete "
+                    "rows) — enables additive downstream aggregation")
     fd.add_argument("--num-cpus", type=int, default=None)
 
     mr = sub.add_parser("mirror", help="exactly-once incremental mirror of the lake into a SQL table")
@@ -436,10 +440,18 @@ def main(argv=None):
         _ensure_ray(a.num_cpus)
         import ray
 
-        from datax_ray.pipelines.feed import plan_change_feed, read_change_feed
+        from datax_ray.pipelines.feed import (
+            plan_change_feed,
+            read_change_feed,
+            read_change_feed_preimages,
+        )
 
         plan = plan_change_feed(a.lake, a.from_epoch, a.to_epoch)
-        ds = read_change_feed(a.lake, a.from_epoch, a.to_epoch)
+        ds = (
+            read_change_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
+            if a.preimages
+            else read_change_feed(a.lake, a.from_epoch, a.to_epoch)
+        )
         if a.out:
             ds.write_parquet(a.out)
         rows = ds.count() if not a.out else None

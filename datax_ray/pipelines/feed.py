@@ -144,3 +144,231 @@ def read_change_feed(
         batch_size=4,
         concurrency=min(8, len(plan)),
     )
+
+
+# ------------------------------------------------------------ preimages --
+
+_CHANGE_COL = "_change_type"
+
+
+def plan_feed_preimages(
+    lake_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> list[dict]:
+    """[{epoch, range_id, new_files, prior_files}] — one item per
+    (epoch, changed range). Layout-migration epochs are skipped: they
+    rewrite every row under a new layout without changing any value, so
+    their CDC delta is empty (Delta emits nothing for OPTIMIZE either)."""
+    from datax_ray.sinks.lake import _range_plan
+
+    m = Manifest(lake_dir)
+    committed = m.committed_epoch()
+    to_epoch = committed if to_epoch is None else to_epoch
+    if to_epoch > committed:
+        raise ValueError(f"to_epoch {to_epoch} > committed epoch {committed}")
+    if from_epoch >= to_epoch:
+        return []
+    need = [e for e in range(max(from_epoch, 0), to_epoch + 1)]
+    recs = _exact_records(m, need)
+    plan: list[dict] = []
+    for e in range(from_epoch + 1, to_epoch + 1):
+        rec = recs[e]
+        if "repartition" in (rec.get("metrics") or {}):
+            continue
+        prev = recs.get(e - 1)
+        new_by_rid: dict[int, list[str]] = {}
+        prev_frags = _frag_set(prev)
+        for rid, r in rec.get("ranges", {}).items():
+            fresh = [f for f in r.get("frags", []) if f not in prev_frags]
+            if fresh:
+                new_by_rid[int(rid)] = sorted(fresh)
+        if e == 0:
+            # bootstrap bases are the insert stream; group by their range
+            layout = rec.get("layout") or {}
+            ppr = max(
+                1,
+                int(layout.get("num_partitions", 1) or 1)
+                // int(layout.get("frag_ranges", 1) or 1),
+            )
+            for pid, p in rec.get("partitions", {}).items():
+                if p.get("base"):
+                    new_by_rid.setdefault(int(pid) // ppr, []).append(p["base"])
+        for rid, files in sorted(new_by_rid.items()):
+            prior = (
+                _range_plan(lake_dir, m, as_of_epoch=e - 1, only_rids={rid})
+                if e > 0
+                else []
+            )
+            plan.append({
+                "epoch": e,
+                "range_id": rid,
+                "new_files": json.dumps(files),
+                "prior_files": json.dumps(
+                    prior[0]["files"] if prior else []
+                ),
+            })
+    return plan
+
+
+class _PreimageReader:
+    """One (epoch, range) item in → classified CDC rows out: the epoch's
+    final winner per key (LWW over its new fragments) diffed against the
+    key's winner AS OF the prior epoch, emitted Delta-CDF style:
+    insert / update_preimage+update_postimage / delete (delete carries
+    the OLD values). Intra-epoch churn collapses to the epoch's net
+    effect — per-commit semantics, exactly like Delta's table_changes."""
+
+    def __init__(self, lake_dir: str, schema_json):
+        from datax_ray.schemas import schema_from_json
+        from datax_ray.state.schema_tracker import SchemaTracker
+
+        self.__name__ = "_PreimageReader"
+        self._lake_dir = lake_dir
+        self._schema_json = schema_json
+        self._target = schema_from_json(schema_json)
+        self._tracker = SchemaTracker(self._target)
+
+    def _out_schema(self) -> pa.Schema:
+        return self._target.append(
+            pa.field(_EPOCH_COL, pa.int32())
+        ).append(pa.field(_CHANGE_COL, pa.string()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from datax_ray.schemas import DELETED_COL, LSN_COL
+        from datax_ray.sinks.lake import _merge_read_range
+        from datax_ray.stages.merge import lww_reduce
+
+        out: list[pa.Table] = []
+
+        def emit(rows: pa.Table, epoch: int, kind: str) -> None:
+            if rows.num_rows == 0:
+                return
+            rows = pa.table(
+                {f.name: rows[f.name] for f in self._target}
+            )
+            rows = rows.append_column(
+                _EPOCH_COL, pa.array([epoch] * rows.num_rows, pa.int32())
+            ).append_column(
+                _CHANGE_COL, pa.array([kind] * rows.num_rows, pa.string())
+            )
+            out.append(rows)
+
+        for item in t.to_pylist():
+            e = int(item["epoch"])
+            new_files = json.loads(item["new_files"])
+            prior_files = json.loads(item["prior_files"])
+            post = lww_reduce(
+                pa.concat_tables(
+                    [
+                        self._tracker.unify(
+                            pq.read_table(os.path.join(self._lake_dir, f))
+                        )
+                        for f in new_files
+                    ]
+                ),
+                order_cols=("ts", LSN_COL),
+            )
+            convs = sorted(set(post["conv_id"].to_pylist()))
+            pre = (
+                _merge_read_range(
+                    self._lake_dir,
+                    prior_files,
+                    self._schema_json,
+                    include_internal=True,
+                    conv_ids=convs,
+                    keep_tombstones=True,
+                )
+                if prior_files and convs
+                else self._target.empty_table()
+            )
+            # Join against the FULL prior state, tombstones included: a
+            # late event must defeat the stored (ts, _lsn) — including a
+            # purge/delete tombstone's — before it is a visible change;
+            # a loser changes nothing and must emit nothing.
+            j = post.join(
+                pre,
+                keys=["conv_id", "turn_idx"],
+                join_type="left outer",
+                right_suffix="_pre",
+            )
+            had_pre = pc.is_valid(j[LSN_COL + "_pre"])
+            pre_tomb = pc.fill_null(j[DELETED_COL + "_pre"], False)
+            pre_live_m = pc.and_(had_pre, pc.invert(pre_tomb))
+            post_tomb = pc.fill_null(j[DELETED_COL], False)
+            post_wins = pc.or_(
+                pc.invert(had_pre),
+                pc.or_(
+                    pc.greater(j["ts"], j["ts_pre"]),
+                    pc.and_(
+                        pc.equal(j["ts"], j["ts_pre"]),
+                        pc.greater(j[LSN_COL], j[LSN_COL + "_pre"]),
+                    ),
+                ),
+            )
+            post_wins = pc.fill_null(post_wins, True)
+            j = j.filter(post_wins)
+            had_pre = had_pre.filter(post_wins)
+            pre_live_m = pre_live_m.filter(post_wins)
+            post_tomb = post_tomb.filter(post_wins)
+
+            inserts = j.filter(
+                pc.and_(pc.invert(pre_live_m), pc.invert(post_tomb))
+            )
+            emit(inserts, e, "insert")
+
+            updates = j.filter(pc.and_(pre_live_m, pc.invert(post_tomb)))
+            emit(updates, e, "update_postimage")
+            pre_cols = pa.table({
+                f.name: updates[
+                    f.name + "_pre" if f.name + "_pre" in updates.column_names else f.name
+                ]
+                for f in self._target
+            })
+            emit(pre_cols, e, "update_preimage")
+
+            deletes = j.filter(pc.and_(pre_live_m, post_tomb))
+            del_cols = pa.table({
+                f.name: deletes[
+                    f.name + "_pre" if f.name + "_pre" in deletes.column_names else f.name
+                ]
+                for f in self._target
+            })
+            emit(del_cols, e, "delete")
+
+        return (
+            pa.concat_tables(out)
+            if out
+            else self._out_schema().empty_table()
+        )
+
+
+def read_change_feed_preimages(
+    lake_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> ray.data.Dataset:
+    """Delta-CDF-style change rows for epochs (from_epoch, to_epoch]:
+    payload + `_lsn` + `_epoch` + `_change_type` in
+    {insert, update_preimage, update_postimage, delete}, where delete and
+    update_preimage rows carry the OLD values. Enables ADDITIVE downstream
+    aggregation (count += insert - delete; sum += post - pre) — no LWW
+    fold needed. One task per (epoch, changed range); preimages come from
+    a conv-pruned merge-read of the range AS OF the prior epoch, so the
+    cost is O(changed ranges), never O(lake)."""
+    from datax_ray.schemas import schema_to_json
+    from datax_ray.sinks.lake import lake_schema
+
+    plan = plan_feed_preimages(lake_dir, from_epoch, to_epoch)
+    schema = lake_schema(lake_dir, to_epoch)
+    out_schema = schema.append(pa.field(_EPOCH_COL, pa.int32())).append(
+        pa.field(_CHANGE_COL, pa.string())
+    )
+    if not plan:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_items(plan, override_num_blocks=len(plan)).map_batches(
+        _PreimageReader,
+        fn_constructor_args=(lake_dir, schema_to_json(schema)),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=min(8, len(plan)),
+    )
