@@ -391,6 +391,68 @@ CDC_SEARCH_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_feed_additive_stats(sf_dir: str):
+    """Additive CDC consumption, driver-verified: replay the derived
+    change log, then compute per-conversation turn counts by folding the
+    PREIMAGE feed additively (+1 insert, -1 delete; updates cancel) —
+    no LWW merge, no lake read. The oracle is the LWW SQL grouped count,
+    so this independently proves the preimage feed's additive contract:
+    any miscounted insert/update/delete classification breaks the hash."""
+    import shutil
+
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+    from datax_ray.pipelines.feed import read_change_feed_preimages
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_addfeed/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+
+    feed = read_change_feed_preimages(f"{work}/lake", -1)
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["_change_type"].map(
+            {"insert": 1, "delete": -1}
+        ).fillna(0).astype("int64")
+        out = df.assign(delta=d)[["conv_id", "delta"]]
+        return out[out["delta"] != 0]
+
+    folded = partial_agg(
+        feed.map_batches(deltas, batch_format="pandas"),
+        keys=["conv_id"],
+        sums={"delta": "n_turns"},
+    )
+
+    def live_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_turns"] > 0].astype({"n_turns": "int64"})
+
+    return folded.map_batches(live_only, batch_format="pandas")
+
+
+CDC_ADDITIVE_SQL = CDC_REPLAY_SQL.replace(
+    "SELECT conv_id, turn_idx, role, text, tool, ts FROM w "
+    "WHERE rn = 1 AND op <> 'delete'",
+    "SELECT conv_id, COUNT(*) AS n_turns FROM w "
+    "WHERE rn = 1 AND op <> 'delete' GROUP BY conv_id",
+)
+
+
 def cdc_change_feed_rebuild(sf_dir: str):
     """Change-data-feed completeness, driver-verified: replay the derived
     change log into a lake, then reconstruct the final state using ONLY
@@ -3354,6 +3416,7 @@ QUERIES = {
     "cdc_purge_forget": cdc_purge_forget,
     "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_text_search": cdc_text_search,
+    "cdc_feed_additive_stats": cdc_feed_additive_stats,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
@@ -3440,6 +3503,7 @@ ORACLE_SQL = {
     "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_text_search": CDC_SEARCH_SQL,
+    "cdc_feed_additive_stats": CDC_ADDITIVE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
