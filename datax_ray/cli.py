@@ -446,12 +446,19 @@ def main(argv=None):
             read_change_feed_preimages,
         )
 
-        plan = plan_change_feed(a.lake, a.from_epoch, a.to_epoch)
-        ds = (
-            read_change_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
-            if a.preimages
-            else read_change_feed(a.lake, a.from_epoch, a.to_epoch)
-        )
+        if a.preimages:
+            from datax_ray.pipelines.feed import plan_feed_preimages
+
+            pplan = plan_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
+            plan = [
+                {"epoch": p["epoch"], "file": f}
+                for p in pplan
+                for f in json.loads(p["new_files"])
+            ]
+            ds = read_change_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
+        else:
+            plan = plan_change_feed(a.lake, a.from_epoch, a.to_epoch)
+            ds = read_change_feed(a.lake, a.from_epoch, a.to_epoch)
         if a.out:
             ds.write_parquet(a.out)
         rows = ds.count() if not a.out else None
@@ -524,8 +531,9 @@ def main(argv=None):
         from datax_ray.pipelines.index import search_index
 
         ds = search_index(a.idx, a.term, mode="all" if a.all else "any")
+        total = ds.count()
         rows = ds.limit(a.limit).take_all()
-        print(json.dumps({"hits": len(rows), "rows": rows}))
+        print(json.dumps({"hits": total, "shown": len(rows), "rows": rows}))
         return 0
 
     if a.cmd == "repartition":

@@ -192,19 +192,21 @@ def plan_feed_preimages(
             for pid, p in rec.get("partitions", {}).items():
                 if p.get("base"):
                     new_by_rid.setdefault(int(pid) // ppr, []).append(p["base"])
+        # ONE as-of plan per epoch covering every changed range (not one
+        # per range: _range_plan re-parses manifest JSON, so per-range
+        # calls would cost O(epochs x ranges x manifest-size) driver work).
+        prior_by_rid: dict[int, list[str]] = {}
+        if e > 0 and new_by_rid:
+            for p in _range_plan(
+                lake_dir, m, as_of_epoch=e - 1, only_rids=set(new_by_rid)
+            ):
+                prior_by_rid[int(p["range_id"])] = p["files"]
         for rid, files in sorted(new_by_rid.items()):
-            prior = (
-                _range_plan(lake_dir, m, as_of_epoch=e - 1, only_rids={rid})
-                if e > 0
-                else []
-            )
             plan.append({
                 "epoch": e,
                 "range_id": rid,
                 "new_files": json.dumps(files),
-                "prior_files": json.dumps(
-                    prior[0]["files"] if prior else []
-                ),
+                "prior_files": json.dumps(prior_by_rid.get(rid, [])),
             })
     return plan
 

@@ -145,20 +145,23 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
         )
 
         def check(batch: pa.Table) -> pa.Table:
-            bad = []
+            rels, oks = [], []
             for rel in batch["rel"].to_pylist():
                 path = os.path.join(lake_dir, rel)
                 if not os.path.exists(path):
-                    continue
+                    continue  # already reported as missing in step 2
                 with open(path, "rb") as f:
                     digest = hashlib.sha1(f.read()).hexdigest()[:16]
                 want = os.path.basename(rel).split("-", 1)[1].split(".")[0]
-                if digest != want:
-                    bad.append(rel)
-            return pa.table({"bad": pa.array(bad, pa.string())})
+                rels.append(rel)
+                oks.append(digest == want)
+            return pa.table({
+                "rel": pa.array(rels, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+            })
 
         if frag_rels:
-            bad = (
+            out = (
                 ray.data.from_items(
                     [{"rel": r} for r in frag_rels],
                     override_num_blocks=min(len(frag_rels), 64),
@@ -166,9 +169,13 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
                 .map_batches(check, batch_format="pyarrow", batch_size=None)
                 .take_all()
             )
-            for r in bad:
-                report["errors"].append(f"content-hash mismatch: {r['bad']}")
-            report["checked_files"] += len(frag_rels)
+            for r in out:
+                if not r["ok"]:
+                    report["errors"].append(
+                        f"content-hash mismatch: {r['rel']}"
+                    )
+            # count only files actually hashed (missing ones were skipped)
+            report["checked_files"] += len(out)
 
     report["ok"] = not report["errors"]
     return report

@@ -173,7 +173,13 @@ def search_index(
 
     files = sorted(glob.glob(os.path.join(idx_dir, "r=*.parquet")))
     if not files:
-        return ray.data.from_arrow(POSTINGS_SCHEMA.empty_table())
+        if mode == "any":
+            return ray.data.from_arrow(POSTINGS_SCHEMA.empty_table())
+        return ray.data.from_arrow(
+            pa.schema(
+                [("conv_id", pa.string()), ("turn_idx", pa.int32())]
+            ).empty_table()
+        )
     hits = ray.data.read_parquet(
         files, filter=pc.field("term").isin(list(terms))
     )

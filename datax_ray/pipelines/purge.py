@@ -12,10 +12,17 @@ Phase 1 — logical purge (always; O(purged keys), never O(lake)):
     salted layouts scan all ranges but still filter rows exactly).
   * One map task per candidate range merge-reads ONLY the purged keys'
     current winners and writes a TOMBSTONE fragment: payload columns null,
-    ts = the stored winner's ts, _lsn = winner's _lsn + 1 — the minimal
-    (ts, lsn) that defeats the stored row in the LWW order while still
-    losing to any genuinely newer source event (new data after a purge is
-    new data; purge cannot and should not fence the future).
+    ts = the stored winner's ts, _lsn = winner's _lsn + 1 + 2^62 — it
+    defeats the stored row in the LWW order while still losing to any
+    genuinely newer source event (any ts above the winner's wins
+    regardless of lsn; new data after a purge is new data — purge cannot
+    and should not fence the future). The 2^62 offset puts synthetic
+    lsns in a RESERVED space disjoint from real log positions: without
+    it, a real future event could land on exactly (winner_ts,
+    winner_lsn+1) — a same-microsecond update whose lsn happens to be
+    next — producing an exact (ts, lsn) tie that the merge would break
+    arbitrarily by file order while the preimage feed's strict
+    comparison calls it a loss, silently diverging the two.
   * One atomic manifest commit. The manifest lsn_hi is NOT advanced:
     purge lsns are per-key synthetic, not log positions, and bumping the
     watermark would make the replay dedup filter drop a real future event.
@@ -48,7 +55,6 @@ Phase 2 — hard purge (`hard=True`): physically remove the payload bytes.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -60,9 +66,15 @@ import ray
 import ray.data
 
 from datax_ray.schemas import DELETED_COL, LSN_COL, schema_from_json, schema_to_json
-from datax_ray.stages.delta import FRAG_LINEAGE_SCHEMA
+from datax_ray.stages.delta import FRAG_LINEAGE_SCHEMA, write_fragment
 from datax_ray.stages.partitioning import part_ids_for
 from datax_ray.state.manifest import Manifest
+
+
+# Synthetic (purge) lsns live above real log positions — see module
+# docstring for why an exact (ts, lsn) collision with a real event must
+# be impossible. Real lsns are log offsets, far below 2^62.
+_SYNTH_LSN_BASE = 1 << 62
 
 
 class PurgeTombstoner:
@@ -121,7 +133,7 @@ class PurgeTombstoner:
                 elif f.name == "ts":
                     cols[f.name] = live["ts"]
                 elif f.name == LSN_COL:
-                    cols[f.name] = pc.add(live[LSN_COL], 1)
+                    cols[f.name] = pc.add(live[LSN_COL], _SYNTH_LSN_BASE + 1)
                 elif f.name == DELETED_COL:
                     cols[f.name] = pa.array(
                         np.ones(live.num_rows, dtype=bool)
@@ -138,31 +150,8 @@ class PurgeTombstoner:
                     self.salt_turn_width,
                 ),
             )
-            sink = pa.BufferOutputStream()
-            pq.write_table(tomb, sink, compression="zstd", compression_level=1)
-            buf = sink.getvalue()
-            digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
-            rel = os.path.join(
-                f"r={rid:04d}", f"e={self.epoch:06d}-{digest}.parquet"
-            )
-            path = os.path.join(self.lake_dir, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + f".tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(buf.to_pybytes())
-            os.replace(tmp, path)
-            lsn_hi = pc.max(tomb[LSN_COL]).as_py()
             out_rows.append(
-                {
-                    "range_id": rid,
-                    "epoch": self.epoch,
-                    "kind": "frag",
-                    "file": rel,
-                    "rows": tomb.num_rows,
-                    "events_applied": tomb.num_rows,
-                    "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
-                    "bytes": len(buf),
-                }
+                write_fragment(tomb, self.lake_dir, rid, self.epoch)
             )
         return pa.Table.from_pylist(out_rows, schema=FRAG_LINEAGE_SCHEMA)
 

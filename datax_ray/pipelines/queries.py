@@ -1828,11 +1828,15 @@ def sample2_orders_per_customer(sf_dir: str):
 SAMPLE2_SQL = """
 SELECT o_custkey, o_orderkey, prio
 FROM (
+  -- HUGEINT: BIGINT would overflow for orderkeys above ~3.47e9 (large
+  -- SFs), while the engine wraps in uint64; (a*b) % 2^32 is identical
+  -- under both because 2^32 divides 2^64.
   SELECT o_custkey, o_orderkey,
-         (o_orderkey * 2654435761) % 4294967296 AS prio,
+         CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS prio,
          row_number() OVER (
            PARTITION BY o_custkey
-           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+           ORDER BY (CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296,
+                    o_orderkey
          ) AS rn
   FROM orders
 ) WHERE rn <= 2

@@ -36,19 +36,16 @@ rows), and point lookups (pruning keys off the NEW layout).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
-from datax_ray.schemas import LSN_COL, schema_from_json, schema_to_json
-from datax_ray.stages.delta import FRAG_LINEAGE_SCHEMA
+from datax_ray.schemas import schema_to_json
+from datax_ray.stages.delta import FRAG_LINEAGE_SCHEMA, write_fragment
 from datax_ray.stages.partitioning import part_ids_for
 from datax_ray.state.manifest import Manifest
 
@@ -110,35 +107,11 @@ class RepartitionWriter:
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 rid = int(rid_sorted[lo])
-                piece = state.slice(lo, hi - lo)
-                sink = pa.BufferOutputStream()
-                pq.write_table(
-                    piece, sink, compression="zstd", compression_level=1
+                row = write_fragment(
+                    state.slice(lo, hi - lo), self.lake_dir, rid, self.epoch
                 )
-                buf = sink.getvalue()
-                digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
-                rel = os.path.join(
-                    f"r={rid:04d}", f"e={self.epoch:06d}-{digest}.parquet"
-                )
-                path = os.path.join(self.lake_dir, rel)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = path + f".tmp.{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(buf.to_pybytes())
-                os.replace(tmp, path)
-                lsn_hi = pc.max(piece[LSN_COL]).as_py()
-                out_rows.append(
-                    {
-                        "range_id": rid,
-                        "epoch": self.epoch,
-                        "kind": "frag",
-                        "file": rel,
-                        "rows": piece.num_rows,
-                        "events_applied": 0,  # migration moves, not applies
-                        "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
-                        "bytes": len(buf),
-                    }
-                )
+                row["events_applied"] = 0  # migration moves, not applies
+                out_rows.append(row)
         return pa.Table.from_pylist(out_rows, schema=FRAG_LINEAGE_SCHEMA)
 
 

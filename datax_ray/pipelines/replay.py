@@ -181,15 +181,35 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     if cfg.transformers:
         from datax_ray.functions.transformers import compile_transformers
 
-        banned = {"conv_id", "turn_idx", "ts", "lsn", "op", "_lsn", "part_id"}
+        banned = {
+            "conv_id", "turn_idx", "ts", "lsn", "op",
+            "_lsn", "_deleted", "part_id",
+        }
         touched = {s.get("column") for s in cfg.transformers} & banned
         if touched:
             raise ValueError(
                 f"replay transformers must not modify routing/ordering "
                 f"columns {sorted(touched)}"
             )
+        # udf specs carry no "column" and cannot be introspected — enforce
+        # the same contract at runtime by checking the banned columns come
+        # out of the fused chain unchanged (cheap: pointer-equality first,
+        # value-equality only when buffers were rebuilt).
+        fused_inner = compile_transformers(cfg.transformers)
+
+        def fused_guarded(t: pa.Table) -> pa.Table:
+            out = fused_inner(t)
+            if out.num_rows == t.num_rows:
+                for c in banned:
+                    if c in t.column_names and c in out.column_names:
+                        if out[c] is not t[c] and not out[c].equals(t[c]):
+                            raise ValueError(
+                                f"replay transformer modified routing/"
+                                f"ordering column {c!r}"
+                            )
+            return out
         ds = ds.map_batches(
-            compile_transformers(cfg.transformers),
+            fused_guarded,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,

@@ -71,6 +71,42 @@ BASE_LINEAGE_SCHEMA = pa.schema(
 )
 
 
+def write_fragment(
+    piece: pa.Table, lake_dir: str, rid: int, epoch: int
+) -> dict:
+    """Write one fragment parquet with the engine's atomicity/naming
+    discipline — zstd-1 bytes, CONTENT-HASH filename (sha1[:16] of the
+    exact file bytes, so a retried task rewrites the identical file and
+    `fsck --deep` can re-verify it), tmp + os.replace publish — and
+    return its FRAG_LINEAGE_SCHEMA row (events_applied left equal to
+    rows; callers that track it separately overwrite it). ALL fragment
+    writers (DeltaWriter, PurgeTombstoner, RepartitionWriter) must go
+    through here: exactly-once and deep fsck depend on every fragment
+    sharing one digest/compression scheme."""
+    sink = pa.BufferOutputStream()
+    pq.write_table(piece, sink, compression="zstd", compression_level=1)
+    buf = sink.getvalue()
+    digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+    rel = os.path.join(f"r={rid:04d}", f"e={epoch:06d}-{digest}.parquet")
+    path = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.to_pybytes())
+    os.replace(tmp, path)
+    lsn_hi = pc.max(piece["_lsn"]).as_py()
+    return {
+        "range_id": rid,
+        "epoch": epoch,
+        "kind": "frag",
+        "file": rel,
+        "rows": piece.num_rows,
+        "events_applied": piece.num_rows,
+        "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
+        "bytes": len(buf),
+    }
+
+
 def _atomic_write(table: pa.Table, path: str) -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
@@ -126,31 +162,11 @@ class DeltaWriter:
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             rid = int(rid_sorted[lo])
-            piece = delta.slice(lo, hi - lo)
-            sink = pa.BufferOutputStream()
-            pq.write_table(piece, sink, compression="zstd", compression_level=1)
-            buf = sink.getvalue()
-            digest = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
-            rel = os.path.join(f"r={rid:04d}", f"e={self.epoch:06d}-{digest}.parquet")
-            path = os.path.join(self.lake_dir, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + f".tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(buf.to_pybytes())
-            os.replace(tmp, path)
-            lsn_hi = pc.max(piece["_lsn"]).as_py()
-            out_rows.append(
-                {
-                    "range_id": rid,
-                    "epoch": self.epoch,
-                    "kind": "frag",
-                    "file": rel,
-                    "rows": piece.num_rows,
-                    "events_applied": hi - lo,
-                    "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
-                    "bytes": len(buf),
-                }
+            row = write_fragment(
+                delta.slice(lo, hi - lo), self.lake_dir, rid, self.epoch
             )
+            row["events_applied"] = hi - lo
+            out_rows.append(row)
         if self._metrics is not None:
             self._metrics.add.remote(
                 "delta_write",

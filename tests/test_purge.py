@@ -183,3 +183,48 @@ def test_purge_flows_through_change_feed(tmp_path):
     live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
     live = live.drop_columns([c for c in INTERNAL_COLS if c in live.column_names])
     assert live.equals(final_table(lake))
+
+
+def test_purge_tombstone_lsn_never_collides_with_real_event(tmp_path):
+    """Regression: a real future event landing on exactly
+    (winner_ts, winner_lsn + 1) — same-microsecond update whose lsn is
+    next in the log — must NOT tie the purge tombstone. Synthetic lsns
+    live in a reserved space (winner + 1 + 2^62), so the tombstone wins
+    outright (same ts, higher lsn), the lake stays purged, and the
+    preimage feed (strict comparison) agrees: no emitted change."""
+    import os
+
+    from datax_ray.pipelines.feed import read_change_feed_preimages
+    from datax_ray.schemas import CHANGES_SCHEMA
+    from datax_ray.state.manifest import Manifest
+
+    changes, chg, lake = _build(tmp_path, "tie")
+    live = final_table(lake)
+    conv = live["conv_id"][0].as_py()
+    row = live.filter(pc.equal(live["conv_id"], conv)).slice(0, 1)
+    winner_ts = row["ts"][0].as_py()
+
+    purge(lake, [conv])
+    b = Manifest(lake).committed_epoch()
+
+    # The colliding event: SAME ts as the stored winner, lsn above the
+    # watermark (so dedup passes it through).
+    tie = pa.Table.from_pylist(
+        [{
+            "lsn": int(pc.max(changes["lsn"]).as_py()) + 1,
+            "ts": winner_ts,
+            "op": "update", "conv_id": conv,
+            "turn_idx": row["turn_idx"][0].as_py(),
+            "role": "user", "text": "tie-resurrected?", "tool": "",
+            "ddl": None,
+        }],
+        schema=CHANGES_SCHEMA,
+    )
+    pq.write_table(tie, os.path.join(chg, "seg-000000800.parquet"))
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8))
+
+    after = final_table(lake)
+    assert not pc.any(pc.equal(after["conv_id"], conv)).as_py()
+    c = Manifest(lake).committed_epoch()
+    feed = read_change_feed_preimages(lake, b, c).to_pandas()
+    assert len(feed) == 0  # merge and feed agree: nothing changed
