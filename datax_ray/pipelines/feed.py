@@ -79,6 +79,12 @@ def plan_change_feed(
     recs = _exact_records(m, need)
     plan: list[dict] = []
     for e in range(from_epoch + 1, to_epoch + 1):
+        # Layout migrations rewrite EVERY row without changing any value —
+        # their CDC delta is empty (same rule as plan_feed_preimages; Delta
+        # emits nothing for OPTIMIZE). Without this skip, a feed window
+        # spanning a repartition would re-ship the whole lake as "changes".
+        if "repartition" in (recs[e].get("metrics") or {}):
+            continue
         prev = recs.get(e - 1)
         new_frags = sorted(_frag_set(recs[e]) - _frag_set(prev))
         plan.extend({"epoch": e, "file": f} for f in new_frags)

@@ -139,15 +139,18 @@ def refresh_index(lake_dir: str, idx_dir: str) -> dict:
         else:
             todo.append({"range_id": rid, "files": json.dumps(p["files"])})
 
+    # Disk-scan cleanup (not state-dict): a crashed refresh can leave a
+    # postings file never recorded in state; search globs the disk, so a
+    # stale orphan would keep serving purged/vanished rows forever.
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    for key in list(state):
-        if int(key) not in live_rids:
-            try:
-                os.remove(os.path.join(idx_dir, f"r={int(key):05d}.parquet"))
-                removed += 1
-            except FileNotFoundError:
-                pass
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(idx_dir, "r=*.parquet")):
+        rid = int(os.path.basename(path)[2:-8])
+        if rid not in live_rids:
+            os.remove(path)
+            removed += 1
 
     if todo:
         schema_json = schema_to_json(lake_schema(lake_dir))

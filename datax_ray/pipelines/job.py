@@ -130,8 +130,18 @@ def build_reader(cfg: dict) -> ray.data.Dataset:
 
 # ------------------------------------------------------- dirty-record casts --
 
+def _to_long(s: pd.Series) -> pd.Series:
+    """Strict long cast: non-numeric AND fractional values become null
+    (dirty), instead of astype('Int64') raising on e.g. '3.7' and killing
+    the job before dirty routing can run (DataX: a failed conversion is a
+    dirty record, never an abort)."""
+    num = pd.to_numeric(s, errors="coerce")
+    num = num.where(num.isna() | (num % 1 == 0))
+    return num.astype("Int64")
+
+
 _COERCE = {
-    "long": lambda s: pd.to_numeric(s, errors="coerce").astype("Int64"),
+    "long": _to_long,
     "double": lambda s: pd.to_numeric(s, errors="coerce").astype("Float64"),
     "date": lambda s: pd.to_datetime(s, errors="coerce", format="mixed"),
 }
@@ -151,6 +161,10 @@ class CastStage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         bad = np.zeros(len(df), dtype=bool)
         reason = np.full(len(df), "", dtype=object)
+        # Keep the ORIGINAL values of cast columns: a dead-letter record
+        # must preserve the offending input (DataX TaskPluginCollector
+        # semantics), not the nulled-out coercion result.
+        originals = {col: df[col].copy() for col in self.casts}
         for col, typ in self.casts.items():
             coerced = _COERCE[typ](df[col])
             failed = coerced.isna().to_numpy() & df[col].notna().to_numpy()
@@ -158,7 +172,8 @@ class CastStage:
             bad |= failed
             df[col] = coerced
         if bad.any() and self.deadletter_dir:
-            dirty = df[bad].assign(reason=reason[bad])
+            dirty = df[bad].assign(**{c: s[bad] for c, s in originals.items()})
+            dirty = dirty.assign(reason=reason[bad])
             os.makedirs(self.deadletter_dir, exist_ok=True)
             blob = dirty.to_csv(index=False).encode()
             name = hashlib.sha1(blob).hexdigest()[:16]
@@ -173,39 +188,10 @@ class CastStage:
 # ----------------------------------------------------------------- writers --
 
 
-def _part_writer(out_dir: str, fmt: str):
-    """Per-batch file writer with content-hash names — one file per block,
-    idempotent on retry, no driver materialization."""
-
-    def write(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        if fmt == "parquet":
-            sink = pa.BufferOutputStream()
-            pq.write_table(t, sink, compression="zstd", compression_level=1)
-            blob = sink.getvalue().to_pybytes()
-            ext = "parquet"
-        elif fmt == "csv":
-            blob = t.to_pandas().to_csv(index=False, na_rep="\\N").encode()
-            ext = "csv"
-        else:  # jsonl
-            rows = []
-            for r in t.to_pylist():
-                for k, v in list(r.items()):
-                    if hasattr(v, "isoformat"):
-                        r[k] = v.isoformat()
-                rows.append(json.dumps(r))
-            blob = ("\n".join(rows) + "\n").encode()
-            ext = "jsonl"
-        name = hashlib.sha1(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"part-{name}.{ext}")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-    return write
+# File output goes through the two-phase-commit AtomicDirDatasink
+# (sinks/datasink.py): per-task part names (no cross-task content-hash
+# collapse), serialize_table shared (one place owns the byte formats),
+# and an atomic manifest — a crashed job leaves no manifest behind.
 
 
 def run_writer(ds: ray.data.Dataset, cfg: dict) -> int:
@@ -220,10 +206,12 @@ def run_writer(ds: ray.data.Dataset, cfg: dict) -> int:
             )
         os.makedirs(out_dir, exist_ok=True)
         fmt = name.removesuffix("writer")
-        parts = ds.map_batches(
-            _part_writer(out_dir, fmt), batch_format="pyarrow"
-        ).take_all()
-        return sum(int(r["rows"]) for r in parts)
+        from datax_ray.sinks.datasink import AtomicDirDatasink
+
+        sink = AtomicDirDatasink(out_dir, fmt)
+        ds.write_datasink(sink)
+        with open(os.path.join(out_dir, sink.MANIFEST)) as f:
+            return int(json.load(f)["rows"])
     if name == "sqlitewriter":
         from datax_ray.sources.sqlsource import write_sql_table
 

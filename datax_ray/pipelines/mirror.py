@@ -28,6 +28,7 @@ backoff inside the task.
 from __future__ import annotations
 
 import hashlib
+import sqlite3
 import time
 from collections.abc import Callable
 
@@ -93,12 +94,20 @@ class _MirrorApplier:
                 fn(cur)
                 self._conn.commit()
                 return
-            except Exception:
+            except Exception as exc:
                 try:
                     self._conn.rollback()
                 except Exception:
                     pass
-                if i == attempts - 1:
+                # Retry ONLY contention (sqlite 'database is locked' /
+                # 'busy'); a permanent SQL error — dropped table, schema
+                # mismatch — can never succeed and must surface now, not
+                # after 8 backoff rounds.
+                msg = str(exc).lower()
+                retryable = isinstance(exc, sqlite3.OperationalError) and (
+                    "locked" in msg or "busy" in msg
+                )
+                if not retryable or i == attempts - 1:
                     raise
                 time.sleep(0.05 * (2**i))
 

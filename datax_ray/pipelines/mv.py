@@ -130,15 +130,19 @@ def refresh_mv(lake_dir: str, mv_dir: str) -> dict:
         else:
             todo.append({"range_id": rid, "files": json.dumps(p["files"])})
 
+    # Remove partials for ranges no longer in the live plan — scanning the
+    # DISK, not the saved state: a crashed refresh can leave a partial that
+    # was never recorded in state, and read_mv globs the disk, so a stale
+    # orphan would otherwise resurrect rows (incl. purged convs) forever.
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    for key in list(state):
-        if int(key) not in live_rids:
-            try:
-                os.remove(os.path.join(mv_dir, f"r={int(key):05d}.parquet"))
-                removed += 1
-            except FileNotFoundError:
-                pass
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(mv_dir, "r=*.parquet")):
+        rid = int(os.path.basename(path)[2:-8])
+        if rid not in live_rids:
+            os.remove(path)
+            removed += 1
 
     if todo:
         schema_json = schema_to_json(lake_schema(lake_dir))

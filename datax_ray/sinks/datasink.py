@@ -69,7 +69,7 @@ class AtomicDirDatasink(ray.data.Datasink):
 
     def write(self, blocks: Iterable, ctx) -> list[dict]:
         out = []
-        for block in blocks:
+        for i, block in enumerate(blocks):
             t = (
                 block
                 if isinstance(block, pa.Table)
@@ -78,7 +78,14 @@ class AtomicDirDatasink(ray.data.Datasink):
             if t.num_rows == 0:
                 continue
             blob, ext = serialize_table(t, self.fmt)
-            name = f"part-{hashlib.sha1(blob).hexdigest()[:16]}.{ext}"
+            # Name = (task_idx, block ordinal, content hash): task_idx and
+            # the ordinal are stable across RETRIES of the same write task
+            # (same file rewritten byte-identically — exactly-once), while
+            # DISTINCT tasks that happen to produce byte-identical blocks
+            # (e.g. constant columns) still get distinct files — a pure
+            # content hash would silently collapse them and lose rows.
+            digest = hashlib.sha1(blob).hexdigest()[:16]
+            name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
             path = os.path.join(self.out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -92,8 +99,8 @@ class AtomicDirDatasink(ray.data.Datasink):
         seen = set()
         for task_files in write_result.write_returns:
             for rec in task_files:
-                # Two blocks with identical content hash to the same file;
-                # list it once (it holds one copy of the rows on disk).
+                # A retried task re-reports the same (task_idx, ordinal,
+                # hash) name; list it once.
                 if rec["file"] not in seen:
                     seen.add(rec["file"])
                     files.append(rec)

@@ -39,7 +39,10 @@ def plan_pk_splits(
     conn = connection_factory()
     try:
         cond = f" WHERE {where}" if where else ""
-        cur = conn.execute(
+        # DB-API portability: execute() lives on cursors; sqlite3's
+        # connection.execute is a convenience other drivers lack.
+        cur = conn.cursor()
+        cur.execute(
             f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {table}{cond}"
         )
         lo, hi = cur.fetchone()
@@ -100,7 +103,9 @@ class SqlRangeReader:
         )
         out: list[pa.Table] = []
         for lo, hi in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
-            rows = self._conn.execute(self._sql(int(lo), int(hi))).fetchall()
+            cur = self._conn.cursor()
+            cur.execute(self._sql(int(lo), int(hi)))
+            rows = cur.fetchall()
             cols = list(zip(*rows)) if rows else [[] for _ in self.columns]
             if target is not None:
                 tab = pa.table(
@@ -132,6 +137,23 @@ def read_sql_table(
     is O(1) driver work (one MIN/MAX query); each range fetches in its own
     task. Size num_splits so one range fits a worker (DataX channel rule)."""
     splits = plan_pk_splits(connection_factory, table, split_pk, num_splits, where)
+    if schema is None and splits:
+        # Infer a pinned schema from ONE probe row on the driver: without
+        # it, empty split ranges (sparse pk spaces) emit null-typed blocks
+        # that cannot concat/write alongside the inferred non-empty ones.
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT {', '.join(columns)} FROM {table} LIMIT 1"
+            )
+            probe = cur.fetchone()
+        finally:
+            conn.close()
+        if probe is not None:
+            schema = pa.schema([
+                (c, pa.array([v]).type) for c, v in zip(columns, probe)
+            ])
     if not splits:
         out_schema = schema or pa.schema([(c, pa.null()) for c in columns])
         return ray.data.from_arrow(out_schema.empty_table())
@@ -172,7 +194,7 @@ class SqlBatchWriter:
         ph = ", ".join(["?"] * len(self.columns))
         sql = f"{verb} INTO {self.table} ({', '.join(self.columns)}) VALUES ({ph})"
         data = list(zip(*[t[c].to_pylist() for c in self.columns]))
-        self._conn.executemany(sql, data)
+        self._conn.cursor().executemany(sql, data)
         self._conn.commit()
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 

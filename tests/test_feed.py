@@ -111,3 +111,58 @@ def test_feed_covers_bootstrap_snapshot(tmp_path):
     assert got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).equals(
         want
     )
+
+
+def test_plain_feed_skips_migration_epochs(tmp_path):
+    """A feed window spanning a layout repartition must NOT re-emit the
+    whole lake (migration changes no values; its CDC delta is empty), and
+    the fold-forward contract must still hold across it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.feed import plan_change_feed, read_change_feed
+    from datax_ray.pipelines.repartition import repartition_lake
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.schemas import DELETED_COL, INTERNAL_COLS
+    from datax_ray.sinks.lake import final_table, lake_schema, read_lake
+    from datax_ray.stages.merge import merge_states
+    from datax_ray.state.manifest import Manifest
+
+    changes = gen_changes(3000, 40, seed=71, out_of_order_frac=0.1)
+    chg, lake = str(tmp_path / "chg"), str(tmp_path / "lake")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
+                        segments_per_epoch=2))
+    m = Manifest(lake)
+    a = m.committed_epoch()
+
+    rep = repartition_lake(lake, 20, salt_turn_width=4, compact=False)
+    mig_epoch = rep["epoch"]
+    b = m.committed_epoch()
+
+    plan = plan_change_feed(lake, a, b)
+    assert all(p["epoch"] != mig_epoch for p in plan)
+    assert plan == []  # nothing else happened in (a, b]
+
+    # Fold-forward across the migration window: state(a) + feed(a,b]
+    # (empty) == live state(b).
+    base_tables = [
+        t for t in ray.get(
+            read_lake(lake, as_of_epoch=a, keep_tombstones=True,
+                      include_internal=True).to_arrow_refs()
+        ) if t.num_rows
+    ]
+    feed_tables = [
+        t.drop_columns(["_epoch"])
+        for t in ray.get(read_change_feed(lake, a, b).to_arrow_refs())
+        if t.num_rows
+    ]
+    state = merge_states(base_tables + feed_tables, lake_schema(lake, b))
+    live = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+    live = live.drop_columns(
+        [c for c in INTERNAL_COLS if c in live.column_names]
+    )
+    assert live.equals(final_table(lake))

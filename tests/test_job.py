@@ -245,3 +245,53 @@ def test_streamwriter_counts(tmp_path):
         {"name": "streamwriter"},
     )
     assert run_job(cfg, job_dir=str(tmp_path))["records"] == 25
+
+
+def test_duplicate_identical_blocks_are_not_collapsed(tmp_path):
+    """Two tasks producing byte-identical blocks (constant columns) must
+    both land on disk: part names carry (task_idx, block ordinal), so a
+    pure content-hash collapse cannot silently drop rows."""
+    out = str(tmp_path / "dup")
+    cfg = _cfg(
+        {
+            "name": "streamreader",
+            "parameter": {
+                "count": 40000,
+                "seed": 1,
+                "column": [
+                    {"name": "v", "type": "string", "value": "constant"},
+                ],
+            },
+        },
+        {"name": "parquetwriter", "parameter": {"path": out}},
+    )
+    s = run_job(cfg)
+    assert s["records"] == 40000
+    total = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(f"{out}/part-*.parquet")
+    )
+    assert total == 40000  # every row on disk, none deduped away
+
+
+def test_fractional_long_cast_routes_to_deadletter_with_original(tmp_path):
+    """'3.7' under a long cast is a DIRTY record (not a job abort), and
+    the dead-letter row preserves the original offending value."""
+    import pandas as pd
+
+    src = tmp_path / "src.csv"
+    src.write_text("id,num\n1,10\n2,3.7\n3,xyz\n4,20\n")
+    out = str(tmp_path / "out")
+    cfg = _cfg(
+        {"name": "csvreader",
+         "parameter": {"path": str(src), "casts": {"num": "long"}}},
+        {"name": "parquetwriter", "parameter": {"path": out}},
+        setting={"errorLimit": {"record": 10}},
+    )
+    s = run_job(cfg)
+    assert s["records"] == 2 and s["dirty_records"] == 2
+    dl = pd.concat([
+        pd.read_csv(p) for p in glob.glob(s["deadletter_dir"] + "/*.csv")
+    ])
+    vals = set(dl["num"].astype(str))
+    assert vals == {"3.7", "xyz"}  # originals preserved, not nulled

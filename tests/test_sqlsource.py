@@ -141,3 +141,34 @@ def test_bootstrap_from_sql_source(tmp_path):
     replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8))
 
     assert final_table(lake).equals(sequential_replay(changes, base=snap))
+
+
+def test_sparse_splitpk_empty_ranges_align(tmp_path):
+    """A sparse pk space (most split ranges empty) with NO declared schema
+    must still produce type-aligned blocks: the reader probes one row to
+    pin the schema, so empty ranges emit typed empties, not null-typed
+    blocks that break concat/write."""
+    import functools
+    import sqlite3
+
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    db = str(tmp_path / "sparse.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (pk INTEGER PRIMARY KEY, name TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(1, "a"), (1_000_000, "b")]
+    )
+    con.commit()
+    con.close()
+
+    ds = read_sql_table(
+        functools.partial(sqlite3.connect, db, 30.0, check_same_thread=False),
+        "t",
+        columns=["pk", "name"],
+        split_pk="pk",
+        num_splits=16,  # 14+ ranges come back empty
+    )
+    df = ds.to_pandas()
+    assert sorted(df["pk"]) == [1, 1_000_000]
+    assert sorted(df["name"]) == ["a", "b"]
