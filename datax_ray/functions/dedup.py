@@ -564,6 +564,154 @@ def simhash_pairs(
     return _unique_pairs(pairs, "hamming", num_buckets=num_buckets)
 
 
+# ------------------------------------------------ exact all-pairs ngram --
+
+
+def ngram_pairs_exact(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    num_buckets: int = 64,
+):
+    """EXACT all-pairs word-k-gram Jaccard (no LSH, no recall loss) via a
+    distributed inverted index — the oracle-checkable counterpart of
+    ngram_jaccard_pairs, and the ground truth the approximate family's
+    recall floors are measured against.
+
+    Shape (classic AllPairs / prefix-filter family, kept simple because the
+    emission volume is Σ_g df(g)·(df(g)-1)/2 — linear while shingle document
+    frequency stays bounded):
+      1. map_batches: per doc, DISTINCT shingle hashes + doc shingle count →
+         explode to id-only postings (g, doc, n). Text never shuffles.
+      2. groupby(g % B): per shingle, emit pair partials (doc_a, doc_b,
+         na, nb) for docs sharing it, pre-counted WITHIN the bucket
+         (combiner) before the pair shuffle.
+      3. groupby(pair % B): sum shared-shingle counts c per pair;
+         jaccard = c / (na + nb - c); keep >= threshold.
+
+    Results are independent of bucketing and batch boundaries. At
+    adversarial df skew (a shingle in millions of docs) exact all-pairs is
+    inherently quadratic — that corpus needs the LSH path
+    (ngram_jaccard_pairs); this operator's contract is exactness."""
+
+    def postings(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        gs, ds_, ns = [], [], []
+        for i, txt in enumerate(texts):
+            sh = np.unique(_shingles(txt or "", shingle_k))
+            if len(sh) == 0:
+                continue
+            gs.append(sh)
+            ds_.append(np.full(len(sh), ids[i], dtype=np.int64))
+            ns.append(np.full(len(sh), len(sh), dtype=np.int32))
+        if not gs:
+            return pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype="uint64"),
+                    "doc": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int32"),
+                    "_grp": pd.Series([], dtype="int32"),
+                }
+            )
+        g = np.concatenate(gs)
+        return pd.DataFrame(
+            {
+                "g": g,
+                "doc": np.concatenate(ds_),
+                "n": np.concatenate(ns),
+                "_grp": (g % np.uint64(num_buckets)).astype("int32"),
+            }
+        )
+
+    _pair_empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "na": pd.Series([], dtype="int32"),
+            "nb": pd.Series([], dtype="int32"),
+            "c": pd.Series([], dtype="int64"),
+            "_pg": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        # per shingle in this coarse bucket: all doc pairs sharing it
+        grp = grp.sort_values(["g", "doc"], kind="stable")
+        outs_a, outs_b, outs_na, outs_nb = [], [], [], []
+        for _, s in grp.groupby("g", sort=False):
+            d = len(s)
+            if d < 2:
+                continue
+            ids = s["doc"].to_numpy()
+            n = s["n"].to_numpy()
+            ia, ib = np.triu_indices(d, k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+            outs_na.append(n[ia])
+            outs_nb.append(n[ib])
+        if not outs_a:
+            return _pair_empty
+        df = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(outs_a),
+                "doc_b": np.concatenate(outs_b),
+                "na": np.concatenate(outs_na).astype("int32"),
+                "nb": np.concatenate(outs_nb).astype("int32"),
+            }
+        )
+        # combiner: count shared shingles per pair within this bucket
+        df = (
+            df.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        a = df["doc_a"].to_numpy().astype(np.uint64)
+        b = df["doc_b"].to_numpy().astype(np.uint64)
+        df["_pg"] = ((a * np.uint64(1000003) + b) % np.uint64(num_buckets)).astype(
+            "int32"
+        )
+        return df
+
+    _out_empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def reduce_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        agg = grp.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)["c"].sum()
+        c = agg["c"].to_numpy().astype(np.float64)
+        union = (
+            agg["na"].to_numpy().astype(np.int64)
+            + agg["nb"].to_numpy().astype(np.int64)
+            - agg["c"].to_numpy()
+        )
+        j = c / union
+        keep = j >= threshold
+        if not keep.any():
+            return _out_empty
+        return pd.DataFrame(
+            {
+                "doc_a": agg["doc_a"].to_numpy()[keep],
+                "doc_b": agg["doc_b"].to_numpy()[keep],
+                "jaccard": j[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("_pg")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------- n-gram jaccard verify --
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -2654,6 +2655,183 @@ def dedup_fuzzy_survivors(sf_dir: str):
     return semi_join(docs, losers, on="doc_id", anti=True)
 
 
+def ngram_dup_pairs_exact(sf_dir: str):
+    """EXACT all-pairs word-3-gram Jaccard >= 0.6 via distributed inverted
+    index (functions/dedup.ngram_pairs_exact) — no LSH, so the result is
+    deterministic and SQL-expressible: the DuckDB oracle rebuilds the same
+    shingle sets and joins postings on shingle. This is the ground-truth
+    pair set the approximate family (minhash/simhash LSH) is recall-floored
+    against in tests."""
+    from datax_ray.functions.dedup import ngram_pairs_exact
+
+    return ngram_pairs_exact(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+
+# Shingle CTEs mirror functions/dedup._shingles exactly: whitespace split
+# (any run, no empties), word 3-grams, and the short-doc rule (fewer than 3
+# tokens -> ONE shingle = the whole doc). Jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+# with integer counts divided as doubles — bit-identical to the numpy path.
+NGRAM_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+      CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           ELSE array_to_string(w, ' ') END AS g
+    FROM toks, UNNEST(range(1, CASE WHEN len(w) >= 3 THEN len(w)-1 ELSE 2 END)) AS t(i)
+    WHERE len(w) >= 1
+  )
+)
+"""
+
+NGRAM_EXACT_SQL = (
+    "WITH "
+    + NGRAM_SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+"""
+)
+
+
+def dedup_cluster_exact(sf_dir: str):
+    """Near-dup cluster assignment over the EXACT pair set: exact inverted-
+    index pairs → distributed min-label connected components →
+    (doc_id, cluster_id = min doc of component). Unlike dedup_cluster_docs
+    (LSH-proposed, rows-only check) this is fully deterministic, so the
+    DuckDB oracle computes the same components with a recursive CTE
+    transitive closure."""
+    from datax_ray.functions.dedup import ngram_pairs_exact
+    from datax_ray.functions.graph import connected_components
+
+    pairs = ngram_pairs_exact(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+    out = connected_components(pairs, num_buckets=_buckets_for(sf_dir, "documents"))
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+CLUSTER_EXACT_SQL = (
+    "WITH RECURSIVE "
+    + NGRAM_SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+),
+edges AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (training-data curation): drop every
+    training doc that shares ANY word-3-gram with the held-out benchmark
+    set (here: source = 'src0'). The benchmark shingle-hash set is the
+    small side — collected once (hashes only, never text) and broadcast
+    via ray.put; membership inside map_batches is a vectorized
+    np.searchsorted against the sorted array, so the training side streams
+    with no shuffle at all."""
+    import ray
+
+    from datax_ray.functions.dedup import _shingles
+
+    bench = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def to_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.loc[df["source"] == "src0", "text"]
+        hs = [_shingles(x or "", 3) for x in texts]
+        g = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({"g": g})
+
+    parts = [
+        b["g"].to_numpy()
+        for b in bench.map_batches(to_hashes, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    bench_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench_set)
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["source"], "src0"))
+        bset = ray.get(bench_ref)
+        keep = np.ones(t.num_rows, dtype=bool)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            sh = _shingles(txt or "", 3)
+            if len(sh):
+                idx = np.searchsorted(bset, sh)
+                idx[idx == len(bset)] = 0
+                if len(bset) and (bset[idx] == sh).any():
+                    keep[i] = False
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "source": t["source"].filter(pa.array(keep)),
+            }
+        )
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return train.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECONTAMINATE_SQL = (
+    "WITH "
+    + NGRAM_SHINGLE_CTE
+    + """,
+bench AS (
+  SELECT DISTINCT g FROM sh JOIN documents USING (doc_id) WHERE source = 'src0'
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id = d.doc_id
+  )
+"""
+)
+
+
 def pack_docs_sequences(sf_dir: str):
     """Sequence packing (rows-only: bin assignment is order-dependent,
     not SQL-expressible): whitespace token counts → first-fit-decreasing
@@ -3474,7 +3652,10 @@ QUERIES = {
     "pivot_user_event_counts": pivot_user_event_counts,
     "quality_filter_docs": quality_filter_docs,
     "ngram_dup_pairs": ngram_dup_pairs,
+    "ngram_dup_pairs_exact": ngram_dup_pairs_exact,
     "dedup_cluster_docs": dedup_cluster_docs,
+    "dedup_cluster_exact": dedup_cluster_exact,
+    "decontaminate_docs": decontaminate_docs,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "pack_docs_sequences": pack_docs_sequences,
     "ann_cosine_topk": ann_cosine_topk,
@@ -3559,6 +3740,9 @@ ORACLE_SQL = {
     "intersect_finished_orderkeys": SET_INTERSECT_SQL,
     "pivot_user_event_counts": PIVOT_SQL,
     "quality_filter_docs": QUALITY_SQL,
+    "ngram_dup_pairs_exact": NGRAM_EXACT_SQL,
+    "dedup_cluster_exact": CLUSTER_EXACT_SQL,
+    "decontaminate_docs": DECONTAMINATE_SQL,
     "ann_cosine_topk": ANN_SQL,
     "label_centroids": CENTROID_SQL,
     "user_event_path": EVENT_PATH_SQL,

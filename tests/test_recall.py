@@ -89,3 +89,32 @@ def test_embedding_dup_recall_vs_planted():
     # planted cosine ≈ 0.9998; no false pairs exist above 0.95.
     assert _recall(got, planted) >= 0.85
     assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+def test_exact_all_pairs_ground_truth(dup_docs):
+    """ngram_pairs_exact (inverted-index all-pairs) is EXACT: recall 1.0
+    over planted pairs (they all have J >= 0.6 by fixture sanity), every
+    emitted score matches a direct two-doc computation, and the LSH path's
+    verified output is a subset of it. Also: bucket-count invariance."""
+    from datax_ray.functions.dedup import (
+        ngram_jaccard,
+        ngram_jaccard_pairs,
+        ngram_pairs_exact,
+    )
+
+    ds, table, planted = dup_docs
+    texts = table["text"].to_pylist()
+    out = ngram_pairs_exact(ds, threshold=0.6).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert _recall(got, planted) == 1.0
+    for r in out:
+        j = ngram_jaccard(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert j >= 0.6 and abs(j - r["jaccard"]) < 1e-12
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(ds, threshold=0.6).take_all()
+    }
+    assert lsh <= got
+    # routing-invariance: different coarse-bucket counts, identical pairs
+    out512 = ngram_pairs_exact(ds, threshold=0.6, num_buckets=512).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in out512} == got
