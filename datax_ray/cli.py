@@ -135,7 +135,13 @@ def main(argv=None):
 
     lk = sub.add_parser("lookup", help="keyed point lookup: live rows for specific conv_ids")
     lk.add_argument("--lake", required=True)
-    lk.add_argument("--conv", action="append", required=True, help="conv_id (repeatable)")
+    lk.add_argument("--conv", action="append", default=None, help="conv_id (repeatable)")
+    lk.add_argument(
+        "--min-ts",
+        default=None,
+        help="time-slice: only rows with event-time >= this ISO timestamp; "
+        "files wholly below it are pruned from the plan via manifest stats",
+    )
     lk.add_argument("--as-of-epoch", type=int, default=None)
     lk.add_argument("--num-cpus", type=int, default=None)
 
@@ -555,11 +561,16 @@ def main(argv=None):
 
         from datax_ray.sinks.lake import LakeDatasource, read_lake
 
-        src = LakeDatasource(a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv)
+        if a.conv is None and a.min_ts is None:
+            print(json.dumps({"error": "pass --conv and/or --min-ts"}))
+            return 2
+        src = LakeDatasource(
+            a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts
+        )
         rows = []
         if src._parts:
             t = read_lake(
-                a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv
+                a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts
             ).sort(["conv_id", "turn_idx"]).take_all()
             rows = [
                 {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.items()}

@@ -217,6 +217,49 @@ CDC_LOOKUP_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_time_slice(sf_dir: str):
+    """Time-slice read over the CDC lake (data skipping): replay the
+    derived change log, then `read_lake(min_ts=...)` — final-state rows
+    whose winning event-time is on/after the cutoff, with whole base/
+    fragment files pruned from the plan via the manifest's per-file ts
+    min/max stats (no storage reads for files wholly below the cutoff;
+    safe one-sided pruning — an all-older file can neither produce nor
+    suppress an in-slice LWW winner). The incremental-consumer read of a
+    100 TB lake: epochs are time-correlated, so 'what changed since T'
+    opens only recent files."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import read_lake
+    from datax_ray.sources.derive import ChangeDeriver
+
+    cutoff = "2024-01-16 00:00:00"
+    work = f"/tmp/datax_cdc_slice/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    return read_lake(f"{work}/lake", min_ts=cutoff).to_pandas()
+
+
+CDC_SLICE_SQL = CDC_REPLAY_SQL.replace(
+    "WHERE rn = 1 AND op <> 'delete'",
+    "WHERE rn = 1 AND op <> 'delete' "
+    "AND ts >= TIMESTAMP '2024-01-16 00:00:00'",
+)
+
+
 def cdc_purge_forget(sf_dir: str):
     """Right-to-be-forgotten, driver-verified (pipelines/purge.py): replay
     the derived change log into a lake, then HARD-purge every conversation
@@ -3595,6 +3638,7 @@ QUERIES = {
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_time_slice": cdc_time_slice,
     "cdc_purge_forget": cdc_purge_forget,
     "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_text_search": cdc_text_search,
@@ -3685,6 +3729,7 @@ ORACLE_SQL = {
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
+    "cdc_time_slice": CDC_SLICE_SQL,
     "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_text_search": CDC_SEARCH_SQL,

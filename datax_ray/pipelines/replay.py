@@ -270,6 +270,8 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             "base": r["file"],
             "rows": int(r["rows"]),
             "lsn_hi": int(r["lsn_hi"]),
+            "ts_lo": r.get("ts_lo"),
+            "ts_hi": r.get("ts_hi"),
         }
     for rid in to_compact:
         ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
@@ -283,6 +285,15 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         rec["frags"] = [*rec.get("frags", []), r["file"]]
         rec["rows"] = int(rec.get("rows", 0)) + int(r["rows"])
         rec["lsn_hi"] = max(int(rec.get("lsn_hi", -1)), int(r["lsn_hi"]))
+        if r.get("ts_lo") is not None or r.get("ts_hi") is not None:
+            # per-file event-time stats for data-skipping reads (lake.py
+            # min_ts); keyed by file so purge/repartition rewrites that
+            # drop a file simply orphan its entry (readers only look up
+            # files still in `frags`; missing stats = never pruned).
+            rec["frag_ts"] = {
+                **rec.get("frag_ts", {}),
+                r["file"]: [r.get("ts_lo"), r.get("ts_hi")],
+            }
         eps = rec.get("epochs", [])
         if epoch not in eps:
             eps = [*eps, epoch]
@@ -369,6 +380,8 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
             "base": r["file"],
             "rows": int(r["rows"]),
             "lsn_hi": int(r["lsn_hi"]),
+            "ts_lo": r.get("ts_lo"),
+            "ts_hi": r.get("ts_hi"),
         }
     for rid in to_compact:
         ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}

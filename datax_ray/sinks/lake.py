@@ -52,9 +52,23 @@ def _lookup_rids(
     return {int(pid) // ppr for pid in pids}
 
 
+def _ts_us(min_ts) -> int | None:
+    """Normalize a time-slice cutoff (ISO string / datetime / µs int) to
+    µs-since-epoch, matching the lake's timestamp("us") column."""
+    if min_ts is None:
+        return None
+    if isinstance(min_ts, int):
+        return min_ts
+    if isinstance(min_ts, str):
+        from datetime import datetime
+
+        min_ts = datetime.fromisoformat(min_ts)
+    return pa.scalar(min_ts, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+
 def _range_plan(
     lake_dir: str, m: Manifest, as_of_epoch: int | None = None,
-    only_rids: set[int] | None = None,
+    only_rids: set[int] | None = None, min_ts_us: int | None = None,
 ) -> list[dict]:
     """[{range_id, files, rows}] from the committed manifest — the unit of
     merge-read parallelism (base files of the range's partitions + its
@@ -71,19 +85,30 @@ def _range_plan(
     all_rids = set(range_recs) | {pid // ppr for pid in partitions}
     if only_rids is not None:
         all_rids &= only_rids
-    for rid in sorted(all_rids):
-        files = [
-            partitions[p]["base"]
-            for p in range(rid * ppr, (rid + 1) * ppr)
-            if partitions.get(p, {}).get("base")
-        ]
-        rows = sum(
-            int(partitions[p].get("rows", 0))
-            for p in range(rid * ppr, (rid + 1) * ppr)
-            if partitions.get(p, {}).get("base")
+    def below_cutoff(ts_hi) -> bool:
+        # A file whose every event-time is strictly below the cutoff can
+        # neither produce an in-slice winner (its rows' ts < cutoff) nor
+        # suppress one (LWW order is (ts, lsn); suppressing a row with
+        # ts >= cutoff needs ts >= that row's ts > every ts in this file).
+        # Missing stats (pre-upgrade manifests) => never pruned.
+        return (
+            min_ts_us is not None and ts_hi is not None and int(ts_hi) < min_ts_us
         )
+
+    for rid in sorted(all_rids):
+        files, rows = [], 0
+        for p in range(rid * ppr, (rid + 1) * ppr):
+            prec = partitions.get(p, {})
+            if prec.get("base") and not below_cutoff(prec.get("ts_hi")):
+                files.append(prec["base"])
+                rows += int(prec.get("rows", 0))
         rec = range_recs.get(rid, {})
-        files += list(rec.get("frags", []))
+        frag_ts = rec.get("frag_ts", {})
+        for f in rec.get("frags", []):
+            stats = frag_ts.get(f)
+            if stats is not None and below_cutoff(stats[1]):
+                continue
+            files.append(f)
         rows += int(rec.get("rows", 0))
         if files:
             parts.append({"range_id": rid, "files": files, "rows": rows})
@@ -93,11 +118,16 @@ def _range_plan(
 def _merge_read_range(
     lake_dir: str, files: list[str], schema_json, include_internal: bool,
     conv_ids: list[str] | None = None, keep_tombstones: bool = False,
+    min_ts_us: int | None = None,
 ) -> pa.Table:
     """Merge-read one range: LWW-fold its base+fragment files, drop
     tombstones, unify historical pre-DDL schemas to the committed one.
     `conv_ids` filters each file BEFORE the merge — safe because the LWW
-    fold is independent per (conv_id, turn_idx) key."""
+    fold is independent per (conv_id, turn_idx) key. `min_ts_us` also
+    filters pre-merge: a row with ts < cutoff can neither be an in-slice
+    winner (the output needs winner ts >= cutoff) nor beat one (LWW
+    (ts, lsn) order), so dropping it before the fold changes nothing —
+    the row-level twin of _range_plan's file-level pruning."""
     from datax_ray.schemas import schema_from_json
     from datax_ray.stages.merge import merge_states
 
@@ -109,6 +139,10 @@ def _merge_read_range(
         t = tracker.unify(pq.read_table(os.path.join(lake_dir, f)))
         if keyset is not None:
             t = t.filter(pc.is_in(t["conv_id"], value_set=keyset))
+        if min_ts_us is not None:
+            t = t.filter(
+                pc.greater_equal(pc.cast(t["ts"], pa.int64()), min_ts_us)
+            )
         tables.append(t)
     state = merge_states(tables, target)
     if not keep_tombstones:
@@ -130,12 +164,14 @@ class LakeDatasource(ray.data.Datasource):
         as_of_epoch: int | None = None,
         conv_ids: list[str] | None = None,
         keep_tombstones: bool = False,
+        min_ts=None,
     ):
         from datax_ray.schemas import schema_to_json
 
         self._lake_dir = lake_dir
         self._include_internal = include_internal
         self._keep_tombstones = keep_tombstones
+        self._min_ts_us = _ts_us(min_ts)
         self._conv_ids = sorted(set(conv_ids)) if conv_ids is not None else None
         m = Manifest(lake_dir)
         if as_of_epoch is not None and m.at_epoch(as_of_epoch) is None:
@@ -150,7 +186,10 @@ class LakeDatasource(ray.data.Datasource):
             if self._conv_ids is not None
             else None
         )
-        self._parts = _range_plan(lake_dir, m, as_of_epoch, only_rids=only_rids)
+        self._parts = _range_plan(
+            lake_dir, m, as_of_epoch, only_rids=only_rids,
+            min_ts_us=self._min_ts_us,
+        )
 
     def get_name(self) -> str:
         return "DataxLake"
@@ -171,12 +210,13 @@ class LakeDatasource(ray.data.Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
 
-        lake_dir, schema_json, internal, conv_ids, tombs = (
+        lake_dir, schema_json, internal, conv_ids, tombs, min_ts_us = (
             self._lake_dir,
             self._schema_json,
             self._include_internal,
             self._conv_ids,
             self._keep_tombstones,
+            self._min_ts_us,
         )
         tasks = []
         for p in self._parts:
@@ -190,7 +230,8 @@ class LakeDatasource(ray.data.Datasource):
 
             def read_fn(files=files):
                 yield _merge_read_range(
-                    lake_dir, files, schema_json, internal, conv_ids, tombs
+                    lake_dir, files, schema_json, internal, conv_ids, tombs,
+                    min_ts_us,
                 )
 
             tasks.append(ReadTask(read_fn, meta))
@@ -204,6 +245,7 @@ def read_lake(
     as_of_epoch: int | None = None,
     conv_ids: list[str] | None = None,
     keep_tombstones: bool = False,
+    min_ts=None,
 ) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
@@ -217,13 +259,19 @@ def read_lake(
     still applies. `keep_tombstones` (with include_internal) returns the
     full internal state INCLUDING delete markers — the state-handoff view
     a downstream CDC consumer needs so late out-of-order events in a
-    subsequent change-feed window cannot resurrect deleted keys."""
+    subsequent change-feed window cannot resurrect deleted keys.
+    `min_ts` (ISO string / datetime / µs int) is a time-slice read: only
+    final-state rows whose winning event-time is >= the cutoff, with
+    whole files pruned from the plan via the manifest's per-file ts stats
+    (data skipping — an incremental consumer of a 100 TB lake opens only
+    files that can hold in-slice rows, no storage reads for the rest)."""
     src = LakeDatasource(
         lake_dir,
         include_internal=include_internal,
         as_of_epoch=as_of_epoch,
         conv_ids=conv_ids,
         keep_tombstones=keep_tombstones,
+        min_ts=min_ts,
     )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(

@@ -54,6 +54,8 @@ FRAG_LINEAGE_SCHEMA = pa.schema(
         ("events_applied", pa.int64()),
         ("lsn_hi", pa.int64()),
         ("bytes", pa.int64()),
+        ("ts_lo", pa.int64()),  # min/max event-time (µs) in the file —
+        ("ts_hi", pa.int64()),  # the manifest's data-skipping statistics
     ]
 )
 
@@ -67,8 +69,20 @@ BASE_LINEAGE_SCHEMA = pa.schema(
         ("rows", pa.int64()),
         ("lsn_hi", pa.int64()),
         ("bytes", pa.int64()),
+        ("ts_lo", pa.int64()),
+        ("ts_hi", pa.int64()),
     ]
 )
+
+
+def _ts_bounds(piece: pa.Table) -> tuple[int | None, int | None]:
+    """(min, max) of the `ts` column as µs ints (None when absent/all-null)
+    — recorded per file in the manifest so time-slice reads can prune
+    whole files without opening them (sinks/lake.py `min_ts`)."""
+    if "ts" not in piece.column_names or piece.num_rows == 0:
+        return None, None
+    mm = pc.min_max(pc.cast(piece["ts"], pa.int64()))
+    return mm["min"].as_py(), mm["max"].as_py()
 
 
 def write_fragment(
@@ -95,6 +109,7 @@ def write_fragment(
         f.write(buf.to_pybytes())
     os.replace(tmp, path)
     lsn_hi = pc.max(piece["_lsn"]).as_py()
+    ts_lo, ts_hi = _ts_bounds(piece)
     return {
         "range_id": rid,
         "epoch": epoch,
@@ -104,6 +119,8 @@ def write_fragment(
         "events_applied": piece.num_rows,
         "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
         "bytes": len(buf),
+        "ts_lo": ts_lo,
+        "ts_hi": ts_hi,
     }
 
 
@@ -225,6 +242,7 @@ class Compactor:
                 rel = os.path.join(f"p={pid:05d}", f"b={self.epoch:06d}.parquet")
                 nbytes = _atomic_write(piece, os.path.join(self.lake_dir, rel))
                 lsn_hi = pc.max(piece["_lsn"]).as_py()
+                ts_lo, ts_hi = _ts_bounds(piece)
                 out_rows.append(
                     {
                         "part_id": pid,
@@ -235,6 +253,8 @@ class Compactor:
                         "rows": hi - lo,
                         "lsn_hi": int(lsn_hi if lsn_hi is not None else -1),
                         "bytes": nbytes,
+                        "ts_lo": ts_lo,
+                        "ts_hi": ts_hi,
                     }
                 )
             if self._metrics is not None:
