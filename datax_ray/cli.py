@@ -133,6 +133,19 @@ def main(argv=None):
     mr.add_argument("--concurrency", type=int, default=4)
     mr.add_argument("--num-cpus", type=int, default=None)
 
+    rp = sub.add_parser(
+        "replicate",
+        help="lake->lake incremental replication: apply the source's change "
+        "feed to a destination lake, one dst epoch per src epoch, "
+        "exactly-once (resumable, idempotent, O(changed bytes)/sync)",
+    )
+    rp.add_argument("--src", required=True)
+    rp.add_argument("--dst", required=True)
+    rp.add_argument("--partitions", type=int, default=16, help="dst layout (first sync only)")
+    rp.add_argument("--frag-ranges", type=int, default=8)
+    rp.add_argument("--salt-turn-width", type=int, default=None)
+    rp.add_argument("--num-cpus", type=int, default=None)
+
     lk = sub.add_parser("lookup", help="keyed point lookup: live rows for specific conv_ids")
     lk.add_argument("--lake", required=True)
     lk.add_argument("--conv", action="append", default=None, help="conv_id (repeatable)")
@@ -553,6 +566,23 @@ def main(argv=None):
             salt_turn_width=a.salt_turn_width,
             compact=not a.no_compact,
         )))
+        return 0
+
+    if a.cmd == "replicate":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.replicate import replicate
+
+        stats = replicate(
+            a.src,
+            a.dst,
+            num_partitions=a.partitions,
+            frag_ranges=a.frag_ranges,
+            salt_turn_width=a.salt_turn_width,
+        )
+        print(json.dumps(stats))
+        ray.shutdown()
         return 0
 
     if a.cmd == "lookup":

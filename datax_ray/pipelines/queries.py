@@ -260,6 +260,41 @@ CDC_SLICE_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_replicate_lake(sf_dir: str):
+    """Lake→lake incremental replication (pipelines/replicate.py): replay
+    the derived change log into a source lake (4 epochs), then replicate
+    it into a destination lake with a DIFFERENT layout (4 partitions vs
+    16) via the change feed — one dst epoch per src epoch, exactly-once.
+    The replica's final state must equal the source's, which equals the
+    LWW oracle — so the driver checks the whole chain: derive → replay →
+    feed → convert → re-replay."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.pipelines.replicate import replicate
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_replicate/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/src",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    replicate(f"{work}/src", f"{work}/dst", num_partitions=4)
+    return final_table(f"{work}/dst")
+
+
 def cdc_purge_forget(sf_dir: str):
     """Right-to-be-forgotten, driver-verified (pipelines/purge.py): replay
     the derived change log into a lake, then HARD-purge every conversation
@@ -3639,6 +3674,7 @@ QUERIES = {
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_time_slice": cdc_time_slice,
+    "cdc_replicate_lake": cdc_replicate_lake,
     "cdc_purge_forget": cdc_purge_forget,
     "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_text_search": cdc_text_search,
@@ -3730,6 +3766,7 @@ ORACLE_SQL = {
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_time_slice": CDC_SLICE_SQL,
+    "cdc_replicate_lake": CDC_REPLAY_SQL,
     "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_text_search": CDC_SEARCH_SQL,
