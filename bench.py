@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "top3_orders_per_customer",
     "term_postings_lookup",
+    "ngram_dup_pairs_exact",
+    "cdc_replicate_lake",
 ]
 
 

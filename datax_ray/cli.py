@@ -56,6 +56,10 @@ def main(argv=None):
     r.add_argument("--transformers", default=None,
                    help="JSON file with a DataX-style transformer spec "
                    "list applied to valid change rows before the write")
+    r.add_argument("--expectations", default=None,
+                   help="JSON file with ingest expectations (CHECK "
+                   "constraints); violating rows dead-letter and count "
+                   "against errorLimit")
     r.add_argument("--num-cpus", type=int, default=None)
 
     b = sub.add_parser("bootstrap", help="full-load a transcripts snapshot into an empty lake (epoch 0)")
@@ -272,6 +276,9 @@ def main(argv=None):
                 batch_size=a.batch_size,
                 transformers=(
                     json.load(open(a.transformers)) if a.transformers else None
+                ),
+                expectations=(
+                    json.load(open(a.expectations)) if a.expectations else None
                 ),
             )
         )

@@ -28,7 +28,11 @@ _WIDEN = {
 }
 
 
-def sequential_replay(changes: pa.Table, base: pa.Table | None = None) -> pa.Table:
+def sequential_replay(
+    changes: pa.Table,
+    base: pa.Table | None = None,
+    expectations: list[dict] | None = None,
+) -> pa.Table:
     """Replay a change table (optionally on top of a `base` transcripts
     snapshot — each base row is a pseudo-event op='insert', lsn=-1, ts=row
     ts, merged into the same (ts, lsn) walk, mirroring the engine's
@@ -49,6 +53,11 @@ def sequential_replay(changes: pa.Table, base: pa.Table | None = None) -> pa.Tab
     ddl_rows = changes.filter(pc.fill_null(is_ddl, False))
     data_rows = changes.filter(pc.fill_null(pc.invert(is_ddl), True))
     valid = valid_event_mask(data_rows)
+    if expectations:
+        from datax_ray.validation import compile_expectations
+
+        exp_mask, _ = compile_expectations(expectations)(data_rows)
+        valid = pc.and_kleene(valid, exp_mask)
     data_rows = data_rows.filter(valid)
 
     # Interleave ddl + data in (ts, lsn) order via a merged python walk.

@@ -72,6 +72,11 @@ class ReplayConfig:
     # resumes of one logical job, exactly as with a DataX job config).
     transformers: list[dict] | None = None
     metrics: bool = True
+    # Ingest expectations (Delta-style CHECK constraints, DataX dirty-record
+    # semantics): violating change rows dead-letter with reason
+    # "expectation:<col>:<op>" and count against errorLimit. Spec grammar in
+    # validation.compile_expectations. Job-level config like transformers.
+    expectations: list[dict] | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -172,6 +177,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
             metrics=cfg.metrics,
             max_events_per_sec=cfg.max_events_per_sec,
+            expectations=cfg.expectations,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

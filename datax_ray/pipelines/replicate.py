@@ -160,7 +160,7 @@ class _SegmentConverter:
             buf = sink.getvalue()
             tmp = path + f".tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
-                f.write(buf.to_pybytes())
+                f.write(buf)  # pa.Buffer via buffer protocol: no extra copy
             os.replace(tmp, path)
             rows.append({"epoch": epoch, "segment": name, "rows": seg.num_rows})
         return pa.Table.from_pylist(

@@ -51,11 +51,11 @@ def export_lake(
             sink = pa.BufferOutputStream()
             pq.write_table(t, sink, compression="zstd", compression_level=1)
             buf = sink.getvalue()
-            name = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+            name = hashlib.sha1(buf).hexdigest()[:16]
             path = os.path.join(out_dir, f"part-{name}.parquet")
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
-                f.write(buf.to_pybytes())
+                f.write(buf)  # pa.Buffer via buffer protocol: no extra copy
             os.replace(tmp, path)
             return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 

@@ -28,7 +28,11 @@ import pyarrow.compute as pc
 from datax_ray.schemas import schema_from_json
 from datax_ray.stages.partitioning import part_ids_for
 from datax_ray.state.metrics import get_metrics_actor
-from datax_ray.validation import dirty_reason, valid_event_mask
+from datax_ray.validation import (
+    compile_expectations,
+    dirty_reason,
+    valid_event_mask,
+)
 
 
 class Normalizer:
@@ -41,8 +45,12 @@ class Normalizer:
         deadletter_dir: str | None = None,
         metrics: bool = True,
         max_events_per_sec: float | None = None,
+        expectations: list[dict] | None = None,
     ):
         self.__name__ = "Normalizer"  # Ray Data names task UDFs from this
+        self._check_expectations = (
+            compile_expectations(expectations) if expectations else None
+        )
         self.schema = schema_from_json(target_schema_json)
         self.payload_cols = [f.name for f in self.schema if f.name != "_lsn"]
         self.num_partitions = num_partitions
@@ -56,10 +64,15 @@ class Normalizer:
 
             self._limiter = get_rate_limiter(max_events_per_sec)
 
-    def _spill_dirty(self, dirty: pa.Table) -> None:
+    def _spill_dirty(self, dirty: pa.Table, reasons=None) -> None:
         if self.deadletter_dir is None or dirty.num_rows == 0:
             return
-        dirty = dirty.append_column("reason", dirty_reason(dirty))
+        validity = dirty_reason(dirty)
+        if reasons is not None:
+            # validity reason wins (a malformed row is dirty regardless of
+            # expectations); expectation reason fills the rest
+            validity = pc.coalesce(validity, reasons)
+        dirty = dirty.append_column("reason", validity)
         import pyarrow.parquet as pq
 
         os.makedirs(self.deadletter_dir, exist_ok=True)
@@ -67,11 +80,11 @@ class Normalizer:
         sink = pa.BufferOutputStream()
         pq.write_table(dirty, sink, compression="zstd", compression_level=1)
         buf = sink.getvalue()
-        name = hashlib.sha1(buf.to_pybytes()).hexdigest()[:16]
+        name = hashlib.sha1(buf).hexdigest()[:16]
         path = os.path.join(self.deadletter_dir, f"dl-{name}.parquet")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(buf.to_pybytes())
+            f.write(buf)  # pa.Buffer via buffer protocol: no extra copy
         os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -92,9 +105,16 @@ class Normalizer:
         batch = batch.filter(not_ddl)
 
         mask = valid_event_mask(batch)
-        dirty = batch.filter(pc.invert(mask))
+        exp_reason = None
+        if self._check_expectations is not None:
+            exp_mask, exp_reason = self._check_expectations(batch)
+            mask = pc.and_kleene(mask, exp_mask)
+        bad = pc.invert(mask)
+        dirty = batch.filter(bad)
         good = batch.filter(mask)
-        self._spill_dirty(dirty)
+        self._spill_dirty(
+            dirty, exp_reason.filter(bad) if exp_reason is not None else None
+        )
 
         # Project to [lsn, op] + payload columns, casting to the target types.
         cols: dict[str, pa.ChunkedArray | pa.Array] = {
