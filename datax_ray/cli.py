@@ -140,14 +140,21 @@ def main(argv=None):
     rp = sub.add_parser(
         "replicate",
         help="lake->lake incremental replication: apply the source's change "
-        "feed to a destination lake, one dst epoch per src epoch, "
-        "exactly-once (resumable, idempotent, O(changed bytes)/sync)",
+        "feed to a destination lake, whole catch-up window as one dst epoch "
+        "(or --per-epoch to mirror source epochs 1:1), exactly-once "
+        "(resumable, idempotent, O(changed bytes)/sync)",
     )
     rp.add_argument("--src", required=True)
     rp.add_argument("--dst", required=True)
     rp.add_argument("--partitions", type=int, default=16, help="dst layout (first sync only)")
     rp.add_argument("--frag-ranges", type=int, default=8)
     rp.add_argument("--salt-turn-width", type=int, default=None)
+    rp.add_argument(
+        "--per-epoch",
+        action="store_true",
+        help="one dst epoch per src epoch (per-epoch time travel on the "
+        "replica) instead of one coalesced catch-up epoch",
+    )
     rp.add_argument("--num-cpus", type=int, default=None)
 
     lk = sub.add_parser("lookup", help="keyed point lookup: live rows for specific conv_ids")
@@ -587,6 +594,7 @@ def main(argv=None):
             num_partitions=a.partitions,
             frag_ranges=a.frag_ranges,
             salt_turn_width=a.salt_turn_width,
+            per_epoch=a.per_epoch,
         )
         print(json.dumps(stats))
         ray.shutdown()

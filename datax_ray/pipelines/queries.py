@@ -2381,6 +2381,81 @@ FROM w WHERE op <> 'delete'
 """
 
 
+def cdc_patch_upsert(sf_dir: str):
+    """Column-level LWW merge of a sparse partial-update ("patch") change
+    stream — Debezium partial payloads / Hudi PartialUpdateAvroPayload
+    semantics: each event SETS only the columns it carries (non-null);
+    the final row is, per column, the value from the highest-lsn event
+    that set it. The per-column LWW register is associative+commutative
+    (stages/merge.py:reduce_patch_partials), so the SAME kernel runs as
+    within-batch combiner and per-bucket reducer — only per-key partials
+    (value + winner-lsn per column) ever shuffle, O(distinct keys per
+    batch), never the stream. Derivation: sources/derive.py:derive_patches
+    (shared rule with PATCH_SQL)."""
+    from datax_ray.sources.derive import derive_patches
+    from datax_ray.stages.merge import (
+        finalize_patches,
+        reduce_patch_partials,
+        to_patch_partials,
+    )
+    from datax_ray.stages.partitioning import part_ids_for
+
+    PAYLOAD = ("role", "text", "tool")
+    nb = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        part = to_patch_partials(derive_patches(t), PAYLOAD)
+        part = reduce_patch_partials(part, PAYLOAD)
+        # bucket on conv_id hash: every turn of a conv co-locates (a
+        # key-exact superset — the per-bucket reduce is key-exact anyway)
+        return part.append_column(
+            "_pb", part_ids_for(part["conv_id"], part["turn_idx"], nb)
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        out = finalize_patches(
+            reduce_patch_partials(t.drop_columns(["_pb"]), PAYLOAD), PAYLOAD
+        )
+        return pa.table(
+            {
+                "conv_id": out["conv_id"],
+                "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+                "role": out["role"],
+                "text": out["text"],
+                "tool": out["tool"],
+            }
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+PATCH_SQL = """
+WITH p AS (
+  SELECT event_id AS lsn,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 3 = 0 THEN
+              (CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END)
+         END AS role,
+         CASE WHEN event_id % 3 <> 0
+              THEN 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 5 = 0
+              THEN 'tool-' || CAST(event_id % 4 AS VARCHAR) END AS tool
+  FROM events
+)
+SELECT conv_id, turn_idx,
+       arg_max(role, lsn) FILTER (WHERE role IS NOT NULL) AS role,
+       arg_max(text, lsn) FILTER (WHERE text IS NOT NULL) AS text,
+       arg_max(tool, lsn) FILTER (WHERE tool IS NOT NULL) AS tool
+FROM p GROUP BY conv_id, turn_idx
+"""
+
+
 def rollup_order_stats(sf_dir: str):
     """Grouping sets (ROLLUP): order counts + exact cent-sums at three
     levels — (status, priority), (status), (). One pass: each batch emits
@@ -3725,6 +3800,7 @@ QUERIES = {
     "events_hopping": events_hopping,
     "window_user_running": window_user_running,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_patch_upsert": cdc_patch_upsert,
     "rollup_order_stats": rollup_order_stats,
     "doc_chunks": doc_chunks,
     "except_open_orderkeys": except_open_orderkeys,
@@ -3816,6 +3892,7 @@ ORACLE_SQL = {
     "events_hopping": HOPPING_SQL,
     "window_user_running": WINDOW_SQL,
     "cdc_scd2_history": SCD2_SQL,
+    "cdc_patch_upsert": PATCH_SQL,
     "rollup_order_stats": ROLLUP_SQL,
     "doc_chunks": CHUNKS_SQL,
     "except_open_orderkeys": SET_EXCEPT_SQL,

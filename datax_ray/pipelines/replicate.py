@@ -8,13 +8,17 @@ destination lake as ONE destination epoch, so a replica lags the source by
 a bounded number of epochs and catches up by shipping O(changed bytes),
 never by re-reading source state.
 
-Why one dst epoch per src epoch (not one big catch-up epoch): the replay
-watermark dedup is a GLOBAL committed lsn-high per epoch (normalize.py) —
-sound because source-log segments carry monotone LSN slices. Fragment
-files WITHIN one source epoch hold overlapping LSN ranges (one per key
-range), so splitting a source epoch across destination epochs could drop
-rows of the later half as "already seen". Epoch-aligned replication
-preserves the invariant the dedup relies on.
+Epoch granularity: the replay watermark dedup is a GLOBAL committed
+lsn-high per epoch (normalize.py) — sound because source-log segments
+carry monotone LSN slices. Fragment files WITHIN one source epoch hold
+overlapping LSN ranges (one per key range), so SPLITTING a source epoch
+across destination epochs could drop rows of the later half as "already
+seen". COMBINING whole source epochs is safe (LWW is order-free and each
+epoch's feed delta is complete), so by default the full catch-up window
+lands as ONE destination epoch — the fixed per-epoch pipeline cost is
+paid once per sync, not once per source epoch a replica fell behind.
+`per_epoch=True` keeps strict epoch mirroring for replicas that need
+per-epoch time travel.
 
 Exactly-once across crashes, with no extra coordination state: replicated
 segment names are deterministic (seg-rep<epoch>-...-<digest of source
@@ -211,73 +215,107 @@ def replicate(
     compact_every: int = 8,
     segments_dir: str | None = None,
     metrics: bool = False,
+    per_epoch: bool = False,
 ) -> dict:
     """Catch the destination lake up to the source's committed epoch.
     Idempotent; resumable after a crash at any point; O(changed bytes) per
     sync. Returns {"from_epoch", "to_epoch", "epochs_applied", "segments"}.
     Layout kwargs only matter on the FIRST sync (they bootstrap the
-    destination); afterwards the destination's frozen layout wins."""
-    from datax_ray.pipelines.feed import plan_change_feed
-    from datax_ray.pipelines.replay import ReplayConfig, replay
+    destination); afterwards the destination's frozen layout wins.
 
+    By default the whole catch-up window (last_replicated, committed]
+    lands as ONE destination epoch: COMBINING source epochs is sound
+    (LWW is order-free and the feed ships complete per-epoch deltas; only
+    SPLITTING one source epoch across destination epochs would break the
+    watermark dedup — see the module docstring), and it amortizes the
+    fixed per-epoch pipeline cost, which dominates when a replica is many
+    epochs behind. `per_epoch=True` mirrors the source epoch-for-epoch
+    instead, preserving per-epoch time travel on the replica at the cost
+    of one replay round per source epoch."""
     m_src = Manifest(src_lake)
     committed = m_src.committed_epoch()
     last = replicated_through(dst_lake)
     out_dir = segments_dir or os.path.join(dst_lake, "_incoming")
     os.makedirs(out_dir, exist_ok=True)
 
+    replay_kwargs = dict(
+        num_partitions=num_partitions,
+        frag_ranges=frag_ranges,
+        salt_turn_width=salt_turn_width,
+        compact_every=compact_every,
+        metrics=metrics,
+    )
     epochs_applied = 0
     total_segments = 0
-    for e in range(last + 1, committed + 1):
-        plan = plan_change_feed(src_lake, e - 1, e)
-        seg_names: list[str] = []
-        # diff base: the epoch-0 replica starts from the canonical
-        # transcripts schema, exactly like a fresh upstream lake
-        prev_schema = (
-            m_src.committed_schema(e - 1) if e > 0 else TRANSCRIPTS_SCHEMA
-        )
-        cur_schema = m_src.committed_schema(e)
-        ddl_seg = _write_ddl_segment(
-            out_dir, e, _schema_ddl_diff(prev_schema, cur_schema)
-        )
-        if ddl_seg:
-            seg_names.append(ddl_seg)
-        if plan:
-            lineage = (
-                ray.data.from_items(plan, override_num_blocks=len(plan))
-                .map_batches(
-                    _SegmentConverter,
-                    fn_constructor_args=(
-                        src_lake,
-                        out_dir,
-                        schema_to_json(cur_schema),
-                    ),
-                    batch_format="pyarrow",
-                    batch_size=4,
-                    concurrency=min(8, len(plan)),
-                )
-                .take_all()
-            )
-            seg_names.extend(r["segment"] for r in lineage)
-        if not seg_names:
-            continue  # e.g. a source repartition epoch: empty CDC delta
-        reports = replay(
-            ReplayConfig(
-                changes_dir=out_dir,
-                lake_dir=dst_lake,
-                num_partitions=num_partitions,
-                frag_ranges=frag_ranges,
-                salt_turn_width=salt_turn_width,
-                segments_per_epoch=None,  # ALL pending -> one dst epoch
-                compact_every=compact_every,
-                metrics=metrics,
-            )
-        )
-        epochs_applied += len(reports)
-        total_segments += len(seg_names)
+    windows = (
+        [(e - 1, e) for e in range(last + 1, committed + 1)]
+        if per_epoch
+        else ([(last, committed)] if committed > last else [])
+    )
+    for lo, hi in windows:
+        applied, nseg = _sync_window(m_src, src_lake, dst_lake, out_dir, lo, hi, replay_kwargs)
+        epochs_applied += applied
+        total_segments += nseg
     return {
         "from_epoch": last,
         "to_epoch": committed,
         "epochs_applied": epochs_applied,
         "segments": total_segments,
     }
+
+
+def _sync_window(
+    m_src: Manifest,
+    src_lake: str,
+    dst_lake: str,
+    out_dir: str,
+    from_e: int,
+    to_e: int,
+    replay_kwargs: dict,
+) -> tuple[int, int]:
+    """Ship source epochs (from_e, to_e] as one destination epoch; returns
+    (epochs_applied, segments_written)."""
+    from datax_ray.pipelines.feed import plan_change_feed
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    plan = plan_change_feed(src_lake, from_e, to_e)
+    seg_names: list[str] = []
+    # diff base: the epoch-0 replica starts from the canonical
+    # transcripts schema, exactly like a fresh upstream lake
+    prev_schema = (
+        m_src.committed_schema(from_e) if from_e >= 0 else TRANSCRIPTS_SCHEMA
+    )
+    cur_schema = m_src.committed_schema(to_e)
+    ddl_seg = _write_ddl_segment(
+        out_dir, to_e, _schema_ddl_diff(prev_schema, cur_schema)
+    )
+    if ddl_seg:
+        seg_names.append(ddl_seg)
+    if plan:
+        lineage = (
+            ray.data.from_items(plan, override_num_blocks=len(plan))
+            .map_batches(
+                _SegmentConverter,
+                fn_constructor_args=(
+                    src_lake,
+                    out_dir,
+                    schema_to_json(cur_schema),
+                ),
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=min(8, len(plan)),
+            )
+            .take_all()
+        )
+        seg_names.extend(r["segment"] for r in lineage)
+    if not seg_names:
+        return 0, 0  # e.g. a source repartition epoch: empty CDC delta
+    reports = replay(
+        ReplayConfig(
+            changes_dir=out_dir,
+            lake_dir=dst_lake,
+            segments_per_epoch=None,  # ALL pending -> one dst epoch
+            **replay_kwargs,
+        )
+    )
+    return len(reports), len(seg_names)

@@ -200,3 +200,56 @@ class SnapshotDeriver:
             },
             schema=LINEAGE_SCHEMA,
         )
+
+
+def derive_patches(
+    t: pa.Table, conv_prefix: str = "conv-", turn_mod: int = 25
+) -> pa.Table:
+    """Sparse partial-update ("patch") stream derivation — the Debezium
+    partial-payload / Hudi PartialUpdateAvroPayload shape: each change
+    event SETS only the columns it carries (non-null); null = not-set.
+    Deterministic, SQL-expressible rule (shared with PATCH_SQL in
+    pipelines/queries.py), order = lsn alone:
+        lsn      = event_id
+        conv_id  = f"{conv_prefix}{user_id}"; turn_idx = event_id % turn_mod
+        role set iff event_id % 3 == 0  -> 'user' if even else 'assistant'
+        text set iff event_id % 3 != 0  -> f"payload-{event_id}"
+        tool set iff event_id % 5 == 0  -> f"tool-{event_id % 4}"
+    """
+    eid = (
+        t["event_id"].combine_chunks()
+        if isinstance(t["event_id"], pa.ChunkedArray)
+        else t["event_id"]
+    )
+    e = eid.to_numpy()
+    nulls = pa.nulls(t.num_rows, pa.string())
+    conv = pc.binary_join_element_wise(
+        conv_prefix, pc.cast(t["user_id"], pa.string()), ""
+    )
+    role = pc.if_else(
+        pa.array(e % 3 == 0),
+        pc.if_else(pa.array(e % 2 == 0), "user", "assistant"),
+        nulls,
+    )
+    text = pc.if_else(
+        pa.array(e % 3 != 0),
+        pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), ""),
+        nulls,
+    )
+    tool = pc.if_else(
+        pa.array(e % 5 == 0),
+        pc.binary_join_element_wise(
+            "tool-", pc.cast(pa.array(e % 4), pa.string()), ""
+        ),
+        nulls,
+    )
+    return pa.table(
+        {
+            "lsn": eid,
+            "conv_id": conv,
+            "turn_idx": pc.cast(pa.array(e % turn_mod), pa.int32()),
+            "role": role,
+            "text": text,
+            "tool": tool,
+        }
+    )

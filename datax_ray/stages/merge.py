@@ -151,3 +151,90 @@ def merge_states(
     return lww_reduce(
         pa.concat_tables(parts), key_cols=key_cols, order_cols=("ts", LSN_COL)
     )
+
+
+# ----------------------------------------------------------- patch merge --
+
+# Column-level LWW for sparse/partial-update ("patch") change events —
+# Debezium partial payloads / Hudi PartialUpdateAvroPayload semantics: an
+# event SETS only the columns it carries (non-null); every other column
+# keeps its previous value. Final state per key is, per column, the value
+# from the highest-lsn event that set it. A per-column LWW register is
+# associative and commutative, so the SAME reduce runs as within-batch
+# combiner, per-bucket reducer and final fold — partials (one row per key
+# per batch, with per-column winner lsns) are all that ever shuffles.
+
+PATCH_LSN_PREFIX = "_plsn_"
+
+
+def to_patch_partials(
+    t: pa.Table,
+    payload_cols: tuple[str, ...],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    lsn_col: str = "lsn",
+) -> pa.Table:
+    """Raw patch events -> partial form: each payload column c gains a
+    parallel int64 `_plsn_c` = lsn where the event SET c (value non-null),
+    null where the event did not touch c. Null-as-not-set is the patch
+    contract; an explicit SET-to-null needs a full update event (the row
+    LWW path), exactly as in Debezium's partial-payload encoding."""
+    cols: dict = {k: t[k] for k in key_cols}
+    lsn = pc.cast(t[lsn_col], pa.int64())
+    nulls = pa.nulls(t.num_rows, pa.int64())
+    for c in payload_cols:
+        cols[c] = t[c]
+        cols[PATCH_LSN_PREFIX + c] = pc.if_else(pc.is_valid(t[c]), lsn, nulls)
+    return pa.table(cols)
+
+
+def reduce_patch_partials(
+    t: pa.Table,
+    payload_cols: tuple[str, ...],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """Column-level LWW reduce of patch partials: per key, per payload
+    column, keep the value whose `_plsn_` is highest among rows that set
+    it. Vectorized like lww_reduce: ONE key sort + numpy adjacent-compare
+    for group boundaries, then one integer lexsort per payload column to
+    find its per-group winner — values gather once, no per-row Python."""
+    if t.num_rows <= 1:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in key_cols]
+    ).to_numpy(zero_copy_only=False)
+    neq = None
+    for c in key_cols:
+        arr = _key_codes(t[c])[idx]
+        d = arr[:-1] != arr[1:]
+        neq = d if neq is None else (neq | d)
+    gid = np.zeros(len(idx), dtype=np.int64)
+    gid[1:] = np.cumsum(neq)
+    starts = np.flatnonzero(np.concatenate(([True], neq)))
+    counts = np.diff(np.concatenate((starts, [len(idx)])))
+    ends = np.cumsum(counts) - 1
+    cols: dict = {}
+    rep = pa.array(idx[starts])
+    for k in key_cols:
+        cols[k] = t[k].take(rep)
+    for c in payload_cols:
+        pl = pc.fill_null(t[PATCH_LSN_PREFIX + c], -1)
+        ls = (
+            pl.combine_chunks() if isinstance(pl, pa.ChunkedArray) else pl
+        ).to_numpy(zero_copy_only=False)[idx]
+        # lexsort is stable and keyed (gid, ls): the last row of each gid
+        # run holds that group's max winner lsn (-1 = never set).
+        order = np.lexsort((ls, gid))
+        win_sorted = order[ends]
+        win_lsn = ls[win_sorted]
+        valid = pa.array(win_lsn >= 0)
+        value = t[c].take(pa.array(idx[win_sorted]))
+        cols[c] = pc.if_else(valid, value, pa.nulls(len(starts), value.type))
+        cols[PATCH_LSN_PREFIX + c] = pc.if_else(
+            valid, pa.array(win_lsn), pa.nulls(len(starts), pa.int64())
+        )
+    return pa.table(cols)
+
+
+def finalize_patches(t: pa.Table, payload_cols: tuple[str, ...]) -> pa.Table:
+    """Drop the per-column winner lsns once no further merging will occur."""
+    return t.drop_columns([PATCH_LSN_PREFIX + c for c in payload_cols])

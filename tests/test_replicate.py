@@ -47,6 +47,16 @@ def test_replica_matches_source(tmp_path, ray_session):
     src = _src_lake(tmp_path)
     dst = str(tmp_path / "dst")
     stats = replicate(src, dst, num_partitions=4)  # different layout
+    # coalesced catch-up: the whole window lands as ONE destination epoch
+    assert stats["epochs_applied"] == 1
+    assert _final_records(dst) == _final_records(src)
+
+
+def test_replica_matches_source_per_epoch(tmp_path, ray_session):
+    """per_epoch=True mirrors the source epoch-for-epoch (strict mode)."""
+    src = _src_lake(tmp_path)
+    dst = str(tmp_path / "dst")
+    stats = replicate(src, dst, num_partitions=4, per_epoch=True)
     assert stats["epochs_applied"] >= 2
     assert _final_records(dst) == _final_records(src)
 
