@@ -701,6 +701,71 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_replay_expectations(sf_dir: str):
+    """Ingest expectations through the full engine, driver-verified: replay
+    the derived change log under two CHECK constraints — turn_idx between
+    0 and 19, text not matching /7$/ — so violating insert/update rows
+    dead-letter (deletes are exempt by the patch contract: they carry no
+    payload) and the final lake equals the LWW fold of the conforming
+    subset, which the oracle expresses as one WHERE clause. Shares the
+    evaluator with the sequential oracle (validation.compile_expectations)."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_expect/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+            expectations=[
+                {"column": "turn_idx", "op": "between", "lo": 0, "hi": 19},
+                {"column": "text", "op": "not_matches", "pattern": "7$"},
+            ],
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_EXPECT_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), conforming AS (
+  -- expectations apply to insert/update only (delete-exempt); value rules
+  -- pass on null, so only the set columns are constrained
+  SELECT * FROM c
+  WHERE op = 'delete'
+     OR (turn_idx BETWEEN 0 AND 19 AND NOT regexp_matches(text, '7$'))
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM conforming
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_replay_ddl(sf_dir: str):
     """Schema evolution through the full engine, driver-verified: every
     event with event_id % 500 == 499 becomes an op='ddl'
@@ -3747,6 +3812,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
+    "cdc_replay_expectations": cdc_replay_expectations,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_time_slice": cdc_time_slice,
     "cdc_replicate_lake": cdc_replicate_lake,
@@ -3840,6 +3906,7 @@ ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
+    "cdc_replay_expectations": CDC_EXPECT_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_time_slice": CDC_SLICE_SQL,
     "cdc_replicate_lake": CDC_REPLAY_SQL,
