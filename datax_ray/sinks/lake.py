@@ -128,22 +128,28 @@ def _merge_read_range(
     winner (the output needs winner ts >= cutoff) nor beat one (LWW
     (ts, lsn) order), so dropping it before the fold changes nothing —
     the row-level twin of _range_plan's file-level pruning."""
+    import pyarrow.dataset as pads
+
     from datax_ray.schemas import schema_from_json
     from datax_ray.stages.merge import merge_states
 
     target = schema_from_json(schema_json)
     tracker = SchemaTracker(target)
-    keyset = pa.array(conv_ids, type=pa.string()) if conv_ids is not None else None
+    # Predicate PUSHDOWN into the parquet reader: bases and fragments are
+    # written sorted by (conv_id, turn_idx) with bounded row groups
+    # (stages/delta.py), so conv_id row-group statistics skip whole row
+    # groups of a point read before decompression — the third data-skipping
+    # tier after manifest range pruning and file-level ts stats.
+    flt = None
+    if conv_ids is not None:
+        flt = pads.field("conv_id").isin(pa.array(conv_ids, pa.string()))
+    if min_ts_us is not None:
+        ts_ok = pads.field("ts") >= pa.scalar(min_ts_us, pa.timestamp("us"))
+        flt = ts_ok if flt is None else (flt & ts_ok)
     tables = []
     for f in files:
-        t = tracker.unify(pq.read_table(os.path.join(lake_dir, f)))
-        if keyset is not None:
-            t = t.filter(pc.is_in(t["conv_id"], value_set=keyset))
-        if min_ts_us is not None:
-            t = t.filter(
-                pc.greater_equal(pc.cast(t["ts"], pa.int64()), min_ts_us)
-            )
-        tables.append(t)
+        t = pq.read_table(os.path.join(lake_dir, f), filters=flt)
+        tables.append(tracker.unify(t))
     state = merge_states(tables, target)
     if not keep_tombstones:
         state = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))

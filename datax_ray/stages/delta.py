@@ -98,7 +98,10 @@ def write_fragment(
     through here: exactly-once and deep fsck depend on every fragment
     sharing one digest/compression scheme."""
     sink = pa.BufferOutputStream()
-    pq.write_table(piece, sink, compression="zstd", compression_level=1)
+    pq.write_table(
+        piece, sink, compression="zstd", compression_level=1,
+        row_group_size=ROW_GROUP_ROWS,
+    )
     buf = sink.getvalue()
     # pa.Buffer exposes the buffer protocol: hash and write it directly —
     # to_pybytes() here would copy every lake byte twice more, a measurable
@@ -127,10 +130,20 @@ def write_fragment(
     }
 
 
+# Bases/fragments are sorted by (conv_id, turn_idx); bounded row groups
+# give parquet conv_id min/max statistics per group, which the read path
+# pushes point-lookup filters against (sinks/lake.py:_merge_read_range) —
+# a 1M-row compacted base then decompresses ~1/16 of its bytes for one key.
+ROW_GROUP_ROWS = 65536
+
+
 def _atomic_write(table: pa.Table, path: str) -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd", compression_level=1)
+    pq.write_table(
+        table, tmp, compression="zstd", compression_level=1,
+        row_group_size=ROW_GROUP_ROWS,
+    )
     os.replace(tmp, path)
     return os.path.getsize(path)
 
