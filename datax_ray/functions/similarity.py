@@ -176,3 +176,130 @@ def knn_ivf(
         id_col,
     )
     return out.sort(["query_id", "cosine", id_col], descending=[False, True, False])
+
+
+# ------------------------------------------------------------- k-means --
+
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_priority(ids: np.ndarray) -> np.ndarray:
+    """Deterministic multiplicative-hash priority per id (partitioning-
+    independent, so seeding is identical however blocks split)."""
+    return (ids.astype(np.uint64) * _KNUTH) >> np.uint64(1)
+
+
+def kmeans_fit(
+    ds,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over an embedding column — the fully
+    distributed ancestor of IVFIndex.fit (which irons a driver-side
+    SAMPLE). Every iteration is ONE map_batches pass: centroids broadcast
+    via ray.put, each batch emits per-cluster (count, vector-sum) partial
+    rows (k rows per batch — a decomposable combiner), and the driver
+    folds the k x dim partials into new means. Per-iteration data movement
+    is O(batches * k * dim) floats; the rows themselves never shuffle.
+
+    Seeding is hash-deterministic: the k rows with the smallest
+    multiplicative-hash priority of `id_col` (found with the same
+    combiner trick — each batch proposes its local k, the driver keeps the
+    global k) — identical whatever the block layout, so results are
+    reproducible across cluster sizes.
+
+    Returns (centroids: np.ndarray unit-normalized, inertia_history:
+    list[float] of summed squared distances per iteration — Lloyd's
+    guarantees it non-increasing, which the tests assert)."""
+
+    def seed_partials(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        pri = _hash_priority(ids)
+        take = np.argsort(pri)[:k]
+        mat = _as_matrix(t[vec_col])[take]
+        return pa.table(
+            {
+                "pri": pa.array(pri[take].astype(np.int64)),
+                "vec": pa.array(list(mat.astype(np.float64))),
+            }
+        )
+
+    cand = ds.map_batches(
+        seed_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cand.sort(key=lambda r: r["pri"])
+    c = _unit(np.asarray([r["vec"] for r in cand[:k]], dtype=np.float64))
+
+    inertia_history: list[float] = []
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def iter_partials(t: pa.Table) -> pa.Table:
+            cents = ray.get(c_ref)
+            mat = _unit(_as_matrix(t[vec_col]))
+            assign = np.argmax(mat @ cents.T, axis=1)
+            # unit vectors: ||x - c||^2 = 2 - 2 cos
+            cos = (mat * cents[assign]).sum(axis=1)
+            rows_k, counts, sums, sse = [], [], [], []
+            for j in np.unique(assign):
+                sel = assign == j
+                rows_k.append(int(j))
+                counts.append(int(sel.sum()))
+                sums.append(mat[sel].sum(axis=0).astype(np.float64))
+                sse.append(float((2.0 - 2.0 * cos[sel]).sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_k, pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vec_sum": pa.array(list(sums)),
+                    "sse": pa.array(sse, pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(
+            iter_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        # deterministic fold: sort partials by (cluster, count, sse) so
+        # float summation order is layout-independent for identical blocks
+        parts.sort(key=lambda r: (r["cluster"], r["count"], r["sse"]))
+        new_c = c.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(c)
+        inertia = 0.0
+        for r in parts:
+            j = r["cluster"]
+            counts[j] += r["count"]
+            sums[j] += np.asarray(r["vec_sum"], dtype=np.float64)
+            inertia += r["sse"]
+        nonempty = counts > 0
+        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        c = _unit(new_c)  # empty clusters keep their previous centroid
+        inertia_history.append(inertia)
+    return c, inertia_history
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Final assignment pass: (id, cluster, cosine-to-centroid) per row."""
+    c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        mat = _unit(_as_matrix(t[vec_col]))
+        sims = mat @ cents.T
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(best.astype(np.int64)),
+                "cosine": pa.array(sims[np.arange(len(best)), best]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -3189,6 +3189,33 @@ def ann_ivf_topk(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), index, mat[:1], k=10, nprobe=4)
 
 
+def kmeans_clusters_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (rows-only:
+    iterative, not SQL-expressible). Each iteration is one combiner pass —
+    per-batch per-cluster (count, vector-sum) partials, O(k x dim) floats
+    moved, rows never shuffle; seeding is hash-deterministic so the result
+    is identical across block layouts (functions/similarity.py:kmeans_fit,
+    Lloyd-monotonicity + sequential-reference pytest in tests/test_kmeans.py)."""
+    from datax_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids, _ = kmeans_fit(ds, k=8, iters=4)
+    out = kmeans_assign(ds, centroids)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": t["cluster"],
+                "cosine_r4": pc.cast(
+                    pc.round(pc.multiply(t["cosine"], 10_000)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
 def minhash_dup_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents (rows-only)."""
     from datax_ray.functions.dedup import minhash_lsh_pairs
@@ -3883,6 +3910,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "label_centroids": label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_near_dups": embedding_near_dups,
