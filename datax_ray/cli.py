@@ -115,6 +115,22 @@ def main(argv=None):
     vac.add_argument("--lake", required=True)
     vac.add_argument("--keep-epochs", type=int, default=1)
 
+    rd = sub.add_parser(
+        "redrive",
+        help="repair-and-reingest pending dead-letter rows as a new epoch "
+        "(exactly-once: consumed dl files are tracked in the manifest)",
+    )
+    rd.add_argument("--lake", required=True)
+    rd.add_argument("--transformers", default=None,
+                    help="JSON file with a dx_*/udf fix spec list applied "
+                    "to the dirty rows BEFORE re-validation (may modify "
+                    "routing columns — that is how a corrupt key is fixed)")
+    rd.add_argument("--expectations", default=None,
+                    help="JSON file with ingest expectations re-checked on "
+                    "the redriven rows")
+    rd.add_argument("--batch-size", type=int, default=65536)
+    rd.add_argument("--num-cpus", type=int, default=None)
+
     jb = sub.add_parser("job", help="run a DataX-style JSON job config (reader → transformers → writer)")
     jb.add_argument("config", help="path to the job JSON file")
     jb.add_argument("--num-cpus", type=int, default=None)
@@ -445,6 +461,30 @@ def main(argv=None):
 
         out = Manifest(a.lake).vacuum(keep_epochs=a.keep_epochs)
         print(json.dumps(out))
+        return 0
+
+    if a.cmd == "redrive":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.redrive import redrive
+        from datax_ray.pipelines.replay import ReplayConfig
+
+        out = redrive(
+            ReplayConfig(
+                changes_dir="",  # redrive reads the lake's own dl dir
+                lake_dir=a.lake,
+                batch_size=a.batch_size,
+                expectations=(
+                    json.load(open(a.expectations)) if a.expectations else None
+                ),
+            ),
+            fix_transformers=(
+                json.load(open(a.transformers)) if a.transformers else None
+            ),
+        )
+        print(json.dumps(out))
+        ray.shutdown()
         return 0
 
     if a.cmd == "mv":

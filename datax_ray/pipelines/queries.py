@@ -701,6 +701,53 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_redrive_repair(sf_dir: str):
+    """The dead-letter REDRIVE path, driver-verified end to end: replay the
+    deterministically-corrupted change log (event_id % 97 == 3 ⇒
+    turn_idx = -1 routes to the dead-letter sink), then redrive the dirty
+    rows through pipelines/redrive.py with a udf fix that restores the
+    true turn (lsn % 25 — the derivation rule). Because redriven rows keep
+    their original (ts, lsn), the repaired lake must equal the LWW fold of
+    the stream AS IF IT HAD NEVER BEEN CORRUPTED — i.e. the same oracle as
+    cdc_replay_final (CDC_REPLAY_SQL), which is the strongest possible
+    check of the redrive's exactly-once + LWW-placement semantics."""
+    import shutil
+
+    from datax_ray.pipelines.redrive import redrive
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_redrive/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes", corrupt_mod=97),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()
+    cfg = ReplayConfig(
+        changes_dir=f"{work}/changes",
+        lake_dir=f"{work}/lake",
+        num_partitions=16,
+        segments_per_epoch=2,
+    )
+    replay(cfg)
+
+    def fix_turn(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"].to_numpy()
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+        repaired = np.where(turn < 0, (lsn % 25).astype(np.int32), turn)
+        return t.set_column(
+            t.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            pa.array(repaired, pa.int32()),
+        )
+
+    redrive(cfg, fix_transformers=[{"name": "udf", "fn": fix_turn}])
+    return final_table(f"{work}/lake")
+
+
 def cdc_replay_expectations(sf_dir: str):
     """Ingest expectations through the full engine, driver-verified: replay
     the derived change log under two CHECK constraints — turn_idx between
@@ -3839,6 +3886,7 @@ QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
+    "cdc_redrive_repair": cdc_redrive_repair,
     "cdc_replay_expectations": cdc_replay_expectations,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_time_slice": cdc_time_slice,
@@ -3934,6 +3982,7 @@ ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
+    "cdc_redrive_repair": CDC_REPLAY_SQL,
     "cdc_replay_expectations": CDC_EXPECT_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_time_slice": CDC_SLICE_SQL,
