@@ -88,3 +88,92 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> pa.Table:
             "registers": pa.array([1 << p], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable register variant: same HLL, but over the Murmur3 32-bit
+# FINALIZER (public domain mixing constants) of a NON-NEGATIVE INTEGER key,
+# which DuckDB reproduces exactly with xor()/shift/HUGEINT-product-mod-2^32
+# arithmetic (pipelines/queries.py:HLL_SQL) — a plain multiplicative hash is
+# NOT enough here: on sequential ids its leading-zero pattern is structured
+# and the estimate biased +80% (measured); the finalizer's xor-shift rounds
+# bring it back inside the 1.04/sqrt(m) band. hll_count_distinct above
+# hashes arbitrary columns (pd.util.hash_array, 64-bit) and is rows-only by
+# nature; this variant trades hash generality for a bit-for-bit register
+# oracle, so the driver independently verifies the whole distributed
+# combiner path — only the final estimate remains approximate
+# (pytest-bounded, tests/test_sketch.py). Same scale shape: <= 2^p integer
+# rows shuffle per batch, never data rows.
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mix32(ids: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix32 over ids mod 2^32 (keys must be non-negative)."""
+    h = ids.astype(np.uint64) & _M32
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & _M32
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & _M32
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def _registers_kernel32(ids: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per value for the fmix32 hash; rho is the 1-based
+    position of the leftmost 1-bit of the (32-p)-bit suffix, with
+    rho = 32-p+1 for an all-zero suffix (standard HLL)."""
+    m = 1 << p
+    width = 32 - p
+    hv = _mix32(ids)
+    bucket = (hv % np.uint64(m)).astype(np.int64)
+    w = (hv >> np.uint64(p)).astype(np.int64)
+    bitlen = np.frexp(w.astype(np.float64))[1]  # exact bit length below 2^53
+    rho = np.where(w == 0, width + 1, width + 1 - bitlen).astype(np.int64)
+    return bucket, rho
+
+
+def hll_registers(ds, col: str, p: int = 9):
+    """Dataset -> (bucket:int64, max_rho:int64) register table, one row per
+    OBSERVED bucket (<= 2^p rows), sorted by bucket — deterministic, so
+    DuckDB-oracle-checkable."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "max_rho": pa.array([], pa.int64())}
+            )
+        c = t[col]
+        ids = (
+            c.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(c, pa.ChunkedArray)
+            else c.to_numpy(zero_copy_only=False)
+        )
+        bucket, rho = _registers_kernel32(ids, p)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "max_rho": pa.array(regs[nz], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .max("max_rho")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:  # Ray names the agg "max(max_rho)"
+        return t.rename_columns(
+            ["bucket" if n == "bucket" else "max_rho" for n in t.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("bucket")
+
+
+def hll_estimate_from_registers(registers: pa.Table, p: int = 9) -> float:
+    """hll_estimate over an hll_registers output table."""
+    b = registers["bucket"].to_numpy(zero_copy_only=False)
+    r = registers["max_rho"].to_numpy(zero_copy_only=False)
+    return float(hll_estimate(b, r, p))

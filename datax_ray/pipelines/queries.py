@@ -3236,6 +3236,38 @@ def ann_ivf_topk(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), index, mat[:1], k=10, nprobe=4)
 
 
+def hll_registers_events(sf_dir: str):
+    """HyperLogLog cardinality sketch over event_id, driver-verified at the
+    REGISTER level: the (bucket, max_rho) table is deterministic given the
+    fixed Knuth 32-bit hash, so DuckDB reproduces it bit-for-bit (HUGEINT
+    product mod 2^32; bit length via format('{:b}')). The approximate
+    estimate derived from these registers is pytest-bounded against the
+    exact count (tests/test_sketch.py). Scale shape: per-batch MAX combiner
+    emits <= 512 integer rows per batch — the shuffle never sees data rows
+    (functions/sketch.py)."""
+    from datax_ray.functions.sketch import hll_registers
+
+    return hll_registers(_read(sf_dir, "events", columns=["event_id"]), "event_id", p=9)
+
+
+HLL_SQL = """
+WITH s0 AS (SELECT event_id % 4294967296 AS h FROM events),
+s1 AS (SELECT xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT xor(h, h >> 16) AS hv FROM s4),
+r AS (
+  SELECT hv % 512 AS bucket,
+         CASE WHEN hv // 512 = 0 THEN 24
+              ELSE 24 - length(format('{:b}', hv // 512)) END AS rho
+  FROM hv
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
 def kmeans_clusters_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (rows-only:
     iterative, not SQL-expressible). Each iteration is one combiner pass —
@@ -3959,6 +3991,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+    "hll_registers_events": hll_registers_events,
     "minhash_dup_pairs": minhash_dup_pairs,
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_near_dups": embedding_near_dups,
@@ -3983,6 +4016,7 @@ ORACLE_SQL = {
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_redrive_repair": CDC_REPLAY_SQL,
+    "hll_registers_events": HLL_SQL,
     "cdc_replay_expectations": CDC_EXPECT_SQL,
     "cdc_point_lookup": CDC_LOOKUP_SQL,
     "cdc_time_slice": CDC_SLICE_SQL,

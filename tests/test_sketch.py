@@ -1,0 +1,49 @@
+"""HyperLogLog sketch (functions/sketch.py).
+
+Registers are exact (DuckDB parity is covered by test_query_parity's
+hll_registers_events); here: (1) the estimate is within the standard-error
+bound of the true cardinality across scales including the linear-counting
+regime; (2) the combiner is block-layout invariant (register MAX is
+associative+commutative); (3) duplicate values never change registers.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from datax_ray.functions.sketch import hll_estimate_from_registers, hll_registers
+
+P = 9  # 512 buckets, standard error 1.04/sqrt(512) ~ 4.6%
+
+
+def _regs(ids: np.ndarray, blocks: int = 5) -> pa.Table:
+    ds = ray.data.from_arrow(
+        pa.table({"event_id": pa.array(ids, pa.int64())})
+    ).repartition(blocks)
+    return pa.Table.from_pandas(
+        hll_registers(ds, "event_id", p=P).to_pandas(), preserve_index=False
+    )
+
+
+def test_estimate_within_error_bound(ray_session):
+    for n in (2_000, 20_000, 100_000):
+        ids = np.arange(n, dtype=np.int64) * 7 + 13
+        est = hll_estimate_from_registers(_regs(ids), p=P)
+        assert abs(est - n) / n < 0.15, (n, est)  # > 3 sigma margin
+
+
+def test_linear_counting_regime(ray_session):
+    ids = np.arange(40, dtype=np.int64)
+    est = hll_estimate_from_registers(_regs(ids, blocks=2), p=P)
+    assert abs(est - 40) / 40 < 0.25
+
+
+def test_layout_invariant_and_duplicate_proof(ray_session):
+    ids = np.arange(5_000, dtype=np.int64)
+    a = _regs(ids, blocks=3)
+    b = _regs(ids, blocks=17)
+    assert a.equals(b)
+    dup = np.concatenate([ids, ids, ids[:123]])
+    c = _regs(dup, blocks=7)
+    assert a.equals(c)
