@@ -9,6 +9,10 @@ and dirty-record accounting — all expressed as ray.data.Dataset pipelines
 over zero-copy Arrow batches (see SURVEY.md).
 """
 
+from datax_ray import _raypatch
+
+_raypatch.apply()
+
 from datax_ray.schemas import (
     CHANGES_SCHEMA,
     LAKE_SCHEMA,

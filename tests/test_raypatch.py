@@ -1,0 +1,110 @@
+"""Regression tests for datax_ray._raypatch — the Ray 2.49 hash-shuffle
+schema-propagation workarounds.
+
+Round-2 driver red row: tfidf_top_terms crashed with ``ArrowInvalid: No match
+or multiple matches for key field reference FieldRef.Name(term)`` at 16 join
+partitions (32 cpus) while passing at 2 (sf0.001 parity). Root cause: Ray's
+hash-shuffle schema broadcast is silently skipped when the designated
+broadcast block is empty (see _raypatch module docstring); aggregate /
+map_groups outputs contain schema-less empty blocks for empty partitions, so
+any join over them is a race against bundle arrival order.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+import datax_ray  # noqa: F401 — applies the patches on import
+
+
+def _poisoned_agg(num_blocks: int = 40):
+    """An aggregate output whose blocks are mostly schema-less empties:
+    40 input blocks, 2 carrying one row each -> most groupby partitions
+    finalize empty. Reproduces the exact block population tfidf's df-table
+    side feeds into Dataset.join."""
+
+    def mk(b):
+        if b["id"][0] < 2:
+            return pd.DataFrame({"k": [int(b["id"][0]) % 2], "t": ["x"], "v": [1.0]})
+        return pd.DataFrame(
+            {
+                "k": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="float64"),
+            }
+        )
+
+    ds = ray.data.range(num_blocks).map_batches(mk, batch_format="numpy")
+    from ray.data.aggregate import Sum
+
+    return ds.groupby(["k", "t"]).aggregate(Sum("v", alias_name="v"))
+
+
+LEFT_ROWS = [{"k": 0, "t": "x", "w": 5}, {"k": 7, "t": "z", "w": 9}]
+
+
+def test_join_over_poisoned_aggregate_inner():
+    left = ray.data.from_items(LEFT_ROWS)
+    out = left.join(_poisoned_agg(), "inner", 8, on=("k", "t")).take_all()
+    assert out == [{"k": 0, "t": "x", "w": 5, "v": 1.0}]
+
+
+def test_join_over_poisoned_aggregate_left_outer():
+    left = ray.data.from_items(LEFT_ROWS)
+    out = sorted(
+        left.join(_poisoned_agg(), "left_outer", 8, on=("k", "t")).take_all(),
+        key=lambda r: r["k"],
+    )
+    assert out == [
+        {"k": 0, "t": "x", "w": 5, "v": 1.0},
+        {"k": 7, "t": "z", "w": 9, "v": None},
+    ]
+
+
+def test_join_over_poisoned_map_groups():
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["k", "t"], as_index=False).agg(v=("v", "sum"))
+
+    def mk(b):
+        if b["id"][0] < 2:
+            return pd.DataFrame({"k": [int(b["id"][0]) % 2], "t": ["x"], "v": [1.0]})
+        return pd.DataFrame(
+            {
+                "k": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="float64"),
+            }
+        )
+
+    ds = ray.data.range(40).map_batches(mk, batch_format="numpy")
+    mg = ds.groupby("k").map_groups(red, batch_format="pandas")
+    left = ray.data.from_items(LEFT_ROWS)
+    out = left.join(mg, "inner", 8, on=("k", "t")).take_all()
+    assert out == [{"k": 0, "t": "x", "w": 5, "v": 1.0}]
+
+
+def test_semi_anti_over_poisoned_aggregate():
+    left = ray.data.from_items(LEFT_ROWS)
+    semi = left.join(_poisoned_agg(), "left_semi", 8, on=("k", "t")).take_all()
+    assert semi == [{"k": 0, "t": "x", "w": 5}]
+    anti = left.join(_poisoned_agg(), "left_anti", 8, on=("k", "t")).take_all()
+    assert anti == [{"k": 7, "t": "z", "w": 9}]
+
+
+def test_tfidf_at_sparse_partitioning(monkeypatch):
+    """tfidf's exact failure mode: the tf⋈df join at MORE partitions than
+    distinct vocabulary hash-buckets can fill (the 32-cpu driver layout),
+    over partial_agg outputs containing schema-less empties. Forces 16 join
+    partitions regardless of the 4-cpu test cluster."""
+    from datax_ray.functions import relational
+
+    monkeypatch.setattr(relational, "_join_partitions", lambda requested: 16)
+    from datax_ray.pipelines.queries import tfidf_top_terms
+
+    res = tfidf_top_terms("/root/testdata/sf0.001").to_pandas()
+    assert len(res) > 0
+    assert set(res.columns) == {"doc_id", "term", "rnk", "score_milli"}
+    # every doc has at most k=3 ranked terms, rank values 1..3
+    assert res["rnk"].between(1, 3).all()
+    assert res.groupby("doc_id").size().max() <= 3
