@@ -3040,15 +3040,14 @@ def decontaminate_docs(sf_dir: str):
     with no shuffle at all."""
     import ray
 
-    from datax_ray.functions.dedup import _shingles
+    from datax_ray.functions.dedup import _shingles_batch
 
     bench = _read(sf_dir, "documents", columns=["text", "source"])
 
     def to_hashes(df: pd.DataFrame) -> pd.DataFrame:
         texts = df.loc[df["source"] == "src0", "text"]
-        hs = [_shingles(x or "", 3) for x in texts]
-        g = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-        return pd.DataFrame({"g": g})
+        g, _ = _shingles_batch(texts.tolist(), 3)
+        return pd.DataFrame({"g": np.unique(g)})
 
     parts = [
         b["g"].to_numpy()
@@ -3063,13 +3062,13 @@ def decontaminate_docs(sf_dir: str):
         t = t.filter(pc.not_equal(t["source"], "src0"))
         bset = ray.get(bench_ref)
         keep = np.ones(t.num_rows, dtype=bool)
-        for i, txt in enumerate(t["text"].to_pylist()):
-            sh = _shingles(txt or "", 3)
+        if len(bset) and t.num_rows:
+            # whole-batch shingling + ONE searchsorted membership probe
+            sh, parent = _shingles_batch(t["text"].to_pylist(), 3)
             if len(sh):
                 idx = np.searchsorted(bset, sh)
                 idx[idx == len(bset)] = 0
-                if len(bset) and (bset[idx] == sh).any():
-                    keep[i] = False
+                keep[parent[bset[idx] == sh]] = False
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
@@ -3223,17 +3222,31 @@ FROM u GROUP BY label, i
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate variant (rows-only: approximate by design)."""
+    """IVF-bucketed approximate variant (rows-only: approximate by design),
+    served from the PERSISTED incremental index (pipelines/vecindex.py):
+    the quantizer fits from a distributed hash-priority sample (driver RSS
+    independent of the embeddings size), inverted lists live as per-row-
+    group parquet artifacts refreshed only when their source fragment's
+    fingerprint changes, and the probe streams only the nprobe lists that
+    survive row-group pruning."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
-    from datax_ray.functions.similarity import IVFIndex, knn_ivf
+    from datax_ray.pipelines.vecindex import (
+        refresh_vector_index,
+        search_vector_index,
+    )
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mat = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    rng = np.random.default_rng(0)
-    sample = mat[rng.choice(len(mat), size=min(2048, len(mat)), replace=False)]
-    index = IVFIndex.fit(sample, n_lists=16)
-    return knn_ivf(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), index, mat[:1], k=10, nprobe=4)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        "/tmp/datax_vecidx", hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    )
+    refresh_vector_index(src, idx_dir, n_lists=16, sample_size=2048)
+    # query vector: first row only — read one row group, never the table
+    q = pq.ParquetFile(src).read_row_group(0, columns=["embedding"])
+    query = np.asarray(q["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    return search_vector_index(idx_dir, query, k=10, nprobe=4)
 
 
 def hll_registers_events(sf_dir: str):
