@@ -310,6 +310,11 @@ def main() -> None:
             "total_events": n_events,
             "total_sec": round(rep["total_sec"], 3),
             "epochs": rep["epochs"],
+            # methodology self-description: cross-round comparisons are
+            # only apples-to-apples at the same lake medium + warm mode
+            "lake_root": LAKE_ROOT,
+            "lake_medium": "tmpfs" if LAKE_ROOT.startswith("/dev/shm") else "disk",
+            "inputs_warmed": True,
         }))
     finally:
         ray.shutdown()
@@ -349,6 +354,7 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
                     pass
 
     results = {}
+    steal_notes = {}
     for cpus in (8, 32):
         # taskset pins the WHOLE process tree (raylet, workers, arrow's
         # internal thread pools) to `cpus` cores: without it the "8 cpu" run
@@ -358,18 +364,36 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
                "--cpus", str(cpus), "--sf-dir", sf_dir, "--events", str(events)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        # Best of 2: residual writeback from the PREVIOUS run's ~GBs of lake
-        # writes steals disk from the current one non-deterministically
-        # (observed ±30%); two runs with settled caches bound the noise.
-        best = None
-        for _ in range(2):
+        # STEAL-AWARE protocol: this host is a shared VM — hypervisor steal
+        # episodes have halved individual legs (observed 0.281 vs 0.69
+        # median in BASELINE.md). Each attempt's /proc/stat steal delta is
+        # measured; contaminated attempts (>1% steal) are discarded and
+        # retried, so a noisy neighbour can't fabricate a bad ratio. Also
+        # best-of-N: residual writeback from the PREVIOUS run's ~GBs of
+        # lake writes steals disk non-deterministically (observed ±30%).
+        best, fastest_any, attempts, steals = None, None, 0, []
+        while attempts < 4:
+            attempts += 1
             settle()
+            s0 = _steal_snapshot()
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            frac = _steal_fraction(s0)
+            steals.append(round(frac, 4))
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            if best is None or r["sustained_sec"] < best["sustained_sec"]:
+            r["steal_frac"] = frac
+            if fastest_any is None or r["sustained_sec"] < fastest_any["sustained_sec"]:
+                fastest_any = r
+            if frac <= 0.01 and (
+                best is None or r["sustained_sec"] < best["sustained_sec"]
+            ):
                 best = r
+            if best is not None and attempts >= 2:
+                break
+        if best is None:  # every attempt stolen-from: keep fastest, flag it
+            best = dict(fastest_any, steal_contaminated=True)
         results[cpus] = best
+        steal_notes[cpus] = steals
     tp8 = results[8]["sustained_events"] / results[8]["sustained_sec"]
     tp32 = results[32]["sustained_events"] / results[32]["sustained_sec"]
     print(json.dumps({
@@ -384,7 +408,29 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
         "events_per_sec_32": round(tp32, 1),
         "total_sec_8": round(results[8]["total_sec"], 3),
         "total_sec_32": round(results[32]["total_sec"], 3),
+        "steal_fracs": steal_notes,
+        "steal_contaminated": bool(
+            results[8].get("steal_contaminated")
+            or results[32].get("steal_contaminated")
+        ),
     }))
+
+
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _steal_fraction(before: tuple[int, int]) -> float:
+    s1, t1 = _steal_snapshot()
+    s0, t0 = before
+    dt = t1 - t0
+    return (s1 - s0) / dt if dt > 0 else 0.0
 
 
 def _membw_worker(q, seconds: float) -> None:

@@ -377,10 +377,12 @@ def _routed_pair_verify(
 
     Shape:
       1. cand_ds (doc_a, doc_b; duplicates across LSH bands possible) is
-         deduped with the partial_agg combiner and hashed into a pair-bucket
-         `pb` — pairs stay a Dataset.
+         hashed into a pair-bucket `pb` — pairs stay a Dataset. A pair's
+         copies all share pb (it's a function of the ids), so the in-bucket
+         verify dedupes them for free: no dedup shuffle needed.
       2. A doc->pb routing Dataset is exploded from the pairs (two id-only
-         rows per pair, deduped per (doc, pb)).
+         rows per pair), deduped per (doc, pb) map-side only — cross-batch
+         repeats just add a spare text copy the bucket drops.
       3. Candidate texts meet their buckets via a hash-partitioned
          Dataset.join of the corpus against the routing table — text moves
          ONLY for candidate docs, once per bucket that needs it.
@@ -391,7 +393,7 @@ def _routed_pair_verify(
     Dup-heavy corpora scale by bucket count — driver memory is O(1)."""
     import ray
 
-    from datax_ray.functions.relational import large_join, partial_agg
+    from datax_ray.functions.relational import large_join
 
     probe = verify_pairs({}, [])
     score_cols = [c for c in probe if c not in ("doc_a", "doc_b")]
@@ -404,11 +406,9 @@ def _routed_pair_verify(
     small = est_rows is not None and est_rows <= _SINGLE_REDUCE_ROWS
     nvb = 1 if small else coarse_buckets(est_rows, rows_per_bucket=500_000, floor=16)
 
-    # 1. distinct pairs, tagged with their verify bucket
-    uniq = partial_agg(
-        cand_ds, keys=["doc_a", "doc_b"], counts="_n",
-        num_buckets=num_buckets, single_reduce=small,
-    )
+    # 1. pairs tagged with their verify bucket (duplicates ride along and
+    #    dedupe inside the bucket — saves a whole shuffle round)
+    uniq = cand_ds
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -427,7 +427,7 @@ def _routed_pair_verify(
 
     pairs = uniq.map_batches(tag_pairs, batch_format="pyarrow")
 
-    # 2. doc -> pb routing (id-only rows; deduped so one text copy per bucket)
+    # 2. doc -> pb routing (id-only rows; map-side dedup per (doc, bucket))
     def explode_routes(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [
@@ -436,13 +436,10 @@ def _routed_pair_verify(
             ]
         )
         pb = pa.concat_arrays([t["pb"].combine_chunks()] * 2)
-        return pa.table({"_rdoc": both, "pb": pb})
+        r = pa.table({"_rdoc": both, "pb": pb})
+        return r.group_by(["_rdoc", "pb"], use_threads=False).aggregate([])
 
-    routes = partial_agg(
-        pairs.map_batches(explode_routes, batch_format="pyarrow"),
-        keys=["_rdoc", "pb"], counts="_n",
-        num_buckets=num_buckets, single_reduce=small,
-    )
+    routes = pairs.map_batches(explode_routes, batch_format="pyarrow")
 
     # 3. candidate texts meet their buckets (inner hash join — only docs
     #    appearing in some pair survive the join)
@@ -474,7 +471,7 @@ def _routed_pair_verify(
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return empty_pd
-        prs = g[g["doc_a"].notna()]
+        prs = g[g["doc_a"].notna()].drop_duplicates(["doc_a", "doc_b"])
         txt = g[g["_doc"].notna()].drop_duplicates("_doc")
         texts = dict(zip(txt["_doc"].astype(int), txt["_txt"]))
         pair_list = list(

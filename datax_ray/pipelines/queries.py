@@ -800,10 +800,12 @@ WITH c AS (
   FROM events
 ), conforming AS (
   -- expectations apply to insert/update only (delete-exempt); value rules
-  -- pass on null, so only the set columns are constrained
+  -- pass on NULL, spelled out explicitly (x IS NULL OR <rule>) so a
+  -- null-valued insert/update is kept, matching compile_expectations
   SELECT * FROM c
   WHERE op = 'delete'
-     OR (turn_idx BETWEEN 0 AND 19 AND NOT regexp_matches(text, '7$'))
+     OR ((turn_idx IS NULL OR turn_idx BETWEEN 0 AND 19)
+         AND (text IS NULL OR NOT regexp_matches(text, '7$')))
 ), w AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                ORDER BY ts DESC, lsn DESC) AS rn

@@ -104,12 +104,21 @@ def _range_plan(
                 rows += int(prec.get("rows", 0))
         rec = range_recs.get(rid, {})
         frag_ts = rec.get("frag_ts", {})
-        for f in rec.get("frags", []):
+        all_frags = rec.get("frags", [])
+        kept_frags = 0
+        for f in all_frags:
             stats = frag_ts.get(f)
             if stats is not None and below_cutoff(stats[1]):
                 continue
             files.append(f)
-        rows += int(rec.get("rows", 0))
+            kept_frags += 1
+        # planner ESTIMATE only: fragment rows are recorded per range, not
+        # per file, so scale pro-rata by the surviving fragment count —
+        # keeps the BlockMetadata num_rows consistent with the base-side
+        # pruning instead of over-counting pruned fragments
+        frag_rows = int(rec.get("rows", 0))
+        if all_frags:
+            rows += (frag_rows * kept_frags) // len(all_frags)
         if files:
             parts.append({"range_id": rid, "files": files, "rows": rows})
     return parts
