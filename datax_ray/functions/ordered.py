@@ -3,8 +3,9 @@ lag, running aggregates) and SCD Type-2 history derivation over a change
 stream. Ray Data has no window functions; these compose from the same
 coarse-bucket shape as functions/windows.py — hash-bucket by key (ALL rows
 of a key co-locate; bucket count scales via functions/_buckets.py), then
-ONE vectorized pandas pass per bucket (sort + key-boundary masks + cumsum),
-never a Python call per key.
+ONE vectorized pass per bucket (Arrow sort + key-boundary masks + cumsum),
+never a Python call per key. Arrow end to end: blocks stay zero-copy
+through the shuffle, and every emitted block carries its schema.
 
 No reference counterpart (DataX has no relational algebra, SURVEY.md §2A
 bottom row); these belong to the uplift surface.
@@ -13,13 +14,8 @@ bottom row); these belong to the uplift surface.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-
-
-def _add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
-    grp = pd.util.hash_pandas_object(df[key_cols[0]], index=False).to_numpy()
-    df["_grp"] = (grp % num_buckets).astype("int32")
-    return df
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def keyed_window(
@@ -37,23 +33,33 @@ def keyed_window(
 
     One bucket = one map_groups group = one worker's working set, so
     `num_buckets` must scale with input (functions/_buckets.py)."""
+    from datax_ray.functions.relational import key_buckets
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
-        n = len(df)
-        key = df[key_col].to_numpy()
-        ts = df[ts_col].astype("int64").to_numpy()
-        val = df[value_col].to_numpy()
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, [key_col], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                       (id_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        val = t[value_col].to_numpy(zero_copy_only=False)
         first = np.ones(n, dtype=bool)
         if n > 1:
             first[1:] = key[1:] != key[:-1]
         # row_number: global cumcount rebased to 0 at each key start
-        idx = np.arange(n, dtype=np.int64)
-        starts = idx[first]
+        idx_n = np.arange(n, dtype=np.int64)
+        starts = idx_n[first]
         counts = np.diff(np.r_[starts, n])
-        rn = idx - np.repeat(starts, counts) + 1
+        rn = idx_n - np.repeat(starts, counts) + 1
         gap = np.empty(n, dtype=np.int64)
-        gap[0] = -1
+        if n:
+            gap[0] = -1
         if n > 1:
             gap[1:] = ts[1:] - ts[:-1]
         gap[first] = -1
@@ -62,22 +68,20 @@ def keyed_window(
         csum = np.cumsum(val)
         base = np.where(starts > 0, csum[starts - 1], 0)
         run = csum - np.repeat(base, counts)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: df[id_col].to_numpy(),
-                key_col: key,
-                "rn": rn,
-                "gap_us": gap,
-                "run_value": run,
+                id_col: t[id_col],
+                key_col: t[key_col],
+                "rn": pa.array(rn),
+                "gap_us": pa.array(gap),
+                "run_value": pa.array(run.astype(np.int64)),
             }
         )
 
     return (
-        ds.map_batches(
-            lambda df: _add_bucket(df, [key_col], num_buckets), batch_format="pandas"
-        )
+        ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -102,46 +106,60 @@ def scd2_history(
     stream, but KEEPING every superseded version instead of folding to the
     latest. Buckets by hash(key_cols[0]) so a conversation's full history
     co-locates; vectorized within the bucket."""
+    from datax_ray.functions.relational import key_buckets
+
     k0, k1 = key_cols
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([k0, k1, ts_col, lsn_col], kind="stable")
-        n = len(df)
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, [k0], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(k0, "ascending"), (k1, "ascending"),
+                       (ts_col, "ascending"), (lsn_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        a0 = t[k0].to_numpy(zero_copy_only=False)
+        a1 = t[k1].to_numpy(zero_copy_only=False)
         same_key = np.zeros(n, dtype=bool)
         if n > 1:
-            same_key[:-1] = (
-                (df[k0].to_numpy()[1:] == df[k0].to_numpy()[:-1])
-                & (df[k1].to_numpy()[1:] == df[k1].to_numpy()[:-1])
-            )
+            same_key[:-1] = (a0[1:] == a0[:-1]) & (a1[1:] == a1[:-1])
         first = np.ones(n, dtype=bool)
-        first[1:] = ~same_key[:-1]
-        idx = np.arange(n, dtype=np.int64)
-        starts = idx[first]
-        counts = np.diff(np.r_[starts, n])
-        version = idx - np.repeat(starts, counts) + 1
-        ts = df[ts_col].to_numpy()
-        valid_to = np.full(n, np.datetime64("NaT"), dtype=ts.dtype)
         if n > 1:
-            valid_to[:-1] = np.where(same_key[:-1], ts[1:], valid_to[:-1])
-        out = pd.DataFrame(
+            first[1:] = ~same_key[:-1]
+        idx_n = np.arange(n, dtype=np.int64)
+        starts = idx_n[first]
+        counts = np.diff(np.r_[starts, n])
+        version = idx_n - np.repeat(starts, counts) + 1
+        ts_type = t[ts_col].type
+        ts_i64 = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        valid_to = np.zeros(n, dtype=np.int64)
+        has_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_next[:-1] = same_key[:-1]
+            valid_to[:-1] = np.where(same_key[:-1], ts_i64[1:], 0)
+        keep = pc.not_equal(t[op_col], "delete")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        out = pa.table(
             {
-                k0: df[k0].to_numpy(),
-                k1: df[k1].to_numpy(),
-                "version": version,
-                **{c: df[c].to_numpy() for c in payload_cols},
-                "valid_from": ts,
-                "valid_to": valid_to,
+                k0: t[k0].filter(keep),
+                k1: t[k1].filter(keep),
+                "version": pa.array(version[keep_np]),
+                **{c: t[c].filter(keep) for c in payload_cols},
+                "valid_from": t[ts_col].filter(keep),
+                "valid_to": pc.cast(
+                    pa.array(valid_to[keep_np], mask=~has_next[keep_np]),
+                    ts_type,
+                ),
+                "is_current": pa.array(~has_next[keep_np]),
             }
         )
-        keep = (df[op_col] != "delete").to_numpy()
-        out = out[keep]
-        out["is_current"] = out["valid_to"].isna()
         return out
 
     return (
-        changes_ds.map_batches(
-            lambda df: _add_bucket(df, [k0], num_buckets), batch_format="pandas"
-        )
+        changes_ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

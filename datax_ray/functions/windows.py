@@ -7,7 +7,6 @@ per-key, imposed inside the group function itself).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -29,20 +28,25 @@ def sessionize(
     bucket is one map_groups group on one worker. Use
     functions._buckets.coarse_buckets(est_rows)."""
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        grp = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
-        df["_grp"] = (grp % num_buckets).astype("int32")
-        return df
+    from datax_ray.functions.relational import key_buckets
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, [key_col], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
         """One coarse bucket holds MANY keys; session assignment is fully
-        vectorized across all of them: sort by (key, ts, order), flag a new
-        session at every key boundary or over-gap step, cumsum, then rebase
-        the running id to start at 0 per key."""
-        df = df.sort_values([key_col, ts_col, order_col], kind="stable")
-        n = len(df)
-        ts = df[ts_col].astype("int64").to_numpy()
-        uid = df[key_col].to_numpy()
+        vectorized across all of them (Arrow sort + numpy boundary masks):
+        flag a new session at every key boundary or over-gap step, cumsum,
+        then rebase the running id to start at 0 per key."""
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                       (order_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        uid = t[key_col].to_numpy(zero_copy_only=False)
         new = np.ones(n, dtype=np.int64)
         if n > 1:
             same = uid[1:] == uid[:-1]
@@ -51,17 +55,20 @@ def sessionize(
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]] if n else [])
         counts = np.diff(np.r_[starts, n])
         offset = np.repeat(gsid[starts], counts) if n else gsid
-        df = df.assign(session_id=gsid - offset)
-        return df.groupby([key_col, "session_id"], as_index=False).agg(
-            n_events=(order_col, "count"),
-            t_start=(ts_col, "min"),
-            t_end=(ts_col, "max"),
+        sess = t.select([key_col, ts_col]).append_column(
+            "session_id", pa.array(gsid - offset, pa.int64())
+        )
+        g = sess.group_by([key_col, "session_id"], use_threads=False).aggregate(
+            [([], "count_all"), (ts_col, "min"), (ts_col, "max")]
+        )
+        return g.rename_columns(
+            [key_col, "session_id", "n_events", "t_start", "t_end"]
         )
 
     return (
-        ds.map_batches(add_grp, batch_format="pandas")
+        ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -77,34 +84,45 @@ def rolling_window_counts(
     key fall in the half-open time window (ts - window, ts]. The classic
     burst-detection primitive; SQL expresses it as an inequality self-join.
 
-    Shape: coarse key-hash buckets (all rows of a key co-locate), then one
-    vectorized pandas groupby-rolling count per bucket — no per-key Python,
-    no O(n²) pair materialization."""
+    Shape: coarse key-hash buckets (all rows of a key co-locate), then ONE
+    searchsorted over a segment-offset timeline per bucket — no per-key
+    Python or Cython group loop, no O(n²) pair materialization: each key
+    segment is shifted onto its own disjoint span of a single monotone
+    axis, so one global binary search respects every key boundary at
+    once."""
+    from datax_ray.functions.relational import key_buckets
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        grp = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
-        df["_grp"] = (grp % num_buckets).astype("int32")
-        return df
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, [key_col], num_buckets))
 
-    win = pd.Timedelta(microseconds=window_us)
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
-        counts = (
-            df.groupby(key_col, sort=False)
-            .rolling(win, on=ts_col, closed="right")[id_col]
-            .count()
-            .to_numpy()
-            .astype("int64")
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                       (id_col, "ascending")],
         )
-        return pd.DataFrame(
-            {id_col: df[id_col].to_numpy(), "n_win": counts}
-        )
+        t = t.take(idx)
+        n = t.num_rows
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        uid = t[key_col].to_numpy(zero_copy_only=False)
+        if n == 0:
+            return pa.table(
+                {id_col: t[id_col], "n_win": pa.array([], pa.int64())}
+            )
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            seg[1:] = np.cumsum(uid[1:] != uid[:-1])
+        span = np.int64(ts.max() - ts.min() + window_us + 1)
+        adj = (ts - ts.min()) + seg * span
+        # half-open (ts - window, ts]: first in-window position per row
+        lo = np.searchsorted(adj, adj - window_us, side="right")
+        counts = np.arange(n, dtype=np.int64) - lo + 1
+        return pa.table({id_col: t[id_col], "n_win": pa.array(counts)})
 
     return (
-        ds.map_batches(add_grp, batch_format="pandas")
+        ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
