@@ -215,6 +215,9 @@ def _cleanup_shm_lakes() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--widths", default="8,32",
+                    help="cpu widths for --scaling, e.g. 8,16 for the "
+                    "adjacent-doubling sample")
     ap.add_argument("--scaling-nodes", action="store_true")
     ap.add_argument("--membw", action="store_true")
     ap.add_argument("--replay-only", action="store_true")
@@ -229,7 +232,8 @@ def main() -> None:
     sf = sf_of(args.sf_dir)
 
     if args.scaling:
-        run_scaling(sf, args.sf_dir, args.events)
+        lo, hi = (int(x) for x in args.widths.split(","))
+        run_scaling(sf, args.sf_dir, args.events, widths=(lo, hi))
         return
     if args.scaling_nodes:
         run_scaling_nodes(sf, args.sf_dir, args.events)
@@ -321,7 +325,8 @@ def main() -> None:
         _cleanup_shm_lakes()
 
 
-def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
+def run_scaling(sf: float, sf_dir: str, events: int | None = None,
+                widths: tuple[int, int] = (8, 32)) -> None:
     """Fresh-process runs at 8 and 32 CPUs on the same input; efficiency
     = (throughput_32 / throughput_8) / 4 — the sandbox proxy for the
     north rule's N→4N cluster-size criterion.
@@ -353,9 +358,10 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
                 while f.read(1 << 24):
                     pass
 
+    lo_w, hi_w = widths
     results = {}
     steal_notes = {}
-    for cpus in (8, 32):
+    for cpus in (lo_w, hi_w):
         # taskset pins the WHOLE process tree (raylet, workers, arrow's
         # internal thread pools) to `cpus` cores: without it the "8 cpu" run
         # borrows all 32 hardware threads inside pyarrow kernels and the
@@ -394,24 +400,24 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None) -> None:
             best = dict(fastest_any, steal_contaminated=True)
         results[cpus] = best
         steal_notes[cpus] = steals
-    tp8 = results[8]["sustained_events"] / results[8]["sustained_sec"]
-    tp32 = results[32]["sustained_events"] / results[32]["sustained_sec"]
+    tp_lo = results[lo_w]["sustained_events"] / results[lo_w]["sustained_sec"]
+    tp_hi = results[hi_w]["sustained_events"] / results[hi_w]["sustained_sec"]
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "value": round((tp32 / tp8) / 4, 3),
+        "metric": f"scaling_efficiency_{lo_w}_to_{hi_w}_cpus",
+        "value": round((tp_hi / tp_lo) / (hi_w / lo_w), 3),
         "unit": "ratio",
         "sf": sf,
-        "sustained_events": results[8]["sustained_events"],
-        "sustained_sec_8": round(results[8]["sustained_sec"], 3),
-        "sustained_sec_32": round(results[32]["sustained_sec"], 3),
-        "events_per_sec_8": round(tp8, 1),
-        "events_per_sec_32": round(tp32, 1),
-        "total_sec_8": round(results[8]["total_sec"], 3),
-        "total_sec_32": round(results[32]["total_sec"], 3),
+        "sustained_events": results[lo_w]["sustained_events"],
+        f"sustained_sec_{lo_w}": round(results[lo_w]["sustained_sec"], 3),
+        f"sustained_sec_{hi_w}": round(results[hi_w]["sustained_sec"], 3),
+        f"events_per_sec_{lo_w}": round(tp_lo, 1),
+        f"events_per_sec_{hi_w}": round(tp_hi, 1),
+        f"total_sec_{lo_w}": round(results[lo_w]["total_sec"], 3),
+        f"total_sec_{hi_w}": round(results[hi_w]["total_sec"], 3),
         "steal_fracs": steal_notes,
         "steal_contaminated": bool(
-            results[8].get("steal_contaminated")
-            or results[32].get("steal_contaminated")
+            results[lo_w].get("steal_contaminated")
+            or results[hi_w].get("steal_contaminated")
         ),
     }))
 

@@ -217,6 +217,37 @@ def main(argv=None):
     se.add_argument("--limit", type=int, default=50)
     se.add_argument("--num-cpus", type=int, default=None)
 
+    vx = sub.add_parser(
+        "vecindex",
+        help="refresh the incremental IVF vector index over an embeddings "
+        "parquet source (only fragments whose fingerprint changed are "
+        "re-assigned; the quantizer fits once from a distributed sample)",
+    )
+    vx.add_argument("--src", required=True, help="embeddings parquet file/dir")
+    vx.add_argument("--idx", required=True)
+    vx.add_argument("--lists", type=int, default=16)
+    vx.add_argument("--sample", type=int, default=2048)
+    vx.add_argument("--vec-col", default="embedding")
+    vx.add_argument("--id-col", default="vec_id")
+    vx.add_argument("--num-cpus", type=int, default=None)
+
+    vs = sub.add_parser(
+        "vecsearch",
+        help="approximate cosine top-k against the persisted IVF index "
+        "(probes nprobe lists; row-group pruning skips the rest)",
+    )
+    vs.add_argument("--idx", required=True)
+    vs.add_argument("--query-src", required=True,
+                    help="parquet file holding the query vector(s)")
+    vs.add_argument("--query-id", type=int, action="append", default=None,
+                    help="vec_id(s) in --query-src to use as queries "
+                    "(repeatable; default: first row)")
+    vs.add_argument("--k", type=int, default=10)
+    vs.add_argument("--nprobe", type=int, default=4)
+    vs.add_argument("--vec-col", default="embedding")
+    vs.add_argument("--id-col", default="vec_id")
+    vs.add_argument("--num-cpus", type=int, default=None)
+
     rp = sub.add_parser(
         "repartition",
         help="migrate the lake to a new partition/salt layout in one "
@@ -607,6 +638,41 @@ def main(argv=None):
         total = ds.count()
         rows = ds.limit(a.limit).take_all()
         print(json.dumps({"hits": total, "shown": len(rows), "rows": rows}))
+        return 0
+
+    if a.cmd == "vecindex":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.vecindex import refresh_vector_index
+
+        print(json.dumps(refresh_vector_index(
+            a.src, a.idx, n_lists=a.lists, sample_size=a.sample,
+            vec_col=a.vec_col, id_col=a.id_col,
+        )))
+        return 0
+
+    if a.cmd == "vecsearch":
+        _ensure_ray(a.num_cpus)
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        from datax_ray.pipelines.vecindex import search_vector_index
+
+        dset = pads.dataset(a.query_src)
+        if a.query_id:
+            t = dset.to_table(
+                columns=[a.id_col, a.vec_col],
+                filter=pads.field(a.id_col).isin(a.query_id),
+            )
+        else:
+            t = dset.head(1, columns=[a.id_col, a.vec_col])
+        queries = np.asarray(t[a.vec_col].to_pylist(), dtype=np.float64)
+        rows = search_vector_index(
+            a.idx, queries, k=a.k, nprobe=a.nprobe
+        ).take_all()
+        qids = t[a.id_col].to_pylist()
+        for r in rows:
+            r["query_vec_id"] = qids[r.pop("query_id")]
+        print(json.dumps({"hits": len(rows), "rows": rows}))
         return 0
 
     if a.cmd == "repartition":

@@ -2209,6 +2209,137 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def bm25_topk_docs(sf_dir: str, terms: tuple[str, ...] = ("join", "merge", "spark"),
+                   k: int = 10):
+    """BM25-style retrieval scoring over the corpus (k1=1.2, b=0.75) for a
+    fixed query — the search-quality primitive next to tfidf_top_terms.
+    ALL arithmetic is integer (idf milli-scaled as n_docs*1000//df, avgdl
+    milli-scaled, one floor division per (doc, term) component) so DuckDB
+    reproduces every score bit-for-bit — no float log/sum in the compare
+    path. Int64-safe while n_docs*1000 * tf * 22 * avgdl_milli < 2^63
+    (holds through ~1e7 docs at this corpus shape; beyond that drop the
+    idf scale to match).
+
+    Scale shape: TWO streaming passes and no data shuffle at all — each
+    document lives wholly inside its batch row, so pass 1 is a tiny
+    global-stats combiner (one row per batch: n_docs, n_tokens, df per
+    query term — driver folds O(|terms|) numbers), pass 2 scores each
+    batch against the broadcast globals, and only the per-batch top-k
+    partials move (relational.top_k tree)."""
+    from datax_ray.functions.relational import top_k
+
+    terms = tuple(terms)
+    term_arr = pa.array(list(terms), pa.string())
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(t: pa.Table):
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        dl = pc.list_value_length(toks)
+        return flat, par, dl
+
+    # pass 1: one combiner row per batch -> driver folds O(|terms|) ints
+    def stats(t: pa.Table) -> pa.Table:
+        flat, par, dl = _tok(t)
+        hit = pc.is_in(flat, value_set=term_arr)
+        tt = pa.table({"p": par.filter(hit), "term": flat.filter(hit)})
+        docs_per_term = (
+            tt.group_by(["p", "term"], use_threads=False)
+            .aggregate([])
+            .group_by(["term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        dfm = dict(
+            zip(
+                docs_per_term["term"].to_pylist(),
+                docs_per_term["count_all"].to_pylist(),
+            )
+        )
+        row = {
+            "n_docs": [t.num_rows],
+            "n_tokens": [int(pc.sum(dl).as_py() or 0)],
+        }
+        for i, term in enumerate(terms):
+            row[f"df_{i}"] = [int(dfm.get(term, 0))]
+        return pa.table(row)
+
+    cols = ["n_docs", "n_tokens"] + [f"df_{i}" for i in range(len(terms))]
+    folded = ds.map_batches(stats, batch_format="pyarrow").sum(cols)
+    n_docs = int(folded["sum(n_docs)"])
+    n_tokens = int(folded["sum(n_tokens)"])
+    avgdl_milli = (1000 * n_tokens) // max(1, n_docs)
+    idf_milli = {
+        t_: (n_docs * 1000) // folded[f"sum(df_{i})"]
+        for i, t_ in enumerate(terms)
+        if folded[f"sum(df_{i})"]
+    }
+
+    # pass 2: score each batch against the broadcast globals; only top-k
+    # partials leave the batch
+    def score(t: pa.Table) -> pa.Table:
+        flat, par, dl = _tok(t)
+        hit = pc.is_in(flat, value_set=term_arr)
+        tt = pa.table({"p": par.filter(hit), "term": flat.filter(hit)})
+        tf = (
+            tt.group_by(["p", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        p = tf["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_n = tf["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = np.array(
+            [idf_milli.get(x, 0) for x in tf["term"].to_pylist()], dtype=np.int64
+        )
+        dl_np = dl.to_numpy(zero_copy_only=False).astype(np.int64)[p]
+        num = idf * tf_n * 22 * avgdl_milli
+        den = 10 * tf_n * avgdl_milli + 3 * avgdl_milli + 9000 * dl_np
+        comp = num // den
+        scores = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(scores, p, comp)
+        keep = scores > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "bm25_scaled": pa.array(scores[keep]),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(scored, by="bm25_scaled", k=k, tie_col="doc_id")
+
+
+BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), g AS (SELECT COUNT(*) AS n_docs FROM documents),
+l AS (SELECT COUNT(*) AS n_tokens FROM tok),
+q AS (SELECT unnest(['join','merge','spark']) AS term),
+tf AS (
+  SELECT doc_id, tok.term, COUNT(*) AS tf
+  FROM tok JOIN q ON tok.term = q.term GROUP BY doc_id, tok.term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), avg AS (
+  SELECT (1000 * l.n_tokens) // g.n_docs AS avgdl_milli FROM l, g
+), comp AS (
+  SELECT tf.doc_id,
+         (((g.n_docs * 1000) // df.df) * tf.tf * 22 * avg.avgdl_milli)
+           // (10 * tf.tf * avg.avgdl_milli + 3 * avg.avgdl_milli
+               + 9000 * dl.dl) AS comp
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN g CROSS JOIN avg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(comp) AS BIGINT) AS bm25_scaled
+FROM comp GROUP BY doc_id
+ORDER BY bm25_scaled DESC, doc_id LIMIT 10
+"""
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -3968,6 +4099,7 @@ QUERIES = {
     "sample_events_stratified": sample_events_stratified,
     "token_count_bpe": token_count_bpe,
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_topk_docs": bm25_topk_docs,
     "scrub_pii_docs": scrub_pii_docs,
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
@@ -4066,6 +4198,7 @@ ORACLE_SQL = {
     "sample_events_stratified": SAMPLE_STRAT_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "bm25_topk_docs": BM25_SQL,
     "scrub_pii_docs": SCRUB_SQL,
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,
