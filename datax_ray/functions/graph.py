@@ -20,6 +20,8 @@ next round's lineage would otherwise re-execute every prior round).
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pandas as pd
 
 
@@ -73,14 +75,14 @@ def connected_components(
     Unpaired docs are implicitly their own singleton cluster (callers
     left-join this output and coalesce to doc_id)."""
 
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[a_col].to_numpy().astype(np.int64)
-        b = df[b_col].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[a_col], pa.int64()).combine_chunks()
+        b = pc.cast(t[b_col], pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
     if edges.count() <= _SINGLE_TASK_EDGES:
         labels = edges.repartition(1).map_batches(
@@ -93,71 +95,96 @@ def connected_components(
             batch_format="pandas",
         )
 
+    def _grp_col(t: pa.Table, col: str) -> pa.Table:
+        return t.append_column(
+            "_grp",
+            pa.array(_bucket(t[col].to_numpy(zero_copy_only=False), num_buckets)),
+        )
+
     # initial labels: each node labeled by the min of itself and its direct
     # neighbors (this IS round one of propagation, fused into init)
-    def init_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("src", as_index=False)["dst"].min()
-        g["label"] = np.minimum(g["src"].to_numpy(), g["dst"].to_numpy())
-        g = g.rename(columns={"src": "node"})[["node", "label"]]
-        g["_grp"] = _bucket(g["node"].to_numpy(), num_buckets)
-        return g
+    def init_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("src", use_threads=False)
+            .aggregate([("dst", "min")])
+            .rename_columns(["node", "dst_min"])
+        )
+        out = pa.table(
+            {
+                "node": g["node"],
+                "label": pc.min_element_wise(g["node"], g["dst_min"]),
+            }
+        )
+        return _grp_col(out, "node")
 
-    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+    def min_label(t: pa.Table) -> pa.Table:
         return (
-            df.drop(columns=["_grp"]).groupby("node", as_index=False)["label"].min()
+            t.drop_columns(["_grp"])
+            .group_by("node", use_threads=False)
+            .aggregate([("label", "min")])
+            .rename_columns(["node", "label"])
         )
 
     labels = (
-        edges.map_batches(init_partial, batch_format="pandas")
+        edges.map_batches(init_partial, batch_format="pyarrow")
         .groupby("_grp")
-        .map_groups(min_label, batch_format="pandas")
+        .map_groups(min_label, batch_format="pyarrow")
         .materialize()
     )
     prev_sum = labels.sum("label")
 
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"node": df["src"], "dst": df["dst"], "label": np.int64(-1)}
+    def tag_edges(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "node": t["src"],
+                "dst": t["dst"],
+                "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
         )
-        out["_grp"] = _bucket(out["node"].to_numpy(), num_buckets)
-        return out
+        return _grp_col(out, "node")
 
-    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"node": df["node"], "dst": np.int64(-1), "label": df["label"]}
+    def tag_labels(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "node": t["node"],
+                "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "label": t["label"],
+            }
         )
-        out["_grp"] = _bucket(out["node"].to_numpy(), num_buckets)
-        return out
+        return _grp_col(out, "node")
 
-    edges_tagged = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+    def propagate(t: pa.Table) -> pa.Table:
         """One co-partitioned bucket: join each edge's src label onto the
-        edge and emit (dst, src_label) messages plus the self labels."""
-        is_edge = df["dst"].to_numpy() >= 0
-        e = df[is_edge]
-        l = df[~is_edge][["node", "label"]]
-        msgs = e[["node", "dst"]].merge(l, on="node", how="inner")
-        out = pd.concat(
+        edge (Arrow hash join) and emit (dst, src_label) messages plus the
+        self labels."""
+        is_edge = pc.greater_equal(t["dst"], 0)
+        e = t.filter(is_edge).select(["node", "dst"])
+        lbl = t.filter(pc.invert(is_edge)).select(["node", "label"])
+        msgs = e.join(lbl, keys=["node"], join_type="inner")
+        out = pa.concat_tables(
             [
-                pd.DataFrame({"node": msgs["dst"], "label": msgs["label"]}),
-                l,
-            ],
-            ignore_index=True,
+                pa.table({"node": msgs["dst"], "label": msgs["label"]}),
+                lbl,
+            ]
         )
         # partial min within the bucket before the re-shuffle (combiner)
-        out = out.groupby("node", as_index=False)["label"].min()
-        out["_grp"] = _bucket(out["node"].to_numpy(), num_buckets)
-        return out
+        out = (
+            out.group_by("node", use_threads=False)
+            .aggregate([("label", "min")])
+            .rename_columns(["node", "label"])
+        )
+        return _grp_col(out, "node")
 
     for _ in range(max_iters):
-        labels_tagged = labels.map_batches(tag_labels, batch_format="pandas")
+        labels_tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
         labels = (
             edges_tagged.union(labels_tagged)
             .groupby("_grp")
-            .map_groups(propagate, batch_format="pandas")
+            .map_groups(propagate, batch_format="pyarrow")
             .groupby("_grp")
-            .map_groups(min_label, batch_format="pandas")
+            .map_groups(min_label, batch_format="pyarrow")
             .materialize()
         )
         cur_sum = labels.sum("label")
@@ -165,9 +192,7 @@ def connected_components(
             break
         prev_sum = cur_sum
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["node"], "cluster_id": df["label"]}
-        )
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
 
-    return labels.map_batches(rename, batch_format="pandas")
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -2340,6 +2340,85 @@ ORDER BY bm25_scaled DESC, doc_id LIMIT 10
 """
 
 
+def corpus_drift_terms(sf_dir: str, k: int = 20):
+    """Distribution-drift detector between two corpus slices — the
+    data-quality primitive that answers "did the held-out slice's term
+    distribution shift vs the training pool?" (source='src0' vs the rest).
+    Per term: |share_ppm_heldout - share_ppm_rest| with ppm shares as
+    INTEGER floor divisions, so both engines rank and hash identically.
+
+    Scale shape: pass 1 is a one-row-per-batch totals combiner (token
+    count per side); pass 2 is per-batch (term, side) count combiners into
+    the standard coarse term-hash reduce (partial_agg), a scoring map
+    against the two broadcast totals, and the top-k tree. The vocabulary
+    never broadcasts; nothing materializes driver-side but 2 ints + k
+    rows."""
+    from datax_ray.functions.relational import partial_agg, top_k
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def _sides(t: pa.Table):
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        held = pc.equal(t["source"], "src0").to_numpy(zero_copy_only=False)
+        ha = held[par].astype(np.int64)
+        return flat, ha
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, ha = _sides(t)
+        return pa.table(
+            {"ta": [int(ha.sum())], "tb": [int(len(ha) - ha.sum())]}
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow").sum(["ta", "tb"])
+    ta, tb = max(1, int(tot["sum(ta)"])), max(1, int(tot["sum(tb)"]))
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, ha = _sides(t)
+        return pa.table(
+            {
+                "term": flat,
+                "ca": pa.array(ha),
+                "cb": pa.array(np.int64(1) - ha),
+            }
+        )
+
+    agg = partial_agg(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["term"],
+        sums={"ca": "ca", "cb": "cb"},
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        drift = np.abs((ca * 1_000_000) // ta - (cb * 1_000_000) // tb)
+        return pa.table({"term": t["term"], "drift_ppm": pa.array(drift)})
+
+    scored = agg.map_batches(score, batch_format="pyarrow")
+    return top_k(scored, by="drift_ppm", k=k, tie_col="term")
+
+
+DRIFT_SQL = """
+WITH tok AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS held,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tot AS (
+  SELECT SUM(held) AS ta, SUM(1 - held) AS tb FROM tok
+), c AS (
+  SELECT term, SUM(held) AS ca, SUM(1 - held) AS cb FROM tok GROUP BY term
+)
+SELECT term,
+       CAST(abs((c.ca * 1000000) // tot.ta
+                - (c.cb * 1000000) // tot.tb) AS BIGINT) AS drift_ppm
+FROM c CROSS JOIN tot
+ORDER BY drift_ppm DESC, term LIMIT 20
+"""
+
+
 # ----------------------------------------------------------------- text --
 
 
@@ -4100,6 +4179,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk_docs": bm25_topk_docs,
+    "corpus_drift_terms": corpus_drift_terms,
     "scrub_pii_docs": scrub_pii_docs,
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
@@ -4199,6 +4279,7 @@ ORACLE_SQL = {
     "token_count_bpe": TOKEN_BPE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_topk_docs": BM25_SQL,
+    "corpus_drift_terms": DRIFT_SQL,
     "scrub_pii_docs": SCRUB_SQL,
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,
