@@ -44,9 +44,49 @@ def _join_partitions(requested: int | None) -> int:
     return max(2, cpus // 2)
 
 
+def _bloom_hashes(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per value via double hashing (g_i = h1 + i*h2) —
+    deterministic across processes (pandas siphash + fixed mix)."""
+    h1 = pd.util.hash_array(np.asarray(vals), categorize=False)
+    with np.errstate(over="ignore"):
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(17))
+        pos = np.empty((k, len(h1)), dtype=np.uint64)
+        for i in range(k):
+            pos[i] = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+    return pos
+
+
+def bloom_filter_bits(right, right_on: str, m_bits: int = 1 << 22,
+                      k: int = 3) -> np.ndarray:
+    """Distributed Bloom-filter build over right[right_on]: each batch
+    emits its own m-bit partial (packed uint64 words) and the driver
+    OR-folds them streaming — driver memory is O(m_bits/8) whatever the
+    table size. m_bits sizing: ~10 bits per distinct key gives ~1% false
+    positives (only cost: a few extra rows reach the exact join)."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = np.zeros(words, dtype=np.uint64)
+        vals = t[right_on].to_numpy(zero_copy_only=False)
+        if len(vals):
+            pos = _bloom_hashes(vals, m_bits, k).reshape(-1)
+            np.bitwise_or.at(
+                arr, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"w": pa.array([arr.tobytes()], pa.binary())})
+
+    folded = np.zeros(words, dtype=np.uint64)
+    parts = right.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for buf in b["w"].to_pylist():
+            folded |= np.frombuffer(buf, dtype=np.uint64)
+    return folded
+
+
 def semi_join(left, right, on: str, right_on: str | None = None,
               anti: bool = False, num_partitions: int | None = None,
-              hot_key_salt: int = 1):
+              hot_key_salt: int = 1, bloom_bits: int | None = None):
     """Distributed semi/anti join of two LARGE datasets: Ray Data's
     hash-partitioned `Dataset.join` (left_semi / left_anti) — both sides
     shuffle into `num_partitions` key-hash buckets, no driver keyset. The
@@ -56,7 +96,18 @@ def semi_join(left, right, on: str, right_on: str | None = None,
 
     For a right side small enough to broadcast, the map-only
     broadcast_join/np.isin path in pipelines/queries.py is faster — this
-    is the scale path two big tables need."""
+    is the scale path two big tables need.
+
+    bloom_bits engages the BLOOM PRE-FILTER (semi only): a Bloom filter
+    over the right keys is OR-built distributed (driver holds m/8 bytes),
+    broadcast via ray.put, and the LEFT side drops definite non-members
+    BEFORE the shuffle — at 100 TB, when only a small fraction of left
+    rows match, this turns an all-to-all over the full left stream into
+    one over ~(match_rate + fp_rate) of it. False positives just ride to
+    the exact join, so results are identical (pytest-asserted). Size
+    ~10 bits per distinct right key for ~1% false positives. Anti joins
+    can't prefilter this way (a definite non-member is part of the anti
+    RESULT, not noise), so bloom_bits is ignored for anti=True."""
     right_on = right_on or on
 
     def uniq(t: pa.Table) -> pa.Table:
@@ -65,6 +116,29 @@ def semi_join(left, right, on: str, right_on: str | None = None,
         return pa.table({right_on: pc.unique(t[right_on])})
 
     keys = right.map_batches(uniq, batch_format="pyarrow")
+
+    if bloom_bits and not anti:
+        import ray as _ray
+
+        m_bits, k = int(bloom_bits), 3
+        bits_ref = _ray.put(bloom_filter_bits(keys, right_on, m_bits, k))
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            bits = _ray.get(bits_ref)
+            vals = t[on].to_numpy(zero_copy_only=False)
+            if not len(vals):
+                return t
+            pos = _bloom_hashes(vals, m_bits, k)
+            member = np.ones(len(vals), dtype=bool)
+            for i in range(k):
+                w = bits[(pos[i] >> np.uint64(6)).astype(np.int64)]
+                member &= (w >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+            return t.filter(pa.array(member))
+
+        left = left.map_batches(
+            prefilter, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     return large_join(
         left,
         keys,

@@ -80,6 +80,23 @@ def filter_rows(col: str, op: str, value) -> Callable:
     raise ValueError(f"unsupported filter op: {op!r}")
 
 
+def mask(col: str, pattern: str, replacement: str) -> Callable:
+    """dx_mask: REGEX replace (RE2 semantics via Arrow's
+    replace_substring_regex — the same engine DuckDB's regexp_replace
+    uses, so oracles reproduce outputs exactly). The PII-redaction
+    primitive of a training-data pipeline: emails, phone numbers, digit
+    runs → a placeholder token. Distinct from dx_replace, which is
+    LITERAL-substring per the DataX contract."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = pc.replace_substring_regex(
+            t[col], pattern=pattern, replacement=replacement
+        )
+        return t.set_column(t.schema.get_field_index(col), col, out)
+
+    return fn
+
+
 def udf(fn: Callable[[pa.Table], pa.Table]) -> Callable:
     """dx_groovy's escape hatch: any Arrow-table → Arrow-table callable."""
     return fn
@@ -91,6 +108,7 @@ _BUILDERS = {
         p["column"], int(p["length"]), p.get("padString", " "), p.get("side", "left")
     ),
     "dx_replace": lambda p: replace(p["column"], p["pattern"], p["replacement"]),
+    "dx_mask": lambda p: mask(p["column"], p["pattern"], p["replacement"]),
     "dx_filter": lambda p: filter_rows(p["column"], p["op"], p["value"]),
 }
 

@@ -1061,6 +1061,34 @@ DX_REPLACE_SQL = (
 )
 
 
+def dx_mask_pii(sf_dir: str):
+    """dx_mask through the transformer chain: redact every digit run in the
+    events payload JSON — the PII-scrub shape (emails/phones/ids → token)
+    a training pipeline runs before text ever reaches a tokenizer. Regex
+    semantics are RE2 on both engines (Arrow replace_substring_regex /
+    DuckDB regexp_replace), so outputs match bit-for-bit."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = apply_transformers(
+        ds,
+        [{"name": "dx_mask", "column": "props",
+          "pattern": "[0-9]+", "replacement": "<NUM>"}],
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"event_id": pc.cast(t["event_id"], pa.int64()),
+             "props_redacted": t["props"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DX_MASK_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+FROM events
+"""
+
+
 def dx_filter(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
     ds = apply_transformers(
@@ -4160,6 +4188,7 @@ QUERIES = {
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
     "dx_replace": dx_replace,
+    "dx_mask_pii": dx_mask_pii,
     "dx_filter": dx_filter,
     "json_extract_props": json_extract_props,
     "agg_pricing_summary": agg_pricing_summary,
@@ -4260,6 +4289,7 @@ ORACLE_SQL = {
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
     "dx_replace": DX_REPLACE_SQL,
+    "dx_mask_pii": DX_MASK_SQL,
     "dx_filter": DX_FILTER_SQL,
     "json_extract_props": JSON_EXTRACT_SQL,
     "agg_pricing_summary": AGG_PRICING_SQL,
