@@ -177,3 +177,77 @@ def hll_estimate_from_registers(registers: pa.Table, p: int = 9) -> float:
     b = registers["bucket"].to_numpy(zero_copy_only=False)
     r = registers["max_rho"].to_numpy(zero_copy_only=False)
     return float(hll_estimate(b, r, p))
+
+
+# ------------------------------------------------------- heavy hitters --
+
+
+def _mg_summary(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries compress: keep at most k-1 (value, count) counters.
+    Standard weighted variant: sort by count desc, keep the top k-1 and
+    subtract the k-th largest surviving count from each (the decrement
+    step batched). Guarantee preserved: est(v) >= true(v) - N/k."""
+    if len(values) < k:
+        return values, counts
+    order = np.argsort(-counts, kind="stable")
+    values, counts = values[order], counts[order]
+    dec = counts[k - 1]
+    keep = counts[: k - 1] - dec
+    m = keep > 0
+    return values[: k - 1][m], keep[m]
+
+
+def heavy_hitters(ds, col: str, k: int = 64, num_buckets: int = 16):
+    """Misra-Gries heavy hitters: every value with frequency > N/k is
+    GUARANTEED to surface, using k-bounded memory per stage — the
+    frequent-items sketch next to HLL (distinct) and the quantile sketch.
+    Approximate by design (counts are lower bounds, est >= true - N/k):
+    rows-only checks + the guarantee pytest, like the other sketches.
+
+    Scale shape: per-batch exact value counts compress to k-1 counters
+    (combiner), per-bucket merges compress again (MG summaries merge by
+    counter addition + re-compress), one final k-bounded fold — the
+    shuffle never carries more than buckets x k counter rows, whatever N
+    is. Returns (value, est_count) sorted by est desc."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([col], use_threads=False).aggregate([([], "count_all")])
+        v = g[col].to_numpy(zero_copy_only=False)
+        c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = _mg_summary(v, c, k)
+        h = pd.util.hash_array(np.asarray(v), categorize=False)
+        return pa.table(
+            {
+                col: pa.array(v),
+                "est": pa.array(c),
+                "_grp": pa.array((h % np.uint64(num_buckets)).astype("int32")),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_grp"])
+            .group_by([col], use_threads=False)
+            .aggregate([("est", "sum")])
+        )
+        v = g[col].to_numpy(zero_copy_only=False)
+        c = g["est_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = _mg_summary(v, c, k)
+        return pa.table({col: pa.array(v), "est": pa.array(c)})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by([col], use_threads=False).aggregate([("est", "sum")])
+        v = g[col].to_numpy(zero_copy_only=False)
+        c = g["est_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = _mg_summary(v, c, k)
+        order = np.argsort(-c, kind="stable")
+        return pa.table({col: pa.array(v[order]), "est": pa.array(c[order])})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(merge, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

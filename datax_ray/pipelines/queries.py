@@ -2368,6 +2368,96 @@ ORDER BY bm25_scaled DESC, doc_id LIMIT 10
 """
 
 
+def heavy_hitters_users(sf_dir: str, k: int = 32):
+    """Misra-Gries frequent-items sketch over events.user_id (rows-only:
+    counts are guaranteed lower bounds, not exact — the bound est >=
+    true - O(N/k) and the every-true-heavy-hitter-surfaces property are
+    pytest-verified, like the HLL error floor). Bounded memory: no stage
+    ever holds more than buckets x k counters whatever N is
+    (functions/sketch.py:heavy_hitters)."""
+    from datax_ray.functions.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "events", columns=["user_id"]), "user_id", k=k
+    )
+
+
+def funnel_signup_click_purchase(sf_dir: str):
+    """Ordered-sequence funnel over the event stream: how many users
+    completed signup -> (later) click -> (later) purchase, counting each
+    step at its EARLIEST valid time (step i's timestamp = min ts of the
+    step event strictly after step i-1's). The product-analytics twin of
+    sessionize — same coarse user-hash co-location, one vectorized pass
+    per bucket (sorted arrays + per-user minimum.at; no Python per user),
+    then a 3-row fold."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    STEPS = ("signup", "click", "purchase")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"step": pa.array([], pa.int64()), "users": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            seg[1:] = np.cumsum(uid[1:] != uid[:-1])
+        n_users = int(seg[-1]) + 1
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n_users, -np.iinfo(np.int64).max, dtype=np.int64)
+        counts = []
+        for step in STEPS:
+            cur = np.full(n_users, INF, dtype=np.int64)
+            sel = (typ == step) & (ts > prev[seg])
+            np.minimum.at(cur, seg[sel], ts[sel])
+            counts.append(int((cur < INF).sum()))
+            prev = cur
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(STEPS) + 1, dtype=np.int64)),
+                "users": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    per = ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("_grp").map_groups(per_bucket, batch_format="pyarrow")
+    return partial_agg(per, keys=["step"], sums={"users": "users"},
+                       single_reduce=True)
+
+
+FUNNEL3_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, COUNT(*) AS users FROM s1
+  UNION ALL SELECT 2, COUNT(*) FROM s2
+  UNION ALL SELECT 3, COUNT(*) FROM s3
+) ORDER BY step
+"""
+
+
 def corpus_drift_terms(sf_dir: str, k: int = 20):
     """Distribution-drift detector between two corpus slices — the
     data-quality primitive that answers "did the held-out slice's term
@@ -4209,6 +4299,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk_docs": bm25_topk_docs,
     "corpus_drift_terms": corpus_drift_terms,
+    "funnel_signup_click_purchase": funnel_signup_click_purchase,
+    "heavy_hitters_users": heavy_hitters_users,
     "scrub_pii_docs": scrub_pii_docs,
     "range_join_event_burst": range_join_event_burst,
     "quantile_sketch_order_price": quantile_sketch_order_price,
@@ -4310,6 +4402,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_topk_docs": BM25_SQL,
     "corpus_drift_terms": DRIFT_SQL,
+    "funnel_signup_click_purchase": FUNNEL3_SQL,
     "scrub_pii_docs": SCRUB_SQL,
     "range_join_event_burst": RANGE_JOIN_SQL,
     "quantile_sketch_order_price": QUANTILE_SQL,

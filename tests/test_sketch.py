@@ -47,3 +47,43 @@ def test_layout_invariant_and_duplicate_proof(ray_session):
     dup = np.concatenate([ids, ids, ids[:123]])
     c = _regs(dup, blocks=7)
     assert a.equals(c)
+
+
+# ------------------------------------------------------- Misra-Gries --
+
+
+def test_heavy_hitters_guarantees():
+    """MG guarantees: (1) counts are LOWER bounds (never overcount);
+    (2) every value with true frequency > ~N * (levels/k) survives the
+    sketch (3 compression levels here: batch, bucket-merge, final)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from datax_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few heavy values over a long uniform tail
+    heavy = np.repeat(np.array([7, 13, 42], dtype=np.int64), [9000, 6000, 4000])
+    tail = rng.integers(1000, 200_000, size=21_000).astype(np.int64)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(12)
+
+    k = 64
+    out = heavy_hitters(ds, "v", k=k, num_buckets=8).to_pandas()
+    true = pd.Series(vals).value_counts()
+    est = dict(zip(out["v"], out["est"]))
+
+    # (1) lower bound, never overcount
+    for v, e in est.items():
+        assert e <= true[v], (v, e, true[v])
+    # (2) the three planted heavy hitters (freq >> 3N/k ≈ 1400) surface,
+    #     with est within the summed compression error
+    for v, cnt in [(7, 9000), (13, 6000), (42, 4000)]:
+        assert v in est, f"heavy hitter {v} lost"
+        assert est[v] >= cnt - 3 * n // k, (v, est[v], cnt)
+    # bounded output
+    assert len(out) < k
