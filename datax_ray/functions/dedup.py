@@ -384,8 +384,12 @@ def _routed_pair_verify(
          rows per pair), deduped per (doc, pb) map-side only — cross-batch
          repeats just add a spare text copy the bucket drops.
       3. Candidate texts meet their buckets via a hash-partitioned
-         Dataset.join of the corpus against the routing table — text moves
-         ONLY for candidate docs, once per bucket that needs it.
+         Dataset.join of the corpus against the routing table. A BLOOM
+         prefilter over the routing ids (fixed-size bitset, built
+         distributed, broadcast once) drops non-candidate docs map-side
+         BEFORE the join's shuffle — so text volume through the exchange
+         is candidates + false positives, not the corpus; the join then
+         drops the false positives exactly.
       4. Pair rows and routed doc rows UNION into one stream (shared
          schema, null-padded) and co-group by pb; inside map_groups
          `verify_pairs(texts: dict, pairs: list)` returns {"doc_a": [...],
@@ -425,7 +429,11 @@ def _routed_pair_verify(
             }
         )
 
-    pairs = uniq.map_batches(tag_pairs, batch_format="pyarrow")
+    # materialize ONCE: pairs feed three consumers (routing explode, the
+    # bloom build, the verify union) — without this the whole LSH propose
+    # lineage re-executes per consumer. Id-only rows, object-store resident,
+    # bounded by the candidate-pair count (never text, never the corpus).
+    pairs = uniq.map_batches(tag_pairs, batch_format="pyarrow").materialize()
 
     # 2. doc -> pb routing (id-only rows; map-side dedup per (doc, bucket))
     def explode_routes(t: pa.Table) -> pa.Table:
@@ -441,15 +449,29 @@ def _routed_pair_verify(
 
     routes = pairs.map_batches(explode_routes, batch_format="pyarrow")
 
-    # 3. candidate texts meet their buckets (inner hash join — only docs
-    #    appearing in some pair survive the join)
+    # 3. candidate texts meet their buckets. Bloom-prefilter the corpus
+    #    stream against the candidate-doc idset so only candidates (+ ~1%
+    #    false positives the exact join removes) pay the text shuffle.
+    from datax_ray.functions.relational import _bloom_hashes, bloom_filter_bits
+
+    m_bits, kh = 1 << 22, 3
+    bits_ref = ray.put(bloom_filter_bits(routes, "_rdoc", m_bits, kh))
+
     def project(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "_doc": pc.cast(t[id_col], pa.int64()),
-                "_txt": pc.cast(t[text_col], pa.string()),
-            }
+        ids = pc.cast(t[id_col], pa.int64())
+        vals = ids.to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {"_doc": ids, "_txt": pc.cast(t[text_col], pa.string())}
         )
+        if not len(vals):
+            return out
+        bits = ray.get(bits_ref)
+        pos = _bloom_hashes(vals, m_bits, kh)
+        member = np.ones(len(vals), dtype=bool)
+        for i in range(kh):
+            w = bits[(pos[i] >> np.uint64(6)).astype(np.int64)]
+            member &= (w >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+        return out.filter(pa.array(member))
 
     docs = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     routed = large_join(docs, routes, on="_doc", right_on="_rdoc")
