@@ -226,11 +226,15 @@ def kmeans_fit(
             }
         )
 
-    cand = ds.map_batches(
-        seed_partials, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    cand.sort(key=lambda r: r["pri"])
-    c = _unit(np.asarray([r["vec"] for r in cand[:k]], dtype=np.float64))
+    # distributed sort + limit: exactly k rows reach the driver whatever
+    # the batch count (the former take_all held O(batches*k) candidates)
+    cand = (
+        ds.map_batches(seed_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("pri")
+        .limit(k)
+        .take_all()
+    )
+    c = _unit(np.asarray([r["vec"] for r in cand], dtype=np.float64))
 
     inertia_history: list[float] = []
     for _ in range(iters):
