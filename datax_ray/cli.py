@@ -217,6 +217,18 @@ def main(argv=None):
     se.add_argument("--limit", type=int, default=50)
     se.add_argument("--num-cpus", type=int, default=None)
 
+    dd = sub.add_parser(
+        "dedupscan",
+        help="refresh the incremental duplicate-content index (per-range "
+        "hash postings, manifest-fingerprint skip) and report duplicate "
+        "turn groups in the live lake state",
+    )
+    dd.add_argument("--lake", required=True)
+    dd.add_argument("--idx", required=True)
+    dd.add_argument("--min-count", type=int, default=2)
+    dd.add_argument("--limit", type=int, default=20)
+    dd.add_argument("--num-cpus", type=int, default=None)
+
     vx = sub.add_parser(
         "vecindex",
         help="refresh the incremental IVF vector index over an embeddings "
@@ -638,6 +650,22 @@ def main(argv=None):
         total = ds.count()
         rows = ds.limit(a.limit).take_all()
         print(json.dumps({"hits": total, "shown": len(rows), "rows": rows}))
+        return 0
+
+    if a.cmd == "dedupscan":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.dedupscan import (
+            duplicate_groups,
+            refresh_dedup_index,
+        )
+
+        stats = refresh_dedup_index(a.lake, a.idx)
+        groups = duplicate_groups(a.idx, min_count=a.min_count)
+        total = groups.count()
+        rows = groups.sort(
+            ["grp_size", "conv_id", "turn_idx"], descending=[True, False, False]
+        ).limit(a.limit).take_all()
+        print(json.dumps({**stats, "dup_rows": total, "shown": rows}))
         return 0
 
     if a.cmd == "vecindex":

@@ -1,0 +1,187 @@
+"""Incrementally-maintained DUPLICATE-CONTENT index over the committed
+lake — "which live turns carry byte-identical text" without a full scan.
+
+The third member of the incremental-index family (text postings:
+pipelines/index.py; IVF vectors: pipelines/vecindex.py), with the same
+manifest-fingerprint refresh rule: one hash-postings file per partition
+RANGE (`<idx_dir>/r=NNNNN.parquet`, columns h/conv_id/turn_idx, sorted by
+h), re-derived ONLY when the range's committed file set changed.
+Tombstoned and purged rows vanish on the next refresh because postings
+derive from the range's LIVE merge-read state.
+
+Duplicate groups then come from ONE coarse hash-bucket shuffle over
+id-only postings rows — text never moves, and the vectorized group-size
+filter runs per bucket. The content hash is the shared 64-bit siphash
+(functions/text.py:content_hash64); two distinct texts colliding would
+need ~2^32 distinct texts per bucket (birthday bound) — the exact-text
+oracle in the query catalog would catch it at test scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from datax_ray.pipelines.mv import _fingerprint, _load_state, _save_state
+
+DUP_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("h", pa.uint64()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+    ]
+)
+
+
+class _RangeHasher:
+    """map_batches stage over (range_id, files) rows: merge-read the
+    range's live state, content-hash `text`, write the range's hash
+    postings sorted by h (tmp+rename — idempotent retries)."""
+
+    def __init__(self, lake_dir: str, idx_dir: str, schema_json):
+        self.__name__ = "_RangeHasher"
+        self.lake_dir = lake_dir
+        self.idx_dir = idx_dir
+        self.schema_json = schema_json
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from datax_ray.functions.text import content_hash64
+        from datax_ray.sinks.lake import _merge_read_range
+
+        out_rows = []
+        for rid, files_json in zip(
+            t["range_id"].to_pylist(), t["files"].to_pylist()
+        ):
+            live = _merge_read_range(
+                self.lake_dir, json.loads(files_json), self.schema_json, False
+            )
+            h = content_hash64(
+                pc.fill_null(live["text"], "").to_numpy(zero_copy_only=False)
+            )
+            postings = pa.table(
+                {
+                    "h": pa.array(h),
+                    "conv_id": live["conv_id"],
+                    "turn_idx": pc.cast(live["turn_idx"], pa.int32()),
+                }
+            ).cast(DUP_POSTINGS_SCHEMA)
+            postings = postings.take(pc.sort_indices(postings["h"]))
+            path = os.path.join(self.idx_dir, f"r={rid:05d}.parquet")
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(
+                postings, tmp, compression="zstd", compression_level=1,
+                row_group_size=16384,
+            )
+            os.replace(tmp, path)
+            out_rows.append((int(rid), postings.num_rows))
+        return pa.table(
+            {
+                "range_id": pa.array([r for r, _ in out_rows], pa.int64()),
+                "rows": pa.array([n for _, n in out_rows], pa.int64()),
+            }
+        )
+
+
+def refresh_dedup_index(lake_dir: str, idx_dir: str) -> dict:
+    """Bring the duplicate-content index up to the lake's committed state;
+    only changed ranges are re-hashed. Returns {"refreshed", "skipped",
+    "removed"}."""
+    import glob
+
+    from datax_ray.schemas import schema_to_json
+    from datax_ray.sinks.lake import _range_plan, lake_schema
+    from datax_ray.state.manifest import Manifest
+
+    m = Manifest(lake_dir)
+    parts = _range_plan(lake_dir, m)
+    state = _load_state(idx_dir)
+    os.makedirs(idx_dir, exist_ok=True)
+
+    todo, skipped = [], 0
+    new_state: dict[str, str] = {}
+    for p in parts:
+        rid = int(p["range_id"])
+        fp = _fingerprint(p["files"])
+        new_state[str(rid)] = fp
+        if state.get(str(rid)) == fp and os.path.exists(
+            os.path.join(idx_dir, f"r={rid:05d}.parquet")
+        ):
+            skipped += 1
+        else:
+            todo.append({"range_id": rid, "files": json.dumps(p["files"])})
+
+    removed = 0
+    live_rids = {int(p["range_id"]) for p in parts}
+    for path in glob.glob(os.path.join(idx_dir, "r=*.parquet")):
+        rid = int(os.path.basename(path)[2:-8])
+        if rid not in live_rids:
+            os.remove(path)
+            removed += 1
+
+    if todo:
+        schema_json = schema_to_json(lake_schema(lake_dir))
+        ray.data.from_items(todo).map_batches(
+            _RangeHasher(lake_dir, idx_dir, schema_json),
+            batch_size=1,  # one range per task: the merge-read is the work
+            batch_format="pyarrow",
+        ).take_all()  # O(ranges) stat rows only
+    _save_state(idx_dir, new_state)
+    return {"refreshed": len(todo), "skipped": skipped, "removed": removed}
+
+
+def duplicate_groups(
+    idx_dir: str, min_count: int = 2, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """All live turns whose text is byte-identical to >= min_count-1
+    others: (conv_id, turn_idx, grp_size). One id-only coarse-bucket
+    shuffle; the per-bucket group-size fold is a vectorized sorted-run
+    count (all rows of a hash co-locate by construction)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(idx_dir, "r=*.parquet")))
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("grp_size", pa.int64())]
+    )
+    if not files:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_grp", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t["h"]))
+        h = t["h"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        if n == 0:
+            return out_schema.empty_table()
+        change = np.r_[True, h[1:] != h[:-1]]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, n])
+        grp_size = np.repeat(sizes, sizes)
+        keep = pa.array(grp_size >= min_count)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].filter(keep),
+                "turn_idx": t["turn_idx"].filter(keep),
+                "grp_size": pa.array(grp_size[grp_size >= min_count]),
+            }
+        ).cast(out_schema)
+
+    return (
+        ray.data.read_parquet(files)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(fold, batch_format="pyarrow")
+        .union(ray.data.from_arrow(out_schema.empty_table()))
+    )

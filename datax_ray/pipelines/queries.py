@@ -171,6 +171,80 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_dup_texts(sf_dir: str):
+    """Duplicate-content scan over the CDC lake, driver-verified
+    (pipelines/dedupscan.py): derive a change log whose texts fold onto
+    500 distinct payloads (text_mod — deterministic duplicates), replay it,
+    refresh the incremental hash-postings index (per-range artifacts,
+    manifest-fingerprint skip), and emit every live turn whose text is
+    byte-identical to another's, with its group size. The index derives
+    from LIVE merge-read state, so LWW losers and deletes can never
+    resurrect into a duplicate group — exactly what the oracle (LWW SQL
+    fold + COUNT(*) OVER (PARTITION BY text)) asserts."""
+    import shutil
+
+    from datax_ray.pipelines.dedupscan import duplicate_groups, refresh_dedup_index
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sources.derive import ChangeDeriver
+
+    work = f"/tmp/datax_cdc_dup/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        ChangeDeriver(f"{work}/changes", text_mod=500),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    ).take_all()  # O(segments) lineage rows only
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=2,
+        )
+    )
+    refresh_dedup_index(f"{work}/lake", f"{work}/dupidx")
+    out = duplicate_groups(f"{work}/dupidx", min_count=2)
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "grp_size": pc.cast(t["grp_size"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")
+
+
+CDC_DUP_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id % 500 AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op <> 'delete'
+), g AS (
+  SELECT conv_id, turn_idx,
+         COUNT(*) OVER (PARTITION BY text) AS grp_size
+  FROM final
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(grp_size AS BIGINT) AS grp_size
+FROM g WHERE grp_size >= 2
+"""
+
+
 def cdc_point_lookup(sf_dir: str):
     """Keyed point lookup over the CDC lake (the HBase/OTS keyed-range
     read of SURVEY §2A row 3): replay the derived change log into a lake,
@@ -4269,6 +4343,7 @@ QUERIES = {
     "cdc_purge_forget": cdc_purge_forget,
     "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_text_search": cdc_text_search,
+    "cdc_dup_texts": cdc_dup_texts,
     "cdc_feed_additive_stats": cdc_feed_additive_stats,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
@@ -4372,6 +4447,7 @@ ORACLE_SQL = {
     "cdc_purge_forget": CDC_PURGE_SQL,
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_text_search": CDC_SEARCH_SQL,
+    "cdc_dup_texts": CDC_DUP_SQL,
     "cdc_feed_additive_stats": CDC_ADDITIVE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,

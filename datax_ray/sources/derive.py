@@ -54,6 +54,7 @@ def derive_changes(
     turn_mod: int = 25,
     corrupt_mod: int | None = None,
     ddl_mod: int | None = None,
+    text_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -73,7 +74,11 @@ def derive_changes(
     conv = pc.binary_join_element_wise(
         conv_prefix, pc.cast(t["user_id"], pa.string()), ""
     )
-    text = pc.binary_join_element_wise("payload-", pc.cast(eid, pa.string()), "")
+    # text_mod=M folds texts onto M distinct payloads (event_id % M) —
+    # deterministic DUPLICATE texts for the dedup-scan oracle; default is
+    # one unique payload per event
+    text_src = pa.array(e % text_mod) if text_mod else eid
+    text = pc.binary_join_element_wise("payload-", pc.cast(text_src, pa.string()), "")
     op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
     role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
     turn = e % turn_mod
@@ -117,6 +122,7 @@ class ChangeDeriver:
         turn_mod: int = 25,
         corrupt_mod: int | None = None,
         ddl_mod: int | None = None,
+        text_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -128,10 +134,12 @@ class ChangeDeriver:
         self.turn_mod = turn_mod
         self.corrupt_mod = corrupt_mod
         self.ddl_mod = ddl_mod
+        self.text_mod = text_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
-            t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod
+            t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
+            self.text_mod,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
