@@ -221,47 +221,86 @@ def asof_join(
 
     Ray Data has no asof operator; per the brief this composes from
     primitives: both sides hash-bucket by key (coarse buckets — many keys
-    per bucket, scale via functions/_buckets.py), then ONE vectorized
-    pd.merge_asof per bucket over the co-located rows. Right-side rows are
+    per bucket, scale via functions/_buckets.py), union with a side tag,
+    then ONE vectorized pass per bucket: sort by (key, t, side) with right
+    rows first at equal t, and a segmented maximum.accumulate carries the
+    latest right position forward within each key — no pandas round-trip,
+    blocks stay zero-copy Arrow through the shuffle. Right-side rows are
     assumed unique per (key, right_ts) — pre-aggregate otherwise, or the
     match among ties is undefined (same caveat as SQL ASOF JOIN)."""
 
-    l_cols = list(left.schema().names)
-    r_cols = list(right.schema().names)
-    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
-    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_only = [c for c in r_cols if c not in l_cols]
+    out_cols = l_cols + r_only
+    types = dict(zip(l_schema.names, l_schema.types))
+    types.update(dict(zip(r_schema.names, r_schema.types)))
+    all_cols = out_cols
 
-    def tag(side: int, have: list[str]):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({c: (df[c] if c in have else pd.NA) for c in all_cols})
-            out["_side"] = np.int8(side)
-            out["_jb"] = (
-                pd.util.hash_array(df[key].to_numpy(), categorize=False)
-                % num_buckets
-            ).astype("int32")
-            return out
+    def tag(side: int, have: list[str], ts_col: str):
+        # side 0 = right, 1 = left: ascending (_t, _side) puts a right row
+        # BEFORE any left row at the same timestamp, so equal-ts matches
+        # count as "at or before". Missing columns are TYPED nulls — a
+        # schema-less empty/null column feeding a shuffle is the tfidf bug
+        # class (SURVEY.md §10.1).
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                c: (t[c] if c in have else pa.nulls(n, types[c]))
+                for c in all_cols
+            }
+            cols["_t"] = pc.cast(t[ts_col], pa.int64())
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                "_jb", key_buckets(out, [key], num_buckets)
+            )
 
-        fn.__name__ = f"asof_tag_{side}"
+        fn.__name__ = f"asof_tag_{'right' if side == 0 else 'left'}"
         return fn
 
-    l_tagged = left.map_batches(tag(0, l_cols), batch_format="pandas")
-    r_tagged = right.map_batches(tag(1, r_cols), batch_format="pandas")
+    l_tagged = left.map_batches(
+        tag(1, l_cols, left_ts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    r_tagged = right.map_batches(
+        tag(0, r_cols, right_ts), batch_format="pyarrow", zero_copy_batch=True
+    )
     both = l_tagged.union(r_tagged)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == 0][l_cols]
-        rf = g[g["_side"] == 1][r_cols]
-        if lf.empty or rf.empty:
-            return pd.DataFrame(columns=out_cols)
-        lf = lf.sort_values(left_ts, kind="stable")
-        rf = rf.sort_values(right_ts, kind="stable")
-        out = pd.merge_asof(
-            lf, rf, left_on=left_ts, right_on=right_ts, by=key,
-            direction="backward",
+    def merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(key, "ascending"), ("_t", "ascending"),
+                       ("_side", "ascending")],
         )
-        return out.dropna(subset=[right_ts])[out_cols]  # inner semantics
+        g = g.take(idx)
+        n = g.num_rows
+        key_np = g[key].to_numpy(zero_copy_only=False)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = key_np[1:] != key_np[:-1]
+        seg = np.cumsum(first) - 1
+        pos = np.arange(n, dtype=np.int64)
+        # Latest right row at-or-before each position, never crossing a key
+        # boundary: offset right positions by seg*n so a carried-over value
+        # from an earlier segment (< seg*n) can't be mistaken for a match.
+        # seg*n <= n^2 — bucket sizes stay far below 2^31 (coarse buckets
+        # scale with input), so int64 never overflows.
+        x = np.where(side == 0, pos + seg * n, -1)
+        acc = np.maximum.accumulate(x)
+        matched = (side == 1) & (acc >= seg * n)
+        li = np.flatnonzero(matched)
+        ri = acc[li] - seg[li] * n
+        lrows = g.take(pa.array(li))
+        rrows = g.take(pa.array(ri))
+        return pa.table(
+            {c: lrows[c] for c in l_cols} | {c: rrows[c] for c in r_only}
+        )
 
-    return both.groupby("_jb").map_groups(merge, batch_format="pandas")
+    return both.groupby("_jb").map_groups(merge, batch_format="pyarrow")
 
 
 def key_buckets(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:

@@ -1599,8 +1599,9 @@ def asof_join_latest_order(sf_dir: str):
     """AS-OF join (the brief's canonical custom operator): each event joins
     the latest order of the same customer at-or-before the event time.
     Composition: coarse key-hash bucket both sides + one vectorized
-    pd.merge_asof per bucket (functions/relational.py:asof_join). The right
-    side pre-reduces to one row per (custkey, orderdate) so tie-breaks are
+    Arrow pass per bucket (functions/relational.py:asof_join — sort +
+    segmented maximum.accumulate, zero pandas). The right side pre-reduces
+    to one row per (custkey, orderdate) so tie-breaks are
     engine-independent."""
     from datax_ray.functions.relational import asof_join, partial_agg
 
@@ -1630,24 +1631,9 @@ def asof_join_latest_order(sf_dir: str):
         keys=["custkey", "o_orderdate"],
         maxs={"max_orderkey": "max_orderkey"},
     )
-    joined = asof_join(
+    return asof_join(
         events, dedup_orders, key="custkey", left_ts="ts", right_ts="o_orderdate"
     )
-
-    def cast_out(df):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "event_id": df["event_id"].astype("int64"),
-                "custkey": df["custkey"].astype("int64"),
-                "ts": pd.to_datetime(df["ts"]),
-                "o_orderdate": pd.to_datetime(df["o_orderdate"]),
-                "max_orderkey": df["max_orderkey"].astype("int64"),
-            }
-        )
-
-    return joined.map_batches(cast_out, batch_format="pandas")
 
 
 ASOF_JOIN_SQL = """
