@@ -474,18 +474,31 @@ def _routed_pair_verify(
         return out.filter(pa.array(member))
 
     docs = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    routed = large_join(docs, routes, on="_doc", right_on="_rdoc")
 
     def pad_docs(t: pa.Table) -> pa.Table:
+        pb = (
+            pc.cast(t["pb"], pa.int32())
+            if "pb" in t.schema.names
+            else pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        )
         return pa.table(
             {
-                "pb": pc.cast(t["pb"], pa.int32()),
+                "pb": pb,
                 "doc_a": pa.nulls(t.num_rows, pa.int64()),
                 "doc_b": pa.nulls(t.num_rows, pa.int64()),
                 "_doc": pc.cast(t["_doc"], pa.int64()),
                 "_txt": pc.cast(t["_txt"], pa.string()),
             }
         )
+
+    if small:
+        # nvb == 1: every pair lives in bucket 0, so every candidate doc
+        # routes there — the routing join is pure shuffle constant. Union
+        # the bloom-filtered texts straight in; bloom false positives are
+        # texts no pair references, which the verify kernel never reads.
+        routed = docs
+    else:
+        routed = large_join(docs, routes, on="_doc", right_on="_rdoc")
 
     both = pairs.union(routed.map_batches(pad_docs, batch_format="pyarrow"))
 
