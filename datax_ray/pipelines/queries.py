@@ -40,6 +40,34 @@ def _cents(col, factor: int = 100):
     return pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
 
 
+def _derive_changes(sf_dir: str, work: str, target_epochs: int = 5, **deriver_kw) -> int:
+    """Clear `work`, derive the transcript change log from `events` INSIDE
+    map_batches tasks (each task writes its contiguous slice as a segment;
+    the events table never lands on the driver), and return a
+    segments_per_epoch sized so replay runs ~target_epochs incremental
+    epochs at ANY sf (floor: 2 segments/epoch, so multi-epoch semantics
+    survive small inputs). Per-epoch fixed cost — range plan, two-phase
+    commit, compaction check — is a constant; letting the epoch count grow
+    linearly with sf would time the harness, not the engine."""
+    import shutil
+
+    from datax_ray.sources.derive import ChangeDeriver
+
+    shutil.rmtree(work, ignore_errors=True)
+    lineage = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(
+            ChangeDeriver(f"{work}/changes", **deriver_kw),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .take_all()
+    )  # one tiny lineage row per segment — O(segments) driver rows
+    n_segs = max(1, len(lineage))
+    return max(2, -(-n_segs // target_epochs))
+
+
 def _buckets_for(sf_dir: str, table: str) -> int:
     """Coarse-bucket count scaled to the input table (parquet footer row
     count, no data read) — the sizing rule every groupby(map_groups) stage
@@ -125,22 +153,15 @@ def cdc_replay_final(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_replay/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     return final_table(f"{work}/lake")
@@ -185,22 +206,15 @@ def cdc_dup_texts(sf_dir: str):
 
     from datax_ray.pipelines.dedupscan import duplicate_groups, refresh_dedup_index
     from datax_ray.pipelines.replay import ReplayConfig, replay
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_dup/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes", text_mod=500),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work, text_mod=500)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     refresh_dedup_index(f"{work}/lake", f"{work}/dupidx")
@@ -257,23 +271,16 @@ def cdc_point_lookup(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import LakeDatasource, read_lake
-    from datax_ray.sources.derive import ChangeDeriver
 
     keys = ["conv-1", "conv-7", "conv-13"]
     work = f"/tmp/datax_cdc_lookup/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     src = LakeDatasource(f"{work}/lake", conv_ids=keys)
@@ -305,23 +312,16 @@ def cdc_time_slice(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import read_lake
-    from datax_ray.sources.derive import ChangeDeriver
 
     cutoff = "2024-01-16 00:00:00"
     work = f"/tmp/datax_cdc_slice/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     return read_lake(f"{work}/lake", min_ts=cutoff).to_pandas()
@@ -347,22 +347,15 @@ def cdc_replicate_lake(sf_dir: str):
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.pipelines.replicate import replicate
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_replicate/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/src",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     replicate(f"{work}/src", f"{work}/dst", num_partitions=4)
@@ -382,22 +375,15 @@ def cdc_purge_forget(sf_dir: str):
     from datax_ray.pipelines.purge import purge
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_purge/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
 
@@ -448,24 +434,17 @@ def cdc_repartition_migrate(sf_dir: str):
     from datax_ray.pipelines.repartition import repartition_lake
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
     from datax_ray.state.manifest import Manifest
 
     work = f"/tmp/datax_cdc_repart/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
 
     segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
     os.makedirs(f"{work}/changes_half", exist_ok=True)
     for s in segs[: max(1, len(segs) // 2)]:
         os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
 
-    cfg = dict(num_partitions=16, segments_per_epoch=2)
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
     replay(ReplayConfig(
         changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
     ))
@@ -491,22 +470,15 @@ def cdc_text_search(sf_dir: str):
 
     from datax_ray.pipelines.index import refresh_index, search_index
     from datax_ray.pipelines.replay import ReplayConfig, replay
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_search/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     refresh_index(f"{work}/lake", f"{work}/idx")
@@ -558,22 +530,15 @@ def cdc_feed_additive_stats(sf_dir: str):
     from datax_ray.functions.relational import partial_agg
     from datax_ray.pipelines.feed import read_change_feed_preimages
     from datax_ray.pipelines.replay import ReplayConfig, replay
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_addfeed/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
 
@@ -618,22 +583,15 @@ def cdc_change_feed_rebuild(sf_dir: str):
     from datax_ray.pipelines.feed import read_change_feed
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.schemas import DELETED_COL, INTERNAL_COLS
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_feed/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     feed = read_change_feed(f"{work}/lake", -1)
@@ -683,24 +641,17 @@ def cdc_sql_mirror(sf_dir: str):
 
     from datax_ray.pipelines.mirror import mirror_to_sql
     from datax_ray.pipelines.replay import ReplayConfig, replay
-    from datax_ray.sources.derive import ChangeDeriver
     from datax_ray.sources.sqlsource import read_sql_table
 
     work = f"/tmp/datax_cdc_mirror/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work)
     os.makedirs(work, exist_ok=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()  # O(segments) lineage rows only
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     db = f"{work}/mirror.db"
@@ -731,22 +682,15 @@ def cdc_replay_dirty_routed(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_dirty/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes", corrupt_mod=97),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
+    spe = _derive_changes(sf_dir, work, corrupt_mod=97)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     return final_table(f"{work}/lake")
@@ -790,21 +734,14 @@ def cdc_redrive_repair(sf_dir: str):
     from datax_ray.pipelines.redrive import redrive
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_redrive/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes", corrupt_mod=97),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
+    spe = _derive_changes(sf_dir, work, corrupt_mod=97)
     cfg = ReplayConfig(
         changes_dir=f"{work}/changes",
         lake_dir=f"{work}/lake",
         num_partitions=16,
-        segments_per_epoch=2,
+        segments_per_epoch=spe,
     )
     replay(cfg)
 
@@ -834,22 +771,15 @@ def cdc_replay_expectations(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_expect/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
             expectations=[
                 {"column": "turn_idx", "op": "between", "lo": 0, "hi": 19},
                 {"column": "text", "op": "not_matches", "pattern": "7$"},
@@ -901,22 +831,15 @@ def cdc_replay_ddl(sf_dir: str):
 
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_ddl/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes", ddl_mod=500),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
+    spe = _derive_changes(sf_dir, work, ddl_mod=500)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     return final_table(f"{work}/lake")
@@ -958,22 +881,15 @@ def cdc_mv_conv_stats(sf_dir: str):
 
     from datax_ray.pipelines.mv import read_mv, refresh_mv
     from datax_ray.pipelines.replay import ReplayConfig, replay
-    from datax_ray.sources.derive import ChangeDeriver
 
     work = f"/tmp/datax_cdc_mv/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
+    spe = _derive_changes(sf_dir, work)
     replay(
         ReplayConfig(
             changes_dir=f"{work}/changes",
             lake_dir=f"{work}/lake",
             num_partitions=16,
-            segments_per_epoch=2,
+            segments_per_epoch=spe,
         )
     )
     refresh_mv(f"{work}/lake", f"{work}/mv")
@@ -1011,18 +927,12 @@ def cdc_bootstrap_replay(sf_dir: str):
     from datax_ray.pipelines.bootstrap import bootstrap
     from datax_ray.pipelines.replay import ReplayConfig, replay
     from datax_ray.sinks.lake import final_table
-    from datax_ray.sources.derive import ChangeDeriver, SnapshotDeriver
+    from datax_ray.sources.derive import SnapshotDeriver
 
     work = f"/tmp/datax_cdc_bootstrap/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work, conv_prefix="conv-c")  # clears work
     _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         SnapshotDeriver(f"{work}/snapshot", turns=4, conv_prefix="conv-c"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    ).take_all()
-    _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
-        ChangeDeriver(f"{work}/changes", conv_prefix="conv-c"),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
@@ -1031,7 +941,7 @@ def cdc_bootstrap_replay(sf_dir: str):
         changes_dir=f"{work}/changes",
         lake_dir=f"{work}/lake",
         num_partitions=16,
-        segments_per_epoch=2,
+        segments_per_epoch=spe,
         compact_every=2,
     )
     bootstrap(f"{work}/snapshot", cfg)
