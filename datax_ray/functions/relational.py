@@ -150,7 +150,8 @@ def semi_join(left, right, on: str, right_on: str | None = None,
     )
 
 
-def large_join(left, right, on: str, right_on: str | None = None,
+def large_join(left, right, on: str | tuple[str, ...],
+               right_on: str | tuple[str, ...] | None = None,
                num_partitions: int | None = None, join_type: str = "inner",
                hot_key_salt: int = 1):
     """Large-large equi-join via Ray Data's hash-partitioned Dataset.join.
@@ -172,10 +173,13 @@ def large_join(left, right, on: str, right_on: str | None = None,
     right/full joins would duplicate unmatched right rows."""
     right_on = right_on or on
     parts = _join_partitions(num_partitions)
+    left_keys = (on,) if isinstance(on, str) else tuple(on)
+    right_keys = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     if hot_key_salt <= 1:
         return left.join(
-            right, join_type, parts, on=(on,), right_on=(right_on,)
+            right, join_type, parts, on=left_keys, right_on=right_keys
         )
+    assert isinstance(on, str), "hot_key_salt supports single-column keys only"
     assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), (
         f"hot_key_salt does not support join_type={join_type!r}: replicated "
         "right rows would duplicate right/full-outer output"

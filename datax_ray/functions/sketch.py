@@ -179,6 +179,102 @@ def hll_estimate_from_registers(registers: pa.Table, p: int = 9) -> float:
     return float(hll_estimate(b, r, p))
 
 
+# ---------------------------------------------------- count-min sketch --
+# Frequency sketch next to HLL (distinct) / Misra-Gries (heavy hitters) /
+# the quantile sketch: est(key) >= true(key) always, and
+# est <= true + e*N/width with probability 1 - (1/2)^depth (Cormode &
+# Muthukrishnan 2005). Register-level oracle in the HLL house style: row
+# j's hash is fmix32((key + j*2654435761) mod 2^32) — DuckDB reproduces it
+# bit-for-bit (pipelines/queries.py:CMS_SQL), so the driver verifies the
+# entire distributed counting path; only the final min-fold estimate is
+# approximate (overestimate-guarantee pytest, tests/test_sketch.py).
+# Scale shape: per-batch combiner emits <= depth*width integer cell rows,
+# the coarse-bucket reduce sums cells — the shuffle never carries data
+# rows, whatever N is.
+
+_CMS_SALT = np.uint64(2654435761)  # Knuth's 2^32/phi multiplicative constant
+
+
+def _cms_cols(ids: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: row j hashes fmix32(key + j*salt)."""
+    base = ids.astype(np.uint64) & _M32
+    return np.stack(
+        [
+            (_mix32(base + np.uint64(j) * _CMS_SALT) % np.uint64(width)).astype(
+                np.int64
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_registers(ds, col: str, depth: int = 4, width: int = 1024,
+                  num_buckets: int = 8):
+    """Dataset -> (cms_row, cms_col, cnt) int64 Count-Min cell table,
+    one row per OBSERVED cell (<= depth*width rows), sorted by (row, col)
+    — deterministic given the fixed fmix32 row hashes, so
+    DuckDB-oracle-checkable. Keys must be non-negative integers (the
+    oracle's HUGEINT arithmetic assumes mod-2^32 of a non-negative)."""
+    from datax_ray.functions.relational import partial_agg
+
+    empty = pa.table(
+        {
+            "cms_row": pa.array([], pa.int64()),
+            "cms_col": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        c = t[col]
+        ids = (
+            c.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(c, pa.ChunkedArray)
+            else c.to_numpy(zero_copy_only=False)
+        )
+        cols = _cms_cols(ids, depth, width)
+        rows_out, cols_out, cnts_out = [], [], []
+        for j in range(depth):
+            counts = np.bincount(cols[j], minlength=width)
+            nz = np.flatnonzero(counts)
+            rows_out.append(np.full(len(nz), j, dtype=np.int64))
+            cols_out.append(nz.astype(np.int64))
+            cnts_out.append(counts[nz].astype(np.int64))
+        return pa.table(
+            {
+                "cms_row": pa.array(np.concatenate(rows_out)),
+                "cms_col": pa.array(np.concatenate(cols_out)),
+                "cnt": pa.array(np.concatenate(cnts_out)),
+            }
+        )
+
+    merged = partial_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["cms_row", "cms_col"],
+        sums={"cnt": "cnt"},
+        num_buckets=num_buckets,
+    )
+    return merged.sort(["cms_row", "cms_col"])
+
+
+def cms_estimate_from_registers(
+    registers: pa.Table, keys: np.ndarray, depth: int = 4, width: int = 1024
+) -> np.ndarray:
+    """Point-frequency estimates for `keys` from a cms_registers table:
+    min over rows of the addressed cell (absent cell = 0). Vectorized via
+    a dense (depth, width) reconstruction — depth*width ints, driver-safe."""
+    dense = np.zeros((depth, width), dtype=np.int64)
+    r = registers["cms_row"].to_numpy(zero_copy_only=False)
+    c = registers["cms_col"].to_numpy(zero_copy_only=False)
+    v = registers["cnt"].to_numpy(zero_copy_only=False)
+    dense[r, c] = v
+    cols = _cms_cols(np.asarray(keys), depth, width)
+    ests = dense[np.arange(depth)[:, None], cols]
+    return ests.min(axis=0)
+
+
 # ------------------------------------------------------- heavy hitters --
 
 

@@ -4225,6 +4225,315 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def cms_registers_users(sf_dir: str):
+    """Count-Min frequency sketch over events.user_id, driver-verified at
+    the CELL level: the (cms_row, cms_col, cnt) table is deterministic
+    given the fixed fmix32 row hashes, so DuckDB reproduces it bit-for-bit
+    (CMS_SQL — HUGEINT product mod 2^32, one CTE per mixing step, cross
+    join against a 4-row seed table). Point estimates from these cells are
+    overestimate-guaranteed (est >= true; pytest-bounded error,
+    tests/test_sketch.py). Scale shape: per-batch combiner emits
+    <= depth*width integer cell rows, coarse-bucket SUM reduce — the
+    shuffle never carries event rows (functions/sketch.py:cms_registers)."""
+    from datax_ray.functions.sketch import cms_registers
+
+    return cms_registers(
+        _read(sf_dir, "events", columns=["user_id"]), "user_id",
+        depth=4, width=1024,
+    )
+
+
+CMS_SQL = """
+WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+s0 AS (SELECT j, (user_id + j * 2654435761) % 4294967296 AS h
+       FROM events CROSS JOIN seeds),
+s1 AS (SELECT j, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT j, CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT j, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT j, CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT j, xor(h, h >> 16) AS hv FROM s4)
+SELECT CAST(j AS BIGINT) AS cms_row, CAST(hv % 1024 AS BIGINT) AS cms_col,
+       COUNT(*) AS cnt
+FROM hv GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def full_outer_daily_click_purchase(sf_dir: str):
+    """FULL OUTER join of two grouped aggregates on a composite key: per
+    (user_id, day) click counts vs purchase counts — both unmatched sides
+    are real (days a user clicked but bought nothing, and vice versa).
+    Scale shape: each side pre-shrinks through the combiner partial_agg
+    (one row per user-day per batch) BEFORE the hash-partitioned
+    Dataset.join moves it; unmatched rows keep typed nulls on the other
+    side's count. Exercises large_join's multi-column key path."""
+    from datax_ray.functions.relational import large_join, partial_agg
+
+    def side(event_type: str, out: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            day = pc.multiply(
+                pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+                86_400_000_000,
+            )
+            return pa.table({"user_id": t["user_id"], "day_us": day})
+
+        ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+        return partial_agg(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["user_id", "day_us"],
+            counts=out,
+        )
+
+    return large_join(
+        side("click", "n_clicks"),
+        side("purchase", "n_purchases"),
+        on=("user_id", "day_us"),
+        join_type="full_outer",
+    )
+
+
+FULL_OUTER_DAILY_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 * 86400000000 AS day_us,
+         COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 * 86400000000 AS day_us,
+         COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT user_id, day_us, n_clicks, n_purchases
+FROM c FULL OUTER JOIN p USING (user_id, day_us)
+"""
+
+
+def cube_orders_status_priority(sf_dir: str):
+    """GROUP BY CUBE (status, priority): all four grouping sets with NULL
+    markers for rolled-up levels. Scale shape: ONE combiner pass computes
+    the finest cells distributed (partial_agg — decomposable SUM/COUNT, so
+    partial-of-partial is exact); the three coarser sets re-aggregate from
+    those |status| x |priority| cells in a single tiny task — the input is
+    never re-read or re-shuffled per grouping set."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    finest = partial_agg(
+        _read(
+            sf_dir, "orders",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderstatus", "o_orderpriority"],
+        sums={"revenue_cents": "revenue_cents"},
+        counts="n_orders",
+        single_reduce=True,  # |status| x |priority| cells — tiny key space
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders", "revenue_cents"]
+        outs = [t.select(cols)]
+        for keys in (["o_orderstatus"], ["o_orderpriority"], []):
+            if keys:
+                g = t.group_by(keys, use_threads=False).aggregate(
+                    [("n_orders", "sum"), ("revenue_cents", "sum")]
+                )
+                n, r = g["n_orders_sum"], g["revenue_cents_sum"]
+                rows = g.num_rows
+                part = {k: g[k] for k in keys}
+            else:
+                rows = 1
+                n = pa.array([pc.sum(t["n_orders"]).as_py()], pa.int64())
+                r = pa.array([pc.sum(t["revenue_cents"]).as_py()], pa.int64())
+                part = {}
+            for k in ("o_orderstatus", "o_orderpriority"):
+                if k not in part:
+                    part[k] = pa.nulls(rows, pa.string())
+            part["n_orders"] = n
+            part["revenue_cents"] = r
+            outs.append(pa.table({c: part[c] for c in cols}))
+        return pa.concat_tables(outs)
+
+    return finest.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def corr_stats_lineitem(sf_dir: str):
+    """Integer sufficient statistics for quantity-vs-price correlation /
+    covariance per return flag: (n, sum_q, sum_p_cents, sum_qq,
+    sum_qp_cents) — everything downstream (mean, cov, Pearson r) derives
+    from these five decomposable sums, so the distributed path is verified
+    integer-exactly while the float division happens after the compare
+    boundary. Scale shape: one combiner pass, 3-row output; int64-safe to
+    ~10^11 rows at TPC-H value ranges (qty <= 50, price < 10^5 dollars)."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())  # integral by construction
+        p = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "sum_q": q,
+                "sum_p_cents": p,
+                "sum_qq": pc.multiply(q, q),
+                "sum_qp_cents": pc.multiply(q, p),
+            }
+        )
+
+    return partial_agg(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag"],
+        sums={c: c for c in ("sum_q", "sum_p_cents", "sum_qq", "sum_qp_cents")},
+        counts="n",
+        single_reduce=True,  # 3 return flags
+    )
+
+
+CORR_STATS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_p_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qq,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_qp_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rolling_daily_revenue_7d(sf_dir: str):
+    """Trailing 7-row moving sum of daily revenue per order priority (the
+    SQL window frame ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). Scale
+    shape: the combiner pre-aggregates to one (priority, day) cell per
+    batch BEFORE any shuffle, so the keyed window stage sorts O(keys x
+    days) cells, never order rows; the sliding sum is one cumsum minus its
+    7-lagged self — vectorized, no per-row Python."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000),
+                "revenue_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    daily = partial_agg(
+        _read(
+            sf_dir, "orders",
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority", "day"],
+        sums={"revenue_cents": "revenue_cents"},
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        rev = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(rev)
+        roll = cum.copy()
+        roll[7:] -= cum[:-7]
+        return t.append_column("revenue_7d_cents", pa.array(roll, pa.int64()))
+
+    return daily.groupby("o_orderpriority").map_groups(
+        window, batch_format="pyarrow"
+    )
+
+
+ROLLING_7D_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+         PARTITION BY o_orderpriority ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS revenue_7d_cents
+FROM daily
+"""
+
+
+def lag_delta_orders(sf_dir: str):
+    """LAG window: each order's price delta vs the same customer's previous
+    order (ordered by date, orderkey tiebreak; first order per customer is
+    NULL). Scale shape: rows hash-bucket by customer (all of one
+    customer's orders co-locate, many customers per bucket), one sort +
+    one shifted subtraction per bucket — run-boundary rows masked to null
+    via a vectorized key-change comparison, no per-customer Python."""
+    num_buckets = _buckets_for(sf_dir, "orders")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from datax_ray.functions.relational import key_buckets
+
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+                "o_orderdate": t["o_orderdate"],
+                "_grp": key_buckets(t, ["o_custkey"], num_buckets),
+            }
+        )
+
+    def lag(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+             ("o_orderkey", "ascending")]
+        )
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        p = t["price_cents"].to_numpy(zero_copy_only=False)
+        delta = np.empty(len(p), dtype=np.int64)
+        delta[1:] = p[1:] - p[:-1]
+        new_run = np.ones(len(p), dtype=bool)
+        new_run[1:] = ck[1:] != ck[:-1]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "delta_cents": pa.array(
+                    np.ma.masked_array(delta, mask=new_run), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(lag, batch_format="pyarrow")
+    )
+
+
+LAG_DELTA_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       - LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS delta_cents
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -4328,6 +4637,12 @@ QUERIES = {
     "orders_above_customer_avg": orders_above_customer_avg,
     "events_funnel_users": events_funnel_users,
     "retention_cohorts": retention_cohorts,
+    "cms_registers_users": cms_registers_users,
+    "full_outer_daily_click_purchase": full_outer_daily_click_purchase,
+    "cube_orders_status_priority": cube_orders_status_priority,
+    "corr_stats_lineitem": corr_stats_lineitem,
+    "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
+    "lag_delta_orders": lag_delta_orders,
 }
 
 ORACLE_SQL = {
@@ -4416,4 +4731,10 @@ ORACLE_SQL = {
     "orders_above_customer_avg": ABOVE_AVG_SQL,
     "events_funnel_users": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
+    "cms_registers_users": CMS_SQL,
+    "full_outer_daily_click_purchase": FULL_OUTER_DAILY_SQL,
+    "cube_orders_status_priority": CUBE_SQL,
+    "corr_stats_lineitem": CORR_STATS_SQL,
+    "rolling_daily_revenue_7d": ROLLING_7D_SQL,
+    "lag_delta_orders": LAG_DELTA_SQL,
 }

@@ -49,6 +49,58 @@ def test_layout_invariant_and_duplicate_proof(ray_session):
     assert a.equals(c)
 
 
+# ---------------------------------------------------- count-min sketch --
+
+
+def test_cms_guarantees(ray_session):
+    """CMS guarantees: (1) point estimates NEVER undercount (est >= true —
+    the defining one-sided error of Count-Min); (2) total mass is
+    preserved per hash row; (3) the combiner is block-layout invariant
+    (cell SUM is associative+commutative); (4) error on planted heavy keys
+    stays within the e*N/width expectation band."""
+    import pandas as pd
+
+    from datax_ray.functions.sketch import (
+        cms_estimate_from_registers,
+        cms_registers,
+    )
+
+    rng = np.random.default_rng(23)
+    heavy = np.repeat(np.array([5, 77, 901], dtype=np.int64), [8000, 5000, 2500])
+    tail = rng.integers(0, 50_000, size=30_000).astype(np.int64)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    depth, width = 4, 1024
+
+    def regs(blocks: int) -> pa.Table:
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(vals, pa.int64())})
+        ).repartition(blocks)
+        t = cms_registers(ds, "k", depth=depth, width=width)
+        return pa.Table.from_pandas(t.to_pandas(), preserve_index=False)
+
+    a = regs(5)
+    # (3) layout invariance
+    assert a.equals(regs(13))
+    # (2) each hash row sees every value exactly once
+    per_row = (
+        a.to_pandas().groupby("cms_row")["cnt"].sum().to_numpy()
+    )
+    assert (per_row == n).all(), per_row
+    # (1) + (4): overestimate-only, bounded error on distinct probe keys
+    probe = np.unique(vals)[:2000]
+    true = pd.Series(vals).value_counts()
+    est = cms_estimate_from_registers(a, probe, depth=depth, width=width)
+    for k, e in zip(probe, est):
+        assert e >= true[k], (k, e, true[k])
+    for k, cnt in [(5, 8000), (77, 5000), (901, 2500)]:
+        e = cms_estimate_from_registers(
+            a, np.array([k]), depth=depth, width=width
+        )[0]
+        assert e - cnt <= 3 * n // width, (k, e, cnt)
+
+
 # ------------------------------------------------------- Misra-Gries --
 
 
