@@ -4534,6 +4534,166 @@ FROM orders
 """
 
 
+def mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (highest count, then
+    smallest value — DuckDB's bare mode() leaves ties unspecified, so the
+    oracle uses the same explicit ROW_NUMBER ordering). Scale shape: the
+    combiner pre-counts (user, type) pairs per batch, then the existing
+    top-N-per-key kernel keeps ONE row per user per batch and per bucket —
+    the shuffle carries at most distinct-pairs rows, never events."""
+    from datax_ray.functions.relational import partial_agg, top_n_per_key
+
+    counts = partial_agg(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        keys=["user_id", "event_type"],
+        counts="cnt",
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_cnt", pc.negate_checked(t["cnt"]))
+
+    top = top_n_per_key(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_cols=["neg_cnt", "event_type"],
+        n=1,
+        descending=False,  # neg_cnt asc == cnt desc; event_type asc tie-break
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "mode_event_type": t["event_type"],
+                "cnt": t["cnt"],
+            }
+        )
+
+    return top.map_batches(rename, batch_format="pyarrow")
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_event_type, cnt
+FROM c
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY cnt DESC, event_type) = 1
+"""
+
+
+def ntile_orders_by_price(sf_dir: str):
+    """NTILE(4) quartile per customer ordered by (price, orderkey): the
+    SQL-standard fill (first cnt%n tiles get the extra row). Same per-key
+    window machinery as lag_delta_orders — customer-hash buckets, one sort
+    + one vectorized run-indexed formula per bucket, no per-customer
+    Python."""
+    num_buckets = _buckets_for(sf_dir, "orders")
+    N = 4
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from datax_ray.functions.relational import key_buckets
+
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+                "_grp": key_buckets(t, ["o_custkey"], num_buckets),
+            }
+        )
+
+    def ntile(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("o_custkey", "ascending"), ("price_cents", "ascending"),
+             ("o_orderkey", "ascending")]
+        )
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(ck)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = ck[1:] != ck[:-1]
+        start_idx = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.diff(np.append(start_idx, n))
+        idx0 = np.arange(n) - start_idx[run_id]
+        cnt = sizes[run_id]
+        base, rem = cnt // N, cnt % N
+        cut = rem * (base + 1)
+        tile = np.where(
+            idx0 < cut,
+            idx0 // np.maximum(base + 1, 1),
+            rem + (idx0 - cut) // np.maximum(base, 1),
+        ) + 1
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": t["price_cents"],
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(ntile, batch_format="pyarrow")
+    )
+
+
+NTILE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(NTILE(4) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey
+       ) AS BIGINT) AS tile
+FROM orders
+"""
+
+
+def train_val_test_split_docs(sf_dir: str):
+    """Deterministic 80/10/10 train-val-test split by content-independent
+    hash of the document id — the standard leakage-safe split for a
+    training corpus (same doc always lands in the same split, across
+    machines and re-runs; no RNG state to coordinate). The fmix32 house
+    hash makes the assignment DuckDB-reproducible, so the driver verifies
+    every row's split label exactly. Embarrassingly parallel: one
+    vectorized map, no shuffle."""
+    from datax_ray.functions.sketch import _mix32
+
+    def split(t: pa.Table) -> pa.Table:
+        c = t["doc_id"]
+        ids = (
+            c.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(c, pa.ChunkedArray)
+            else c.to_numpy(zero_copy_only=False)
+        )
+        h = _mix32(ids) % np.uint64(100)
+        lab = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(lab, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SPLIT_SQL = """
+WITH s0 AS (SELECT doc_id, doc_id % 4294967296 AS h FROM documents),
+s1 AS (SELECT doc_id, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT doc_id, CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT doc_id, CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT doc_id, xor(h, h >> 16) % 100 AS hv FROM s4)
+SELECT doc_id,
+       CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+FROM hv
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -4643,6 +4803,9 @@ QUERIES = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "lag_delta_orders": lag_delta_orders,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "ntile_orders_by_price": ntile_orders_by_price,
+    "train_val_test_split_docs": train_val_test_split_docs,
 }
 
 ORACLE_SQL = {
@@ -4737,4 +4900,7 @@ ORACLE_SQL = {
     "corr_stats_lineitem": CORR_STATS_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
+    "mode_event_type_per_user": MODE_SQL,
+    "ntile_orders_by_price": NTILE_SQL,
+    "train_val_test_split_docs": SPLIT_SQL,
 }
