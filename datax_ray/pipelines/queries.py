@@ -4161,7 +4161,7 @@ def retention_cohorts(sf_dir: str):
     same vectorized pass; the final fold is one tiny task over the
     cohorts × offsets grid. The shuffle is bounded by distinct pairs —
     the raw event stream never moves, and no join stage exists."""
-    import pandas as pd
+    from datax_ray.functions.relational import key_buckets
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     num_buckets = _buckets_for(sf_dir, "events")
@@ -4170,44 +4170,58 @@ def retention_cohorts(sf_dir: str):
         day = pc.cast(
             pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000), pa.int64()
         )
-        df = pa.table({"user_id": t["user_id"], "day": day}).to_pandas()
-        df = df.drop_duplicates(["user_id", "day"])
-        df["_grp"] = (
-            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-            % num_buckets
-        ).astype("int32")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # Pairs may repeat across source batches — exact-dedup inside the
-        # bucket, then cohort + offset in two vectorized ops.
-        df = df.drop_duplicates(["user_id", "day"])
-        cohort = df.groupby("user_id")["day"].transform("min")
-        out = pd.DataFrame(
-            {
-                "cohort_day": cohort.astype("int64"),
-                "day_offset": (df["day"] - cohort).astype("int64"),
-            }
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"], use_threads=False)
+            .aggregate([])  # Arrow hash-dedup, no pandas conversion
         )
-        out["n_users"] = np.int64(1)
-        return out.groupby(["cohort_day", "day_offset"], as_index=False).agg(
-            n_users=("n_users", "sum")
+        return g.append_column("_grp", key_buckets(g, ["user_id"], num_buckets))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        # Pairs may repeat across source batches — exact-dedup inside the
+        # bucket, then cohort (segmented min via lexsort) + offset counts,
+        # all vectorized.
+        g = (
+            t.drop_columns(["_grp"])
+            .group_by(["user_id", "day"], use_threads=False)
+            .aggregate([])
+        )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new_run = np.ones(len(u), dtype=bool)
+        new_run[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new_run) - 1
+        cohort = d[np.flatnonzero(new_run)][run_id]  # first day per user
+        return (
+            pa.table(
+                {
+                    "cohort_day": pa.array(cohort, pa.int64()),
+                    "day_offset": pa.array(d - cohort, pa.int64()),
+                }
+            )
+            .group_by(["cohort_day", "day_offset"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort_day", "day_offset", "n_users"])
         )
 
     partials = (
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(bucket, batch_format="pandas")
+        .map_groups(bucket, batch_format="pyarrow")
     )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["cohort_day", "day_offset"], as_index=False).agg(
-            n_users=("n_users", "sum")
+    def final(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["cohort_day", "day_offset"], use_threads=False)
+            .aggregate([("n_users", "sum")])
+            .rename_columns(["cohort_day", "day_offset", "n_users"])
         )
 
     # cohorts × offsets is a small grid — one-task fold, no second shuffle
     return partials.repartition(1).map_batches(
-        final, batch_format="pandas", batch_size=None
+        final, batch_format="pyarrow", batch_size=None
     )
 
 
