@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "term_postings_lookup",
     "ngram_dup_pairs_exact",
     "cdc_replicate_lake",
+    "cms_registers_users",
+    "full_outer_daily_click_purchase",
+    "lag_delta_orders",
+    "train_val_test_split_docs",
 ]
 
 

@@ -40,6 +40,26 @@ def _cents(col, factor: int = 100):
     return pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
 
 
+def _tokens_with_doc(t: pa.Table, id_col: str | None = None):
+    """Whitespace-tokenize t['text'] with Arrow kernels (no pandas
+    explode): returns (flat_terms, repeated_ids_or_None). Matches
+    string_split semantics exactly — '' yields one empty token, adjacent
+    separators yield empty tokens — so the DuckDB oracles agree."""
+    toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if id_col is None:
+        return flat, None
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = (
+        t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if isinstance(t[id_col], pa.ChunkedArray)
+        else t[id_col].to_numpy(zero_copy_only=False)
+    )
+    return flat, pa.array(np.repeat(ids, n))
+
+
 def _derive_changes(sf_dir: str, work: str, target_epochs: int = 5, **deriver_kw) -> int:
     """Clear `work`, derive the transcript change log from `events` INSIDE
     map_batches tasks (each task writes its contiguous slice as a segment;
@@ -2041,19 +2061,18 @@ def term_postings_lookup(sf_dir: str):
     over a 100 TB corpus moves O(matching docs) rows, not the token
     stream. Dedup via the distinct-pair combiner (partial_agg on the
     pair key with count sink discarded)."""
-    import pandas as pd
-
     from datax_ray.functions.relational import partial_agg
 
     terms = ["merge", "spark", "window"]
 
-    def postings(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df["text"].str.split(" ")).explode("term")
-        ex = ex[ex["term"].isin(terms)][["term", "doc_id"]]
-        return ex.drop_duplicates()
+    def postings(t: pa.Table) -> pa.Table:
+        flat, ids = _tokens_with_doc(t, "doc_id")
+        tbl = pa.table({"term": flat, "doc_id": ids})
+        tbl = tbl.filter(pc.is_in(tbl["term"], value_set=pa.array(terms)))
+        return tbl.group_by(["term", "doc_id"], use_threads=False).aggregate([])
 
     hits = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        postings, batch_format="pandas"
+        postings, batch_format="pyarrow", zero_copy_batch=True
     )
     dedup = partial_agg(
         hits,
@@ -2062,10 +2081,10 @@ def term_postings_lookup(sf_dir: str):
         num_buckets=_buckets_for(sf_dir, "documents"),
     )
 
-    def drop_cnt(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["term", "doc_id"]].astype({"doc_id": "int64"})
+    def drop_cnt(t: pa.Table) -> pa.Table:
+        return t.select(["term", "doc_id"])
 
-    return dedup.map_batches(drop_cnt, batch_format="pandas")
+    return dedup.map_batches(drop_cnt, batch_format="pyarrow")
 
 
 TERM_POSTINGS_SQL = """
@@ -2125,26 +2144,33 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
     num_buckets = _buckets_for(sf_dir, "documents")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[
-            ["doc_id", "term"]
-        ]
-        g = ex.groupby(["doc_id", "term"], as_index=False).size()
-        return g.rename(columns={"size": "tf"})
+    def term_counts(t: pa.Table) -> pa.Table:
+        flat, ids = _tokens_with_doc(t, "doc_id")
+        return (
+            pa.table({"doc_id": ids, "term": flat})
+            .group_by(["doc_id", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "term", "tf"])
+        )
 
     tf = partial_agg(
-        ds.map_batches(term_counts, batch_format="pandas"),
+        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True),
         keys=["doc_id", "term"],
         sums={"tf": "tf"},
         num_buckets=num_buckets,
     )
 
-    def one_doc(df: pd.DataFrame) -> pd.DataFrame:
+    def one_doc(t: pa.Table) -> pa.Table:
         # tf rows are unique per (doc, term) ⇒ df = row count per term
-        return df[["term"]].assign(df=np.int64(1))
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
 
     df_tbl = partial_agg(
-        tf.map_batches(one_doc, batch_format="pandas"),
+        tf.map_batches(one_doc, batch_format="pyarrow"),
         keys=["term"],
         sums={"df": "df"},
         num_buckets=num_buckets,
@@ -3757,29 +3783,31 @@ def top_terms_global(sf_dir: str, k: int = 20):
     distributed top-k tree (per-bucket partial top-k → one tiny final sort
     over k·buckets rows). The vocabulary never broadcasts and no stage sees
     O(corpus) rows after the first combiner."""
-    import pandas as pd
-
     from datax_ray.functions.relational import top_k
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
-    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[["term"]]
-        g = ex.groupby("term", as_index=False).size()
-        return g.rename(columns={"size": "cnt"})
+    def term_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_with_doc(t)
+        return (
+            pa.table({"term": flat})
+            .group_by(["term"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "cnt"])
+        )
 
     counts = partial_agg(
-        ds.map_batches(term_counts, batch_format="pandas"),
+        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True),
         keys=["term"],
         sums={"cnt": "cnt"},
         num_buckets=_buckets_for(sf_dir, "documents"),
     )
 
-    def cast_out(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["term", "cnt"]].astype({"cnt": "int64"})
+    def cast_out(t: pa.Table) -> pa.Table:
+        return t.select(["term", "cnt"])
 
     return top_k(counts, by="cnt", k=k, tie_col="term").map_batches(
-        cast_out, batch_format="pandas"
+        cast_out, batch_format="pyarrow"
     )
 
 
@@ -3849,37 +3877,53 @@ def approx_distinct_users(sf_dir: str):
 
 def top_bigrams_global(sf_dir: str, k: int = 20):
     """Exact global top-k BIGRAMS — the n-gram statistics pass of an LM
-    data pipeline. Per-batch: explode tokens with positions, build each
-    doc's adjacent pairs via a vectorized within-doc shift (groupby.shift,
-    no Python loop over docs), count partials; then the same combiner
-    shuffle + top-k tree as top_terms_global."""
-    import pandas as pd
-
+    data pipeline. Per-batch: adjacent pairs from two zero-copy slices of
+    the flattened token stream joined element-wise, doc boundaries masked
+    (no pandas explode, no Python loop over docs), count partials; then
+    the same combiner shuffle + top-k tree as top_terms_global."""
     from datax_ray.functions.relational import top_k
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df["text"].str.split(" ")).explode("term")[
-            ["doc_id", "term"]
-        ]
-        nxt = ex.groupby("doc_id", sort=False)["term"].shift(-1)
-        big = (ex["term"] + " " + nxt).dropna()
-        g = big.to_frame("bigram").groupby("bigram", as_index=False).size()
-        return g.rename(columns={"size": "cnt"})
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        # Adjacent pairs = two zero-copy slices of the flattened token
+        # stream joined element-wise; doc-boundary positions masked out
+        # (last token of a doc must not pair with the next doc's first).
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        big = pc.binary_join_element_wise(
+            flat.slice(0, m - 1), flat.slice(1, m - 1), " "
+        )
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(n) - 1
+        valid = np.ones(m - 1, dtype=bool)
+        valid[ends[ends < m - 1]] = False
+        return (
+            pa.table({"bigram": big.filter(pa.array(valid))})
+            .group_by(["bigram"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["bigram", "cnt"])
+        )
 
     counts = partial_agg(
-        ds.map_batches(bigram_counts, batch_format="pandas"),
+        ds.map_batches(bigram_counts, batch_format="pyarrow", zero_copy_batch=True),
         keys=["bigram"],
         sums={"cnt": "cnt"},
         num_buckets=_buckets_for(sf_dir, "documents"),
     )
 
-    def cast_out(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["bigram", "cnt"]].astype({"cnt": "int64"})
+    def cast_out(t: pa.Table) -> pa.Table:
+        return t.select(["bigram", "cnt"])
 
     return top_k(counts, by="cnt", k=k, tie_col="bigram").map_batches(
-        cast_out, batch_format="pandas"
+        cast_out, batch_format="pyarrow"
     )
 
 
