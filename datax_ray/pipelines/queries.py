@@ -2130,15 +2130,18 @@ FROM documents
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3):
-    """Corpus-level TF-IDF scoring, fully distributed: per-batch tokenize +
-    term-count combiners → global (doc, term) tf table → term df table →
-    hash-partitioned join (Dataset.join; at crawl scale the vocabulary is
-    too big to broadcast) → per-doc top-k inside coarse doc-hash buckets.
-    idf is integer-scaled (n_docs*1000 // df) so both engines rank and hash
-    identically — no float log in the compare path."""
-    import pandas as pd
-
-    from datax_ray.functions.relational import large_join, partial_agg
+    """Corpus-level TF-IDF scoring, fully distributed with NO join stage:
+    per-batch tokenize gives the exact global (doc, term) tf table in one
+    map (a document's tokens all come from its single row, so the
+    per-batch count is final); tf rows then shuffle ONCE by term-hash
+    bucket, where df(term) = the bucket-local row count per term (tf rows
+    are globally unique per (doc, term)) — the vocabulary never
+    broadcasts and never joins; finally per-doc top-k inside coarse
+    doc-hash buckets. idf is integer-scaled (n_docs*1000 // df) so both
+    engines rank and hash identically — no float log in the compare
+    path. Two sort-shuffles total; the former df-aggregate + hash-join
+    plan cost three exchanges and 16s of join-actor CPU at sf0.1."""
+    from datax_ray.functions.relational import key_buckets
 
     n_docs = parquet_rows(os.path.join(sf_dir, "documents.parquet"))
     num_buckets = _buckets_for(sf_dir, "documents")
@@ -2146,67 +2149,57 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
 
     def term_counts(t: pa.Table) -> pa.Table:
         flat, ids = _tokens_with_doc(t, "doc_id")
-        return (
+        g = (
             pa.table({"doc_id": ids, "term": flat})
             .group_by(["doc_id", "term"], use_threads=False)
             .aggregate([([], "count_all")])
             .rename_columns(["doc_id", "term", "tf"])
         )
+        return g.append_column("_grp", key_buckets(g, ["term"], num_buckets))
 
-    tf = partial_agg(
-        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["doc_id", "term"],
-        sums={"tf": "tf"},
-        num_buckets=num_buckets,
-    )
+    tf = ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
 
-    def one_doc(t: pa.Table) -> pa.Table:
-        # tf rows are unique per (doc, term) ⇒ df = row count per term
-        return pa.table(
+    def score_bucket(t: pa.Table) -> pa.Table:
+        # All tf rows of a term co-locate here; rows are unique per
+        # (doc, term), so df = occurrences of the term in this bucket.
+        t = t.drop_columns(["_grp"])
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        idxs = pc.dictionary_encode(term).indices.to_numpy(zero_copy_only=False)
+        dfc = np.bincount(idxs)
+        idf = (np.int64(n_docs) * 1000) // dfc
+        score = t["tf"].to_numpy(zero_copy_only=False) * idf[idxs]
+        out = pa.table(
             {
+                "doc_id": t["doc_id"],
                 "term": t["term"],
-                "df": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "score_milli": pa.array(score, pa.int64()),
             }
         )
+        return out.append_column("_grp", key_buckets(out, ["doc_id"], num_buckets))
 
-    df_tbl = partial_agg(
-        tf.map_batches(one_doc, batch_format="pyarrow"),
-        keys=["term"],
-        sums={"df": "df"},
-        num_buckets=num_buckets,
-    )
-
-    joined = large_join(tf, df_tbl, on="term")
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        idf = (np.int64(n_docs) * 1000) // df["df"].to_numpy(dtype=np.int64)
-        out = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "term": df["term"],
-                "score_milli": df["tf"].to_numpy(dtype=np.int64) * idf,
-            }
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_grp"]).sort_by(
+            [("doc_id", "ascending"), ("score_milli", "descending"),
+             ("term", "ascending")]
         )
-        grp = pd.util.hash_pandas_object(out["doc_id"], index=False).to_numpy()
-        out["_grp"] = (grp % num_buckets).astype("int32")
-        return out
-
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["doc_id", "score_milli", "term"],
-            ascending=[True, False, True],
-            kind="stable",
-        )
-        df = df.assign(rnk=df.groupby("doc_id").cumcount() + 1)
-        df = df[df["rnk"] <= k]
-        return df[["doc_id", "term", "rnk", "score_milli"]].astype(
-            {"rnk": "int64", "score_milli": "int64"}
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(d), dtype=bool)
+        new_run[1:] = d[1:] != d[:-1]
+        start_idx = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rnk = np.arange(len(d)) - start_idx[run_id] + 1
+        t = t.append_column("rnk", pa.array(rnk, pa.int64()))
+        return t.filter(pa.array(rnk <= k)).select(
+            ["doc_id", "term", "rnk", "score_milli"]
         )
 
     return (
-        joined.map_batches(score, batch_format="pandas")
+        tf.groupby("_grp")
+        .map_groups(score_bucket, batch_format="pyarrow")
         .groupby("_grp")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 
