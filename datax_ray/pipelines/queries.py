@@ -4524,6 +4524,63 @@ FROM daily
 """
 
 
+def rolling_range_30d_revenue(sf_dir: str):
+    """RANGE-frame moving sum (RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+    over the day value): unlike the ROWS frame of rolling_daily_revenue_7d,
+    the window is a VALUE interval — gap days shrink it, so the two frames
+    differ whenever a priority has no orders for a day. Same scale shape:
+    combiner pre-aggregates to (priority, day) cells, then per key one
+    cumsum + one searchsorted against the day timeline — vectorized, and
+    order rows never shuffle."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000),
+                "revenue_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    daily = partial_agg(
+        _read(
+            sf_dir, "orders",
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority", "day"],
+        sums={"revenue_cents": "revenue_cents"},
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        days = t["day"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(rev)
+        left = np.searchsorted(days, days - 29, side="left")
+        roll = cum - np.where(left > 0, cum[left - 1], 0)
+        return t.append_column("revenue_30d_cents", pa.array(roll, pa.int64()))
+
+    return daily.groupby("o_orderpriority").map_groups(
+        window, batch_format="pyarrow"
+    )
+
+
+ROLLING_RANGE_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+         PARTITION BY o_orderpriority ORDER BY day
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS revenue_30d_cents
+FROM daily
+"""
+
+
 def lag_delta_orders(sf_dir: str):
     """LAG window: each order's price delta vs the same customer's previous
     order (ordered by date, orderkey tiebreak; first order per customer is
@@ -4853,6 +4910,7 @@ QUERIES = {
     "cube_orders_status_priority": cube_orders_status_priority,
     "corr_stats_lineitem": corr_stats_lineitem,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
+    "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
     "mode_event_type_per_user": mode_event_type_per_user,
     "ntile_orders_by_price": ntile_orders_by_price,
@@ -4950,6 +5008,7 @@ ORACLE_SQL = {
     "cube_orders_status_priority": CUBE_SQL,
     "corr_stats_lineitem": CORR_STATS_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
+    "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
     "mode_event_type_per_user": MODE_SQL,
     "ntile_orders_by_price": NTILE_SQL,
