@@ -4313,33 +4313,53 @@ def full_outer_daily_click_purchase(sf_dir: str):
     """FULL OUTER join of two grouped aggregates on a composite key: per
     (user_id, day) click counts vs purchase counts — both unmatched sides
     are real (days a user clicked but bought nothing, and vice versa).
-    Scale shape: each side pre-shrinks through the combiner partial_agg
-    (one row per user-day per batch) BEFORE the hash-partitioned
-    Dataset.join moves it; unmatched rows keep typed nulls on the other
-    side's count. Exercises large_join's multi-column key path."""
-    from datax_ray.functions.relational import large_join, partial_agg
+    Plan: because each side is a keyed aggregate of the SAME input, the
+    full outer join collapses to one pass — per-batch counts per (user,
+    day, type) widen to conditionally-null n_clicks / n_purchases
+    columns, then a single SUM combiner folds them: Arrow's sum skips
+    nulls and returns null for an all-null group, which IS the
+    unmatched-side semantics. One read + one sort-shuffle; the
+    two-sided-aggregate + Dataset.join plan cost two reads, three
+    exchanges and a hash-join actor pool. The general
+    large_join(join_type="full_outer") path (true two-input full outer,
+    composite keys) is equivalence-tested in tests/test_full_outer.py."""
+    from datax_ray.functions.relational import partial_agg
 
-    def side(event_type: str, out: str):
-        def prep(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], event_type))
-            day = pc.multiply(
-                pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
-                86_400_000_000,
+    wanted = pa.array(["click", "purchase"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=wanted))
+        day = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            86_400_000_000,
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day_us": day,
+                    "event_type": t["event_type"],
+                }
             )
-            return pa.table({"user_id": t["user_id"], "day_us": day})
-
-        ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
-        return partial_agg(
-            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-            keys=["user_id", "day_us"],
-            counts=out,
+            .group_by(["user_id", "day_us", "event_type"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        is_click = pc.equal(g["event_type"], "click")
+        cnt = pc.cast(g["count_all"], pa.int64())
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "day_us": g["day_us"],
+                "n_clicks": pc.if_else(is_click, cnt, pa.nulls(g.num_rows, pa.int64())),
+                "n_purchases": pc.if_else(is_click, pa.nulls(g.num_rows, pa.int64()), cnt),
+            }
         )
 
-    return large_join(
-        side("click", "n_clicks"),
-        side("purchase", "n_purchases"),
-        on=("user_id", "day_us"),
-        join_type="full_outer",
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    return partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "day_us"],
+        sums={"n_clicks": "n_clicks", "n_purchases": "n_purchases"},
     )
 
 
