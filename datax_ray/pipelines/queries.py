@@ -4662,6 +4662,156 @@ FROM orders
 """
 
 
+def dense_rank_cume_orders(sf_dir: str):
+    """DENSE_RANK + CUME_DIST per customer — the remaining two SQL rank
+    variants next to percent_rank (method=min) and NTILE. cume_dist is
+    emitted as integer basis points via floor division (peers counted
+    with a RANGE frame in the oracle), so the compare path stays
+    float-free. Same per-key machinery: customer-hash buckets, one sort,
+    then run-indexed formulas — dense rank counts value-runs since the
+    partition start, cume counts through the current value-run's end —
+    all vectorized, no per-customer Python."""
+    num_buckets = _buckets_for(sf_dir, "orders")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from datax_ray.functions.relational import key_buckets
+
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+                "_grp": key_buckets(t, ["o_custkey"], num_buckets),
+            }
+        )
+
+    def ranks(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("o_custkey", "ascending"), ("price_cents", "ascending"),
+             ("o_orderkey", "ascending")]
+        )
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        p = t["price_cents"].to_numpy(zero_copy_only=False)
+        n = len(ck)
+        new_ck = np.ones(n, dtype=bool)
+        new_ck[1:] = ck[1:] != ck[:-1]
+        new_pr = new_ck.copy()
+        new_pr[1:] |= p[1:] != p[:-1]
+        ck_starts = np.flatnonzero(new_ck)
+        ck_run = np.cumsum(new_ck) - 1
+        ck_start = ck_starts[ck_run]
+        pr_run = np.cumsum(new_pr) - 1
+        pr_starts = np.flatnonzero(new_pr)
+        dense = pr_run - pr_run[ck_start] + 1
+        run_ends = np.append(pr_starts[1:], n) - 1
+        cnt_le = run_ends[pr_run] - ck_start + 1
+        sizes = np.diff(np.append(ck_starts, n))
+        cume_bp = cnt_le * 10_000 // sizes[ck_run]
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": t["price_cents"],
+                "drnk": pa.array(dense.astype(np.int64)),
+                "cume_bp": pa.array(cume_bp.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(ranks, batch_format="pyarrow")
+    )
+
+
+DENSE_RANK_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents,
+       CAST(DENSE_RANK() OVER (
+         PARTITION BY o_custkey ORDER BY price_cents) AS BIGINT) AS drnk,
+       CAST(COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY price_cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+         // COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cume_bp
+FROM c
+"""
+
+
+def mad_order_price(sf_dir: str):
+    """Per-group median absolute deviation — the robust dispersion cut a
+    curation pipeline pairs with the median (outlier fences that heavy
+    tails can't drag). BOTH medians fold from ONE (group, cents)
+    histogram: the combiner shuffle moves O(groups x distinct cents)
+    rows once; the deviation histogram is a value transform of the same
+    counts, so no second pass over the data exists. quantile_disc index
+    rule on both engines — integer-exact."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    hist = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority", "cents"],
+        counts="n",
+        single_reduce=True,  # histogram is bounded by the value grid
+    )
+
+    def _disc(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # quantile_disc(0.5): value at 0-based index ceil(n/2)-1 of the
+        # expanded sorted multiset, located via the cumulative histogram
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        idx = max(0, int(np.ceil(0.5 * cum[-1])) - 1)
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        prios, meds, mads = [], [], []
+        for pr, g in df.groupby("o_orderpriority", sort=True):
+            vals = g["cents"].to_numpy()
+            cnts = g["n"].to_numpy()
+            med = _disc(vals, cnts)
+            mad = _disc(np.abs(vals - med), cnts)
+            prios.append(pr)
+            meds.append(med)
+            mads.append(mad)
+        return pd.DataFrame(
+            {"o_orderpriority": prios, "p50_cents": meds, "mad_cents": mads}
+        )
+
+    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+MAD_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), med AS (
+  SELECT o_orderpriority, quantile_disc(cents, 0.5) AS p50_cents
+  FROM c GROUP BY 1
+)
+SELECT c.o_orderpriority, ANY_VALUE(m.p50_cents) AS p50_cents,
+       quantile_disc(abs(c.cents - m.p50_cents), 0.5) AS mad_cents
+FROM c JOIN med m USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+"""
+
+
 def mode_event_type_per_user(sf_dir: str):
     """Grouped MODE with a deterministic tie-break (highest count, then
     smallest value — DuckDB's bare mode() leaves ties unspecified, so the
@@ -4935,6 +5085,8 @@ QUERIES = {
     "mode_event_type_per_user": mode_event_type_per_user,
     "ntile_orders_by_price": ntile_orders_by_price,
     "train_val_test_split_docs": train_val_test_split_docs,
+    "mad_order_price": mad_order_price,
+    "dense_rank_cume_orders": dense_rank_cume_orders,
 }
 
 ORACLE_SQL = {
@@ -5033,4 +5185,6 @@ ORACLE_SQL = {
     "mode_event_type_per_user": MODE_SQL,
     "ntile_orders_by_price": NTILE_SQL,
     "train_val_test_split_docs": SPLIT_SQL,
+    "mad_order_price": MAD_SQL,
+    "dense_rank_cume_orders": DENSE_RANK_SQL,
 }
