@@ -4662,6 +4662,75 @@ FROM orders
 """
 
 
+def quality_cutoff_docs(sf_dir: str):
+    """Per-source quality gate: keep documents at or above their OWN
+    source's 25th-percentile length — the curation pattern where a global
+    cutoff would silently delete whole low-verbosity sources. Two stages:
+    the (source, n_chars) histogram combiner (shuffle bounded by the value
+    grid, never rows) folds to one exact quantile_disc cutoff per source;
+    the cutoffs — O(|sources|) rows by construction — broadcast into a
+    stateless filter map over the corpus. No join, no second shuffle."""
+    from datax_ray.functions.relational import partial_agg
+
+    hist = partial_agg(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        keys=["source", "n_chars"],
+        counts="n",
+        single_reduce=True,  # |sources| x |distinct lengths| grid
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("n_chars", "ascending")])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        val = t["n_chars"].to_numpy(zero_copy_only=False)
+        cnt = t["n"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(src), dtype=bool)
+        new_run[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new_run)
+        out_src, out_cut = [], []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(src)
+            cum = np.cumsum(cnt[s:e])
+            idx = max(0, int(np.ceil(0.25 * cum[-1])) - 1)
+            out_src.append(src[s])
+            out_cut.append(int(val[s:e][np.searchsorted(cum, idx + 1)]))
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "p25": pa.array(out_cut, pa.int64()),
+            }
+        )
+
+    cuts = hist.map_batches(fold, batch_format="pyarrow", batch_size=None).take_all()
+    p25 = {r["source"]: r["p25"] for r in cuts}  # O(|sources|) driver rows
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        thr = (
+            pd.Series(t["source"].to_numpy(zero_copy_only=False))
+            .map(p25)
+            .to_numpy(dtype=np.int64)
+        )
+        keep = t["n_chars"].to_numpy(zero_copy_only=False) >= thr
+        return t.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUALITY_CUTOFF_SQL = """
+WITH cut AS (
+  SELECT source, quantile_disc(n_chars, 0.25) AS p25
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cut USING (source)
+WHERE d.n_chars >= cut.p25
+"""
+
+
 def dense_rank_cume_orders(sf_dir: str):
     """DENSE_RANK + CUME_DIST per customer — the remaining two SQL rank
     variants next to percent_rank (method=min) and NTILE. cume_dist is
@@ -5087,6 +5156,7 @@ QUERIES = {
     "train_val_test_split_docs": train_val_test_split_docs,
     "mad_order_price": mad_order_price,
     "dense_rank_cume_orders": dense_rank_cume_orders,
+    "quality_cutoff_docs": quality_cutoff_docs,
 }
 
 ORACLE_SQL = {
@@ -5187,4 +5257,5 @@ ORACLE_SQL = {
     "train_val_test_split_docs": SPLIT_SQL,
     "mad_order_price": MAD_SQL,
     "dense_rank_cume_orders": DENSE_RANK_SQL,
+    "quality_cutoff_docs": QUALITY_CUTOFF_SQL,
 }
