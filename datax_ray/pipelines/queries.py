@@ -5041,6 +5041,218 @@ FROM hv
 """
 
 
+def markov_event_transitions(sf_dir: str):
+    """Event-sequence transition matrix: global counts of consecutive
+    (prev_event_type -> event_type) pairs within each user's timeline
+    (ordered by ts, event_id tiebreak) — the Markov-chain statistic
+    behind session modeling and next-action prediction. Scale shape:
+    users hash-bucket (a user's events co-locate, many users per
+    bucket), ONE sort + shifted compare per bucket yields that bucket's
+    pair counts via a vectorized Arrow group_by, then the |types|^2-grid
+    partials fold in a single reduce — no per-user Python, and the
+    second exchange moves only the tiny transition grid."""
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from datax_ray.functions.relational import key_buckets
+
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "_grp": key_buckets(t, ["user_id"], num_buckets),
+            }
+        )
+
+    def transitions(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        et = t["event_type"].combine_chunks()
+        g = (
+            pa.table(
+                {
+                    "prev_type": et.slice(0, max(0, t.num_rows - 1)).filter(pa.array(same)),
+                    "event_type": et.slice(1).filter(pa.array(same)),
+                }
+            )
+            .group_by(["prev_type", "event_type"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "prev_type": g["prev_type"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(transitions, batch_format="pyarrow")
+    )
+    return partial_agg(
+        partials, keys=["prev_type", "event_type"], sums={"n": "n"},
+        single_reduce=True,  # |event_types|^2 grid
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def gap_fill_daily_revenue(sf_dir: str):
+    """Date-spine gap fill: daily revenue with MISSING days materialized
+    as explicit zero rows between the global min and max order dates —
+    the time-series regularization every downstream window/forecast
+    stage assumes. The daily sums come from the usual combiner fold
+    (shuffle bounded by |days|, never rows); the spine fill runs in one
+    task on the O(|days|) reduced grid via a vectorized arange scatter,
+    so no generate_series join and no driver materialization."""
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY_US), DAY_US
+        )
+        return pa.table(
+            {"day_us": day, "revenue_cents": _cents(t["o_totalprice"])}
+        )
+
+    daily = partial_agg(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["day_us"],
+        sums={"revenue_cents": "revenue_cents"},
+        single_reduce=True,  # O(|days|) grid
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"day_us": pa.array([], pa.int64()),
+                 "revenue_cents": pa.array([], pa.int64())}
+            )
+        t = t.sort_by([("day_us", "ascending")])
+        days = t["day_us"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        spine = np.arange(days[0], days[-1] + DAY_US, DAY_US, dtype=np.int64)
+        out = np.zeros(len(spine), dtype=np.int64)
+        out[(days - days[0]) // DAY_US] = rev
+        return pa.table(
+            {"day_us": pa.array(spine), "revenue_cents": pa.array(out)}
+        )
+
+    return daily.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 * 86400000000 AS day_us,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1
+), span AS (SELECT MIN(day_us) AS lo, MAX(day_us) AS hi FROM daily),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, 86400000000)) AS day_us FROM span
+)
+SELECT s.day_us AS day_us, COALESCE(d.revenue_cents, 0) AS revenue_cents
+FROM spine s LEFT JOIN daily d USING (day_us)
+"""
+
+
+def cdc_time_travel(sf_dir: str):
+    """Time travel over retained manifests: replay the FIRST HALF of the
+    change log (lsn < |events| // 2), record the committed epoch head,
+    replay the second half on top (the resume path — new segments, same
+    lake), then read the lake AS OF the mid-point epoch. The engine must
+    reconstruct the exact pre-second-tranche state from that epoch's
+    manifest record — layout, schema and fragment set — even though the
+    current head has superseded or compacted those files. The oracle is
+    the LWW fold restricted to the first tranche, with the cut expressed
+    in SQL as a scalar subquery over the same events table (lsn =
+    event_id = row index, so COUNT(*)//2 is the identical boundary)."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+    from datax_ray.state.manifest import Manifest
+
+    n = parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    cut = n // 2
+    work = f"/tmp/datax_cdc_tt/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def derive_tranche(lo_incl: int | None, hi_excl: int | None) -> int:
+        mask_fn = (
+            (lambda t: t.filter(pc.less(t["event_id"], hi_excl)))
+            if hi_excl is not None
+            else (lambda t: t.filter(pc.greater_equal(t["event_id"], lo_incl)))
+        )
+        lineage = (
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+            .map_batches(mask_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                ChangeDeriver(f"{work}/changes"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=4096,
+            )
+            .count()
+        )  # O(segments) lineage rows, never the events themselves
+        return max(1, int(lineage))
+
+    cfg_kw = dict(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", num_partitions=16
+    )
+    n_segs = derive_tranche(None, cut)
+    replay(ReplayConfig(segments_per_epoch=max(2, -(-n_segs // 3)), **cfg_kw))
+    head = Manifest(f"{work}/lake").committed_epoch()
+    derive_tranche(cut, None)
+    replay(ReplayConfig(segments_per_epoch=max(2, -(-n_segs // 3)), **cfg_kw))
+    return final_table(f"{work}/lake", as_of_epoch=head)
+
+
+CDC_TIME_TRAVEL_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+  WHERE event_id < (SELECT COUNT(*) // 2 FROM events)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -5157,6 +5369,9 @@ QUERIES = {
     "mad_order_price": mad_order_price,
     "dense_rank_cume_orders": dense_rank_cume_orders,
     "quality_cutoff_docs": quality_cutoff_docs,
+    "markov_event_transitions": markov_event_transitions,
+    "gap_fill_daily_revenue": gap_fill_daily_revenue,
+    "cdc_time_travel": cdc_time_travel,
 }
 
 ORACLE_SQL = {
@@ -5258,4 +5473,7 @@ ORACLE_SQL = {
     "mad_order_price": MAD_SQL,
     "dense_rank_cume_orders": DENSE_RANK_SQL,
     "quality_cutoff_docs": QUALITY_CUTOFF_SQL,
+    "markov_event_transitions": MARKOV_SQL,
+    "gap_fill_daily_revenue": GAP_FILL_SQL,
+    "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
 }
