@@ -5253,6 +5253,87 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def copurchase_triangles(sf_dir: str):
+    """Triangle census over the co-purchase graph: parts are vertices, an
+    edge links two parts that ever appear in the same order, and each
+    vertex's triangle count is the classic clustering/community signal.
+    Edge build: per-order part pairs enumerate inside orderkey hash
+    buckets (vectorized run-pair expansion, no per-order Python), then a
+    distinct fold. Counting is functions/graph.triangle_counts — the
+    degree-ordered wedge join, so the wedge fan-out stays O(sqrt(|E|))
+    per vertex even under hot-part skew, and the closing-edge probe is a
+    hash-bucket co-group, never a driver pair list."""
+    from datax_ray.functions.graph import _run_pairs, triangle_counts
+
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from datax_ray.functions.relational import key_buckets
+
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "_grp": key_buckets(t, ["l_orderkey"], num_buckets),
+            }
+        )
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"], use_threads=False).aggregate([])
+        g = g.sort_by(
+            [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        i, j = _run_pairs(ok)
+        return pa.table(
+            {"u": pa.array(pk[i], pa.int64()), "v": pa.array(pk[j], pa.int64())}
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(order_pairs, batch_format="pyarrow")
+    )
+    # materialized ONCE: triangle_counts consumes the edge list twice
+    # (degree fold + orient) — without this the whole per-order pair
+    # build re-executes per consumer
+    distinct = (
+        partial_agg(edges, keys=["u", "v"], counts="_n")
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"part": t["node"], "n_triangles": t["n"]})
+
+    return triangle_counts(distinct, num_buckets=num_buckets).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT part, COUNT(*) AS n_triangles
+FROM (
+  SELECT a AS part FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+GROUP BY part
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -5372,6 +5453,7 @@ QUERIES = {
     "markov_event_transitions": markov_event_transitions,
     "gap_fill_daily_revenue": gap_fill_daily_revenue,
     "cdc_time_travel": cdc_time_travel,
+    "copurchase_triangles": copurchase_triangles,
 }
 
 ORACLE_SQL = {
@@ -5476,4 +5558,5 @@ ORACLE_SQL = {
     "markov_event_transitions": MARKOV_SQL,
     "gap_fill_daily_revenue": GAP_FILL_SQL,
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
+    "copurchase_triangles": TRIANGLES_SQL,
 }
