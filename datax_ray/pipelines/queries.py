@@ -5334,6 +5334,293 @@ GROUP BY part
 """
 
 
+def cdc_txn_atomic_apply(sf_dir: str):
+    """Transactional-boundary CDC apply: binlog events group into
+    transactions of 8 consecutive LSNs (txn = lsn // 8), and a transaction
+    containing any rollback marker (lsn % 13 == 3) is aborted — ALL of its
+    events must be withheld from the lake, including otherwise-winning
+    updates and deletes (the all-or-nothing atomicity a MySQL-binlog /
+    Postgres-WAL tailer owes its consumers; SURVEY.md §2B-B1/B4). The
+    aborted-txn set is data-sized, so it is NOT broadcast: the committed
+    stream is a distributed ANTI join on txn id (relational.semi_join —
+    both sides shuffle into key-hash buckets, no driver keyset), followed
+    by the engine's usual two-level LWW fold (per-batch lww_reduce
+    combiner AFTER the abort filter — a pre-abort combiner could discard
+    a committed row superseded only by a later-aborted one — then one
+    vectorized reduce per conv-hash bucket)."""
+    from datax_ray.functions.relational import key_buckets, semi_join
+    from datax_ray.sources.derive import derive_changes
+
+    KEYS = ("conv_id", "turn_idx")
+    ORDER = ("ts", "lsn")
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    changes = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id"]
+    ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def with_txn(t: pa.Table) -> pa.Table:
+        txn = pc.divide(t["lsn"], 8)  # lsn >= 0: trunc == floor
+        return t.drop_columns(["ddl"]).append_column("txn", txn)
+
+    def abort_markers(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"]
+        bad = pc.equal(pc.subtract(lsn, pc.multiply(pc.divide(lsn, 13), 13)), 3)
+        return pa.table({"txn": pc.divide(lsn.filter(bad), 8)})
+
+    tagged = changes.map_batches(
+        with_txn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aborted = changes.map_batches(
+        abort_markers, batch_format="pyarrow", zero_copy_batch=True
+    )
+    committed = semi_join(tagged, aborted, on="txn", anti=True)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["txn"]).append_column(
+            "_grp", key_buckets(t, ["conv_id"], num_buckets)
+        )
+        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        return w.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    return (
+        committed.map_batches(combiner, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+CDC_TXN_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), kept AS (
+  SELECT * FROM c
+  WHERE lsn // 8 NOT IN (SELECT DISTINCT lsn // 8 FROM c WHERE lsn % 13 = 3)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM kept
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _copurchase_edges(sf_dir: str):
+    """DIRECTED distinct co-purchase edge list (u, v) — both orientations
+    of every unordered part pair sharing an order — materialized once for
+    the iterative graph queries (each iteration re-consumes the edges; an
+    unmaterialized lineage would rebuild the pair expansion per pass).
+    Same per-orderkey-bucket vectorized run-pair expansion as
+    copurchase_triangles; the distinct fold is the usual combiner
+    partial_agg, and the mirror map doubles rows only after dedup."""
+    from datax_ray.functions.graph import _run_pairs
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "_grp": key_buckets(t, ["l_orderkey"], num_buckets),
+            }
+        )
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"], use_threads=False).aggregate([])
+        g = g.sort_by([("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        i, j = _run_pairs(ok)
+        return pa.table(
+            {"u": pa.array(pk[i], pa.int64()), "v": pa.array(pk[j], pa.int64())}
+        )
+
+    def mirror(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [t, pa.table({"u": t["v"], "v": t["u"]})]
+        ).combine_chunks()
+
+    undirected = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(order_pairs, batch_format="pyarrow")
+    )
+    return (
+        partial_agg(undirected, keys=["u", "v"], counts="_n")
+        .select_columns(["u", "v"])
+        .map_batches(mirror, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def pagerank_parts(sf_dir: str):
+    """Integer-exact PageRank (3 unrolled iterations, damping 0.85) over
+    the co-purchase part graph — the canonical iterative-propagation
+    workload. The update is defined in integer arithmetic so both engines
+    agree bit-for-bit with no float-order sensitivity: contrib(u) =
+    pr(u) // outdeg(u) per out-edge, pr'(v) = 15000 + 85 * sum(contribs
+    into v) // 100, pr0 = 100000. Ranks stay a DATASET across iterations
+    (never a driver/broadcast table — at 100 TB the vertex set is
+    data-sized): each pass is one hash-partitioned join of edges with
+    ranks on the source, a combiner fold of contributions by target, and
+    a join back to the degree table, i.e. the same co-partitioned
+    exchanges every BSP/Pregel step costs. Every node of this graph has
+    in-degree >= 1 (edges are mirrored), so the inner joins lose no one."""
+    from datax_ray.functions.relational import large_join
+
+    edges = _copurchase_edges(sf_dir)
+    deg = partial_agg(edges, keys=["u"], counts="d").materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t["u"],
+                "d": t["d"],
+                "pr": pa.array(np.full(t.num_rows, 100000, dtype=np.int64)),
+            }
+        )
+
+    ranks = deg.map_batches(init, batch_format="pyarrow")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = (
+            t["pr"].to_numpy(zero_copy_only=False)
+            // t["d"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"u": t["v"], "c": pa.array(c, pa.int64())})
+
+    def update(t: pa.Table) -> pa.Table:
+        pr = 15000 + 85 * t["s"].to_numpy(zero_copy_only=False) // 100
+        return pa.table({"u": t["u"], "d": t["d"], "pr": pa.array(pr, pa.int64())})
+
+    for _ in range(3):
+        contribs = large_join(edges, ranks, on="u").map_batches(
+            contrib, batch_format="pyarrow"
+        )
+        sums = partial_agg(contribs, keys=["u"], sums={"c": "s"})
+        ranks = large_join(sums, deg, on="u").map_batches(
+            update, batch_format="pyarrow"
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"part": t["u"], "pr": t["pr"]})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+PAGERANK_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+r0 AS (SELECT u, CAST(100000 AS BIGINT) AS pr FROM deg),
+r1 AS (SELECT e.v AS u, 15000 + 85 * CAST(SUM(r.pr // deg.d) AS BIGINT) // 100 AS pr
+       FROM e JOIN r0 r ON r.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+r2 AS (SELECT e.v AS u, 15000 + 85 * CAST(SUM(r.pr // deg.d) AS BIGINT) // 100 AS pr
+       FROM e JOIN r1 r ON r.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+r3 AS (SELECT e.v AS u, 15000 + 85 * CAST(SUM(r.pr // deg.d) AS BIGINT) // 100 AS pr
+       FROM e JOIN r2 r ON r.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v)
+SELECT u AS part, pr FROM r3
+"""
+
+
+def bfs_levels_parts(sf_dir: str):
+    """Multi-source BFS hop levels (depth 3) over the co-purchase part
+    graph: seeds are parts with partkey % 97 == 0 (level 0), and each
+    later level is the distinct neighbor frontier minus everything
+    already visited — the reachability/blast-radius primitive. Frontier
+    expansion is one hash-partitioned join of the edge list with the
+    (materialized, still-distributed) frontier per hop, a combiner
+    distinct of the targets, then a distributed ANTI join against each
+    smaller prior level (levels only shrink relative to the frontier
+    fan-out; no driver visited-set — at 100 TB a visited bitmap on the
+    driver is the classic BFS scale failure)."""
+    from datax_ray.functions.relational import large_join, semi_join
+
+    edges = _copurchase_edges(sf_dir)
+
+    def seed_filter(t: pa.Table) -> pa.Table:
+        u = t["u"]
+        return pa.table(
+            {"u": u.filter(pc.equal(pc.subtract(u, pc.multiply(pc.divide(u, 97), 97)), 0))}
+        )
+
+    nodes = partial_agg(edges, keys=["u"], counts="_n").select_columns(["u"])
+    levels = [nodes.map_batches(
+        seed_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()]
+
+    for _hop in range(3):
+        neigh = large_join(edges, levels[-1], on="u").map_batches(
+            lambda t: pa.table({"u": t["v"]}), batch_format="pyarrow"
+        )
+        cand = partial_agg(neigh, keys=["u"], counts="_n").select_columns(["u"])
+        for prev in levels:
+            cand = semi_join(cand, prev, on="u", anti=True)
+        levels.append(cand.materialize())
+
+    # drop exhausted (empty) levels before the union: their materialized
+    # blocks are schema-less, the exact hazard class behind the round-2
+    # tfidf failure (count() on a materialized dataset is free metadata)
+    tagged = [
+        lvl.map_batches(
+            lambda t, k=k: pa.table(
+                {"part": t["u"],
+                 "level": pa.array(np.full(t.num_rows, k, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        for k, lvl in enumerate(levels)
+        if k == 0 or lvl.count() > 0
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
+BFS_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), n0 AS (SELECT DISTINCT u FROM e WHERE u % 97 = 0),
+n1 AS (
+  SELECT DISTINCT e.v AS u FROM e JOIN n0 ON e.u = n0.u
+  WHERE e.v NOT IN (SELECT u FROM n0)
+), n2 AS (
+  SELECT DISTINCT e.v AS u FROM e JOIN n1 ON e.u = n1.u
+  WHERE e.v NOT IN (SELECT u FROM n0) AND e.v NOT IN (SELECT u FROM n1)
+), n3 AS (
+  SELECT DISTINCT e.v AS u FROM e JOIN n2 ON e.u = n2.u
+  WHERE e.v NOT IN (SELECT u FROM n0) AND e.v NOT IN (SELECT u FROM n1)
+    AND e.v NOT IN (SELECT u FROM n2)
+)
+SELECT u AS part, CAST(0 AS BIGINT) AS level FROM n0
+UNION ALL SELECT u, CAST(1 AS BIGINT) FROM n1
+UNION ALL SELECT u, CAST(2 AS BIGINT) FROM n2
+UNION ALL SELECT u, CAST(3 AS BIGINT) FROM n3
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -5454,6 +5741,9 @@ QUERIES = {
     "gap_fill_daily_revenue": gap_fill_daily_revenue,
     "cdc_time_travel": cdc_time_travel,
     "copurchase_triangles": copurchase_triangles,
+    "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
+    "pagerank_parts": pagerank_parts,
+    "bfs_levels_parts": bfs_levels_parts,
 }
 
 ORACLE_SQL = {
@@ -5559,4 +5849,7 @@ ORACLE_SQL = {
     "gap_fill_daily_revenue": GAP_FILL_SQL,
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
+    "cdc_txn_atomic_apply": CDC_TXN_SQL,
+    "pagerank_parts": PAGERANK_SQL,
+    "bfs_levels_parts": BFS_SQL,
 }
