@@ -5621,6 +5621,156 @@ UNION ALL SELECT u, CAST(3 AS BIGINT) FROM n3
 """
 
 
+def cdc_replay_widen(sf_dir: str):
+    """Type-widening schema evolution through the full engine,
+    driver-verified: every event with event_id % 700 == 699 becomes an
+    op='ddl' widen("turn_idx", int64) event. The tracker applies it at an
+    epoch boundary (value-preserving, so WHEN it lands cannot change row
+    content), later epochs write int64 turn_idx while earlier fragments
+    still hold int32, and the merge-read must unify both generations to
+    the current widened schema. Complements cdc_replay_ddl (add_column):
+    together they cover the north rule's "widens/adds Arrow columns on
+    DDL events". Oracle: same LWW fold with the ddl lsns excluded and
+    turn_idx CAST to BIGINT."""
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_widen/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work, widen_mod=700)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_WIDEN_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS BIGINT) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+  WHERE event_id % 700 <> 699  -- the widen ddl events (schema-only)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_enrich_dimension(sf_dir: str):
+    """Dimension enrichment of the CDC state — the DataX
+    reader -> transform (lookup) -> writer shape at Ray scale: fold the
+    derived change stream to its LWW-final rows, then attach each
+    conversation's nation name via its owning customer. The customer
+    dimension is DATA-SIZED, so it joins hash-partitioned
+    (relational.large_join — no driver keyset, no broadcast of a 100-TB
+    dimension); the 25-row nation table is the textbook broadcast side
+    (ray.put once, Arrow hash-join per batch). The fold runs FIRST so the
+    join exchanges move one row per live key, not one per change event."""
+    from datax_ray.functions.relational import key_buckets, large_join
+    from datax_ray.sources.derive import derive_changes
+
+    KEYS = ("conv_id", "turn_idx")
+    ORDER = ("ts", "lsn")
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    changes = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id"]
+    ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["ddl"]).append_column(
+            "_grp", key_buckets(t, ["conv_id"], num_buckets)
+        )
+        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        return pa.table(
+            {
+                "custkey": pc.cast(
+                    pc.utf8_slice_codeunits(w["conv_id"], start=5, stop=2**30),
+                    pa.int64(),
+                ),
+                "conv_id": w["conv_id"],
+                "turn_idx": w["turn_idx"],
+                "role": w["role"],
+                "text": w["text"],
+                "tool": w["tool"],
+                "ts": w["ts"],
+            }
+        )
+
+    folded = (
+        changes.map_batches(combiner, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = large_join(folded, cust, on="custkey")
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "nation"])
+    enriched = broadcast_join(joined, nation, on="c_nationkey")
+    return enriched.map_batches(
+        lambda t: t.select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts", "nation"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CDC_ENRICH_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), f AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts, n.n_name AS nation
+FROM f
+JOIN customer cu ON cu.c_custkey = CAST(substr(f.conv_id, 6) AS BIGINT)
+JOIN nation n ON n.n_nationkey = cu.c_nationkey
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -5744,6 +5894,8 @@ QUERIES = {
     "cdc_txn_atomic_apply": cdc_txn_atomic_apply,
     "pagerank_parts": pagerank_parts,
     "bfs_levels_parts": bfs_levels_parts,
+    "cdc_replay_widen": cdc_replay_widen,
+    "cdc_enrich_dimension": cdc_enrich_dimension,
 }
 
 ORACLE_SQL = {
@@ -5852,4 +6004,6 @@ ORACLE_SQL = {
     "cdc_txn_atomic_apply": CDC_TXN_SQL,
     "pagerank_parts": PAGERANK_SQL,
     "bfs_levels_parts": BFS_SQL,
+    "cdc_replay_widen": CDC_WIDEN_SQL,
+    "cdc_enrich_dimension": CDC_ENRICH_SQL,
 }

@@ -46,6 +46,7 @@ def _write_atomic(t: pa.Table, path: str) -> None:
 
 
 _DDL_ADD_SENTIMENT = '{"action": "add_column", "name": "sentiment", "type": "string"}'
+_DDL_WIDEN_TURN = '{"action": "widen", "name": "turn_idx", "type": "int64"}'
 
 
 def derive_changes(
@@ -55,6 +56,7 @@ def derive_changes(
     corrupt_mod: int | None = None,
     ddl_mod: int | None = None,
     text_mod: int | None = None,
+    widen_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -65,7 +67,10 @@ def derive_changes(
     add_column("sentiment", string) event (idempotent in SchemaTracker) —
     a deterministic, SQL-expressible schema-evolution rule: the oracle
     excludes those events from the LWW fold and appends an all-null
-    sentiment column."""
+    sentiment column. widen_mod=N does the same with a
+    widen("turn_idx", int64) DDL — value-preserving, so WHEN it applies
+    (epoch boundary) cannot change row content, only the Arrow type; the
+    oracle casts turn_idx to BIGINT and excludes the ddl lsns."""
     eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
     e = eid.to_numpy()
     is_del = pa.array(e % 10 == 0)
@@ -92,6 +97,15 @@ def derive_changes(
         ddl = pc.if_else(
             is_ddl,
             pa.array(np.full(t.num_rows, _DDL_ADD_SENTIMENT, dtype=object), pa.string()),
+            ddl,
+        )
+    if widen_mod:
+        is_w = pa.array(e % widen_mod == widen_mod - 1)
+        op = pc.if_else(is_w, "ddl", op)
+        role = pc.if_else(is_w, nulls, role)
+        ddl = pc.if_else(
+            is_w,
+            pa.array(np.full(t.num_rows, _DDL_WIDEN_TURN, dtype=object), pa.string()),
             ddl,
         )
     return pa.table(
@@ -123,6 +137,7 @@ class ChangeDeriver:
         corrupt_mod: int | None = None,
         ddl_mod: int | None = None,
         text_mod: int | None = None,
+        widen_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -135,11 +150,12 @@ class ChangeDeriver:
         self.corrupt_mod = corrupt_mod
         self.ddl_mod = ddl_mod
         self.text_mod = text_mod
+        self.widen_mod = widen_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
             t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
-            self.text_mod,
+            self.text_mod, self.widen_mod,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
