@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "full_outer_daily_click_purchase",
     "lag_delta_orders",
     "train_val_test_split_docs",
+    "cdc_txn_atomic_apply",
+    "cdc_enrich_dimension",
 ]
 
 

@@ -44,6 +44,15 @@ warning if Ray internals moved):
      ``finalize``.  As a never-crash last resort (a side whose schema was
      never seen anywhere), emit a row-preserving best-effort block instead of
      letting pyarrow raise.
+  D. ``HashShufflingOperatorBase.__init__``: wrap the partition-aggregation
+     factory in ``_PatchingAggFactory`` so the aggregator ACTOR process
+     (which re-imports ray.data by pickle-reference and would otherwise run
+     the STOCK classes — patch C never reached it) imports datax_ray and
+     applies these patches before constructing the aggregation. Without D,
+     a join side whose rows all hash into one partition still crashed:
+     the other partitions' builders come up empty, stock ``finalize``
+     builds a 0-column table, pyarrow raises on the key
+     (tests/test_iterative_queries.py's hand-graph BFS reproduces it).
 
 Applied on ``import datax_ray`` (see __init__.py) so every entrypoint —
 driver, bench, tests, CLI — gets it.
@@ -67,6 +76,7 @@ def apply() -> None:
         _patch_shuffle_block()
         _patch_broadcast_flag()
         _patch_join_aggregation()
+        _patch_aggregator_factory()
     except Exception:  # pragma: no cover - version drift guard
         logger.warning(
             "datax_ray: Ray hash-shuffle workarounds could not be applied; "
@@ -245,3 +255,50 @@ def _patch_join_aggregation() -> None:
 
     finalize._dx_patched = True
     cls.finalize = finalize
+
+
+# --------------------------------------------------------------------- D --
+
+
+class _PatchingAggFactory:
+    """Wrapper around a hash-shuffle partition-aggregation factory that
+    re-applies these patches INSIDE the aggregator actor.
+
+    Patch C monkeypatches ``JoiningShuffleAggregation`` at class level, but
+    the class travels to the ``HashShuffleAggregator`` actor BY REFERENCE
+    (cloudpickle re-imports ray.data in the actor process), so without this
+    hook the actor always runs the stock, crashing ``finalize`` — patches
+    applied in the driver never reach it. The wrapper itself is a
+    module-level class, so unpickling it in the actor imports
+    ``datax_ray._raypatch`` (running the package __init__'s ``apply()``)
+    BEFORE the factory constructs the aggregation object; the defensive
+    ``apply()`` in ``__call__`` covers exotic pickle paths that skip module
+    import. Reproduced by tests/test_iterative_queries.py's hand-graph BFS:
+    a join side whose rows all land in ONE hash partition leaves the other
+    partitions' builders empty → stock finalize builds a 0-column table →
+    ``ArrowInvalid`` on the join key."""
+
+    def __init__(self, orig):
+        self._orig = orig
+
+    def __call__(self, aggregator_id, target_partition_ids):
+        apply()
+        return self._orig(aggregator_id, target_partition_ids)
+
+
+def _patch_aggregator_factory() -> None:
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    base = _hs.HashShufflingOperatorBase
+    orig = base.__init__
+    if getattr(orig, "_dx_patched", False):
+        return
+
+    def __init__(self, *args, **kwargs):
+        f = kwargs.get("partition_aggregation_factory")
+        if f is not None and not isinstance(f, _PatchingAggFactory):
+            kwargs["partition_aggregation_factory"] = _PatchingAggFactory(f)
+        orig(self, *args, **kwargs)
+
+    __init__._dx_patched = True
+    base.__init__ = __init__
