@@ -5771,6 +5771,123 @@ JOIN nation n ON n.n_nationkey = cu.c_nationkey
 """
 
 
+def cdc_conv_quality_report(sf_dir: str):
+    """Post-ingest conversation QA over the LWW-final transcript state —
+    the transcripts-payload twin of a data-quality dashboard: per
+    conversation, turn count, max turn index, the number of MISSING turn
+    indexes (holes deletes punched into [0, max_turn]) and the number of
+    role-alternation violations (adjacent surviving turns with the same
+    role — user/user or assistant/assistant runs, the thing SFT training
+    filters drop). One conv-hash bucket exchange: a bucket sorts its
+    convs once, adjacency is a vectorized shifted compare (same-conv
+    mask), and the per-conv counts fold in the same pass."""
+    from datax_ray.functions.relational import key_buckets
+    from datax_ray.sources.derive import derive_changes
+
+    KEYS = ("conv_id", "turn_idx")
+    ORDER = ("ts", "lsn")
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    changes = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id"]
+    ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["ddl"]).append_column(
+            "_grp", key_buckets(t, ["conv_id"], num_buckets)
+        )
+        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+
+    _OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("max_turn", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("n_role_viol", pa.int64()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        if w.num_rows == 0:  # a bucket can be all tombstones — stay typed
+            return _OUT.empty_table()
+        w = w.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = w["conv_id"].combine_chunks()
+        cv = conv.to_numpy(zero_copy_only=False)
+        role = w["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        same_conv = cv[1:] == cv[:-1]
+        viol = same_conv & (role[1:] == role[:-1])
+        # per-conv fold: adjacency rows attribute to the SECOND row's conv
+        stats = (
+            pa.table(
+                {
+                    "conv_id": conv,
+                    "turn_idx": w["turn_idx"],
+                    "_viol": pa.array(
+                        np.concatenate(([False], viol)).astype(bool)
+                    ),
+                }
+            )
+            .group_by(["conv_id"], use_threads=False)
+            .aggregate(
+                [("turn_idx", "count"), ("turn_idx", "max"), ("_viol", "sum")]
+            )
+        )
+        n = pc.cast(stats["turn_idx_count"], pa.int64())
+        mx = pc.cast(stats["turn_idx_max"], pa.int64())
+        return pa.table(
+            {
+                "conv_id": stats["conv_id"],
+                "n_turns": n,
+                "max_turn": mx,
+                "n_gaps": pc.subtract(pc.add(mx, 1), n),
+                "n_role_viol": pc.cast(
+                    pc.fill_null(stats["_viol_sum"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        changes.map_batches(combiner, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+CDC_CONV_QA_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), f AS (
+  SELECT conv_id, turn_idx, role FROM w WHERE rn = 1 AND op <> 'delete'
+), adj AS (
+  SELECT conv_id, turn_idx, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM f
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(MAX(turn_idx) AS BIGINT) AS max_turn,
+       CAST(MAX(turn_idx) + 1 - COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_role_viol
+FROM adj
+GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -5896,6 +6013,7 @@ QUERIES = {
     "bfs_levels_parts": bfs_levels_parts,
     "cdc_replay_widen": cdc_replay_widen,
     "cdc_enrich_dimension": cdc_enrich_dimension,
+    "cdc_conv_quality_report": cdc_conv_quality_report,
 }
 
 ORACLE_SQL = {
@@ -6006,4 +6124,5 @@ ORACLE_SQL = {
     "bfs_levels_parts": BFS_SQL,
     "cdc_replay_widen": CDC_WIDEN_SQL,
     "cdc_enrich_dimension": CDC_ENRICH_SQL,
+    "cdc_conv_quality_report": CDC_CONV_QA_SQL,
 }
