@@ -5888,6 +5888,270 @@ GROUP BY conv_id
 """
 
 
+def gopher_repetition_docs(sf_dir: str):
+    """Intra-document repetition quality signals (the Gopher-rule family a
+    curation pipeline runs before training): per doc, total tokens, the
+    count of the single most-frequent token, the number of bigram
+    POSITIONS whose bigram occurs more than once in the doc, and an
+    integer-arithmetic flag (top-token share > 10% OR duplicate-bigram
+    share > 20%). One map_batches pass, zero shuffle: a doc's tokens never
+    split across batches (same invariant the tokenize family relies on),
+    so per-doc counts are exact after one Arrow hash-group per batch."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = len(n)
+        d = np.repeat(np.arange(rows, dtype=np.int64), n)
+        tc = (
+            pa.table({"d": pa.array(d), "term": flat})
+            .group_by(["d", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        top = np.zeros(rows, np.int64)
+        np.maximum.at(
+            top,
+            tc["d"].to_numpy(zero_copy_only=False),
+            tc["count_all"].to_numpy(zero_copy_only=False),
+        )
+        dupb = np.zeros(rows, np.int64)
+        m = len(flat)
+        if m >= 2:
+            big = pc.binary_join_element_wise(
+                flat.slice(0, m - 1), flat.slice(1, m - 1), " "
+            )
+            ends = np.cumsum(n) - 1
+            valid = np.ones(m - 1, dtype=bool)
+            valid[ends[ends < m - 1]] = False
+            # the filtered bigram stream is exactly n_i - 1 positions per
+            # doc, in doc order — its doc index is a plain repeat
+            db = np.repeat(np.arange(rows, dtype=np.int64), np.maximum(n - 1, 0))
+            bc = (
+                pa.table(
+                    {"d": pa.array(db), "bigram": big.filter(pa.array(valid))}
+                )
+                .group_by(["d", "bigram"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            c = bc["count_all"].to_numpy(zero_copy_only=False)
+            dup = c > 1
+            np.add.at(dupb, bc["d"].to_numpy(zero_copy_only=False)[dup], c[dup])
+        flagged = (top * 10 > n) | (dupb * 5 > (n - 1))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "top_token_cnt": pa.array(top, pa.int64()),
+                "dup_bigram_cnt": pa.array(dupb, pa.int64()),
+                "flagged": pa.array(flagged.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GOPHER_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_token_cnt
+  FROM tc GROUP BY 1
+), pairs AS (
+  SELECT doc_id,
+         term || ' ' || LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS bigram
+  FROM tok
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM pairs
+  WHERE bigram IS NOT NULL GROUP BY 1, 2
+), dup AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_bigram_cnt
+  FROM bc GROUP BY 1
+)
+SELECT a.doc_id, a.n_tokens, a.top_token_cnt,
+       COALESCE(d.dup_bigram_cnt, 0) AS dup_bigram_cnt,
+       CAST(CASE WHEN a.top_token_cnt * 10 > a.n_tokens
+                   OR COALESCE(d.dup_bigram_cnt, 0) * 5 > (a.n_tokens - 1)
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM agg a LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def events_debounce_daily(sf_dir: str):
+    """Burst debounce: keep an event iff it is the first of its
+    (user_id, event_type) key or arrives >= 1 day after the PREVIOUS
+    event of that key (LAG semantics, ties broken by event_id — matches
+    the SQL window exactly; previous-KEPT debounce is a sequential chain
+    SQL cannot express). The streaming-ingest dedup a rate-limited CDC
+    feed applies. One user-hash bucket exchange; inside a bucket the gap
+    test is a shifted vectorized compare over one sort."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nrows = len(uid)
+        keep = np.ones(nrows, dtype=bool)
+        if nrows > 1:
+            same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            gap = ts[1:] - ts[:-1]
+            keep[1:] = ~same | (gap >= 86_400_000_000)
+        return g.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+DEBOUNCE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM w
+WHERE gap IS NULL OR gap >= 86400000000
+"""
+
+
+def fuzzy_match_parts(sf_dir: str):
+    """Typo-tolerant entity resolution over part names: all unordered
+    pairs of DISTINCT p_name values within Levenshtein distance 2.
+    Candidates come from exact length blocking (dist <= k forces
+    |len diff| <= k; each pair materializes once, in its max-length
+    block), verification is the banded DP of functions/fuzzy.py —
+    vectorized across the pair axis, O(len * (2k+1)) numpy steps per
+    block. The quadratic-within-block step runs on DISTINCT names only;
+    at corpus scale hot blocks subdivide by an extra signature (see
+    functions/fuzzy.py docstring)."""
+    from datax_ray.functions.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(_read(sf_dir, "part", columns=["p_name"]), "p_name", k=2)
+
+
+FUZZY_PARTS_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
+def cdc_conv_transcript(sf_dir: str):
+    """Conversation reconstruction over the LWW-final transcript state —
+    the export step that turns a CDC-maintained turn table back into
+    training documents: per conversation, the surviving turns' texts
+    joined in turn order plus the turn count. One conv-hash bucket
+    exchange (combiner LWW pre-reduce shrinks it first); inside a bucket
+    one sort, then the per-conv join is a single pc.binary_join over a
+    ListArray built from run offsets — no per-conv Python."""
+    from datax_ray.functions.relational import key_buckets
+    from datax_ray.sources.derive import derive_changes
+
+    KEYS = ("conv_id", "turn_idx")
+    ORDER = ("ts", "lsn")
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    changes = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id"]
+    ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["ddl"]).append_column(
+            "_grp", key_buckets(t, ["conv_id"], num_buckets)
+        )
+        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+
+    _OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("transcript", pa.string()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        if w.num_rows == 0:
+            return _OUT.empty_table()
+        w = w.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = w["conv_id"].combine_chunks()
+        cv = conv.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([True], cv[1:] != cv[:-1]))
+        start_idx = np.nonzero(starts)[0]
+        offsets = np.concatenate((start_idx, [len(cv)])).astype(np.int32)
+        texts = pc.fill_null(w["text"].combine_chunks(), "")
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(start_idx)),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "transcript": pc.binary_join(lists, " "),
+            }
+        )
+
+    return (
+        changes.map_batches(combiner, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+CDC_CONV_TRANSCRIPT_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), f AS (
+  SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS transcript
+FROM f GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6014,6 +6278,10 @@ QUERIES = {
     "cdc_replay_widen": cdc_replay_widen,
     "cdc_enrich_dimension": cdc_enrich_dimension,
     "cdc_conv_quality_report": cdc_conv_quality_report,
+    "cdc_conv_transcript": cdc_conv_transcript,
+    "gopher_repetition_docs": gopher_repetition_docs,
+    "events_debounce_daily": events_debounce_daily,
+    "fuzzy_match_parts": fuzzy_match_parts,
 }
 
 ORACLE_SQL = {
@@ -6125,4 +6393,8 @@ ORACLE_SQL = {
     "cdc_replay_widen": CDC_WIDEN_SQL,
     "cdc_enrich_dimension": CDC_ENRICH_SQL,
     "cdc_conv_quality_report": CDC_CONV_QA_SQL,
+    "cdc_conv_transcript": CDC_CONV_TRANSCRIPT_SQL,
+    "gopher_repetition_docs": GOPHER_REPETITION_SQL,
+    "events_debounce_daily": DEBOUNCE_SQL,
+    "fuzzy_match_parts": FUZZY_PARTS_SQL,
 }
