@@ -6152,6 +6152,237 @@ FROM f GROUP BY conv_id
 """
 
 
+def outlier_events_mad(sf_dir: str):
+    """Robust per-key outlier detection: events whose value sits more
+    than 5 MADs from their event_type's median — the fence heavy-tailed
+    telemetry needs where a mean/stddev rule gets dragged by the very
+    outliers it hunts. Integer-exact end to end (cents grid, quantile_disc
+    rule). Scale shape: the (type, cents) histogram combiner moves
+    O(types x distinct cents) rows once; the O(|types|) fences broadcast
+    into a stateless filter map — no join, no second shuffle (same shape
+    as quality_cutoff_docs)."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "cents": _cents(t["value"])}
+        )
+
+    hist = partial_agg(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["event_type", "cents"],
+        counts="n",
+        single_reduce=True,  # |types| x |distinct cents| grid
+    )
+
+    def _disc(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        idx = max(0, int(np.ceil(0.5 * cum[-1])) - 1)
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("event_type", "ascending"), ("cents", "ascending")])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = t["n"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(et), dtype=bool)
+        new_run[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new_run)
+        types, meds, mads = [], [], []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(et)
+            med = _disc(val[s:e], cnt[s:e])
+            types.append(et[s])
+            meds.append(med)
+            mads.append(_disc(np.abs(val[s:e] - med), cnt[s:e]))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "med": pa.array(meds, pa.int64()),
+                "mad": pa.array(mads, pa.int64()),
+            }
+        )
+
+    fences = {
+        r["event_type"]: (r["med"], r["mad"])
+        for r in hist.map_batches(fold, batch_format="pyarrow", batch_size=None).take_all()
+    }  # O(|event types|) driver rows
+
+    def gate(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        s = pd.Series(et)
+        medv = s.map({k: v[0] for k, v in fences.items()}).to_numpy(np.int64)
+        madv = s.map({k: v[1] for k, v in fences.items()}).to_numpy(np.int64)
+        keep = np.abs(cents - medv) > 5 * madv
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(pa.array(keep)),
+                "user_id": t["user_id"].filter(pa.array(keep)),
+                "event_type": t["event_type"].filter(pa.array(keep)),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+OUTLIER_MAD_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1
+), fences AS (
+  SELECT c.event_type, ANY_VALUE(med.med) AS med,
+         quantile_disc(abs(c.cents - med.med), 0.5) AS mad
+  FROM c JOIN med USING (event_type) GROUP BY 1
+)
+SELECT c.event_id, c.user_id, c.event_type, c.cents
+FROM c JOIN fences f USING (event_type)
+WHERE abs(c.cents - f.med) > 5 * f.mad
+"""
+
+
+def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 3):
+    """Collocation extraction: top-k bigrams by pointwise mutual
+    information, integer-exact as lift_milli = (1000 * N * c_xy) //
+    (c_x * c_y) (the log is monotone in the lift, so PMI ranking ==
+    lift ranking; milli-scaled floor division keeps both engines
+    bit-identical). Scale shape: unigram and bigram counts each fold
+    through the term-hash combiner (shuffles bounded by vocabulary, never
+    corpus); the unigram table attaches to the bigram table via TWO
+    hash-partitioned large_joins (x then y) — the vocabulary is never
+    broadcast. N folds from the materialized O(vocab) unigram table.
+    int64 headroom: 1000 * N * c_xy needs N * c_xy < 9.2e15; past that,
+    drop the milli scale or rank on log-space floats."""
+    from datax_ray.functions.relational import large_join, partial_agg, top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_with_doc(t)
+        return (
+            pa.table({"term": flat})
+            .group_by(["term"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "cnt"])
+        )
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        empty = pa.table(
+            {
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(n) - 1
+        valid = np.ones(m - 1, dtype=bool)
+        valid[ends[ends < m - 1]] = False
+        vmask = pa.array(valid)
+        return (
+            pa.table(
+                {
+                    "x": flat.slice(0, m - 1).filter(vmask),
+                    "y": flat.slice(1, m - 1).filter(vmask),
+                }
+            )
+            .group_by(["x", "y"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["x", "y", "cnt"])
+        )
+
+    # O(vocab) rows; materialized because it feeds three consumers
+    # (N fold + two joins) — this is aggregated state, not the corpus
+    uni = partial_agg(
+        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["term"],
+        sums={"cnt": "c"},
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    ).materialize()
+    n_total = int(uni.sum("c"))
+
+    bg = partial_agg(
+        ds.map_batches(bigram_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["x", "y"],
+        sums={"cnt": "cxy"},
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cxy"], min_count)),
+        batch_format="pyarrow",
+    )
+
+    ux = uni.map_batches(
+        lambda t: pa.table({"x": t["term"], "cx": t["c"]}), batch_format="pyarrow"
+    )
+    uy = uni.map_batches(
+        lambda t: pa.table({"y": t["term"], "cy": t["c"]}), batch_format="pyarrow"
+    )
+    j = large_join(large_join(bg, ux, on="x"), uy, on="y")
+
+    def score(t: pa.Table) -> pa.Table:
+        cxy = t["cxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (1000 * n_total * cxy) // (cx * cy)
+        return pa.table(
+            {
+                "bigram": pc.binary_join_element_wise(t["x"], t["y"], " "),
+                "cxy": pa.array(cxy, pa.int64()),
+                "lift_milli": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return top_k(
+        j.map_batches(score, batch_format="pyarrow"),
+        by="lift_milli",
+        k=k,
+        tie_col="bigram",
+    ).map_batches(
+        lambda t: t.select(["bigram", "cxy", "lift_milli"]), batch_format="pyarrow"
+    )
+
+
+PMI_BIGRAMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), uni AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS total FROM tok
+), pairs AS (
+  SELECT doc_id, term AS x,
+         LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM tok
+), bg AS (
+  SELECT x, y, COUNT(*) AS cxy FROM pairs WHERE y IS NOT NULL
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT bg.x || ' ' || bg.y AS bigram, bg.cxy,
+       (1000 * (SELECT total FROM n) * bg.cxy) // (ux.c * uy.c) AS lift_milli
+FROM bg JOIN uni ux ON bg.x = ux.term JOIN uni uy ON bg.y = uy.term
+ORDER BY lift_milli DESC, bigram LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6282,6 +6513,8 @@ QUERIES = {
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "fuzzy_match_parts": fuzzy_match_parts,
+    "outlier_events_mad": outlier_events_mad,
+    "pmi_bigrams": pmi_bigrams,
 }
 
 ORACLE_SQL = {
@@ -6397,4 +6630,6 @@ ORACLE_SQL = {
     "gopher_repetition_docs": GOPHER_REPETITION_SQL,
     "events_debounce_daily": DEBOUNCE_SQL,
     "fuzzy_match_parts": FUZZY_PARTS_SQL,
+    "outlier_events_mad": OUTLIER_MAD_SQL,
+    "pmi_bigrams": PMI_BIGRAMS_SQL,
 }
