@@ -6383,6 +6383,114 @@ ORDER BY lift_milli DESC, bigram LIMIT 20
 """
 
 
+def substring_dup_docs(sf_dir: str, L: int = 30):
+    """Exact substring-duplication scan: per document, the number of its
+    DISTINCT L-char windows that also appear in at least one OTHER
+    document — the character-level exact-dup primitive of training-data
+    dedup (the approach of suffix-array dedup literature, expressed as a
+    window-bucket shuffle instead of a global suffix array). Pipeline:
+    (1) one map extracts every in-doc window as a zero-copy
+    sliding_window_view over the batch's concatenated UTF-8 buffer
+    (doc-boundary starts masked vectorized — no per-doc Python) and
+    dedups (doc, win) within the batch (docs never split across batches,
+    so that dedup is globally exact); (2) windows shuffle into win-hash
+    buckets where a run-length pass finds windows held by >= 2 docs and
+    emits per-doc partial counts; (3) a doc-key combiner folds the
+    partials. At 100 TB the (win, doc) exchange carries ~L x corpus
+    bytes — the scale variant ships a only u64 rolling hash + doc_id and
+    verifies inside the bucket; exact strings are kept here because the
+    oracle compares exact windows."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    num_buckets = _buckets_for(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _PAIRS = pa.schema([("doc_id", pa.int64()), ("win", pa.binary())])
+
+    def windows(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t["text"], "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        offs_raw = np.frombuffer(arr.buffers()[1], np.int32)
+        offs = offs_raw[arr.offset : arr.offset + n + 1].astype(np.int64)
+        data = arr.buffers()[2]
+        if data is None or offs[-1] - offs[0] < L:
+            return _PAIRS.empty_table()
+        buf = np.frombuffer(data, np.uint8, count=int(offs[-1]))
+        positions = np.arange(offs[0], offs[-1] - L + 1)
+        doc_per_pos = np.searchsorted(offs, positions, side="right") - 1
+        valid = positions + L <= offs[doc_per_pos + 1]
+        if not valid.any():
+            return _PAIRS.empty_table()
+        sw = np.lib.stride_tricks.sliding_window_view(buf, L)
+        mat = np.ascontiguousarray(sw[positions[valid]])
+        wins = pa.Array.from_buffers(
+            pa.binary(L), mat.shape[0], [None, pa.py_buffer(mat.tobytes())]
+        ).cast(pa.binary())
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        pairs = pa.table(
+            {
+                "doc_id": ids.take(pa.array(doc_per_pos[valid])),
+                "win": wins,
+            }
+        )
+        # distinct (doc, win) inside the batch == globally distinct
+        return pairs.group_by(["doc_id", "win"], use_threads=False).aggregate([])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["win"], num_buckets))
+
+    _PART = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        g = g.sort_by([("win", "ascending")])
+        w = g["win"].combine_chunks()
+        wv = w.to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(wv), dtype=bool)
+        new_run[1:] = wv[1:] != wv[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        dup_rows = run_len[run_id] >= 2  # rows are distinct (doc, win) pairs
+        if not dup_rows.any():
+            return _PART.empty_table()
+        docs = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)[dup_rows]
+        return (
+            pa.table({"doc_id": pa.array(docs, pa.int64())})
+            .group_by(["doc_id"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "cnt"])
+        )
+
+    pairs = ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    partials = (
+        pairs.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return partial_agg(
+        partials, keys=["doc_id"], sums={"cnt": "n_dup_windows"}, single_reduce=True
+    )
+
+
+SUBSTRING_DUP_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS win
+  FROM documents, unnest(range(1, length(text) - 28)) AS t(i)
+  WHERE length(text) >= 30
+), d AS (
+  SELECT win FROM w GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM w WHERE win IN (SELECT win FROM d)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6515,6 +6623,7 @@ QUERIES = {
     "fuzzy_match_parts": fuzzy_match_parts,
     "outlier_events_mad": outlier_events_mad,
     "pmi_bigrams": pmi_bigrams,
+    "substring_dup_docs": substring_dup_docs,
 }
 
 ORACLE_SQL = {
@@ -6632,4 +6741,5 @@ ORACLE_SQL = {
     "fuzzy_match_parts": FUZZY_PARTS_SQL,
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
+    "substring_dup_docs": SUBSTRING_DUP_SQL,
 }
