@@ -6491,6 +6491,140 @@ GROUP BY doc_id
 """
 
 
+def cdc_snapshot_diff(sf_dir: str):
+    """Epoch-over-epoch lake diff — the audit surface for "what did this
+    ingest tranche change": replay the first half of the change log,
+    record the committed epoch head, replay the second half on top, then
+    classify every (conv_id, turn_idx) key as added / removed / changed
+    between the AS-OF-head state and the current state. The diff itself
+    is one hash-partitioned FULL OUTER large_join on the composite key
+    (both sides are manifest reads, column-pruned to the compare set) —
+    no driver materialization of either snapshot. The oracle expresses
+    both states as LWW folds of the same derivation split at the same
+    lsn cut."""
+    import shutil
+
+    from datax_ray.functions.relational import large_join
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import read_lake
+    from datax_ray.sources.derive import ChangeDeriver
+    from datax_ray.state.manifest import Manifest
+
+    n = parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    cut = n // 2
+    work = f"/tmp/datax_cdc_diff/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def derive_tranche(lo_incl: int | None, hi_excl: int | None) -> int:
+        mask_fn = (
+            (lambda t: t.filter(pc.less(t["event_id"], hi_excl)))
+            if hi_excl is not None
+            else (lambda t: t.filter(pc.greater_equal(t["event_id"], lo_incl)))
+        )
+        lineage = (
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+            .map_batches(mask_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                ChangeDeriver(f"{work}/changes"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=4096,
+            )
+            .count()
+        )
+        return max(1, int(lineage))
+
+    cfg_kw = dict(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", num_partitions=16
+    )
+    n_segs = derive_tranche(None, cut)
+    replay(ReplayConfig(segments_per_epoch=max(2, -(-n_segs // 3)), **cfg_kw))
+    head = Manifest(f"{work}/lake").committed_epoch()
+    derive_tranche(cut, None)
+    replay(ReplayConfig(segments_per_epoch=max(2, -(-n_segs // 3)), **cfg_kw))
+
+    def prep(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                    f"{prefix}_text": t["text"],
+                    f"{prefix}_ts": t["ts"],
+                }
+            )
+
+        return fn
+
+    old = read_lake(f"{work}/lake", as_of_epoch=head).map_batches(
+        prep("o"), batch_format="pyarrow"
+    )
+    new = read_lake(f"{work}/lake").map_batches(prep("n"), batch_format="pyarrow")
+    j = large_join(old, new, on=("conv_id", "turn_idx"), join_type="full_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        o_has = pc.is_valid(t["o_ts"])
+        n_has = pc.is_valid(t["n_ts"])
+        same = pc.and_kleene(
+            pc.equal(t["o_text"], t["n_text"]), pc.equal(t["o_ts"], t["n_ts"])
+        )
+        change = pc.if_else(
+            pc.invert(o_has),
+            "added",
+            pc.if_else(
+                pc.invert(n_has),
+                "removed",
+                pc.if_else(pc.fill_null(same, False), "unchanged", "changed"),
+            ),
+        )
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "change": change,
+            }
+        )
+        return out.filter(pc.not_equal(out["change"], "unchanged"))
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+CDC_SNAPSHOT_DIFF_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS BIGINT) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), wo AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c WHERE lsn < (SELECT COUNT(*) // 2 FROM events)
+), so AS (
+  SELECT conv_id, turn_idx, text, ts FROM wo WHERE rn = 1 AND op <> 'delete'
+), wn AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), sn AS (
+  SELECT conv_id, turn_idx, text, ts FROM wn WHERE rn = 1 AND op <> 'delete'
+), d AS (
+  SELECT COALESCE(o.conv_id, n.conv_id) AS conv_id,
+         COALESCE(o.turn_idx, n.turn_idx) AS turn_idx,
+         CASE WHEN o.conv_id IS NULL THEN 'added'
+              WHEN n.conv_id IS NULL THEN 'removed'
+              WHEN o.text = n.text AND o.ts = n.ts THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM so o FULL OUTER JOIN sn n
+    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+)
+SELECT conv_id, turn_idx, change FROM d WHERE change <> 'unchanged'
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6624,6 +6758,7 @@ QUERIES = {
     "outlier_events_mad": outlier_events_mad,
     "pmi_bigrams": pmi_bigrams,
     "substring_dup_docs": substring_dup_docs,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -6742,4 +6877,5 @@ ORACLE_SQL = {
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
+    "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
 }
