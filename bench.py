@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "train_val_test_split_docs",
     "cdc_txn_atomic_apply",
     "cdc_enrich_dimension",
+    "gopher_repetition_docs",
+    "substring_dup_docs",
+    "pmi_bigrams",
+    "outlier_events_mad",
+    "fuzzy_match_parts",
 ]
 
 

@@ -6625,6 +6625,128 @@ SELECT conv_id, turn_idx, change FROM d WHERE change <> 'unchanged'
 """
 
 
+def assoc_rules_parts(sf_dir: str, k: int = 50, min_support: int = 2):
+    """Market-basket association rules over order baskets: directed part
+    pairs x→y ranked by integer confidence_milli = (1000 * c_xy) // c_x
+    (c_xy = orders containing both, c_x = orders containing x), top-k with
+    a deterministic rule-string tie-break. Scale shape: baskets dedup in
+    an (order, part) combiner; pair explosion runs inside order-hash
+    buckets with a fully vectorized per-run index construction (pair
+    count per order is m² - m — bounded by basket size, never corpus);
+    antecedent counts attach via one hash-partitioned join; the top-k
+    tree folds partials. No driver state beyond the k result rows."""
+    from datax_ray.functions.relational import (
+        key_buckets,
+        large_join,
+        partial_agg,
+        top_k,
+    )
+
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    baskets = partial_agg(
+        li, keys=["l_orderkey", "l_partkey"], counts="_c"
+    ).drop_columns(["_c"])
+
+    cx = partial_agg(baskets, keys=["l_partkey"], counts="cx").map_batches(
+        lambda t: pa.table({"x": t["l_partkey"], "cx": t["cx"]}),
+        batch_format="pyarrow",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["l_orderkey"], num_buckets))
+
+    _PAIRS = pa.schema([("x", pa.int64()), ("y", pa.int64()), ("cnt", pa.int64())])
+
+    def pairs_per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIRS.empty_table()
+        g = g.sort_by([("l_orderkey", "ascending")])
+        ok = g["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(ok), dtype=bool)
+        new_run[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new_run)
+        m = np.diff(np.concatenate((starts, [len(ok)])))
+        mm = m * m
+        total = int(mm.sum())
+        if total == 0:
+            return _PAIRS.empty_table()
+        # vectorized all-pairs index construction per run: for pair p in
+        # run j, a = start_j + local // m_j, b = start_j + local % m_j
+        base = np.repeat(np.cumsum(mm) - mm, mm)
+        m_pair = np.repeat(m, mm)
+        start_pair = np.repeat(starts, mm)
+        local = np.arange(total) - base
+        a = start_pair + local // m_pair
+        b = start_pair + local % m_pair
+        keep = a != b
+        x = pk[a[keep]]
+        y = pk[b[keep]]
+        return (
+            pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+            .group_by(["x", "y"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["x", "y", "cnt"])
+        )
+
+    pair_counts = partial_agg(
+        baskets.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(pairs_per_bucket, batch_format="pyarrow"),
+        keys=["x", "y"],
+        sums={"cnt": "cxy"},
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cxy"], min_support)),
+        batch_format="pyarrow",
+    )
+
+    j = large_join(pair_counts, cx, on="x")
+
+    def score(t: pa.Table) -> pa.Table:
+        cxy = t["cxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cxv = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conf = (1000 * cxy) // cxv
+        rule = pc.binary_join_element_wise(
+            pc.cast(t["x"], pa.string()), pc.cast(t["y"], pa.string()), "->"
+        )
+        return pa.table(
+            {
+                "rule": rule,
+                "cxy": pa.array(cxy, pa.int64()),
+                "conf_milli": pa.array(conf, pa.int64()),
+            }
+        )
+
+    return top_k(
+        j.map_batches(score, batch_format="pyarrow"),
+        by="conf_milli",
+        k=k,
+        tie_col="rule",
+    ).map_batches(
+        lambda t: t.select(["rule", "cxy", "conf_milli"]), batch_format="pyarrow"
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), px AS (
+  SELECT l_partkey, COUNT(*) AS cx FROM b GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS x, c.l_partkey AS y, COUNT(*) AS cxy
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                   AND a.l_partkey <> c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(pairs.x AS VARCHAR) || '->' || CAST(pairs.y AS VARCHAR) AS rule,
+       pairs.cxy, (1000 * pairs.cxy) // px.cx AS conf_milli
+FROM pairs JOIN px ON pairs.x = px.l_partkey
+ORDER BY conf_milli DESC, rule LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6759,6 +6881,7 @@ QUERIES = {
     "pmi_bigrams": pmi_bigrams,
     "substring_dup_docs": substring_dup_docs,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "assoc_rules_parts": assoc_rules_parts,
 }
 
 ORACLE_SQL = {
@@ -6878,4 +7001,5 @@ ORACLE_SQL = {
     "pmi_bigrams": PMI_BIGRAMS_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
+    "assoc_rules_parts": ASSOC_RULES_SQL,
 }
