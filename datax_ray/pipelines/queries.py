@@ -6747,6 +6747,64 @@ ORDER BY conf_milli DESC, rule LIMIT 50
 """
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 64):
+    """Deterministic weighted sampling: k documents drawn with priority
+    fmix32(doc_id) // n_chars — longer docs get proportionally smaller
+    priorities, the k smallest win. RNG-free and machine-independent (the
+    house fmix32 chain, same as the CMS sketch), so distributed re-runs,
+    resumes and the SQL oracle all pick the identical sample — the
+    property a curation pipeline needs for reproducible subset builds.
+    One vectorized map + the distributed top-k tree (k rows per batch
+    reach the final reduce); no shuffle of the corpus."""
+    from datax_ray.functions.relational import top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    M32 = np.uint64(4294967296)
+
+    def prio(t: pa.Table) -> pa.Table:
+        h = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64) % M32
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(2246822507)) % M32
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(3266489909)) % M32
+        h ^= h >> np.uint64(16)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "priority": pa.array((h // w).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return top_k(
+        ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True),
+        by="priority",
+        k=k,
+        tie_col="doc_id",
+        descending=False,
+    ).map_batches(
+        lambda t: t.select(["doc_id", "n_chars", "priority"]), batch_format="pyarrow"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH s0 AS (
+  SELECT doc_id, n_chars, doc_id % 4294967296 AS h FROM documents
+), s1 AS (SELECT doc_id, n_chars, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT doc_id, n_chars,
+              CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h
+       FROM s1),
+s3 AS (SELECT doc_id, n_chars, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT doc_id, n_chars,
+              CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h
+       FROM s3),
+hv AS (SELECT doc_id, n_chars, xor(h, h >> 16) AS h FROM s4)
+SELECT doc_id, n_chars, h // n_chars AS priority
+FROM hv ORDER BY priority, doc_id LIMIT 64
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6882,6 +6940,7 @@ QUERIES = {
     "substring_dup_docs": substring_dup_docs,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "assoc_rules_parts": assoc_rules_parts,
+    "weighted_sample_docs": weighted_sample_docs,
 }
 
 ORACLE_SQL = {
@@ -7002,4 +7061,5 @@ ORACLE_SQL = {
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
 }
