@@ -6805,6 +6805,83 @@ FROM hv ORDER BY priority, doc_id LIMIT 64
 """
 
 
+def skyline_customers(sf_dir: str):
+    """Pareto skyline over per-customer (total spend, recency): customers
+    not strictly dominated on BOTH axes — the multi-objective shortlist a
+    single weighted score flattens wrong. Dominance prune is vectorized:
+    sort (spend desc, last desc), a point is dominated iff the exclusive
+    prefix-max of `last` over strictly-higher-spend rows reaches it, or an
+    equal-spend row has strictly later `last` (both via run masks +
+    cumulative max — no pairwise loop). Local prunes are SAFE partial
+    filters (dominated-in-batch ⇒ dominated-globally), so each batch sends
+    only its own skyline candidates to one final merge task."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+                "last_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    per_cust = partial_agg(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_custkey"],
+        sums={"cents": "spend_cents"},
+        maxs={"last_us": "last_us"},
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        t = t.sort_by([("spend_cents", "descending"), ("last_us", "descending")])
+        spend = t["spend_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        last = t["last_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(spend)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = spend[1:] != spend[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        # max last among rows with STRICTLY higher spend = prefix max up
+        # to the start of this row's equal-spend run
+        cmax = np.maximum.accumulate(last)
+        strict_max = np.full(n, np.iinfo(np.int64).min, np.int64)
+        nz = run_start > 0
+        strict_max[nz] = cmax[run_start[nz] - 1]
+        # equal-spend rows sort last-desc, so the run head holds the max
+        run_max_last = last[run_start]
+        dominated = (strict_max >= last) | (run_max_last > last)
+        return t.filter(pa.array(~dominated))
+
+    return (
+        per_cust.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["o_custkey", "spend_cents", "last_us"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SKYLINE_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+         MAX(epoch_us(o_orderdate)) AS last_us
+  FROM orders GROUP BY 1
+)
+SELECT a.o_custkey, a.spend_cents, a.last_us
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE (b.spend_cents >= a.spend_cents AND b.last_us > a.last_us)
+     OR (b.spend_cents > a.spend_cents AND b.last_us >= a.last_us))
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -6941,6 +7018,7 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
+    "skyline_customers": skyline_customers,
 }
 
 ORACLE_SQL = {
@@ -7062,4 +7140,5 @@ ORACLE_SQL = {
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "skyline_customers": SKYLINE_SQL,
 }
