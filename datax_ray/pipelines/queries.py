@@ -6256,105 +6256,213 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 3):
     information, integer-exact as lift_milli = (1000 * N * c_xy) //
     (c_x * c_y) (the log is monotone in the lift, so PMI ranking ==
     lift ranking; milli-scaled floor division keeps both engines
-    bit-identical). Scale shape: unigram and bigram counts each fold
-    through the term-hash combiner (shuffles bounded by vocabulary, never
-    corpus); the unigram table attaches to the bigram table via TWO
-    hash-partitioned large_joins (x then y) — the vocabulary is never
-    broadcast. N folds from the materialized O(vocab) unigram table.
-    int64 headroom: 1000 * N * c_xy needs N * c_xy < 9.2e15; past that,
-    drop the milli scale or rank on log-space floats."""
-    from datax_ray.functions.relational import large_join, partial_agg, top_k
+    bit-identical). NO join stage: unigram and bigram partials ride ONE
+    unified stream into term-hash buckets keyed by x — a term's unigram
+    partials land in the same bucket as every bigram starting with it, so
+    c_x attaches with a bucket-local searchsorted; the bucket re-emits
+    its folded unigram rows and the half-scored bigrams keyed by y, where
+    the second exchange attaches c_y the same way. Two sort-shuffles
+    total, vocabulary never broadcasts, zero hash-join actors (the former
+    two-large_join plan spent ~7 s in join-actor CPU at sf0.1). N folds
+    from a one-pass streaming sum of per-batch token counts. int64
+    headroom: 1000 * N * c_xy needs N * c_xy < 9.2e15; past that, drop
+    the milli scale or rank on log-space floats."""
+    from datax_ray.functions.relational import key_buckets, top_k
 
+    num_buckets = _buckets_for(sf_dir, "documents")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def term_counts(t: pa.Table) -> pa.Table:
-        flat, _ = _tokens_with_doc(t)
-        return (
-            pa.table({"term": flat})
-            .group_by(["term"], use_threads=False)
-            .aggregate([([], "count_all")])
-            .rename_columns(["term", "cnt"])
-        )
+    n_total = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.list_value_length(
+                                        pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+    )
 
-    def bigram_counts(t: pa.Table) -> pa.Table:
+    _UNIFIED = pa.schema(
+        [
+            ("key", pa.string()),   # x (exchange 1) then y (exchange 2)
+            ("other", pa.string()),  # the bigram's other token (null for uni rows)
+            ("cnt", pa.int64()),
+            ("cx", pa.int64()),      # attached in exchange 1 (null before)
+            ("kind", pa.int8()),     # 0 = unigram row, 1 = bigram row
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
         flat = pc.list_flatten(toks)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         m = len(flat)
-        empty = pa.table(
-            {
-                "x": pa.array([], pa.string()),
-                "y": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-            }
+        uni = (
+            pa.table({"key": flat})
+            .group_by(["key"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["key", "cnt"])
         )
-        if m < 2:
-            return empty
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        ends = np.cumsum(n) - 1
-        valid = np.ones(m - 1, dtype=bool)
-        valid[ends[ends < m - 1]] = False
-        vmask = pa.array(valid)
-        return (
+        parts = [
             pa.table(
                 {
-                    "x": flat.slice(0, m - 1).filter(vmask),
-                    "y": flat.slice(1, m - 1).filter(vmask),
+                    "key": uni["key"],
+                    "other": pa.nulls(uni.num_rows, pa.string()),
+                    "cnt": pc.cast(uni["cnt"], pa.int64()),
+                    "cx": pa.nulls(uni.num_rows, pa.int64()),
+                    "kind": pa.array(np.zeros(uni.num_rows, np.int8), pa.int8()),
                 }
             )
-            .group_by(["x", "y"], use_threads=False)
-            .aggregate([([], "count_all")])
-            .rename_columns(["x", "y", "cnt"])
+        ]
+        if m >= 2:
+            n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            ends = np.cumsum(n) - 1
+            valid = np.ones(m - 1, dtype=bool)
+            valid[ends[ends < m - 1]] = False
+            vmask = pa.array(valid)
+            bg = (
+                pa.table(
+                    {
+                        "key": flat.slice(0, m - 1).filter(vmask),
+                        "other": flat.slice(1, m - 1).filter(vmask),
+                    }
+                )
+                .group_by(["key", "other"], use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["key", "other", "cnt"])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "key": bg["key"],
+                        "other": bg["other"],
+                        "cnt": pc.cast(bg["cnt"], pa.int64()),
+                        "cx": pa.nulls(bg.num_rows, pa.int64()),
+                        "kind": pa.array(np.ones(bg.num_rows, np.int8), pa.int8()),
+                    }
+                )
+            )
+        out = pa.concat_tables(parts).cast(_UNIFIED)
+        return out.append_column("_grp", key_buckets(out, ["key"], num_buckets))
+
+    def _attach(g: pa.Table):
+        """Fold uni/bg partials in the bucket; return (uni_folded, bg_with
+        this key's unigram count attached). All partials for a key are
+        guaranteed local (same hash)."""
+        g = g.drop_columns(["_grp"])
+        uni = (
+            g.filter(pc.equal(g["kind"], 0))
+            .group_by(["key"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["key", "c"])
+            .sort_by([("key", "ascending")])
         )
+        bgp = g.filter(pc.equal(g["kind"], 1))
+        if bgp.num_rows:
+            bg = (
+                bgp.select(["key", "other", "cnt"])
+                .group_by(["key", "other"], use_threads=False)
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["key", "other", "cxy"])
+            )
+            keys_sorted = uni["key"].combine_chunks().to_numpy(zero_copy_only=False)
+            cvals = uni["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys_sorted, bg["key"].to_numpy(zero_copy_only=False))
+            attached = pa.array(cvals[pos], pa.int64())
+        else:
+            bg = None
+            attached = None
+        return uni, bg, attached
 
-    # O(vocab) rows; materialized because it feeds three consumers
-    # (N fold + two joins) — this is aggregated state, not the corpus
-    uni = partial_agg(
-        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["term"],
-        sums={"cnt": "c"},
-        num_buckets=_buckets_for(sf_dir, "documents"),
-    ).materialize()
-    n_total = int(uni.sum("c"))
+    def exchange1(g: pa.Table) -> pa.Table:
+        uni, bg, cx = _attach(g)
+        out = [
+            pa.table(
+                {
+                    "key": uni["key"],
+                    "other": pa.nulls(uni.num_rows, pa.string()),
+                    "cnt": pc.cast(uni["c"], pa.int64()),
+                    "cx": pa.nulls(uni.num_rows, pa.int64()),
+                    "kind": pa.array(np.zeros(uni.num_rows, np.int8), pa.int8()),
+                }
+            )
+        ]
+        if bg is not None:
+            keep = pc.greater_equal(bg["cxy"], min_count)
+            bg2 = bg.append_column("cx_att", cx).filter(keep)
+            # re-key by y for the second exchange; remember x in `other`
+            out.append(
+                pa.table(
+                    {
+                        "key": bg2["other"],
+                        "other": bg2["key"],
+                        "cnt": pc.cast(bg2["cxy"], pa.int64()),
+                        "cx": bg2["cx_att"],
+                        "kind": pa.array(np.ones(bg2.num_rows, np.int8), pa.int8()),
+                    }
+                )
+            )
+        res = pa.concat_tables(out).cast(_UNIFIED)
+        return res.append_column("_grp", key_buckets(res, ["key"], num_buckets))
 
-    bg = partial_agg(
-        ds.map_batches(bigram_counts, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["x", "y"],
-        sums={"cnt": "cxy"},
-        num_buckets=_buckets_for(sf_dir, "documents"),
-    ).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["cxy"], min_count)),
-        batch_format="pyarrow",
+    _SCORED = pa.schema(
+        [("bigram", pa.string()), ("cxy", pa.int64()), ("lift_milli", pa.int64())]
     )
 
-    ux = uni.map_batches(
-        lambda t: pa.table({"x": t["term"], "cx": t["c"]}), batch_format="pyarrow"
-    )
-    uy = uni.map_batches(
-        lambda t: pa.table({"y": t["term"], "cy": t["c"]}), batch_format="pyarrow"
-    )
-    j = large_join(large_join(bg, ux, on="x"), uy, on="y")
-
-    def score(t: pa.Table) -> pa.Table:
-        cxy = t["cxy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lift = (1000 * n_total * cxy) // (cx * cy)
+    def exchange2(g: pa.Table) -> pa.Table:
+        # uni rows arrive already globally folded (each term's partials
+        # met in exactly one exchange-1 bucket); bg rows carry key=y,
+        # other=x, cnt=cxy and the attached cx — no re-fold needed
+        g = g.drop_columns(["_grp"])
+        bgp = g.filter(pc.equal(g["kind"], 1))
+        if bgp.num_rows == 0:
+            return _SCORED.empty_table()
+        uni = (
+            g.filter(pc.equal(g["kind"], 0))
+            .select(["key", "cnt"])
+            .rename_columns(["key", "c"])
+            .sort_by([("key", "ascending")])
+        )
+        keys_sorted = uni["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        cvals = uni["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys_sorted, bgp["key"].to_numpy(zero_copy_only=False))
+        cyv = cvals[pos].astype(np.int64)
+        cxv = bgp["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cxyv = bgp["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (1000 * n_total * cxyv) // (cxv * cyv)
         return pa.table(
             {
-                "bigram": pc.binary_join_element_wise(t["x"], t["y"], " "),
-                "cxy": pa.array(cxy, pa.int64()),
+                "bigram": pc.binary_join_element_wise(
+                    bgp["other"], bgp["key"], " "
+                ),
+                "cxy": pa.array(cxyv, pa.int64()),
                 "lift_milli": pa.array(lift, pa.int64()),
             }
         )
 
-    return top_k(
-        j.map_batches(score, batch_format="pyarrow"),
-        by="lift_milli",
-        k=k,
-        tie_col="bigram",
-    ).map_batches(
+    scored = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(exchange1, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(exchange2, batch_format="pyarrow")
+    )
+    return top_k(scored, by="lift_milli", k=k, tie_col="bigram").map_batches(
         lambda t: t.select(["bigram", "cxy", "lift_milli"]), batch_format="pyarrow"
     )
 
