@@ -6990,6 +6990,87 @@ WHERE NOT EXISTS (
 """
 
 
+def _textsource_fixture(sf_dir: str, fmt: str) -> str:
+    """Deterministic CSV/JSONL copies of the events table (the DataX
+    txtfilereader test corpus): written once per sf under /tmp, pipe
+    delimiter (event payloads never contain '|'), microsecond timestamps,
+    shortest-round-trip float repr so doubles survive the text loop
+    bit-identically."""
+    import json as _json
+
+    out_dir = f"/tmp/datax_textsrc/{os.path.basename(os.path.normpath(sf_dir))}"
+    path = os.path.join(out_dir, f"events.{fmt}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    if fmt == "csv":
+        df.to_csv(tmp, index=False, sep="|", date_format="%Y-%m-%d %H:%M:%S.%f")
+    else:
+        with open(tmp, "w") as f:
+            for r in df.itertuples(index=False):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                        }
+                    )
+                    + "\n"
+                )
+    os.replace(tmp, path)
+    return path
+
+
+_EVENTS_TEXT_SPEC = [
+    {"name": "event_id", "type": "long"},
+    {"name": "ts", "type": "date"},
+    {"name": "user_id", "type": "long"},
+    {"name": "event_type", "type": "string"},
+    {"name": "value", "type": "double"},
+]
+
+_EVENTS_TEXT_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def csv_source_events(sf_dir: str):
+    """DataX txtfilereader analog end to end: the events table serialized
+    to pipe-delimited text, read back through the csv_source connector
+    (sources/textsource.py — column spec, 6-type conversion matrix,
+    dirty-record routing) and compared against the parquet original. The
+    oracle is the original table itself, so every typed value — int64,
+    microsecond timestamp, shortest-repr double — must survive the text
+    round trip bit-identically."""
+    from datax_ray.sources.textsource import csv_source
+
+    path = _textsource_fixture(sf_dir, "csv")
+    return csv_source(
+        path,
+        _EVENTS_TEXT_SPEC,
+        delimiter="|",
+        skip_header="event_id|ts|user_id|event_type|value",
+    )
+
+
+def jsonl_source_events(sf_dir: str):
+    """JSON-lines twin of csv_source_events (same spec, same oracle)."""
+    from datax_ray.sources.textsource import jsonl_source
+
+    path = _textsource_fixture(sf_dir, "jsonl")
+    return jsonl_source(path, _EVENTS_TEXT_SPEC)
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -7127,6 +7208,8 @@ QUERIES = {
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
     "skyline_customers": skyline_customers,
+    "csv_source_events": csv_source_events,
+    "jsonl_source_events": jsonl_source_events,
 }
 
 ORACLE_SQL = {
@@ -7249,4 +7332,6 @@ ORACLE_SQL = {
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "skyline_customers": SKYLINE_SQL,
+    "csv_source_events": _EVENTS_TEXT_SQL,
+    "jsonl_source_events": _EVENTS_TEXT_SQL,
 }
