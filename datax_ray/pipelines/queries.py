@@ -7071,6 +7071,87 @@ def jsonl_source_events(sf_dir: str):
     return jsonl_source(path, _EVENTS_TEXT_SPEC)
 
 
+def hll_daily_users(sf_dir: str, p: int = 9):
+    """KEYED HyperLogLog: per-day distinct-user sketch registers — the
+    windowed form of hll_registers_events that a daily-active-users
+    dashboard folds (registers of different days union by max, so
+    arbitrary date ranges combine WITHOUT re-scanning events; that union
+    rule is what makes the sketch a lake artifact rather than a query).
+    Register-level oracle: the (day, bucket, max_rho) table is
+    deterministic under the fixed fmix32 chain, so DuckDB reproduces
+    every cell. Scale shape: per-batch (day, bucket) MAX partials bound
+    the shuffle at days x 2^p integer rows, never events."""
+    from datax_ray.functions.relational import partial_agg
+
+    m = np.uint64(1 << p)
+    M32 = np.uint64(4294967296)
+    top = 32 - p  # rho range: 1..top+1; all-zero tail scores top+1
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64) % M32
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(2246822507)) % M32
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(3266489909)) % M32
+        h ^= h >> np.uint64(16)
+        bucket = (h % m).astype(np.int64)
+        w = (h // m).astype(np.int64)
+        nbits = np.zeros(len(w), np.int64)
+        nz = w > 0
+        nbits[nz] = np.floor(np.log2(w[nz])).astype(np.int64) + 1
+        rho = np.where(w == 0, top + 1, top + 1 - nbits)
+        day = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            86_400_000_000,
+        )
+        g = (
+            pa.table(
+                {
+                    "day_us": day,
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "rho": pa.array(rho, pa.int64()),
+                }
+            )
+            .group_by(["day_us", "bucket"], use_threads=False)
+            .aggregate([("rho", "max")])
+            .rename_columns(["day_us", "bucket", "rho"])
+        )
+        return g
+
+    return partial_agg(
+        _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["day_us", "bucket"],
+        maxs={"rho": "max_rho"},
+    )
+
+
+HLL_DAILY_SQL = """
+WITH s0 AS (
+  SELECT epoch_us(ts) // 86400000000 * 86400000000 AS day_us,
+         user_id % 4294967296 AS h
+  FROM events
+), s1 AS (SELECT day_us, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT day_us,
+              CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h
+       FROM s1),
+s3 AS (SELECT day_us, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT day_us,
+              CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h
+       FROM s3),
+hv AS (SELECT day_us, xor(h, h >> 16) AS hv FROM s4),
+r AS (
+  SELECT day_us, hv % 512 AS bucket,
+         CASE WHEN hv // 512 = 0 THEN 24
+              ELSE 24 - length(format('{:b}', hv // 512)) END AS rho
+  FROM hv
+)
+SELECT day_us, CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY day_us, bucket
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -7210,6 +7291,7 @@ QUERIES = {
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
+    "hll_daily_users": hll_daily_users,
 }
 
 ORACLE_SQL = {
@@ -7334,4 +7416,5 @@ ORACLE_SQL = {
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
+    "hll_daily_users": HLL_DAILY_SQL,
 }
