@@ -229,6 +229,17 @@ def main(argv=None):
     dd.add_argument("--limit", type=int, default=20)
     dd.add_argument("--num-cpus", type=int, default=None)
 
+    sk = sub.add_parser(
+        "sketch",
+        help="refresh the incremental HLL register MV over the lake "
+        "(per-range artifacts, manifest-fingerprint skip) and print the "
+        "distinct-conversation estimate",
+    )
+    sk.add_argument("--lake", required=True)
+    sk.add_argument("--idx", required=True, help="sketch artifact dir")
+    sk.add_argument("--p", type=int, default=9, help="register precision (2^p buckets)")
+    sk.add_argument("--num-cpus", type=int, default=None)
+
     vx = sub.add_parser(
         "vecindex",
         help="refresh the incremental IVF vector index over an embeddings "
@@ -666,6 +677,23 @@ def main(argv=None):
             ["grp_size", "conv_id", "turn_idx"], descending=[True, False, False]
         ).limit(a.limit).take_all()
         print(json.dumps({**stats, "dup_rows": total, "shown": rows}))
+        return 0
+
+    if a.cmd == "sketch":
+        _ensure_ray(a.num_cpus)
+        import pyarrow as pa
+
+        from datax_ray.pipelines.sketchmv import (
+            estimate_distinct,
+            read_sketch,
+            refresh_sketch,
+        )
+
+        stats = refresh_sketch(a.lake, a.idx, p=a.p)
+        regs = pa.Table.from_pylist(read_sketch(a.idx).take_all())
+        est = estimate_distinct(regs, p=a.p) if regs.num_rows else 0.0
+        print(json.dumps({**stats, "registers": regs.num_rows,
+                          "distinct_convs_est": round(est, 1)}))
         return 0
 
     if a.cmd == "vecindex":

@@ -7152,6 +7152,63 @@ FROM r GROUP BY day_us, bucket
 """
 
 
+def cdc_hll_conv_mv(sf_dir: str):
+    """Incremental HLL sketch MV over the CDC lake (pipelines/sketchmv.py):
+    derive the standard change log, replay it, refresh the per-range
+    register artifacts (manifest-fingerprint skip — untouched ranges cost
+    zero storage reads), and fold them by register MAX. Registers derive
+    from each range's LIVE merge-read state, so LWW losers / deletes can
+    never inflate the sketch — the oracle computes the identical fmix32
+    registers over the LWW-final conversations (cell-level verification,
+    like hll_registers_events)."""
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.pipelines.sketchmv import read_sketch, refresh_sketch
+
+    work = f"/tmp/datax_cdc_hllmv/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    refresh_sketch(f"{work}/lake", f"{work}/sketch")
+    return read_sketch(f"{work}/sketch")
+
+
+CDC_HLL_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), live AS (
+  SELECT DISTINCT CAST(substr(conv_id, 6) AS BIGINT) % 4294967296 AS h
+  FROM w WHERE rn = 1 AND op <> 'delete'
+), s1 AS (SELECT xor(h, h >> 16) AS h FROM live),
+s2 AS (SELECT CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT xor(h, h >> 16) AS hv FROM s4),
+r AS (
+  SELECT hv % 512 AS bucket,
+         CASE WHEN hv // 512 = 0 THEN 24
+              ELSE 24 - length(format('{:b}', hv // 512)) END AS rho
+  FROM hv
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -7172,6 +7229,7 @@ QUERIES = {
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
+    "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
     "dx_pad": dx_pad,
@@ -7313,6 +7371,7 @@ ORACLE_SQL = {
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
+    "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
     "dx_pad": DX_PAD_SQL,
