@@ -11,11 +11,12 @@ content-hash filenames (idempotent under Ray task retry) — the whole job is
 a single lazy pipeline, so backpressure/pipelining come from the streaming
 executor exactly where DataX hand-built a bounded channel queue.
 
-Readers: parquetreader / csvreader / jsonlreader (path [+ columns]),
+Readers: parquetreader / orcreader (stripe-split, column-pruned) /
+csvreader / jsonlreader (path [+ columns]),
 sqlitereader (the sandbox's JDBC stand-in — splitPk range planning via
 sources/sqlsource.py), streamreader (DataX's synthetic test reader:
 deterministic seeded columns, constant or hash-random per global row id).
-Writers: parquetwriter / csvwriter / jsonlwriter (writeMode
+Writers: parquetwriter / orcwriter / csvwriter / jsonlwriter (writeMode
 truncate|append|nonConflict — hdfswriter's modes), sqlitewriter (writeMode
 insert|replace + preSql/postSql hooks — rdbms writer contract),
 streamwriter (count-only).
@@ -107,6 +108,10 @@ def build_reader(cfg: dict) -> ray.data.Dataset:
     name, param = cfg["name"], cfg.get("parameter", {})
     if name == "parquetreader":
         return ray.data.read_parquet(param["path"], columns=param.get("column"))
+    if name == "orcreader":
+        from datax_ray.sources.orcsource import read_orc
+
+        return read_orc(param["path"], columns=param.get("column"))
     if name == "csvreader":
         return ray.data.read_csv(param["path"])
     if name == "jsonlreader":
@@ -196,7 +201,7 @@ class CastStage:
 
 def run_writer(ds: ray.data.Dataset, cfg: dict) -> int:
     name, param = cfg["name"], cfg.get("parameter", {})
-    if name in ("parquetwriter", "csvwriter", "jsonlwriter"):
+    if name in ("parquetwriter", "orcwriter", "csvwriter", "jsonlwriter"):
         out_dir, mode = param["path"], param.get("writeMode", "truncate")
         if mode == "truncate" and os.path.isdir(out_dir):
             shutil.rmtree(out_dir)

@@ -7071,6 +7071,56 @@ def jsonl_source_events(sf_dir: str):
     return jsonl_source(path, _EVENTS_TEXT_SPEC)
 
 
+def orc_source_events(sf_dir: str):
+    """DataX hdfsreader/hdfswriter ORC mode end to end (SURVEY §2A rows
+    2/7): a job-runner sync writes the events table as an atomically-
+    committed ORC directory (two-phase manifest, content-hash parts), then
+    the stripe-split ORC reader (sources/orcsource.py — one Ray task per
+    stripe range, column projection pushed into the ORC layer, O(files)
+    footer-only planning) streams it back. ORC's logical timestamp is
+    nanoseconds; the connector casts back to the engine's canonical
+    microsecond Date per the DataX type matrix. Oracle = the original
+    parquet table, so every typed value must survive the ORC round trip."""
+    from datax_ray.pipelines.job import run_job
+    from datax_ray.sinks.datasink import AtomicDirDatasink
+    from datax_ray.sources.orcsource import read_orc
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    out = f"/tmp/datax_orcsrc/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(out, AtomicDirDatasink.MANIFEST)):
+        run_job(
+            {
+                "job": {
+                    "content": [
+                        {
+                            "reader": {
+                                "name": "parquetreader",
+                                "parameter": {
+                                    "path": os.path.join(sf_dir, "events.parquet"),
+                                    "column": cols,
+                                },
+                            },
+                            "writer": {
+                                "name": "orcwriter",
+                                "parameter": {"path": out, "writeMode": "truncate"},
+                            },
+                        }
+                    ]
+                }
+            }
+        )
+    import json as _json
+
+    with open(os.path.join(out, AtomicDirDatasink.MANIFEST)) as f:
+        paths = [os.path.join(out, r["file"]) for r in _json.load(f)["files"]]
+
+    def us_ts(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts", pc.cast(t["ts"], pa.timestamp("us")))
+
+    return read_orc(paths, columns=cols).map_batches(us_ts, batch_format="pyarrow")
+
+
 def hll_daily_users(sf_dir: str, p: int = 9):
     """KEYED HyperLogLog: per-day distinct-user sketch registers — the
     windowed form of hll_registers_events that a daily-active-users
@@ -7349,6 +7399,7 @@ QUERIES = {
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
+    "orc_source_events": orc_source_events,
     "hll_daily_users": hll_daily_users,
 }
 
@@ -7475,5 +7526,6 @@ ORACLE_SQL = {
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
+    "orc_source_events": _EVENTS_TEXT_SQL,
     "hll_daily_users": HLL_DAILY_SQL,
 }

@@ -35,6 +35,12 @@ def serialize_table(t: pa.Table, fmt: str) -> tuple[bytes, str]:
         sink = pa.BufferOutputStream()
         pq.write_table(t, sink, compression="zstd", compression_level=1)
         return sink.getvalue().to_pybytes(), "parquet"
+    if fmt == "orc":
+        from pyarrow import orc
+
+        sink = pa.BufferOutputStream()
+        orc.write_table(t, sink)
+        return sink.getvalue().to_pybytes(), "orc"
     if fmt == "csv":
         return t.to_pandas().to_csv(index=False, na_rep="\\N").encode(), "csv"
     if fmt == "jsonl":
@@ -127,6 +133,10 @@ def read_committed(out_dir: str) -> ray.data.Dataset:
         return ray.data.from_arrow(pa.schema([]).empty_table())
     if fmt == "parquet":
         return ray.data.read_parquet(paths)
+    if fmt == "orc":
+        from datax_ray.sources.orcsource import read_orc
+
+        return read_orc(paths)
     if fmt == "csv":
         return ray.data.read_csv(paths)
     return ray.data.read_json(paths)
