@@ -239,7 +239,7 @@ def purge(
         raise ValueError(f"no committed lake at {lake_dir}")
     layout = m.committed_layout() or {}
     schema = m.committed_schema()
-    rids = _lookup_rids(layout, conv_ids)
+    rids = _lookup_rids(layout, conv_ids, m.committed_turn_bounds())
     plan = _range_plan(lake_dir, m, only_rids=rids)
     epoch = committed + 1
     num_partitions = int(layout.get("num_partitions", 1) or 1)

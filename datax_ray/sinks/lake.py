@@ -28,26 +28,47 @@ def lake_schema(lake_dir: str, as_of_epoch: int | None = None) -> pa.Schema:
     return m.committed_schema(as_of_epoch) or LAKE_SCHEMA
 
 
+_MAX_LOOKUP_SALTS = 4096  # above this a salted lookup stops pruning
+
+
 def _lookup_rids(
-    layout: dict, conv_ids: list[str]
+    layout: dict, conv_ids: list[str],
+    turn_bounds: tuple[int | None, int | None] = (None, None),
 ) -> set[int] | None:
     """Range ids that can contain `conv_ids`, from the manifest alone
     (no storage reads) — the keyed-range pruning of SURVEY §2A row 3:
     recompute the same dictionary hash the writer used (partitioning.py)
-    and map pid -> rid. Returns None when pruning is impossible: with
-    `salt_turn_width` set, a conversation's rows are spread over
-    partitions by (turn_idx // W), so any range may hold a key — salting
-    deliberately trades point-lookup pruning for hot-key spreading."""
+    and map pid -> rid.
+
+    Salted layouts spread one conversation's rows over partitions by
+    salt = turn_idx // W, but the salt VALUE SET is bounded by the
+    manifest's global turn bounds: every committed row's salt lies in
+    [turn_lo // W, turn_hi // W], so the candidate pids are exactly
+    {(hash(conv) + s*MIX) % P} over that salt range — still O(convs ×
+    salts) manifest-only arithmetic, no storage reads. Returns None
+    (no pruning, correct-but-unpruned reads) when bounds are unknown
+    (pre-upgrade manifests), turn_lo is negative (the writer's uint64
+    cast wraps), or the salt range exceeds _MAX_LOOKUP_SALTS."""
     import numpy as np
 
-    from datax_ray.stages.partitioning import _stable_hash_strings
+    from datax_ray.stages.partitioning import _SALT_MIX, _stable_hash_strings
 
     num_partitions = int(layout.get("num_partitions", 0) or 0)
-    if not num_partitions or layout.get("salt_turn_width"):
+    if not num_partitions:
         return None
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
     ppr = max(1, num_partitions // frag_ranges)
     h = _stable_hash_strings(np.asarray(list(conv_ids), dtype=object))
+    width = int(layout.get("salt_turn_width") or 0)
+    if width:
+        turn_lo, turn_hi = turn_bounds
+        if turn_lo is None or turn_hi is None or turn_lo < 0:
+            return None
+        s_lo, s_hi = turn_lo // width, turn_hi // width
+        if s_hi - s_lo + 1 > _MAX_LOOKUP_SALTS:
+            return None
+        salts = np.arange(s_lo, s_hi + 1, dtype=np.uint64)
+        h = (h[:, None] + salts[None, :] * _SALT_MIX).ravel()
     pids = (h % np.uint64(num_partitions)).astype(np.int64)
     return {int(pid) // ppr for pid in pids}
 
@@ -197,7 +218,11 @@ class LakeDatasource(ray.data.Datasource):
         self._schema = m.committed_schema(as_of_epoch) or LAKE_SCHEMA
         self._schema_json = schema_to_json(self._schema)
         only_rids = (
-            _lookup_rids(m.committed_layout(as_of_epoch) or {}, self._conv_ids)
+            _lookup_rids(
+                m.committed_layout(as_of_epoch) or {},
+                self._conv_ids,
+                m.committed_turn_bounds(as_of_epoch),
+            )
             if self._conv_ids is not None
             else None
         )
@@ -236,8 +261,13 @@ class LakeDatasource(ray.data.Datasource):
         tasks = []
         for p in self._parts:
             files = list(p["files"])
+            # num_rows must stay None: Ray trusts BlockMetadata.num_rows as
+            # EXACT (Dataset.count() sums it without executing), but the
+            # stored row count is pre-merge — LWW folding, tombstone drops
+            # and conv_ids/min_ts filters all shrink the output. size_bytes
+            # still feeds the scheduler its scale estimate.
             meta = BlockMetadata(
-                num_rows=int(p["rows"]) or None,  # stored rows incl. tombstones
+                num_rows=None,
                 size_bytes=self._disk_bytes(files) or None,
                 exec_stats=None,
                 input_files=[os.path.join(lake_dir, f) for f in files],

@@ -56,6 +56,8 @@ FRAG_LINEAGE_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("ts_lo", pa.int64()),  # min/max event-time (µs) in the file —
         ("ts_hi", pa.int64()),  # the manifest's data-skipping statistics
+        ("turn_lo", pa.int64()),  # min/max turn_idx — lets point lookups
+        ("turn_hi", pa.int64()),  # enumerate salt values on salted layouts
     ]
 )
 
@@ -71,8 +73,20 @@ BASE_LINEAGE_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("ts_lo", pa.int64()),
         ("ts_hi", pa.int64()),
+        ("turn_lo", pa.int64()),
+        ("turn_hi", pa.int64()),
     ]
 )
+
+
+def _turn_bounds(piece: pa.Table) -> tuple[int | None, int | None]:
+    """(min, max) of turn_idx — folded into the manifest so salted-layout
+    point lookups can enumerate the salt values (turn // W) that can exist
+    and prune the range plan (sinks/lake.py:_lookup_rids)."""
+    if "turn_idx" not in piece.column_names or piece.num_rows == 0:
+        return None, None
+    mm = pc.min_max(pc.cast(piece["turn_idx"], pa.int64()))
+    return mm["min"].as_py(), mm["max"].as_py()
 
 
 def _ts_bounds(piece: pa.Table) -> tuple[int | None, int | None]:
@@ -116,6 +130,7 @@ def write_fragment(
     os.replace(tmp, path)
     lsn_hi = pc.max(piece["_lsn"]).as_py()
     ts_lo, ts_hi = _ts_bounds(piece)
+    turn_lo, turn_hi = _turn_bounds(piece)
     return {
         "range_id": rid,
         "epoch": epoch,
@@ -127,6 +142,8 @@ def write_fragment(
         "bytes": len(buf),
         "ts_lo": ts_lo,
         "ts_hi": ts_hi,
+        "turn_lo": turn_lo,
+        "turn_hi": turn_hi,
     }
 
 
@@ -259,6 +276,7 @@ class Compactor:
                 nbytes = _atomic_write(piece, os.path.join(self.lake_dir, rel))
                 lsn_hi = pc.max(piece["_lsn"]).as_py()
                 ts_lo, ts_hi = _ts_bounds(piece)
+                turn_lo, turn_hi = _turn_bounds(piece)
                 out_rows.append(
                     {
                         "part_id": pid,
@@ -271,6 +289,8 @@ class Compactor:
                         "bytes": nbytes,
                         "ts_lo": ts_lo,
                         "ts_hi": ts_hi,
+                        "turn_lo": turn_lo,
+                        "turn_hi": turn_hi,
                     }
                 )
             if self._metrics is not None:

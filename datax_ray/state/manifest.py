@@ -112,6 +112,15 @@ class Manifest:
         rec = self.at_epoch(epoch)
         return rec.get("layout") if rec else None
 
+    def committed_turn_bounds(
+        self, epoch: int | None = None
+    ) -> tuple[int | None, int | None]:
+        """Global (min, max) turn_idx ever committed as of `epoch` —
+        (None, None) on pre-upgrade manifests (readers then skip
+        salted-layout pruning, the old behavior)."""
+        rec = self.at_epoch(epoch) or {}
+        return rec.get("turn_lo"), rec.get("turn_hi")
+
     def current_files(self) -> list[str]:
         """All committed data files (partition bases + range fragments)."""
         out = []
@@ -174,8 +183,20 @@ class Manifest:
         metrics: dict,
     ) -> dict:
         os.makedirs(self.dir, exist_ok=True)
+        # Fold global turn_idx bounds: previous record's bounds + this
+        # epoch's lineage rows (every fragment/base writer records
+        # per-file turn_lo/turn_hi via stages/delta.py). Monotone-widening
+        # data property, independent of layout — salted point lookups use
+        # it to enumerate the salt values that can exist (lake.py).
+        prev = self.latest() or {}
+        los = [prev.get("turn_lo")] + [r.get("turn_lo") for r in lineage]
+        his = [prev.get("turn_hi")] + [r.get("turn_hi") for r in lineage]
+        los = [v for v in los if v is not None]
+        his = [v for v in his if v is not None]
         rec = {
             "epoch": epoch,
+            "turn_lo": min(los) if los else None,
+            "turn_hi": max(his) if his else None,
             "segments": sorted(os.path.basename(s) for s in segments),
             "lsn_hi": int(lsn_hi),
             "schema": schema_to_json(schema),

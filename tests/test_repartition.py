@@ -150,10 +150,11 @@ def test_repartition_unsalting_restores_pruning(tmp_path):
     live = final_table(lake)
     conv = live["conv_id"][0].as_py()
 
-    # Salted: pruning impossible -> plan covers every range with data.
+    # Salted: pruning works by salt enumeration (bounded by the
+    # manifest's global turn bounds) — never wider than the full plan.
     src_salted = LakeDatasource(lake, conv_ids=[conv])
     all_ranges = len(LakeDatasource(lake)._parts)
-    assert len(src_salted._parts) == all_ranges
+    assert len(src_salted._parts) <= all_ranges
 
     repartition_lake(lake, 16, salt_turn_width=None)
     src = LakeDatasource(lake, conv_ids=[conv])

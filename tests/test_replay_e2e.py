@@ -439,12 +439,16 @@ def test_point_lookup_prunes_and_matches(tmp_path):
     assert got == want
 
 
-def test_point_lookup_salted_layout_no_prune_still_correct(tmp_path):
-    """With salt_turn_width set a key's rows spread across partitions, so
-    the plan cannot prune — but the row filter must still be exact."""
+def test_point_lookup_salted_layout_prunes_by_salt_enumeration(tmp_path):
+    """With salt_turn_width set a key's rows spread across partitions by
+    turn_idx // W — but the manifest's global turn bounds bound the salt
+    value set, so the plan prunes to the enumerated candidate ranges and
+    the row filter stays exact."""
     import pyarrow.compute as pc
 
     from datax_ray.sinks.lake import LakeDatasource, read_lake
+    from datax_ray.stages.partitioning import part_ids_for
+    from datax_ray.state.manifest import Manifest
 
     lake = _build_lookup_lake(tmp_path, "lookup_salt", salt_turn_width=4)
     full = final_table(lake)
@@ -452,7 +456,19 @@ def test_point_lookup_salted_layout_no_prune_still_correct(tmp_path):
 
     pruned = LakeDatasource(lake, conv_ids=keys)
     everything = LakeDatasource(lake)
-    assert len(pruned._parts) == len(everything._parts)  # salting defeats pruning
+    assert len(pruned._parts) <= len(everything._parts)
+
+    # the pruned plan must cover every range that actually holds the keys
+    m = Manifest(lake)
+    layout = m.committed_layout()
+    P = int(layout["num_partitions"])
+    ppr = max(1, P // int(layout.get("frag_ranges", 1) or 1))
+    rows = full.filter(pc.is_in(full["conv_id"], value_set=pa.array(keys)))
+    true_pids = part_ids_for(
+        rows["conv_id"], rows["turn_idx"], P, int(layout["salt_turn_width"])
+    ).to_pylist()
+    need_rids = {pid // ppr for pid in true_pids}
+    assert need_rids <= {p["range_id"] for p in pruned._parts}
 
     got = (
         read_lake(lake, conv_ids=keys)
@@ -465,6 +481,57 @@ def test_point_lookup_salted_layout_no_prune_still_correct(tmp_path):
         .to_pylist()
     )
     assert got == want
+
+
+def test_point_lookup_salted_strict_prune_and_fallback(tmp_path):
+    """A wide salted layout with a narrow turn span must prune STRICTLY
+    (few salts => few candidate pids), and a pre-upgrade manifest
+    (no turn bounds) must fall back to the unpruned-but-exact plan."""
+    import json as _json
+    import os
+
+    from pyarrow import compute as _pc
+
+    from datax_ray.sinks.lake import LakeDatasource, read_lake
+    from datax_ray.state.manifest import Manifest
+
+    changes = gen_changes(4000, 120, seed=11, max_turns=8)
+    chg_dir, lake = str(tmp_path / "chg_sp"), str(tmp_path / "lake_sp")
+    write_segments(changes, chg_dir, seg_rows=2000)
+    replay(
+        ReplayConfig(
+            changes_dir=chg_dir, lake_dir=lake,
+            num_partitions=64, salt_turn_width=4,
+        )
+    )
+    m = Manifest(lake)
+    lo, hi = m.committed_turn_bounds()
+    assert lo is not None and 0 <= lo <= hi < 8
+
+    full = final_table(lake)
+    key = sorted(set(full["conv_id"].to_pylist()))[0]
+    pruned = LakeDatasource(lake, conv_ids=[key])
+    everything = LakeDatasource(lake)
+    assert len(pruned._parts) < len(everything._parts)  # strict pruning
+
+    want = full.filter(_pc.equal(full["conv_id"], key)).num_rows
+    assert read_lake(lake, conv_ids=[key]).count() == want
+    # count() must EXECUTE the merge, not trust planner metadata (stored
+    # rows are pre-merge: LWW folding + tombstones shrink the output)
+    assert read_lake(lake).count() == full.num_rows
+
+    # simulate a pre-upgrade manifest: drop the turn bounds in place
+    mfile = sorted(
+        os.path.join(lake, "_manifest", f)
+        for f in os.listdir(os.path.join(lake, "_manifest"))
+    )[-1]
+    rec = _json.load(open(mfile))
+    rec.pop("turn_lo"), rec.pop("turn_hi")
+    os.chmod(mfile, 0o644)
+    _json.dump(rec, open(mfile, "w"))
+    legacy = LakeDatasource(lake, conv_ids=[key])
+    assert len(legacy._parts) == len(everything._parts)  # no pruning
+    assert read_lake(lake, conv_ids=[key]).count() == want  # still exact
 
 
 def test_point_lookup_missing_key_empty(tmp_path):
