@@ -6032,6 +6032,82 @@ def events_debounce_daily(sf_dir: str):
     )
 
 
+def user_activity_streaks(sf_dir: str):
+    """Gap-islands: per user, runs of CONSECUTIVE active days (the
+    engagement-streak / data-freshness primitive; SQL's classic
+    row_number-difference trick). Scale shape: per-batch distinct
+    (user, day) combiner shrinks the stream to active-day pairs BEFORE
+    the one user-hash exchange; inside a bucket island detection is a
+    shifted vectorized compare + run-length pass — rows never shuffle,
+    only distinct day pairs do."""
+    from datax_ray.functions.relational import key_buckets
+
+    DAY = 86_400_000_000
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), DAY), DAY
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "day_us": day})
+            .group_by(["user_id", "day_us"], use_threads=False)
+            .aggregate([])
+        )
+        return g.append_column("_grp", key_buckets(g, ["user_id"], num_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("day_us", "ascending")])
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "streak_start_us": pa.array([], pa.int64()),
+                    "streak_days": pa.array([], pa.int64()),
+                }
+            )
+        # cross-batch duplicates of one (user, day) collapse here
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (uid[1:] == uid[:-1]) & (day[1:] == day[:-1])
+        uid, day = uid[~dup], day[~dup]
+        n = len(uid)
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] != DAY)
+        starts = np.flatnonzero(new_island)
+        ends = np.r_[starts[1:], n]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+                "streak_start_us": pa.array(day[starts].astype(np.int64), pa.int64()),
+                "streak_days": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+)
+SELECT user_id, MIN(day) * 86400000000 AS streak_start_us,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM g GROUP BY user_id, grp
+"""
+
+
 DEBOUNCE_SQL = """
 WITH w AS (
   SELECT event_id, user_id, event_type, ts,
@@ -7389,6 +7465,7 @@ QUERIES = {
     "cdc_conv_transcript": cdc_conv_transcript,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
+    "user_activity_streaks": user_activity_streaks,
     "fuzzy_match_parts": fuzzy_match_parts,
     "outlier_events_mad": outlier_events_mad,
     "pmi_bigrams": pmi_bigrams,
@@ -7516,6 +7593,7 @@ ORACLE_SQL = {
     "cdc_conv_transcript": CDC_CONV_TRANSCRIPT_SQL,
     "gopher_repetition_docs": GOPHER_REPETITION_SQL,
     "events_debounce_daily": DEBOUNCE_SQL,
+    "user_activity_streaks": STREAKS_SQL,
     "fuzzy_match_parts": FUZZY_PARTS_SQL,
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
