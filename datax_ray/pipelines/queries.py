@@ -6094,6 +6094,146 @@ def user_activity_streaks(sf_dir: str):
     )
 
 
+def funnel_pattern_match(sf_dir: str):
+    """MATCH_RECOGNIZE-style sequence pattern matching (Flink CEP / SQL
+    row-pattern recognition): users whose event-type JOURNEY — first
+    letters of event_type in (ts, event_id) order — contains
+    signup → (clicks/views)* → purchase, i.e. RE2 's[cv]*p'. One
+    user-hash exchange; inside a bucket the journey builds via the
+    run-offset ListArray + binary_join trick (zero per-row Python) and
+    ONE vectorized RE2 pass scores every user. Both engines run the same
+    RE2 syntax, so the oracle (ordered string_agg + regexp_matches) is
+    exact."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("seq_len", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([True], uid[1:] != uid[:-1]))
+        start_idx = np.nonzero(starts)[0]
+        offsets = np.concatenate((start_idx, [len(uid)])).astype(np.int32)
+        letters = pc.utf8_slice_codeunits(g["event_type"].combine_chunks(), 0, 1)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), letters)
+        journey = pc.binary_join(lists, "")
+        hit = pc.match_substring_regex(journey, "s[cv]*p")
+        out = pa.table(
+            {
+                "user_id": pa.array(uid[start_idx].astype(np.int64), pa.int64()),
+                "seq_len": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            }
+        )
+        return out.filter(hit)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def user_interarrival_median(sf_dir: str):
+    """Per-user EXACT median inter-event gap (µs) — the cadence signal a
+    bot-detection / engagement model keys on. Ordering and differencing
+    need a user's rows co-located anyway, so the median computes in the
+    SAME per-bucket pass as the diff: one user-hash exchange, then a
+    lexsort over (user, gap) and quantile_disc's index rule
+    (ceil(q·n)−1) applied per run — no second shuffle, no histogram
+    needed because gaps live in bucket-local memory."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("median_gap_us", pa.int64()),
+            ("n_gaps", pa.int64()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(uid) < 2:
+            return _OUT.empty_table()
+        same = uid[1:] == uid[:-1]
+        duid = uid[1:][same]
+        gaps = (ts[1:] - ts[:-1])[same]
+        if len(duid) == 0:
+            return _OUT.empty_table()
+        order = np.lexsort((gaps, duid))
+        duid, gaps = duid[order], gaps[order]
+        starts = np.flatnonzero(np.r_[True, duid[1:] != duid[:-1]])
+        ends = np.r_[starts[1:], len(duid)]
+        n = ends - starts
+        med_idx = starts + np.maximum(0, np.ceil(0.5 * n).astype(np.int64) - 1)
+        return pa.table(
+            {
+                "user_id": pa.array(duid[starts].astype(np.int64), pa.int64()),
+                "median_gap_us": pa.array(gaps[med_idx].astype(np.int64), pa.int64()),
+                "n_gaps": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, quantile_disc(gap, 0.5) AS median_gap_us,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps
+FROM d WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+FUNNEL_PATTERN_SQL = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey,
+         CAST(COUNT(*) AS BIGINT) AS seq_len
+  FROM events GROUP BY user_id
+)
+SELECT user_id, seq_len FROM j WHERE regexp_matches(journey, 's[cv]*p')
+"""
+
+
 STREAKS_SQL = """
 WITH d AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
@@ -7466,6 +7606,8 @@ QUERIES = {
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
+    "funnel_pattern_match": funnel_pattern_match,
+    "user_interarrival_median": user_interarrival_median,
     "fuzzy_match_parts": fuzzy_match_parts,
     "outlier_events_mad": outlier_events_mad,
     "pmi_bigrams": pmi_bigrams,
@@ -7594,6 +7736,8 @@ ORACLE_SQL = {
     "gopher_repetition_docs": GOPHER_REPETITION_SQL,
     "events_debounce_daily": DEBOUNCE_SQL,
     "user_activity_streaks": STREAKS_SQL,
+    "funnel_pattern_match": FUNNEL_PATTERN_SQL,
+    "user_interarrival_median": INTERARRIVAL_SQL,
     "fuzzy_match_parts": FUZZY_PARTS_SQL,
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
