@@ -5341,14 +5341,18 @@ def cdc_txn_atomic_apply(sf_dir: str):
     events must be withheld from the lake, including otherwise-winning
     updates and deletes (the all-or-nothing atomicity a MySQL-binlog /
     Postgres-WAL tailer owes its consumers; SURVEY.md §2B-B1/B4). The
-    aborted-txn set is data-sized, so it is NOT broadcast: the committed
-    stream is a distributed ANTI join on txn id (relational.semi_join —
-    both sides shuffle into key-hash buckets, no driver keyset), followed
-    by the engine's usual two-level LWW fold (per-batch lww_reduce
-    combiner AFTER the abort filter — a pre-abort combiner could discard
-    a committed row superseded only by a later-aborted one — then one
-    vectorized reduce per conv-hash bucket)."""
-    from datax_ray.functions.relational import key_buckets, semi_join
+    aborted-txn set is data-sized, so it is neither broadcast nor joined:
+    the rollback markers ARE rows of the same stream, so one txn-hash
+    bucket co-group drops whole aborted transactions (vectorized
+    sorted-isin per bucket — no Dataset.join actors, no second source
+    scan), followed by the engine's usual two-level LWW fold (per-batch
+    lww_reduce combiner AFTER the abort gate — a pre-abort combiner could
+    discard a committed row superseded only by a later-aborted one — then
+    one vectorized reduce per conv-hash bucket). Rewrote from a
+    distributed ANTI join: 11.5 s → bucket co-group at sf0.1 (the hash
+    join aggregator pool was the cost, BASELINE.md shuffle-strategy
+    note)."""
+    from datax_ray.functions.relational import key_buckets
     from datax_ray.sources.derive import derive_changes
 
     KEYS = ("conv_id", "turn_idx")
@@ -5360,27 +5364,21 @@ def cdc_txn_atomic_apply(sf_dir: str):
     ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
 
     def with_txn(t: pa.Table) -> pa.Table:
-        txn = pc.divide(t["lsn"], 8)  # lsn >= 0: trunc == floor
-        return t.drop_columns(["ddl"]).append_column("txn", txn)
-
-    def abort_markers(t: pa.Table) -> pa.Table:
         lsn = t["lsn"]
-        bad = pc.equal(pc.subtract(lsn, pc.multiply(pc.divide(lsn, 13), 13)), 3)
-        return pa.table({"txn": pc.divide(lsn.filter(bad), 8)})
+        txn = pc.divide(lsn, 8)  # lsn >= 0: trunc == floor
+        t = t.drop_columns(["ddl"]).append_column("txn", txn)
+        # txn-hash buckets for the abort co-group (NOT conv buckets yet)
+        return t.append_column("_tgrp", key_buckets(t, ["txn"], num_buckets))
 
-    tagged = changes.map_batches(
-        with_txn, batch_format="pyarrow", zero_copy_batch=True
-    )
-    aborted = changes.map_batches(
-        abort_markers, batch_format="pyarrow", zero_copy_batch=True
-    )
-    committed = semi_join(tagged, aborted, on="txn", anti=True)
-
-    def combiner(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["txn"]).append_column(
-            "_grp", key_buckets(t, ["conv_id"], num_buckets)
-        )
-        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+    def abort_gate(g: pa.Table) -> pa.Table:
+        lsn = g["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+        txn = g["txn"].combine_chunks().to_numpy(zero_copy_only=False)
+        bad_txns = np.unique(txn[lsn % 13 == 3])
+        keep = ~np.isin(txn, bad_txns, assume_unique=False)
+        w = g.filter(pa.array(keep)).drop_columns(["txn", "_tgrp"])
+        # committed rows shrink here before the conv exchange
+        w = w.append_column("_grp", key_buckets(w, ["conv_id"], num_buckets))
+        return lww_reduce(w, key_cols=KEYS, order_cols=ORDER)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
@@ -5388,7 +5386,9 @@ def cdc_txn_atomic_apply(sf_dir: str):
         return w.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
     return (
-        committed.map_batches(combiner, batch_format="pyarrow")
+        changes.map_batches(with_txn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_tgrp")
+        .map_groups(abort_gate, batch_format="pyarrow")
         .groupby("_grp")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -5676,12 +5676,18 @@ def cdc_enrich_dimension(sf_dir: str):
     reader -> transform (lookup) -> writer shape at Ray scale: fold the
     derived change stream to its LWW-final rows, then attach each
     conversation's nation name via its owning customer. The customer
-    dimension is DATA-SIZED, so it joins hash-partitioned
-    (relational.large_join — no driver keyset, no broadcast of a 100-TB
-    dimension); the 25-row nation table is the textbook broadcast side
-    (ray.put once, Arrow hash-join per batch). The fold runs FIRST so the
-    join exchanges move one row per live key, not one per change event."""
-    from datax_ray.functions.relational import key_buckets, large_join
+    dimension is DATA-SIZED, so it is never broadcast or driver-held:
+    dimension rows ride the SAME conv-hash exchange as the change stream
+    (a union co-group — the dimension keys by the conv_id its custkey
+    owns, so both sides of the lookup land in one bucket; attach is a
+    vectorized searchsorted, no Dataset.join actor pool). The 25-row
+    nation table is the textbook broadcast side and attaches map-side
+    BEFORE the exchange, so dimension rows arrive pre-enriched. The LWW
+    combiner still shrinks change batches first. Rewrote from
+    large_join: 7.7 s → one exchange at sf0.1 (BASELINE.md
+    shuffle-strategy note: the hash-join aggregator pool dominates at
+    these partition counts)."""
+    from datax_ray.functions.relational import key_buckets
     from datax_ray.sources.derive import derive_changes
 
     KEYS = ("conv_id", "turn_idx")
@@ -5696,50 +5702,92 @@ def cdc_enrich_dimension(sf_dir: str):
         t = t.drop_columns(["ddl"]).append_column(
             "_grp", key_buckets(t, ["conv_id"], num_buckets)
         )
-        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
-        w = w.filter(pc.not_equal(w["op"], "delete"))
-        return pa.table(
-            {
-                "custkey": pc.cast(
-                    pc.utf8_slice_codeunits(w["conv_id"], start=5, stop=2**30),
-                    pa.int64(),
-                ),
-                "conv_id": w["conv_id"],
-                "turn_idx": w["turn_idx"],
-                "role": w["role"],
-                "text": w["text"],
-                "tool": w["tool"],
-                "ts": w["ts"],
-            }
+        t = lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+        return t.append_column(
+            "nation", pa.nulls(t.num_rows, pa.string())
         )
-
-    folded = (
-        changes.map_batches(combiner, batch_format="pyarrow")
-        .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
-        lambda t: pa.table({"custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    joined = large_join(folded, cust, on="custkey")
 
     import pyarrow.parquet as pq
 
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename_columns(["c_nationkey", "nation"])
-    enriched = broadcast_join(joined, nation, on="c_nationkey")
-    return enriched.map_batches(
-        lambda t: t.select(
-            ["conv_id", "turn_idx", "role", "text", "tool", "ts", "nation"]
-        ),
-        batch_format="pyarrow",
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        # one dimension row per customer, keyed by the conv_id it owns;
+        # nation (25 rows, broadcast) attaches here, before the exchange
+        t = pa.table(
+            {"c_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
+        ).join(nation, keys=["c_nationkey"])
+        conv = pc.binary_join_element_wise(
+            "conv-", pc.cast(t["c_custkey"], pa.string()), ""
+        )
+        n = t.num_rows
+        d = pa.table(
+            {
+                "lsn": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+                "op": pa.array(["dim"] * n, pa.string()),
+                "conv_id": conv,
+                "turn_idx": pa.nulls(n, pa.int32()),
+                "role": pa.nulls(n, pa.string()),
+                "text": pa.nulls(n, pa.string()),
+                "tool": pa.nulls(n, pa.string()),
+            }
+        )
+        d = d.append_column("_grp", key_buckets(d, ["conv_id"], num_buckets))
+        return d.append_column("nation", t["nation"])
+
+    dim = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        dim_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_dim = pc.equal(g["op"], "dim")
+        d = g.filter(is_dim)
+        w = lww_reduce(g.filter(pc.invert(is_dim)), key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        out_schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("nation", pa.string()),
+            ]
+        )
+        if w.num_rows == 0 or d.num_rows == 0:
+            return out_schema.empty_table()
+        dk = d["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        dk_s = dk[order]
+        wk = w["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dk_s, wk)
+        pos_c = np.minimum(pos, len(dk_s) - 1)
+        hit = dk_s[pos_c] == wk  # inner-join semantics: drop ownerless convs
+        w = w.filter(pa.array(hit))
+        nat = d["nation"].combine_chunks().take(
+            pa.array(order[pos_c[hit]], pa.int64())
+        )
+        return pa.table(
+            {
+                "conv_id": w["conv_id"],
+                "turn_idx": w["turn_idx"],
+                "role": w["role"],
+                "text": w["text"],
+                "tool": w["tool"],
+                "ts": w["ts"],
+                "nation": nat,
+            }
+        )
+
+    return (
+        changes.map_batches(combiner, batch_format="pyarrow")
+        .union(dim)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
