@@ -4478,6 +4478,109 @@ def corr_stats_lineitem(sf_dir: str):
     )
 
 
+def trend_daily_events(sf_dir: str):
+    """Per-type OLS trend of daily event volume — the drift monitor a
+    pipeline SLO dashboard runs. The regression reduces to decomposable
+    integer sums over (day, count) points: one combiner pass shrinks the
+    stream to O(types × days) cells, then slope = (nΣxy − ΣxΣy) /
+    (nΣxx − (Σx)²) is emitted as EXACT integer numerator/denominator (the
+    float division happens after the compare boundary, like
+    corr_stats_lineitem)."""
+    from datax_ray.functions.relational import partial_agg
+
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.divide(pc.cast(t["ts"], pa.int64()), DAY),
+            }
+        )
+
+    cells = partial_agg(
+        _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["event_type", "day"],
+        counts="y",
+        single_reduce=True,  # O(types x days) cells
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        x = g["day"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g["y"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "n_days": pa.array([n], pa.int64()),
+                "slope_num": pa.array([n * sxy - sx * sy], pa.int64()),
+                "slope_den": pa.array([n * sxx - sx * sx], pa.int64()),
+            }
+        )
+
+    return cells.groupby("event_type").map_groups(fold, batch_format="pyarrow")
+
+
+def heatmap_dow_hour(sf_dir: str):
+    """Weekday × hour activity heatmap cells per event type (the usage-
+    pattern rollup behind every ops dashboard). Pure integer epoch
+    arithmetic on BOTH engines (dow: 1970-01-01 is a Thursday, hence the
+    +4 offset; hour: µs // 3600e6 mod 24 — UTC, no locale/timezone
+    surface), so cells hash bit-for-bit. One combiner pass; the shuffle
+    moves O(types × 168) cells, never events."""
+    from datax_ray.functions.relational import partial_agg
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+
+    def prep_np(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // DAY
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pa.array((days + 4) % 7, pa.int64()),
+                "hour": pa.array((us // HOUR) % 24, pa.int64()),
+            }
+        )
+
+    return partial_agg(
+        _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+            prep_np, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["event_type", "dow", "hour"],
+        counts="n_events",
+        single_reduce=True,  # O(types x 168) cells
+    )
+
+
+HEATMAP_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+TREND_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) * SUM(day * y) - SUM(day) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(day * day) - SUM(day) * SUM(day) AS BIGINT) AS slope_den
+FROM d GROUP BY event_type
+"""
+
+
 CORR_STATS_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
@@ -7631,6 +7734,8 @@ QUERIES = {
     "full_outer_daily_click_purchase": full_outer_daily_click_purchase,
     "cube_orders_status_priority": cube_orders_status_priority,
     "corr_stats_lineitem": corr_stats_lineitem,
+    "trend_daily_events": trend_daily_events,
+    "heatmap_dow_hour": heatmap_dow_hour,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -7761,6 +7866,8 @@ ORACLE_SQL = {
     "full_outer_daily_click_purchase": FULL_OUTER_DAILY_SQL,
     "cube_orders_status_priority": CUBE_SQL,
     "corr_stats_lineitem": CORR_STATS_SQL,
+    "trend_daily_events": TREND_SQL,
+    "heatmap_dow_hour": HEATMAP_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
