@@ -111,6 +111,17 @@ def main(argv=None):
     mvp.add_argument("--mv", required=True, help="MV output directory")
     mvp.add_argument("--num-cpus", type=int, default=None)
 
+    mva = sub.add_parser(
+        "mvadd",
+        help="fold the preimage change feed into the ADDITIVE per-conv MV "
+        "(O(changed rows) refresh — no lake range re-reads); --rebuild "
+        "recomputes from the live lake after vacuumed history",
+    )
+    mva.add_argument("--lake", required=True)
+    mva.add_argument("--mv", required=True, help="view directory")
+    mva.add_argument("--rebuild", action="store_true")
+    mva.add_argument("--num-cpus", type=int, default=None)
+
     vac = sub.add_parser("vacuum", help="drop time-travel history older than --keep-epochs")
     vac.add_argument("--lake", required=True)
     vac.add_argument("--keep-epochs", type=int, default=1)
@@ -550,6 +561,13 @@ def main(argv=None):
         out = refresh_mv(a.lake, a.mv)
         print(json.dumps(out))
         ray.shutdown()
+        return 0
+
+    if a.cmd == "mvadd":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvadd import refresh_mv_additive
+
+        print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
         return 0
 
     if a.cmd == "job":

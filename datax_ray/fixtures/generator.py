@@ -205,16 +205,19 @@ def gen_changes(
     return pa.table(cols)
 
 
-def write_segments(table: pa.Table, out_dir: str, seg_rows: int = 10_000) -> list[str]:
+def write_segments(
+    table: pa.Table, out_dir: str, seg_rows: int = 10_000, start_seg: int = 0
+) -> list[str]:
     """Write the change log as ordered segment files seg-%05d.parquet.
 
     A segment is a contiguous slice of the log (contiguous row range, and —
     modulo injected duplicates — a contiguous LSN range); segments are the
-    unit of epoch planning and replay offsets.
+    unit of epoch planning and replay offsets. `start_seg` offsets the
+    numbering so later batches can land beside earlier ones (tail tests).
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for i, start in enumerate(range(0, max(table.num_rows, 1), seg_rows)):
+    for i, start in enumerate(range(0, max(table.num_rows, 1), seg_rows), start=start_seg):
         part = table.slice(start, seg_rows)
         path = os.path.join(out_dir, f"seg-{i:05d}.parquet")
         pq.write_table(part, path, compression="zstd", compression_level=1)

@@ -936,6 +936,64 @@ FROM final GROUP BY conv_id
 """
 
 
+def cdc_mv_additive_stats(sf_dir: str):
+    """ADDITIVE MV maintenance through the full engine, driver-verified
+    mid-stream (pipelines/mvadd.py): replay HALF the change log, fold the
+    preimage feed into the view, replay the rest, fold ONLY the new
+    epochs' feed — no lake range is ever re-read on the second refresh
+    (O(changed rows), vs the recompute MV's O(changed ranges)). The final
+    view must equal the whole-stream LWW oracle: per-conv live turn count
+    and summed text length, with deletes/updates folded via exact
+    +post/−pre deltas."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvadd import read_mv_additive, refresh_mv_additive
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvadd/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_additive(f"{work}/lake", f"{work}/mvadd")
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_additive(f"{work}/lake", f"{work}/mvadd")
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_mv_additive(f"{work}/mvadd")
+
+
+CDC_MV_ADD_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, text FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM final GROUP BY conv_id
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
     change replay. The snapshot derives from `customer` (4 turns per
@@ -7646,6 +7704,7 @@ QUERIES = {
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
+    "cdc_mv_additive_stats": cdc_mv_additive_stats,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
@@ -7794,6 +7853,7 @@ ORACLE_SQL = {
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
+    "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
