@@ -4536,6 +4536,140 @@ def corr_stats_lineitem(sf_dir: str):
     )
 
 
+def profile_orders(sf_dir: str):
+    """Data-catalog column profiling: per column, row count, null count
+    and EXACT distinct count in ONE streaming pass. Counts are plain
+    sums; distincts use the distinct-pair combiner (per-batch unique →
+    only surviving (column, value) pairs shuffle, bucketed by value hash
+    so each pair dedups exactly once) — the shuffle is bounded by
+    Σ distinct values per column, never rows. Values canonicalize to
+    strings only for DEDUP identity (Arrow's round-trip float repr is
+    injective), not for output. At crawl scale swap the distinct stage
+    for the HLL registers (functions/sketch.py) — same plan shape, the
+    combiner emits ≤2^p rows instead."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    COLS = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    num_buckets = _buckets_for(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=COLS)
+
+    def _vstr(col: pa.ChunkedArray) -> pa.Array:
+        u = pc.unique(pc.drop_null(col.combine_chunks()))
+        if pa.types.is_timestamp(u.type):
+            u = u.cast(pa.int64())
+        return pc.cast(u, pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        crows = {"col_name": [], "n": [], "n_nulls": []}
+        for c in COLS:
+            col = t[c]
+            crows["col_name"].append(c)
+            crows["n"].append(len(col))
+            crows["n_nulls"].append(col.null_count)
+            u = _vstr(col)
+            names.extend([c] * len(u))
+            vals.append(u)
+        pairs = pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "v": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]),
+            }
+        )
+        pairs = pairs.append_column(
+            "_grp", key_buckets(pairs, ["v"], num_buckets)
+        )
+        counts = pa.table(
+            {
+                "col_name": pa.array(crows["col_name"], pa.string()),
+                "v": pa.nulls(len(COLS), pa.string()),
+                "_grp": pa.array([-1] * len(COLS), pa.int32()),
+                "n": pa.array(crows["n"], pa.int64()),
+                "n_nulls": pa.array(crows["n_nulls"], pa.int64()),
+                "n_distinct": pa.array([0] * len(COLS), pa.int64()),
+            }
+        )
+        pairs = pa.table(
+            {
+                "col_name": pairs["col_name"],
+                "v": pairs["v"],
+                "_grp": pc.cast(pairs["_grp"], pa.int32()),
+                "n": pa.array(np.zeros(pairs.num_rows, np.int64), pa.int64()),
+                "n_nulls": pa.array(np.zeros(pairs.num_rows, np.int64), pa.int64()),
+                "n_distinct": pa.array(np.zeros(pairs.num_rows, np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([counts, pairs])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        grp = int(g["_grp"][0].as_py())
+        if grp == -1:  # the count partials: just sum per column
+            f = (
+                g.group_by(["col_name"], use_threads=False)
+                .aggregate([("n", "sum"), ("n_nulls", "sum")])
+                .rename_columns(["col_name", "n", "n_nulls"])
+            )
+            return pa.table(
+                {
+                    "col_name": f["col_name"],
+                    "n": f["n"],
+                    "n_nulls": f["n_nulls"],
+                    "n_distinct": pa.array(
+                        np.zeros(f.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+        d = (
+            g.select(["col_name", "v"])
+            .group_by(["col_name", "v"], use_threads=False)
+            .aggregate([])
+            .group_by(["col_name"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns(["col_name", "n_distinct"])
+        )
+        z = pa.array(np.zeros(d.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {
+                "col_name": d["col_name"],
+                "n": z,
+                "n_nulls": z,
+                "n_distinct": pc.cast(d["n_distinct"], pa.int64()),
+            }
+        )
+
+    partial_rows = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return partial_agg(
+        partial_rows,
+        keys=["col_name"],
+        sums={"n": "n", "n_nulls": "n_nulls", "n_distinct": "n_distinct"},
+        single_reduce=True,  # one row per column
+    )
+
+
+PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey) FROM orders
+UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice) FROM orders
+UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate) FROM orders
+UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+"""
+
+
 def trend_daily_events(sf_dir: str):
     """Per-type OLS trend of daily event volume — the drift monitor a
     pipeline SLO dashboard runs. The regression reduces to decomposable
@@ -7795,6 +7929,7 @@ QUERIES = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "trend_daily_events": trend_daily_events,
     "heatmap_dow_hour": heatmap_dow_hour,
+    "profile_orders": profile_orders,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -7928,6 +8063,7 @@ ORACLE_SQL = {
     "corr_stats_lineitem": CORR_STATS_SQL,
     "trend_daily_events": TREND_SQL,
     "heatmap_dow_hour": HEATMAP_SQL,
+    "profile_orders": PROFILE_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
