@@ -4653,6 +4653,179 @@ def profile_orders(sf_dir: str):
     )
 
 
+def revenue_share_nation(sf_dir: str):
+    """Ratio-to-report window (SUM OVER (PARTITION BY region)): each
+    nation's share of its region's order revenue in integer basis points
+    — exact cents up, one floor division at the end. Plan: one combiner
+    pass to per-custkey→nation cents (via two broadcast joins of the
+    25/5-row dims), fold to O(nations) cells, compute shares in a single
+    tiny task. Orders never shuffle; only nation cells do."""
+    from datax_ray.functions.relational import partial_agg
+
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    )
+
+    # customer -> nation/region map is data-sized? No: nation is 25 rows;
+    # customer is data-sized, so attach nation map-side to CUSTOMER, then
+    # co-group orders with the (custkey -> nation) pairs by custkey hash.
+    cust_n = broadcast_join(
+        cust.map_batches(
+            lambda t: t.rename_columns(["custkey", "n_nationkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        nation,
+        on="n_nationkey",
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def order_cents(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+            )
+            .group_by(["custkey"], use_threads=False)
+            .aggregate([("cents", "sum")])
+            .rename_columns(["custkey", "cents"])
+        )
+        return g
+
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "orders")
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        g = order_cents(t)
+        return pa.table(
+            {
+                "custkey": g["custkey"],
+                "cents": g["cents"],
+                "n_name": pa.nulls(g.num_rows, pa.string()),
+                "n_regionkey": pa.nulls(g.num_rows, pa.int64()),
+                "_grp": key_buckets(g, ["custkey"], num_buckets),
+            }
+        )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t["custkey"],
+                "cents": pa.nulls(t.num_rows, pa.int64()),
+                "n_name": t["n_name"],
+                "n_regionkey": pc.cast(t["n_regionkey"], pa.int64()),
+                "_grp": key_buckets(t, ["custkey"], num_buckets),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_dim = pc.is_valid(g["n_name"])
+        d, o = g.filter(is_dim), g.filter(pc.invert(is_dim))
+        if o.num_rows == 0 or d.num_rows == 0:
+            return pa.schema(
+                [("n_name", pa.string()), ("n_regionkey", pa.int64()),
+                 ("cents", pa.int64())]
+            ).empty_table()
+        dk = d["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        ok = o["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dk[order], ok)
+        pos_c = np.minimum(pos, len(dk) - 1)
+        hit = dk[order][pos_c] == ok
+        o = o.filter(pa.array(hit))
+        take = pa.array(order[pos_c[hit]], pa.int64())
+        return (
+            pa.table(
+                {
+                    "n_name": d["n_name"].combine_chunks().take(take),
+                    "n_regionkey": d["n_regionkey"].combine_chunks().take(take),
+                    "cents": o["cents"],
+                }
+            )
+            .group_by(["n_name", "n_regionkey"], use_threads=False)
+            .aggregate([("cents", "sum")])
+            .rename_columns(["n_name", "n_regionkey", "cents"])
+        )
+
+    cells = partial_agg(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .union(cust_n.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        keys=["n_name", "n_regionkey"],
+        sums={"cents": "cents"},
+        single_reduce=True,  # O(nations) cells
+    )
+
+    def shares(t: pa.Table) -> pa.Table:
+        reg = t["n_regionkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        totals = {r: int(cents[reg == r].sum()) for r in np.unique(reg)}
+        tot = np.array([totals[r] for r in reg], np.int64)
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "region_cents": pa.array(tot, pa.int64()),
+                "share_bp": pa.array(cents * 10_000 // tot, pa.int64()),
+            }
+        )
+
+    return cells.map_batches(shares, batch_format="pyarrow")
+
+
+REVENUE_SHARE_SQL = """
+WITH n AS (
+  SELECT n_name, n_regionkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, n_regionkey
+)
+SELECT n_name,
+       CAST(SUM(cents) OVER (PARTITION BY n_regionkey) AS BIGINT) AS region_cents,
+       CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
+         AS share_bp
+FROM n
+"""
+
+
+def histogram_order_prices(sf_dir: str):
+    """Equi-width value histogram (the profiling companion to
+    profile_orders): order totals bucketed at $100 width, exact cents
+    arithmetic. One combiner pass; the shuffle moves O(buckets) cells."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bucket_lo_cents": pc.multiply(
+                pc.divide(_cents(t["o_totalprice"]), 10_000), 10_000
+            )}
+        )
+
+    return partial_agg(
+        _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["bucket_lo_cents"],
+        counts="n_orders",
+        single_reduce=True,
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000 * 10000
+         AS bucket_lo_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 PROFILE_SQL = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
        COUNT(*) - COUNT(o_orderkey) AS n_nulls,
@@ -7930,6 +8103,8 @@ QUERIES = {
     "trend_daily_events": trend_daily_events,
     "heatmap_dow_hour": heatmap_dow_hour,
     "profile_orders": profile_orders,
+    "revenue_share_nation": revenue_share_nation,
+    "histogram_order_prices": histogram_order_prices,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8064,6 +8239,8 @@ ORACLE_SQL = {
     "trend_daily_events": TREND_SQL,
     "heatmap_dow_hour": HEATMAP_SQL,
     "profile_orders": PROFILE_SQL,
+    "revenue_share_nation": REVENUE_SHARE_SQL,
+    "histogram_order_prices": HISTOGRAM_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
