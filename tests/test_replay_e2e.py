@@ -534,6 +534,42 @@ def test_point_lookup_salted_strict_prune_and_fallback(tmp_path):
     assert read_lake(lake, conv_ids=[key]).count() == want  # still exact
 
 
+def test_snapshot_isolation_reader_unaffected_by_commit(tmp_path):
+    """A Dataset planned against epoch N must return epoch-N state even if
+    a new epoch commits before it executes — manifests are immutable
+    records and data files are never rewritten in place, so a pinned plan
+    is a consistent snapshot (no read locks anywhere)."""
+    from datax_ray.sinks.lake import read_lake
+    from datax_ray.state.manifest import Manifest
+
+    changes = gen_changes(3000, 50, seed=31)
+    chg, lk = str(tmp_path / "chg"), str(tmp_path / "lake")
+    write_segments(changes, chg, seg_rows=1500)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    epoch_n = Manifest(lk).committed_epoch()
+    pinned = read_lake(lk)  # plan built NOW, against epoch N
+    want = final_table(lk, as_of_epoch=epoch_n).to_pylist()
+
+    more = gen_changes(2000, 50, seed=32)
+    import pyarrow.compute as _pc
+
+    more = more.set_column(
+        more.schema.get_field_index("lsn"), "lsn", _pc.add(more["lsn"], 500_000)
+    )
+    write_segments(more, chg, seg_rows=1000, start_seg=50)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    assert Manifest(lk).committed_epoch() > epoch_n
+
+    got = sorted(
+        pinned.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"])
+    )
+    assert got == want  # the new commit is invisible to the pinned plan
+    # and a FRESH plan sees the new state
+    assert read_lake(lk).count() == final_table(lk).num_rows
+
+
 def test_point_lookup_missing_key_empty(tmp_path):
     from datax_ray.sinks.lake import read_lake
 
