@@ -213,10 +213,11 @@ def run_writer(ds: ray.data.Dataset, cfg: dict) -> int:
         fmt = name.removesuffix("writer")
         from datax_ray.sinks.datasink import AtomicDirDatasink
 
-        sink = AtomicDirDatasink(out_dir, fmt)
+        sink = AtomicDirDatasink(out_dir, fmt, append=(mode == "append"))
+        prior_rows = sum(r["rows"] for r in sink._prior_files)
         ds.write_datasink(sink)
         with open(os.path.join(out_dir, sink.MANIFEST)) as f:
-            return int(json.load(f)["rows"])
+            return int(json.load(f)["rows"]) - prior_rows  # THIS job's rows
     if name == "sqlitewriter":
         from datax_ray.sources.sqlsource import write_sql_table
 

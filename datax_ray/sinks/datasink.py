@@ -61,17 +61,44 @@ class AtomicDirDatasink(ray.data.Datasink):
 
     MANIFEST = "_MANIFEST.json"
 
-    def __init__(self, out_dir: str, fmt: str = "parquet"):
+    def __init__(self, out_dir: str, fmt: str = "parquet", append: bool = False):
         self.out_dir = out_dir
         self.fmt = fmt
+        self.append = append
+        self._prior_files: list[dict] = []
+        self._gen = 0
+        if append:
+            # DataX hdfswriter `append`: earlier jobs' data stays visible.
+            # Carry the prior manifest's files into this job's commit and
+            # stamp new parts with a generation so a job appending
+            # byte-identical content cannot collide with an old part name
+            # (which would silently collapse the duplicate rows append
+            # semantics requires). Captured in __init__ — before Ray
+            # pickles the sink for write tasks.
+            try:
+                with open(os.path.join(out_dir, self.MANIFEST)) as f:
+                    prior = json.load(f)
+                if prior.get("format") not in (None, fmt):
+                    raise ValueError(
+                        f"append format mismatch: dir holds {prior['format']!r},"
+                        f" job writes {fmt!r}"
+                    )
+                self._prior_files = list(prior.get("files", []))
+                self._gen = int(prior.get("generation", 0)) + 1
+            except FileNotFoundError:
+                pass
 
     def on_write_start(self) -> None:
         os.makedirs(self.out_dir, exist_ok=True)
-        # A fresh write invalidates any previous commit until it completes.
-        try:
-            os.remove(os.path.join(self.out_dir, self.MANIFEST))
-        except FileNotFoundError:
-            pass
+        if not self.append:
+            # A fresh overwrite invalidates any previous commit until it
+            # completes; append keeps the old manifest readable until the
+            # atomic merged replace below (a crashed append job is
+            # invisible: old data stays committed, new parts are orphans).
+            try:
+                os.remove(os.path.join(self.out_dir, self.MANIFEST))
+            except FileNotFoundError:
+                pass
 
     def write(self, blocks: Iterable, ctx) -> list[dict]:
         out = []
@@ -91,7 +118,7 @@ class AtomicDirDatasink(ray.data.Datasink):
             # (e.g. constant columns) still get distinct files — a pure
             # content hash would silently collapse them and lose rows.
             digest = hashlib.sha1(blob).hexdigest()[:16]
-            name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
+            name = f"g{self._gen:03d}-part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
             path = os.path.join(self.out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -101,8 +128,8 @@ class AtomicDirDatasink(ray.data.Datasink):
         return out
 
     def on_write_complete(self, write_result) -> None:
-        files: list[dict] = []
-        seen = set()
+        files: list[dict] = list(self._prior_files)
+        seen = {r["file"] for r in files}
         for task_files in write_result.write_returns:
             for rec in task_files:
                 # A retried task re-reports the same (task_idx, ordinal,
@@ -112,6 +139,7 @@ class AtomicDirDatasink(ray.data.Datasink):
                     files.append(rec)
         manifest = {
             "format": self.fmt,
+            "generation": self._gen,
             "files": sorted(files, key=lambda r: r["file"]),
             "rows": sum(r["rows"] for r in files),
         }

@@ -22,7 +22,7 @@ def test_write_commit_and_readback(tmp_path):
     _ds().write_datasink(AtomicDirDatasink(out, "parquet"))
     m = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert m["rows"] == 1000
-    disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    disk = {f for f in os.listdir(out) if f.startswith(("part-", "g0"))}
     assert disk == {r["file"] for r in m["files"]}
     back = read_committed(out)
     assert back.count() == 1000
@@ -33,9 +33,9 @@ def test_rerun_is_idempotent(tmp_path):
     out = str(tmp_path / "out")
     sink = AtomicDirDatasink(out, "jsonl")
     _ds().write_datasink(sink)
-    files1 = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    files1 = sorted(f for f in os.listdir(out) if f.startswith(("part-", "g0")))
     _ds().write_datasink(sink)  # identical content → identical names
-    files2 = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    files2 = sorted(f for f in os.listdir(out) if f.startswith(("part-", "g0")))
     assert files1 == files2
     assert read_committed(out).count() == 1000
 
@@ -59,3 +59,29 @@ def test_failed_write_leaves_no_manifest_and_orphans_invisible(tmp_path):
     # Re-running the good job heals: manifest lists only its own files.
     _ds(500).write_datasink(AtomicDirDatasink(out, "parquet"))
     assert read_committed(out).count() == 500
+
+
+def test_append_mode_accumulates_and_crash_keeps_old_commit(tmp_path):
+    """append=True merges prior manifest files into the new commit (DataX
+    hdfswriter append semantics), even for byte-identical re-appends
+    (generation-stamped part names); a crashed append leaves the OLD
+    manifest readable."""
+    out = str(tmp_path / "out")
+    _ds(300).write_datasink(AtomicDirDatasink(out, "parquet"))
+    assert read_committed(out).count() == 300
+
+    # identical content appended again must DOUBLE, not collapse
+    _ds(300).write_datasink(AtomicDirDatasink(out, "parquet", append=True))
+    assert read_committed(out).count() == 600
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["generation"] == 1 and man["rows"] == 600
+
+    def boom(t: pa.Table) -> pa.Table:
+        raise RuntimeError("injected failure")
+
+    with pytest.raises(Exception):
+        _ds(50).map_batches(boom, batch_format="pyarrow").write_datasink(
+            AtomicDirDatasink(out, "parquet", append=True)
+        )
+    # old commit still fully readable after the failed append
+    assert read_committed(out).count() == 600

@@ -47,7 +47,7 @@ def test_parquet_to_parquet_with_transformers(tmp_path):
         ],
     )
     summary = run_job(cfg)
-    got = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    got = pq.ParquetDataset(glob.glob(f"{out}/*part-*.parquet")).read().to_pandas()
     want = duckdb.sql(
         f"""SELECT doc_id, substr(text, 1, 10) AS text, lang
             FROM read_parquet('{SF}/documents.parquet') WHERE lang = 'en'"""
@@ -68,7 +68,7 @@ def test_job_config_from_file_and_csv_writer(tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     summary = run_job(str(cfg_path))
     rows = sum(
-        len(pd.read_csv(p)) for p in glob.glob(f"{out}/part-*.csv")
+        len(pd.read_csv(p)) for p in glob.glob(f"{out}/*part-*.csv")
     )
     assert rows == summary["records"] == 5  # TPC-H regions
 
@@ -80,9 +80,9 @@ def test_write_modes(tmp_path):
         {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "truncate"}},
     )
     run_job(base)
-    n1 = len(glob.glob(f"{out}/part-*.parquet"))
+    n1 = len(glob.glob(f"{out}/*part-*.parquet"))
     run_job(base)  # truncate: identical file count after re-run
-    assert len(glob.glob(f"{out}/part-*.parquet")) == n1
+    assert len(glob.glob(f"{out}/*part-*.parquet")) == n1
     base["job"]["content"][0]["writer"]["parameter"]["writeMode"] = "nonConflict"
     with pytest.raises(FileExistsError):
         run_job(base)
@@ -107,9 +107,9 @@ def test_streamreader_deterministic_and_speed_cap(tmp_path):
         setting={"speed": {"record": 1_000_000}},
     )
     s1 = run_job(cfg)
-    t1 = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    t1 = pq.ParquetDataset(glob.glob(f"{out}/*part-*.parquet")).read().to_pandas()
     s2 = run_job(cfg)
-    t2 = pq.ParquetDataset(glob.glob(f"{out}/part-*.parquet")).read().to_pandas()
+    t2 = pq.ParquetDataset(glob.glob(f"{out}/*part-*.parquet")).read().to_pandas()
     assert s1["records"] == s2["records"] == 5000
     k1 = t1.sort_values(["k", "v"]).reset_index(drop=True)
     k2 = t2.sort_values(["k", "v"]).reset_index(drop=True)
@@ -269,7 +269,7 @@ def test_duplicate_identical_blocks_are_not_collapsed(tmp_path):
     assert s["records"] == 40000
     total = sum(
         pq.read_metadata(p).num_rows
-        for p in glob.glob(f"{out}/part-*.parquet")
+        for p in glob.glob(f"{out}/*part-*.parquet")
     )
     assert total == 40000  # every row on disk, none deduped away
 
