@@ -329,14 +329,17 @@ def _group_agg(
     max_map: dict[str, str],
     count_out: str | None,
     out_order: list[str],
+    min_map: dict[str, str] | None = None,
 ) -> pa.Table:
-    """One vectorized Arrow hash aggregation over a batch: sums/maxs map
-    source column -> output name; count_out names a count(*) column.
+    """One vectorized Arrow hash aggregation over a batch: sums/maxs/mins
+    map source column -> output name; count_out names a count(*) column.
     Output columns are keys + out_order; empty inputs yield a TYPED empty
     table (Arrow group_by preserves schema — the property the pandas
     version lost, VERDICT.md round 2 'What's wrong' #1)."""
+    min_map = min_map or {}
     aggs = [(src, "sum") for src in sum_map]
     aggs += [(src, "max") for src in max_map]
+    aggs += [(src, "min") for src in min_map]
     if count_out:
         aggs.append(([], "count_all"))
     g = t.group_by(keys, use_threads=False).aggregate(aggs)
@@ -344,6 +347,7 @@ def _group_agg(
         list(keys)
         + [sum_map[src] for src in sum_map]
         + [max_map[src] for src in max_map]
+        + [min_map[src] for src in min_map]
         + ([count_out] if count_out else [])
     )
     g = g.rename_columns(names)
@@ -356,6 +360,7 @@ def partial_agg(
     sums: dict[str, str] | None = None,
     counts: str | None = None,
     maxs: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
     num_buckets: int = 64,
     single_reduce: bool = False,
 ):
@@ -376,20 +381,29 @@ def partial_agg(
     costs a fixed multi-second constant that dwarfs a tiny reduce."""
     sums = sums or {}
     maxs = maxs or {}
-    out_cols = list(sums.values()) + ([counts] if counts else []) + list(maxs.values())
-    # reduce-side: sum the partial sums AND partial counts, max the maxs
+    mins = mins or {}
+    out_cols = (
+        list(sums.values())
+        + ([counts] if counts else [])
+        + list(maxs.values())
+        + list(mins.values())
+    )
+    # reduce-side: sum the partial sums AND partial counts, max the maxs,
+    # min the mins (all decomposable, so partial-of-partial is exact)
     red_sums = {out: out for out in sums.values()}
     if counts:
         red_sums[counts] = counts
     red_maxs = {out: out for out in maxs.values()}
+    red_mins = {out: out for out in mins.values()}
 
     def partial(t: pa.Table) -> pa.Table:
-        g = _group_agg(t, keys, sums, maxs, counts, out_cols)
+        g = _group_agg(t, keys, sums, maxs, counts, out_cols, min_map=mins)
         return g.append_column("_grp", key_buckets(g, keys, num_buckets))
 
     def final(t: pa.Table) -> pa.Table:
         return _group_agg(
-            t.drop_columns(["_grp"]), keys, red_sums, red_maxs, None, out_cols
+            t.drop_columns(["_grp"]), keys, red_sums, red_maxs, None, out_cols,
+            min_map=red_mins,
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

@@ -4818,6 +4818,132 @@ def histogram_order_prices(sf_dir: str):
     )
 
 
+def rollup_time_revenue(sf_dir: str):
+    """Time-hierarchy rollup (day → ISO-week → 28-day period) computed
+    from ONE combiner pass: order revenue aggregates to day cells once;
+    the two coarser granularities fold from those cells in a single tiny
+    task — the input is never re-read per granularity (same
+    aggregate-once-derive-many shape as the CUBE operator). All period
+    keys are integer epoch-day arithmetic, identical in SQL."""
+    from datax_ray.functions.relational import partial_agg
+
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    days = partial_agg(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["day"],
+        sums={"cents": "cents"},
+        single_reduce=True,  # O(days) cells
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = {"grain": [], "period_start_day": [], "cents": []}
+        for grain, width, anchor in (("day", 1, 0), ("week", 7, 4), ("p28", 28, 4)):
+            # anchor=4: 1970-01-01 was a Thursday; -4 starts weeks on Monday
+            start = (day - anchor) // width * width + anchor
+            for s in np.unique(start):
+                out["grain"].append(grain)
+                out["period_start_day"].append(int(s))
+                out["cents"].append(int(cents[start == s].sum()))
+        return pa.table(
+            {
+                "grain": pa.array(out["grain"], pa.string()),
+                "period_start_day": pa.array(out["period_start_day"], pa.int64()),
+                "cents": pa.array(out["cents"], pa.int64()),
+            }
+        )
+
+    return days.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+ROLLUP_TIME_SQL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT 'day' AS grain, day AS period_start_day, cents FROM d
+UNION ALL
+SELECT 'week', (day - 4) // 7 * 7 + 4, CAST(SUM(cents) AS BIGINT)
+FROM d GROUP BY 2
+UNION ALL
+SELECT 'p28', (day - 4) // 28 * 28 + 4, CAST(SUM(cents) AS BIGINT)
+FROM d GROUP BY 2
+"""
+
+
+def user_growth_curve(sf_dir: str):
+    """Cumulative-distinct growth curve: per day, how many users were
+    seen for the FIRST time and the running total — COUNT(DISTINCT) OVER
+    (ORDER BY day) without any distinct window machinery: a min-day
+    combiner reduces the stream to one row per user, day counts fold to
+    O(days) cells, and the cumsum is one tiny task."""
+    from datax_ray.functions.relational import partial_agg
+
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "first_day": pc.divide(pc.cast(t["ts"], pa.int64()), DAY),
+            }
+        )
+
+    first_seen = partial_agg(
+        _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["user_id"],
+        mins={"first_day": "first_day"},
+    )
+
+    day_counts = partial_agg(
+        first_seen,
+        keys=["first_day"],
+        counts="new_users",
+        single_reduce=True,  # O(days) cells
+    )
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        t = t.sort_by("first_day")
+        n = t["new_users"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": t["first_day"],
+                "new_users": pc.cast(t["new_users"], pa.int64()),
+                "cum_users": pa.array(np.cumsum(n).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return day_counts.map_batches(cumsum, batch_format="pyarrow", batch_size=None)
+
+
+GROWTH_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
 HISTOGRAM_SQL = """
 SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000 * 10000
          AS bucket_lo_cents,
@@ -8105,6 +8231,8 @@ QUERIES = {
     "profile_orders": profile_orders,
     "revenue_share_nation": revenue_share_nation,
     "histogram_order_prices": histogram_order_prices,
+    "rollup_time_revenue": rollup_time_revenue,
+    "user_growth_curve": user_growth_curve,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8241,6 +8369,8 @@ ORACLE_SQL = {
     "profile_orders": PROFILE_SQL,
     "revenue_share_nation": REVENUE_SHARE_SQL,
     "histogram_order_prices": HISTOGRAM_SQL,
+    "rollup_time_revenue": ROLLUP_TIME_SQL,
+    "user_growth_curve": GROWTH_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
