@@ -306,20 +306,65 @@ def run_job(cfg: dict | str, job_dir: str | None = None) -> dict:
     """Execute a DataX-shaped job config end to end; returns a summary dict
     {records, dirty_records, elapsed_s, records_per_s, deadletter_dir}.
 
-    Accepts a dict or a path to a JSON file. `job_dir` (default: alongside
-    the writer output, else cwd scratch) holds the dead-letter sink."""
+    `job.content` is a LIST, as in DataX: every entry is an independent
+    reader→transformer→writer pipe. Entries run back to back on the
+    driver — unlike DataX's channel threads, each entry here is already a
+    fully parallel Ray pipeline saturating the cluster, so interleaving
+    entries buys nothing (and Ray Data execution off the main thread trips
+    lazy filesystem imports). The summary totals all entries and carries
+    per-entry rows under "contents" when there is more than one;
+    errorLimit applies to the job-wide totals, matching DataX's job-scoped
+    accounting."""
     if isinstance(cfg, str):
         with open(cfg) as f:
             cfg = json.load(f)
-    content = cfg["job"]["content"][0]
+    entries = cfg["job"]["content"]
     setting = cfg["job"].get("setting", {})
 
+    t0 = time.perf_counter()
+    summaries = [
+        _run_content(c, setting, job_dir, i) for i, c in enumerate(entries)
+    ]
+
+    records = sum(s["records"] for s in summaries)
+    dirty_total = sum(s["dirty_records"] for s in summaries)
+    limit = setting.get("errorLimit", {})
+    if limit:
+        max_rec = limit.get("record")
+        max_pct = limit.get("percentage")
+        total = records + dirty_total
+        if max_rec is not None and dirty_total > max_rec:
+            raise DirtyLimitExceeded(
+                f"dirty records {dirty_total} > errorLimit.record {max_rec}"
+            )
+        if max_pct is not None and total and dirty_total / total > max_pct:
+            raise DirtyLimitExceeded(
+                f"dirty fraction {dirty_total / total:.4f} > "
+                f"errorLimit.percentage {max_pct}"
+            )
+    elapsed = time.perf_counter() - t0
+    out = {
+        "records": records,
+        "dirty_records": dirty_total,
+        "elapsed_s": round(elapsed, 3),
+        "records_per_s": round(records / max(elapsed, 1e-9), 1),
+        "deadletter_dir": summaries[0]["deadletter_dir"],
+    }
+    if len(summaries) > 1:
+        out["contents"] = summaries
+    return out
+
+
+def _run_content(content: dict, setting: dict, job_dir: str | None, idx: int) -> dict:
+    """One reader→transformer→writer pipe (one job.content entry)."""
     reader_cfg = content["reader"]
     writer_cfg = content["writer"]
     if job_dir is None:
         out_path = writer_cfg.get("parameter", {}).get("path")
         job_dir = (out_path + "_job") if out_path else "/tmp/datax_job"
-    deadletter = os.path.join(job_dir, "deadletter")
+    deadletter = os.path.join(
+        job_dir, "deadletter" if idx == 0 else f"deadletter-c{idx}"
+    )
 
     t0 = time.perf_counter()
     ds = build_reader(reader_cfg)
@@ -353,20 +398,6 @@ def run_job(cfg: dict | str, job_dir: str | None = None) -> dict:
             for f in os.listdir(deadletter)
             if f.endswith(".csv")
         )
-    limit = setting.get("errorLimit", {})
-    if limit:
-        max_rec = limit.get("record")
-        max_pct = limit.get("percentage")
-        total = records + dirty_total
-        if max_rec is not None and dirty_total > max_rec:
-            raise DirtyLimitExceeded(
-                f"dirty records {dirty_total} > errorLimit.record {max_rec}"
-            )
-        if max_pct is not None and total and dirty_total / total > max_pct:
-            raise DirtyLimitExceeded(
-                f"dirty fraction {dirty_total / total:.4f} > "
-                f"errorLimit.percentage {max_pct}"
-            )
     elapsed = time.perf_counter() - t0
     return {
         "records": records,

@@ -295,3 +295,40 @@ def test_fractional_long_cast_routes_to_deadletter_with_original(tmp_path):
     ])
     vals = set(dl["num"].astype(str))
     assert vals == {"3.7", "xyz"}  # originals preserved, not nulled
+
+
+def test_multi_content_entries_run_and_total(ray_session, tmp_path):
+    """DataX job.content is a LIST: every entry is an independent pipe;
+    the summary totals all of them and errorLimit is job-scoped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_ray.pipelines.job import run_job
+
+    src1 = str(tmp_path / "a.parquet")
+    src2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"k": list(range(100))}), src1)
+    pq.write_table(pa.table({"k": list(range(250))}), src2)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+
+    summary = run_job(
+        {
+            "job": {
+                "content": [
+                    {
+                        "reader": {"name": "parquetreader", "parameter": {"path": src1}},
+                        "writer": {"name": "parquetwriter", "parameter": {"path": out1}},
+                    },
+                    {
+                        "reader": {"name": "parquetreader", "parameter": {"path": src2}},
+                        "writer": {"name": "streamwriter", "parameter": {}},
+                    },
+                ]
+            }
+        }
+    )
+    assert summary["records"] == 350
+    assert [c["records"] for c in summary["contents"]] == [100, 250]
+    assert pq.ParquetDataset(
+        [os.path.join(out1, f) for f in os.listdir(out1) if f.endswith(".parquet")]
+    ).read().num_rows == 100
