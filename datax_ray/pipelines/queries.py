@@ -4931,6 +4931,98 @@ def user_growth_curve(sf_dir: str):
     return day_counts.map_batches(cumsum, batch_format="pyarrow", batch_size=None)
 
 
+def wau_trailing_7d(sf_dir: str):
+    """Sliding-window DISTINCT count — trailing-7-day active users per
+    day (the WAU dashboard metric, a COUNT(DISTINCT) OVER RANGE that SQL
+    engines struggle to distribute). Plan: distinct (user, day) combiner
+    first (shuffle is bounded by distinct pairs, never events), then each
+    pair CONTRIBUTES to the 7 window-days it covers — a vectorized
+    7-way repeat — and a second distinct-pair pass counts users per
+    window day (a day appears iff its trailing week saw any activity;
+    the oracle builds the identical day grid)."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    DAY = 86_400_000_000
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pc.divide(pc.cast(t["ts"], pa.int64()), DAY),
+                }
+            )
+            .group_by(["user_id", "day"], use_threads=False)
+            .aggregate([])
+        )
+        return g.append_column("_grp", key_buckets(g, ["user_id"], num_buckets))
+
+    def explode_window(g: pa.Table) -> pa.Table:
+        # per-bucket: dedup cross-batch pairs, then spread each over the
+        # 7 trailing-window days it contributes to
+        g = g.select(["user_id", "day"]).group_by(
+            ["user_id", "day"], use_threads=False
+        ).aggregate([])
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid7 = np.repeat(uid, 7)
+        wday = np.repeat(day, 7) + np.tile(np.arange(7, dtype=day.dtype), len(day))
+        h = (
+            pa.table(
+                {
+                    "user_id": pa.array(uid7, pa.int64()),
+                    "wday": pa.array(wday, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "wday"], use_threads=False)
+            .aggregate([])
+        )
+        # bucket by user so a (user, wday) pair dedups exactly once
+        return h.append_column("_g2", key_buckets(h, ["user_id"], num_buckets))
+
+    def count_per_day(g: pa.Table) -> pa.Table:
+        d = (
+            g.select(["user_id", "wday"])
+            .group_by(["user_id", "wday"], use_threads=False)
+            .aggregate([])
+            .group_by(["wday"], use_threads=False)
+            .aggregate([("user_id", "count")])
+            .rename_columns(["wday", "wau"])
+        )
+        return pa.table(
+            {"day": d["wday"], "wau": pc.cast(d["wau"], pa.int64())}
+        )
+
+    per_bucket_counts = (
+        _read(sf_dir, "events", columns=["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(explode_window, batch_format="pyarrow")
+        .groupby("_g2")
+        .map_groups(count_per_day, batch_format="pyarrow")
+    )
+    # partial day counts from different user-buckets sum exactly (buckets
+    # partition users, so no (user, day) is counted twice)
+    return partial_agg(
+        per_bucket_counts,
+        keys=["day"],
+        sums={"wau": "wau"},
+        single_reduce=True,  # O(days) cells
+    )
+
+
+WAU_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), w AS (
+  SELECT DISTINCT user_id, day + off AS day
+  FROM p, (SELECT UNNEST(range(7)) AS off)
+)
+SELECT day, COUNT(*) AS wau FROM w GROUP BY day
+"""
+
+
 GROWTH_SQL = """
 WITH f AS (
   SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
@@ -8233,6 +8325,7 @@ QUERIES = {
     "histogram_order_prices": histogram_order_prices,
     "rollup_time_revenue": rollup_time_revenue,
     "user_growth_curve": user_growth_curve,
+    "wau_trailing_7d": wau_trailing_7d,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8371,6 +8464,7 @@ ORACLE_SQL = {
     "histogram_order_prices": HISTOGRAM_SQL,
     "rollup_time_revenue": ROLLUP_TIME_SQL,
     "user_growth_curve": GROWTH_SQL,
+    "wau_trailing_7d": WAU_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
