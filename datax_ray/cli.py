@@ -237,6 +237,13 @@ def main(argv=None):
     dd.add_argument("--lake", required=True)
     dd.add_argument("--idx", required=True)
     dd.add_argument("--min-count", type=int, default=2)
+    dd.add_argument("--near", action="store_true",
+                    help="NEAR-duplicates: word-3-gram shingle postings, "
+                    "exact all-pairs Jaccard over the index (emission is "
+                    "sum df(g)^2 — bounded-df corpora only; stop-word-"
+                    "heavy text needs the LSH operator path)")
+    dd.add_argument("--threshold", type=float, default=0.5,
+                    help="Jaccard threshold for --near")
     dd.add_argument("--limit", type=int, default=20)
     dd.add_argument("--num-cpus", type=int, default=None)
 
@@ -683,6 +690,21 @@ def main(argv=None):
 
     if a.cmd == "dedupscan":
         _ensure_ray(a.num_cpus)
+        if a.near:
+            from datax_ray.pipelines.dedupscan import (
+                near_duplicate_pairs,
+                refresh_neardup_index,
+            )
+
+            stats = refresh_neardup_index(a.lake, a.idx)
+            pairs = near_duplicate_pairs(a.idx, threshold=a.threshold)
+            total = pairs.count()
+            rows = pairs.sort(
+                ["jacc_milli", "conv_a", "turn_a"],
+                descending=[True, False, False],
+            ).limit(a.limit).take_all()
+            print(json.dumps({**stats, "pair_rows": total, "shown": rows}))
+            return 0
         from datax_ray.pipelines.dedupscan import (
             duplicate_groups,
             refresh_dedup_index,

@@ -536,6 +536,78 @@ CDC_SEARCH_SQL = CDC_REPLAY_SQL.replace(
 )
 
 
+def cdc_neardup_texts(sf_dir: str):
+    """Incremental NEAR-duplicate index over the CDC lake, driver-verified
+    (pipelines/dedupscan.py near-dup family): derive a change log whose
+    texts are 5-word sliding windows over a folded id space (adjacent ids
+    share 4 of 5 words — deterministic near-duplicates), replay it,
+    refresh the per-range shingle-postings index (manifest-fingerprint
+    skip), and emit every live pair with word-3-gram Jaccard >= 0.45 as
+    integer milli-scores. EXACT AllPairs plan over the persisted postings
+    — the oracle computes the identical shingle join over the LWW-final
+    state. LSH remains the adversarial-df path; this index's contract is
+    exactness (functions/dedup.ngram_pairs_exact's contract, made
+    incremental)."""
+    from datax_ray.pipelines.dedupscan import (
+        near_duplicate_pairs,
+        refresh_neardup_index,
+    )
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_neardup/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work, text_mod=_NEARDUP_MOD, text_words=5)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    refresh_neardup_index(f"{work}/lake", f"{work}/nearidx")
+    return near_duplicate_pairs(f"{work}/nearidx", threshold=0.45)
+
+
+# fixed id-fold for the near-dup derivation: the oracle string is static,
+# so the knob cannot scale with sf; 5000 keeps pair volume bounded at the
+# driver's sf0.01 while still planting dense duplicate neighborhoods
+_NEARDUP_MOD = 5000
+
+
+def _neardup_sql(mod: int) -> str:
+    return f"""
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         event_id % {mod} AS m
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, turn_idx, m FROM w WHERE rn = 1 AND op <> 'delete'
+), sh AS (
+  SELECT conv_id, turn_idx,
+         'w' || (m + i) || ' w' || (m + i + 1) || ' w' || (m + i + 2) AS g
+  FROM final, UNNEST(range(3)) AS t(i)
+), inter AS (
+  SELECT a.conv_id AS conv_a, a.turn_idx AS turn_a,
+         b.conv_id AS conv_b, b.turn_idx AS turn_b, COUNT(*) AS c
+  FROM sh a JOIN sh b
+    ON a.g = b.g AND (a.conv_id, a.turn_idx) < (b.conv_id, b.turn_idx)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT conv_a, CAST(turn_a AS INTEGER) AS turn_a,
+       conv_b, CAST(turn_b AS INTEGER) AS turn_b,
+       CAST(1000 * c // (6 - c) AS BIGINT) AS jacc_milli
+FROM inter WHERE 1000 * c // (6 - c) >= 450
+"""
+
+
 def cdc_feed_additive_stats(sf_dir: str):
     """Additive CDC consumption, driver-verified: replay the derived
     change log, then compute per-conversation turn counts by folding the
@@ -8224,6 +8296,7 @@ QUERIES = {
     "cdc_repartition_migrate": cdc_repartition_migrate,
     "cdc_text_search": cdc_text_search,
     "cdc_dup_texts": cdc_dup_texts,
+    "cdc_neardup_texts": cdc_neardup_texts,
     "cdc_feed_additive_stats": cdc_feed_additive_stats,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
@@ -8379,6 +8452,7 @@ ORACLE_SQL = {
     "cdc_repartition_migrate": CDC_REPLAY_SQL,
     "cdc_text_search": CDC_SEARCH_SQL,
     "cdc_dup_texts": CDC_DUP_SQL,
+    "cdc_neardup_texts": _neardup_sql(_NEARDUP_MOD),
     "cdc_feed_additive_stats": CDC_ADDITIVE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,

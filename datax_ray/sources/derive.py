@@ -57,6 +57,7 @@ def derive_changes(
     ddl_mod: int | None = None,
     text_mod: int | None = None,
     widen_mod: int | None = None,
+    text_words: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -83,7 +84,21 @@ def derive_changes(
     # deterministic DUPLICATE texts for the dedup-scan oracle; default is
     # one unique payload per event
     text_src = pa.array(e % text_mod) if text_mod else eid
-    text = pc.binary_join_element_wise("payload-", pc.cast(text_src, pa.string()), "")
+    if text_words:
+        # text_words=W emits "w<m> w<m+1> ... w<m+W-1>" — a SLIDING word
+        # window over the id space, so texts whose m differ by d < W share
+        # W-d words: deterministic NEAR-duplicates with SQL-computable
+        # n-gram Jaccard (the near-dup index oracle)
+        m = text_src.to_numpy(zero_copy_only=False)
+        parts: list = []
+        for j in range(int(text_words)):
+            parts.append("w" if j == 0 else " w")
+            parts.append(pc.cast(pa.array(m + j), pa.string()))
+        text = pc.binary_join_element_wise(*parts, "")
+    else:
+        text = pc.binary_join_element_wise(
+            "payload-", pc.cast(text_src, pa.string()), ""
+        )
     op = pc.if_else(is_del, "delete", pc.if_else(is_even, "insert", "update"))
     role = pc.if_else(is_del, nulls, pc.if_else(is_even, "user", "assistant"))
     turn = e % turn_mod
@@ -138,6 +153,7 @@ class ChangeDeriver:
         ddl_mod: int | None = None,
         text_mod: int | None = None,
         widen_mod: int | None = None,
+        text_words: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -151,11 +167,12 @@ class ChangeDeriver:
         self.ddl_mod = ddl_mod
         self.text_mod = text_mod
         self.widen_mod = widen_mod
+        self.text_words = text_words
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
             t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
-            self.text_mod, self.widen_mod,
+            self.text_mod, self.widen_mod, self.text_words,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -74,3 +74,78 @@ def test_refresh_incremental_and_replay_invalidates(lake, tmp_path):
     a = duplicate_groups(idx).to_pandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (a["grp_size"] >= 2).all()
+
+
+def test_neardup_pairs_match_direct_and_incremental(tmp_path):
+    """Near-dup index: pairs equal a direct ngram_pairs_exact computation
+    over the live texts; fingerprint skip on an unchanged lake; purged
+    keys vanish from the pair set after refresh."""
+    import ray
+
+    from datax_ray.functions.dedup import ngram_pairs_exact
+    from datax_ray.pipelines.dedupscan import (
+        near_duplicate_pairs,
+        refresh_neardup_index,
+    )
+    from datax_ray.pipelines.purge import purge
+
+    changes = str(tmp_path / "chg_near")
+    ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(
+        __import__("datax_ray.sources.derive", fromlist=["ChangeDeriver"]).ChangeDeriver(
+            changes, text_mod=300, text_words=5
+        ),
+        batch_format="pyarrow",
+        batch_size=2048,
+    ).take_all()
+    lk = str(tmp_path / "lake_near")
+    replay(ReplayConfig(changes_dir=changes, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    idx = str(tmp_path / "nearidx")
+    stats = refresh_neardup_index(lk, idx)
+    assert stats["refreshed"] >= 1
+
+    got = (
+        near_duplicate_pairs(idx, threshold=0.45)
+        .to_pandas()
+        .sort_values(["conv_a", "turn_a", "conv_b", "turn_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+    # direct computation over the live texts (docs keyed by a synthetic id)
+    live = final_table(lk)
+    import numpy as np
+    import pyarrow as pa
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(live.num_rows), pa.int64()),
+            "text": pc.fill_null(live["text"], ""),
+        }
+    )
+    direct = ngram_pairs_exact(
+        ray.data.from_arrow(docs), threshold=0.45, num_buckets=16
+    ).to_pandas()
+    # same pair COUNT and the same multiset of scores (ids differ, so
+    # compare scores through the integer milli rule both ways)
+    assert len(direct) == len(got)
+    want_scores = sorted(int(round(j * 1000)) for j in direct["jaccard"])
+    got_scores = sorted(int(x) for x in got["jacc_milli"])
+    # floor-vs-round only differs off the exact grid; the planted corpus
+    # yields exact thirds/halves, so both rules agree here
+    assert got_scores == want_scores
+
+    # incrementality: unchanged lake -> all ranges skipped
+    again = refresh_neardup_index(lk, idx)
+    assert again["refreshed"] == 0 and again["skipped"] >= 1
+
+    # purge one conv appearing in a pair; refresh; its pairs disappear
+    victim = got["conv_a"].iloc[0]
+    purge(lk, [victim])
+    after_stats = refresh_neardup_index(lk, idx)
+    assert after_stats["refreshed"] >= 1
+    after = near_duplicate_pairs(idx, threshold=0.45).to_pandas()
+    assert victim not in set(after["conv_a"]) | set(after["conv_b"])
