@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "pmi_bigrams",
     "outlier_events_mad",
     "fuzzy_match_parts",
+    "profile_orders",
+    "wau_trailing_7d",
+    "user_activity_streaks",
+    "funnel_pattern_match",
 ]
 
 
