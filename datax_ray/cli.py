@@ -86,12 +86,16 @@ def main(argv=None):
     c.add_argument("--lake", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
 
-    e = sub.add_parser("export", help="materialize the lake to a parquet/csv/jsonl sink")
+    e = sub.add_parser("export", help="materialize the lake to a parquet/orc/csv/jsonl sink")
     e.add_argument("--lake", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    e.add_argument("--format", default="parquet",
+                   choices=["parquet", "orc", "csv", "jsonl"])
     e.add_argument("--as-of-epoch", type=int, default=None,
                    help="export the lake AS OF this committed epoch (time travel)")
+    e.add_argument("--partition-by", action="append", default=None,
+                   help="Hive-style partitioned layout out/<col>=<val>/... "
+                   "(repeatable; the odpswriter partition-spec analog)")
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
@@ -523,8 +527,10 @@ def main(argv=None):
 
         from datax_ray.sinks.export import export_lake
 
-        rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch)
-        print(json.dumps({"rows": rows, "out": a.out, "format": a.format}))
+        rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch,
+                           partition_by=a.partition_by)
+        print(json.dumps({"rows": rows, "out": a.out, "format": a.format,
+                          "partition_by": a.partition_by}))
         ray.shutdown()
         return 0
 
