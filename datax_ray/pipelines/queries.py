@@ -5133,6 +5133,123 @@ UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
 """
 
 
+def profit_by_nation(sf_dir: str):
+    """TPC-H-Q9-shaped multi-join profit rollup: discounted revenue of
+    PROMO-part line items, by supplier nation — one query exercising the
+    whole join toolkit at its proper scale tiers: the data-sized part
+    selection reaches lineitem through the BLOOM-prefiltered distributed
+    semi-join (definite non-PROMO rows drop BEFORE any exchange), the
+    data-sized supplier dimension attaches in a suppkey co-group (never
+    broadcast), the 25-row nation table broadcasts, and revenue
+    pre-aggregates per (suppkey) inside map_batches so the exchange moves
+    partials. All integer: revenue_e4 = cents × (100 − discount_pct)."""
+    from datax_ray.functions.relational import key_buckets, partial_agg, semi_join
+
+    import pyarrow.parquet as pq
+
+    est = parquet_rows(os.path.join(sf_dir, "part.parquet"))
+    promo_parts = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).filter(
+        expr="p_type == 'PROMO'"
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    promo_li = semi_join(
+        li, promo_parts, on="l_partkey", right_on="p_partkey",
+        bloom_bits=max(1 << 16, est * 10),
+    )
+
+    def per_supp(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"])
+        pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(100, pct))
+        g = (
+            pa.table({"suppkey": t["l_suppkey"], "revenue_e4": rev})
+            .group_by(["suppkey"], use_threads=False)
+            .aggregate([("revenue_e4", "sum")])
+            .rename_columns(["suppkey", "revenue_e4"])
+        )
+        g = g.append_column(
+            "s_nationkey", pa.nulls(g.num_rows, pa.int64())
+        )
+        return g.append_column("_grp", key_buckets(g, ["suppkey"], 64))
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nation = nation.set_column(
+        0, "n_nationkey", pc.cast(nation["n_nationkey"], pa.int64())
+    )
+
+    def supp_dim(t: pa.Table) -> pa.Table:
+        d = pa.table(
+            {
+                "suppkey": t["s_suppkey"],
+                "revenue_e4": pa.nulls(t.num_rows, pa.int64()),
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        )
+        return d.append_column("_grp", key_buckets(d, ["suppkey"], 64))
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_dim = pc.is_valid(g["s_nationkey"])
+        d, o = g.filter(is_dim), g.filter(pc.invert(is_dim))
+        if d.num_rows == 0 or o.num_rows == 0:
+            return pa.schema(
+                [("n_nationkey", pa.int64()), ("revenue_e4", pa.int64())]
+            ).empty_table()
+        dk = d["suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        ok = o["suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(dk[order], ok), len(dk) - 1)
+        hit = dk[order][pos] == ok
+        o = o.filter(pa.array(hit))
+        take = pa.array(order[pos[hit]], pa.int64())
+        return (
+            pa.table(
+                {
+                    "n_nationkey": d["s_nationkey"].combine_chunks().take(take),
+                    "revenue_e4": o["revenue_e4"],
+                }
+            )
+            .group_by(["n_nationkey"], use_threads=False)
+            .aggregate([("revenue_e4", "sum")])
+            .rename_columns(["n_nationkey", "revenue_e4"])
+        )
+
+    cells = partial_agg(
+        promo_li.map_batches(per_supp, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+                supp_dim, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("_grp")
+        .map_groups(attach, batch_format="pyarrow"),
+        keys=["n_nationkey"],
+        sums={"revenue_e4": "revenue_e4"},
+        single_reduce=True,  # O(nations)
+    )
+    return broadcast_join(cells, nation, on="n_nationkey").map_batches(
+        lambda t: t.select(["n_name", "revenue_e4"]), batch_format="pyarrow"
+    )
+
+
+PROFIT_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 def trend_daily_events(sf_dir: str):
     """Per-type OLS trend of daily event volume — the drift monitor a
     pipeline SLO dashboard runs. The regression reduces to decomposable
@@ -8393,6 +8510,7 @@ QUERIES = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "trend_daily_events": trend_daily_events,
     "heatmap_dow_hour": heatmap_dow_hour,
+    "profit_by_nation": profit_by_nation,
     "profile_orders": profile_orders,
     "revenue_share_nation": revenue_share_nation,
     "histogram_order_prices": histogram_order_prices,
@@ -8533,6 +8651,7 @@ ORACLE_SQL = {
     "corr_stats_lineitem": CORR_STATS_SQL,
     "trend_daily_events": TREND_SQL,
     "heatmap_dow_hour": HEATMAP_SQL,
+    "profit_by_nation": PROFIT_SQL,
     "profile_orders": PROFILE_SQL,
     "revenue_share_nation": REVENUE_SHARE_SQL,
     "histogram_order_prices": HISTOGRAM_SQL,
