@@ -5084,6 +5084,67 @@ def wau_trailing_7d(sf_dir: str):
     )
 
 
+def user_event_types_list(sf_dir: str):
+    """Grouped DISTINCT ordered string aggregation: each user's sorted,
+    comma-joined set of event types (the categorical-feature export a
+    feature store emits). Distinct-pair combiner shrinks the stream
+    before the one user-hash exchange; the join is a run-offset ListArray
+    + one pc.binary_join per bucket — zero per-row Python."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"], use_threads=False)
+            .aggregate([])
+        )
+        return g.append_column("_grp", key_buckets(g, ["user_id"], num_buckets))
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("n_types", pa.int64()), ("types", pa.string())]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = (
+            g.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"], use_threads=False)
+            .aggregate([])  # cross-batch distinct
+            .sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+        )
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        offsets = np.r_[starts, len(uid)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), g["event_type"].combine_chunks()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+                "n_types": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "types": pc.binary_join(lists, ","),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+TYPES_LIST_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+       string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM d GROUP BY user_id
+"""
+
+
 WAU_SQL = """
 WITH p AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
@@ -8517,6 +8578,7 @@ QUERIES = {
     "rollup_time_revenue": rollup_time_revenue,
     "user_growth_curve": user_growth_curve,
     "wau_trailing_7d": wau_trailing_7d,
+    "user_event_types_list": user_event_types_list,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8658,6 +8720,7 @@ ORACLE_SQL = {
     "rollup_time_revenue": ROLLUP_TIME_SQL,
     "user_growth_curve": GROWTH_SQL,
     "wau_trailing_7d": WAU_SQL,
+    "user_event_types_list": TYPES_LIST_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
