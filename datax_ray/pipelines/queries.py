@@ -5137,6 +5137,32 @@ def user_event_types_list(sf_dir: str):
     )
 
 
+def order_count_distribution(sf_dir: str):
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders (the engagement-distribution histogram; also TPC-H Q13's
+    second half). Two combiner passes — per-custkey counts, then counts
+    of counts — so the second shuffle moves O(distinct k) cells."""
+    from datax_ray.functions.relational import partial_agg
+
+    per_cust = partial_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        keys=["o_custkey"],
+        counts="k",
+    )
+    return partial_agg(
+        per_cust,
+        keys=["k"],
+        counts="n_customers",
+        single_reduce=True,  # O(distinct k)
+    )
+
+
+ORDER_DIST_SQL = """
+WITH c AS (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey)
+SELECT k, COUNT(*) AS n_customers FROM c GROUP BY k
+"""
+
+
 TYPES_LIST_SQL = """
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
@@ -8579,6 +8605,7 @@ QUERIES = {
     "user_growth_curve": user_growth_curve,
     "wau_trailing_7d": wau_trailing_7d,
     "user_event_types_list": user_event_types_list,
+    "order_count_distribution": order_count_distribution,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8721,6 +8748,7 @@ ORACLE_SQL = {
     "user_growth_curve": GROWTH_SQL,
     "wau_trailing_7d": WAU_SQL,
     "user_event_types_list": TYPES_LIST_SQL,
+    "order_count_distribution": ORDER_DIST_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
