@@ -4940,6 +4940,78 @@ def rollup_time_revenue(sf_dir: str):
     return days.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+def mom_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth in integer basis points — the KPI
+    window (LAG over a calendar aggregate). One combiner pass to day
+    cells; calendar-month fold + shifted growth division happen in a
+    single tiny task over O(days) rows, so the calendar library never
+    touches the data path."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    days = partial_agg(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["day"],
+        sums={"cents": "cents"},
+        single_reduce=True,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pd.to_datetime(day * 86_400, unit="s")
+        month_start = ts.to_period("M").start_time
+        df = (
+            pd.DataFrame({"m": month_start.asi8 // 1000, "cents": cents})
+            .groupby("m", as_index=False)["cents"]
+            .sum()
+            .sort_values("m")
+        )
+        c = df["cents"].to_numpy().astype(np.int64)
+        prev = np.r_[0, c[:-1]]
+        d = c - prev
+        # DuckDB's // truncates toward zero; numpy floors — match DuckDB
+        growth = np.sign(d) * (np.abs(d) * 10_000 // np.maximum(prev, 1))
+        out = pa.table(
+            {
+                "month_us": pa.array(df["m"].to_numpy(), pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "growth_bp": pa.array(growth.astype(np.int64), pa.int64()),
+            }
+        )
+        return out.filter(pa.array(prev > 0))  # first month has no prior
+
+    return days.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+MOM_SQL = """
+WITH m AS (
+  SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT month_us, cents, LAG(cents) OVER (ORDER BY month_us) AS prev
+  FROM m
+)
+SELECT month_us, cents,
+       CAST((cents - prev) * 10000 // prev AS BIGINT) AS growth_bp
+FROM w WHERE prev IS NOT NULL
+"""
+
+
 ROLLUP_TIME_SQL = """
 WITH d AS (
   SELECT epoch_us(o_orderdate) // 86400000000 AS day,
@@ -8606,6 +8678,7 @@ QUERIES = {
     "wau_trailing_7d": wau_trailing_7d,
     "user_event_types_list": user_event_types_list,
     "order_count_distribution": order_count_distribution,
+    "mom_revenue_growth": mom_revenue_growth,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8749,6 +8822,7 @@ ORACLE_SQL = {
     "wau_trailing_7d": WAU_SQL,
     "user_event_types_list": TYPES_LIST_SQL,
     "order_count_distribution": ORDER_DIST_SQL,
+    "mom_revenue_growth": MOM_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
