@@ -4997,6 +4997,86 @@ def mom_revenue_growth(sf_dir: str):
     return days.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+def session_stats_events(sf_dir: str):
+    """Per-SESSION statistics (the table behind engagement dashboards):
+    30-minute-gap sessionization folded to one row per session — start,
+    event count, duration. One user-hash exchange; sessions are
+    contiguous runs after the per-bucket sort, so the fold is a
+    run-length pass (the same kernel family as streaks/sessionize)."""
+    from datax_ray.functions.relational import key_buckets
+
+    GAP = 1_800_000_000
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_start_us", pa.int64()),
+            ("n_events", pa.int64()),
+            ("duration_us", pa.int64()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.ones(len(uid), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > GAP)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(uid)]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+                "session_start_us": pa.array(us[starts].astype(np.int64), pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "duration_us": pa.array(
+                    (us[ends - 1] - us[starts]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+SESSION_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), g AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(us) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid
+"""
+
+
 MOM_SQL = """
 WITH m AS (
   SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
@@ -8679,6 +8759,7 @@ QUERIES = {
     "user_event_types_list": user_event_types_list,
     "order_count_distribution": order_count_distribution,
     "mom_revenue_growth": mom_revenue_growth,
+    "session_stats_events": session_stats_events,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8823,6 +8904,7 @@ ORACLE_SQL = {
     "user_event_types_list": TYPES_LIST_SQL,
     "order_count_distribution": ORDER_DIST_SQL,
     "mom_revenue_growth": MOM_SQL,
+    "session_stats_events": SESSION_STATS_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
