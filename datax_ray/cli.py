@@ -197,6 +197,13 @@ def main(argv=None):
         help="time-slice: only rows with event-time >= this ISO timestamp; "
         "files wholly below it are pruned from the plan via manifest stats",
     )
+    lk.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        help="col=value equality filter applied post-merge inside read "
+        "tasks (repeatable; value 'null' matches SQL NULL)",
+    )
     lk.add_argument("--as-of-epoch", type=int, default=None)
     lk.add_argument("--num-cpus", type=int, default=None)
 
@@ -814,16 +821,24 @@ def main(argv=None):
 
         from datax_ray.sinks.lake import LakeDatasource, read_lake
 
-        if a.conv is None and a.min_ts is None:
-            print(json.dumps({"error": "pass --conv and/or --min-ts"}))
+        if a.conv is None and a.min_ts is None and a.where is None:
+            print(json.dumps({"error": "pass --conv, --min-ts and/or --where"}))
             return 2
+        where = None
+        if a.where:
+            where = {}
+            for spec in a.where:
+                col, _, val = spec.partition("=")
+                where[col] = None if val == "null" else val
         src = LakeDatasource(
-            a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts
+            a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
+            where=where,
         )
         rows = []
         if src._parts:
             t = read_lake(
-                a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts
+                a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
+                where=where,
             ).sort(["conv_id", "turn_idx"]).take_all()
             rows = [
                 {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.items()}

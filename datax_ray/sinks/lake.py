@@ -148,7 +148,7 @@ def _range_plan(
 def _merge_read_range(
     lake_dir: str, files: list[str], schema_json, include_internal: bool,
     conv_ids: list[str] | None = None, keep_tombstones: bool = False,
-    min_ts_us: int | None = None,
+    min_ts_us: int | None = None, where: dict | None = None,
 ) -> pa.Table:
     """Merge-read one range: LWW-fold its base+fragment files, drop
     tombstones, unify historical pre-DDL schemas to the committed one.
@@ -183,6 +183,17 @@ def _merge_read_range(
     state = merge_states(tables, target)
     if not keep_tombstones:
         state = state.filter(pc.fill_null(pc.invert(state[DELETED_COL]), True))
+    if where:
+        # Payload predicates apply POST-merge, inside the task: pre-merge
+        # filtering on a payload column would be WRONG (a losing version
+        # could match while the true LWW winner does not — the winner must
+        # be found first, then tested). Rows still never leave the task.
+        for col, val in where.items():
+            if val is None:
+                mask = pc.is_null(state[col])
+            else:
+                mask = pc.fill_null(pc.equal(state[col], val), False)
+            state = state.filter(mask)
     return state if include_internal else state.drop_columns(list(INTERNAL_COLS))
 
 
@@ -201,6 +212,7 @@ class LakeDatasource(ray.data.Datasource):
         conv_ids: list[str] | None = None,
         keep_tombstones: bool = False,
         min_ts=None,
+        where: dict | None = None,
     ):
         from datax_ray.schemas import schema_to_json
 
@@ -208,6 +220,7 @@ class LakeDatasource(ray.data.Datasource):
         self._include_internal = include_internal
         self._keep_tombstones = keep_tombstones
         self._min_ts_us = _ts_us(min_ts)
+        self._where = dict(where) if where else None
         self._conv_ids = sorted(set(conv_ids)) if conv_ids is not None else None
         m = Manifest(lake_dir)
         if as_of_epoch is not None and m.at_epoch(as_of_epoch) is None:
@@ -250,13 +263,14 @@ class LakeDatasource(ray.data.Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
 
-        lake_dir, schema_json, internal, conv_ids, tombs, min_ts_us = (
+        lake_dir, schema_json, internal, conv_ids, tombs, min_ts_us, where = (
             self._lake_dir,
             self._schema_json,
             self._include_internal,
             self._conv_ids,
             self._keep_tombstones,
             self._min_ts_us,
+            self._where,
         )
         tasks = []
         for p in self._parts:
@@ -276,7 +290,7 @@ class LakeDatasource(ray.data.Datasource):
             def read_fn(files=files):
                 yield _merge_read_range(
                     lake_dir, files, schema_json, internal, conv_ids, tombs,
-                    min_ts_us,
+                    min_ts_us, where,
                 )
 
             tasks.append(ReadTask(read_fn, meta))
@@ -291,6 +305,7 @@ def read_lake(
     conv_ids: list[str] | None = None,
     keep_tombstones: bool = False,
     min_ts=None,
+    where: dict | None = None,
 ) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
@@ -309,7 +324,11 @@ def read_lake(
     final-state rows whose winning event-time is >= the cutoff, with
     whole files pruned from the plan via the manifest's per-file ts stats
     (data skipping — an incremental consumer of a 100 TB lake opens only
-    files that can hold in-slice rows, no storage reads for the rest)."""
+    files that can hold in-slice rows, no storage reads for the rest).
+    `where` is a {column: value} equality filter applied POST-merge inside
+    each read task (value None matches null): payload predicates must see
+    the LWW winner, so they cannot prune files or pre-filter — but the
+    non-matching rows are dropped before ever leaving the task."""
     src = LakeDatasource(
         lake_dir,
         include_internal=include_internal,
@@ -317,6 +336,7 @@ def read_lake(
         conv_ids=conv_ids,
         keep_tombstones=keep_tombstones,
         min_ts=min_ts,
+        where=where,
     )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(

@@ -576,3 +576,27 @@ def test_point_lookup_missing_key_empty(tmp_path):
     lake = _build_lookup_lake(tmp_path, "lookup_miss")
     got = read_lake(lake, conv_ids=["conv-does-not-exist"]).take_all()
     assert got == []
+
+
+def test_where_filter_post_merge_exact(tmp_path):
+    """read_lake(where=...) equality filters apply POST-merge (predicates
+    must see the LWW winner, not any losing version) and compose with
+    point lookups."""
+    import pyarrow.compute as _pc
+
+    from datax_ray.sinks.lake import read_lake
+
+    lake = _build_lookup_lake(tmp_path, "where")
+    full = final_table(lake)
+
+    for role in set(full["role"].to_pylist()):
+        want = full.filter(_pc.equal(full["role"], role)).num_rows
+        assert read_lake(lake, where={"role": role}).count() == want
+
+    key = sorted(set(full["conv_id"].to_pylist()))[0]
+    both = full.filter(
+        _pc.and_(_pc.equal(full["conv_id"], key), _pc.equal(full["role"], "user"))
+    ).num_rows
+    assert (
+        read_lake(lake, conv_ids=[key], where={"role": "user"}).count() == both
+    )
