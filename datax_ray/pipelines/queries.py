@@ -5355,6 +5355,64 @@ FROM orders GROUP BY 1
 """
 
 
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit (the DQ gate a warehouse load runs):
+    orphan counts for orders→customer and lineitem→orders, one summary
+    row per relation. Child keys pre-shrink to per-batch DISTINCT values
+    (combiner) before the distributed ANTI join — the exchange moves
+    distinct keys, never child rows."""
+    from datax_ray.functions.relational import semi_join
+
+    def audit(child, col, parent, pcol, relation):
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table({col: pc.unique(t[col])})
+
+        kids = _read(sf_dir, child, columns=[col]).map_batches(
+            uniq, batch_format="pyarrow", zero_copy_batch=True
+        )
+        par = _read(sf_dir, parent, columns=[pcol])
+        orphans = semi_join(kids, par, on=col, right_on=pcol, anti=True)
+
+        def count(t: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        n_orphan = sum(
+            int(r["n"])
+            for r in orphans.map_batches(count, batch_format="pyarrow").take_all()
+        )  # O(orphan batches) tiny rows
+        total = parquet_rows(os.path.join(sf_dir, f"{child}.parquet"))
+        return {"relation": relation, "child_rows": total, "orphan_keys": n_orphan}
+
+    rows = [
+        audit("orders", "o_custkey", "customer", "c_custkey",
+              "orders->customer"),
+        audit("lineitem", "l_orderkey", "orders", "o_orderkey",
+              "lineitem->orders"),
+    ]
+    return pa.table(
+        {
+            "relation": pa.array([r["relation"] for r in rows], pa.string()),
+            "child_rows": pa.array([r["child_rows"] for r in rows], pa.int64()),
+            "orphan_keys": pa.array([r["orphan_keys"] for r in rows], pa.int64()),
+        }
+    )
+
+
+FK_AUDIT_SQL = """
+SELECT 'orders->customer' AS relation,
+       (SELECT COUNT(*) FROM orders) AS child_rows,
+       CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT) AS orphan_keys
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT)
+"""
+
+
 PROFILE_SQL = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
        COUNT(*) - COUNT(o_orderkey) AS n_nulls,
@@ -8760,6 +8818,7 @@ QUERIES = {
     "order_count_distribution": order_count_distribution,
     "mom_revenue_growth": mom_revenue_growth,
     "session_stats_events": session_stats_events,
+    "fk_integrity_audit": fk_integrity_audit,
     "rolling_daily_revenue_7d": rolling_daily_revenue_7d,
     "rolling_range_30d_revenue": rolling_range_30d_revenue,
     "lag_delta_orders": lag_delta_orders,
@@ -8905,6 +8964,7 @@ ORACLE_SQL = {
     "order_count_distribution": ORDER_DIST_SQL,
     "mom_revenue_growth": MOM_SQL,
     "session_stats_events": SESSION_STATS_SQL,
+    "fk_integrity_audit": FK_AUDIT_SQL,
     "rolling_daily_revenue_7d": ROLLING_7D_SQL,
     "rolling_range_30d_revenue": ROLLING_RANGE_SQL,
     "lag_delta_orders": LAG_DELTA_SQL,
