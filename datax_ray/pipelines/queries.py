@@ -8695,6 +8695,248 @@ FROM r GROUP BY bucket
 """
 
 
+def _fmix32_np(vals: np.ndarray) -> np.ndarray:
+    """The house fmix32 avalanche chain (same constants as the CMS sketch /
+    weighted-sample oracles) vectorized over a uint64 array already reduced
+    mod 2^32. Deterministic and DuckDB-reproducible in HUGEINT."""
+    M32 = np.uint64(4294967296)
+    h = vals % M32
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(2246822507)) % M32
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(3266489909)) % M32
+        h ^= h >> np.uint64(16)
+    return h
+
+
+def kmv_distinct_users(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-count sketch over events.user_id —
+    the fifth sketch family member next to HLL / Misra-Gries / Count-Min /
+    quantile. Each batch contributes its k smallest DISTINCT fmix32 hashes
+    (a safe partial: the global k smallest are a subset of the union of
+    per-batch k smallest), so at most k rows per batch reach the one final
+    fold — the corpus never shuffles. The estimate (k-1)*2^32 // h_k is
+    pure integer arithmetic on the fixed hash chain, so the oracle verifies
+    every kept hash AND the estimate bit-for-bit; when fewer than k
+    distinct hashes exist the sketch IS the exact distinct set."""
+
+    def kpartial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        h = np.unique(_fmix32_np(u))[:k]
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        h = np.unique(t["h"].to_numpy(zero_copy_only=False))[:k]
+        n = len(h)
+        est = int(n) if n < k else (k - 1) * 4294967296 // int(h[-1])
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "h": pa.array(h, pa.int64()),
+                "est_distinct": pa.array(np.full(n, est, dtype=np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(kpartial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+KMV_SQL = """
+WITH u AS (SELECT DISTINCT user_id % 4294967296 AS h FROM events),
+s1 AS (SELECT xor(h, h >> 16) AS h FROM u),
+s2 AS (SELECT CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT DISTINCT xor(h, h >> 16) AS h FROM s4),
+k AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hv ORDER BY h LIMIT 64),
+s AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM k)
+SELECT k.rank, k.h,
+       CAST(CASE WHEN s.n < 64 THEN s.n
+                 ELSE 63 * 4294967296 // s.hk END AS BIGINT) AS est_distinct
+FROM k, s
+"""
+
+
+def user_first_last_event(sf_dir: str):
+    """Per-user first and last event type under (ts, event_id) order plus
+    the event count — the entry/exit-point profile (FIRST_VALUE/LAST_VALUE
+    window semantics). One user-hash exchange; each bucket sorts once and
+    reads run heads/tails with a vectorized boundary mask — no per-user
+    Python, many users per bucket."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n] - 1
+        et = t["event_type"]
+        return pa.table(
+            {
+                "user_id": t["user_id"].take(pa.array(starts)),
+                "first_type": et.take(pa.array(starts)),
+                "last_type": et.take(pa.array(ends)),
+                "n_events": pa.array(np.diff(np.r_[starts, n]).astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(lambda t: fold(t.drop_columns(["_grp"])), batch_format="pyarrow")
+    )
+
+
+FIRST_LAST_SQL = """
+WITH w AS (
+  SELECT user_id,
+         FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS first_type,
+         LAST_VALUE(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+  FROM events
+)
+SELECT user_id, MIN(first_type) AS first_type, MIN(last_type) AS last_type,
+       COUNT(*) AS n_events
+FROM w GROUP BY user_id
+"""
+
+
+def late_events_audit(sf_dir: str):
+    """Out-of-order-arrival audit — the CDC operational metric: per user,
+    how many events ARRIVED (event_id order = log order) with an event time
+    older than the running maximum already seen, and the worst lateness in
+    microseconds. This is what sizes a watermark/grace window before
+    anyone trusts event-time aggregates. One user-hash exchange; the
+    running max is a segmented cummax (vectorized, run boundaries masked),
+    late counts fold per run with add/maximum.reduceat."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_run)
+        # segmented inclusive cummax (pandas C kernel), shifted one row so
+        # each event compares against the max of STRICTLY EARLIER arrivals
+        cm = pd.Series(ts).groupby(np.cumsum(new_run)).cummax().to_numpy()
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cm[:-1]
+        late = (~new_run) & (ts < prev)
+        amt = np.where(late, prev - ts, 0)
+        return pa.table(
+            {
+                "user_id": t["user_id"].take(pa.array(starts)),
+                "n_late": pa.array(
+                    np.add.reduceat(late.astype(np.int64), starts), pa.int64()
+                ),
+                "max_late_us": pa.array(np.maximum.reduceat(amt, starts), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(lambda t: fold(t.drop_columns(["_grp"])), batch_format="pyarrow")
+    )
+
+
+LATE_EVENTS_SQL = """
+WITH w AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE ts < prev_max) AS n_late,
+       COALESCE(MAX(CASE WHEN ts < prev_max
+                         THEN epoch_us(prev_max) - epoch_us(ts) END), 0) AS max_late_us
+FROM w GROUP BY user_id
+"""
+
+
+def gini_event_mix_users(sf_dir: str):
+    """Per-user categorical diversity of event types as a Gini impurity in
+    integer basis points: 10000 - (10000 * Σc_i²) // n² — the
+    concentration profile a curation pipeline uses to spot one-note
+    sources/users (entropy needs logs; Gini stays integer-exact, so the
+    oracle hashes bit-for-bit; exact up to ~3e7 events per user before the
+    int64 cross term would saturate — use the HUGEINT path beyond). Two
+    combiner passes: (user, type) counts, then per-user Σc / Σc² — the
+    shuffle is bounded by distinct pairs, never events."""
+    counts = partial_agg(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        keys=["user_id", "event_type"],
+        counts="c",
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "c": t["c"],
+             "c2": pa.array(c * c, pa.int64())}
+        )
+
+    per_user = partial_agg(
+        counts.map_batches(square, batch_format="pyarrow"),
+        keys=["user_id"],
+        sums={"c": "n_events", "c2": "ss"},
+    )
+
+    def gini(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        bp = 10000 - (10000 * ss) // (n * n)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "gini_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(gini, batch_format="pyarrow")
+
+
+GINI_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS ss FROM c GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(10000 - (10000 * ss) // (n * n) AS BIGINT) AS gini_bp
+FROM u
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -8851,6 +9093,10 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
+    "kmv_distinct_users": kmv_distinct_users,
+    "user_first_last_event": user_first_last_event,
+    "late_events_audit": late_events_audit,
+    "gini_event_mix_users": gini_event_mix_users,
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
@@ -8997,6 +9243,10 @@ ORACLE_SQL = {
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "kmv_distinct_users": KMV_SQL,
+    "user_first_last_event": FIRST_LAST_SQL,
+    "late_events_audit": LATE_EVENTS_SQL,
+    "gini_event_mix_users": GINI_SQL,
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
