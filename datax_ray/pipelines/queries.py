@@ -962,6 +962,54 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_replay_drop(sf_dir: str):
+    """DROP-COLUMN schema evolution through the full engine — the third
+    DDL verb next to add_column (cdc_replay_ddl) and widen
+    (cdc_replay_widen): every event with event_id % 500 == 499 becomes an
+    op='ddl' drop_column("tool") event. The SchemaTracker removes the
+    field at the epoch boundary (protected keying/ordering columns are
+    rejected), later epochs stop writing it, and old fragments shed it at
+    merge-read because unify projects the TARGET schema — the oracle
+    simply omits the column from the LWW fold."""
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_drop/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work, drop_mod=500)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_DROP_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+  WHERE event_id % 500 <> 499  -- the ddl events (schema-only, no row)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, ts
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_mv_conv_stats(sf_dir: str):
     """Incremental materialized view through the full engine: derive +
     replay the change log, then refresh a per-conversation stats MV
@@ -9093,6 +9141,7 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
+    "cdc_replay_drop": cdc_replay_drop,
     "kmv_distinct_users": kmv_distinct_users,
     "user_first_last_event": user_first_last_event,
     "late_events_audit": late_events_audit,
@@ -9243,6 +9292,7 @@ ORACLE_SQL = {
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "cdc_replay_drop": CDC_DROP_SQL,
     "kmv_distinct_users": KMV_SQL,
     "user_first_last_event": FIRST_LAST_SQL,
     "late_events_audit": LATE_EVENTS_SQL,

@@ -47,6 +47,7 @@ def _write_atomic(t: pa.Table, path: str) -> None:
 
 _DDL_ADD_SENTIMENT = '{"action": "add_column", "name": "sentiment", "type": "string"}'
 _DDL_WIDEN_TURN = '{"action": "widen", "name": "turn_idx", "type": "int64"}'
+_DDL_DROP_TOOL = '{"action": "drop_column", "name": "tool"}'
 
 
 def derive_changes(
@@ -58,6 +59,7 @@ def derive_changes(
     text_mod: int | None = None,
     widen_mod: int | None = None,
     text_words: int | None = None,
+    drop_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -123,6 +125,19 @@ def derive_changes(
             pa.array(np.full(t.num_rows, _DDL_WIDEN_TURN, dtype=object), pa.string()),
             ddl,
         )
+    if drop_mod:
+        # drop_mod=N emits a drop_column("tool") DDL at event_id % N == N-1:
+        # the column disappears from the lake schema at that epoch's
+        # boundary, old fragments shed it at merge-read (unify projects the
+        # target schema), and the oracle simply omits the column.
+        is_d = pa.array(e % drop_mod == drop_mod - 1)
+        op = pc.if_else(is_d, "ddl", op)
+        role = pc.if_else(is_d, nulls, role)
+        ddl = pc.if_else(
+            is_d,
+            pa.array(np.full(t.num_rows, _DDL_DROP_TOOL, dtype=object), pa.string()),
+            ddl,
+        )
     return pa.table(
         {
             "lsn": eid,
@@ -154,6 +169,7 @@ class ChangeDeriver:
         text_mod: int | None = None,
         widen_mod: int | None = None,
         text_words: int | None = None,
+        drop_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -168,11 +184,12 @@ class ChangeDeriver:
         self.text_mod = text_mod
         self.widen_mod = widen_mod
         self.text_words = text_words
+        self.drop_mod = drop_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
             t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
-            self.text_mod, self.widen_mod, self.text_words,
+            self.text_mod, self.widen_mod, self.text_words, self.drop_mod,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -46,6 +46,12 @@ _WIDEN_OK = {
 }
 
 
+# Columns the engine's keying/ordering depends on: dropping any of these
+# would break LWW ordering (ts), the merge key (conv_id, turn_idx) or
+# lineage (_lsn) — rejected at DDL-application time.
+_PROTECTED = ("conv_id", "turn_idx", "ts", LSN_COL)
+
+
 class SchemaTracker:
     def __init__(self, schema: pa.Schema):
         self.schema = schema
@@ -54,6 +60,13 @@ class SchemaTracker:
         d = json.loads(ddl_json)
         action = d.get("action")
         name = d.get("name")
+        if action == "drop_column":
+            if name in _PROTECTED:
+                raise ValueError(f"cannot drop protected column {name!r}")
+            i = self.schema.get_field_index(name)
+            if i != -1:  # idempotent: re-drop of an absent column is a no-op
+                self.schema = self.schema.remove(i)
+            return
         typ = _NAMED_TYPES.get(d.get("type"))
         if typ is None:
             raise ValueError(f"unsupported ddl type: {d.get('type')!r}")

@@ -106,6 +106,25 @@ def test_schema_tracker_add_and_widen():
     assert schema_from_json(schema_to_json(tr.schema)).equals(tr.schema)
 
 
+def test_schema_tracker_drop():
+    tr = SchemaTracker(LAKE_SCHEMA)
+    tr.apply_ddl(json.dumps({"action": "drop_column", "name": "tool"}))
+    assert "tool" not in tr.schema.names
+    # idempotent: re-drop of an absent column is a no-op
+    tr.apply_ddl(json.dumps({"action": "drop_column", "name": "tool"}))
+    assert "tool" not in tr.schema.names
+    # unify sheds the dropped column from pre-DDL tables
+    old = LAKE_SCHEMA.empty_table()
+    assert "tool" not in tr.unify(old).column_names
+    # keying/ordering columns are protected
+    for col in ("conv_id", "turn_idx", "ts", "_lsn"):
+        with pytest.raises(ValueError):
+            tr.apply_ddl(json.dumps({"action": "drop_column", "name": col}))
+    # a dropped column can be re-added (comes back all-null downstream)
+    tr.apply_ddl(json.dumps({"action": "add_column", "name": "tool", "type": "string"}))
+    assert tr.schema.field("tool").type == pa.string()
+
+
 def test_schema_tracker_unify():
     tr = SchemaTracker(LAKE_SCHEMA)
     tr.apply_ddl(json.dumps({"action": "add_column", "name": "lang", "type": "string"}))
