@@ -334,6 +334,16 @@ def main(argv=None):
     fk.add_argument("--deep", action="store_true")
     fk.add_argument("--num-cpus", type=int, default=None)
 
+    al = sub.add_parser(
+        "alter",
+        help="set/clear LAKE-LEVEL ingest expectations (persisted table "
+        "CHECK constraints, enforced by every subsequent replay)",
+    )
+    al.add_argument("--lake", required=True)
+    al.add_argument("--expectations", default=None,
+                    help="JSON file with the constraint spec to persist")
+    al.add_argument("--clear-expectations", action="store_true")
+
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
 
@@ -857,6 +867,8 @@ def main(argv=None):
             metrics = rec.get("metrics") or {}
             if "purge" in metrics:
                 kind = "purge"
+            elif "alter" in metrics:
+                kind = "alter"
             elif "repartition" in metrics:
                 kind = "migration"
             elif "branch" in metrics:
@@ -874,6 +886,19 @@ def main(argv=None):
                 "rows_written": sum(int(r.get("rows", 0)) for r in lineage),
                 "lsn_hi": rec.get("lsn_hi"),
             }))
+        return 0
+
+    if a.cmd == "alter":
+        from datax_ray.pipelines.replay import alter_lake
+
+        out = alter_lake(
+            a.lake,
+            expectations=(
+                json.load(open(a.expectations)) if a.expectations else None
+            ),
+            clear_expectations=a.clear_expectations,
+        )
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "show":
@@ -896,6 +921,7 @@ def main(argv=None):
                         "rows": sum(v["rows"] for v in rec["partitions"].values())
                         + sum(v.get("rows", 0) for v in rec.get("ranges", {}).values()),
                         "schema": rec["schema"],
+                        "properties": rec.get("properties") or {},
                         "metrics": rec.get("metrics", {}),
                     },
                     indent=1,

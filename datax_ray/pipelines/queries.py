@@ -911,6 +911,37 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_lake_constraints(sf_dir: str):
+    """LAKE-LEVEL persisted CHECK constraints (Delta table constraints, vs
+    cdc_replay_expectations' job-level rules): `alter_lake` commits the
+    expectation spec into the manifest's properties BEFORE any ingest, and
+    every subsequent replay — run here with NO job config — enforces it,
+    dead-lettering violating insert/update rows. Same rules and oracle as
+    the job-level query: the lake equals the LWW fold of the conforming
+    subset; the difference under test is the persistence surface."""
+    from datax_ray.pipelines.replay import ReplayConfig, alter_lake, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_tblcon/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    alter_lake(
+        f"{work}/lake",
+        expectations=[
+            {"column": "turn_idx", "op": "between", "lo": 0, "hi": 19},
+            {"column": "text", "op": "not_matches", "pattern": "7$"},
+        ],
+    )
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
 def cdc_replay_ddl(sf_dir: str):
     """Schema evolution through the full engine, driver-verified: every
     event with event_id % 500 == 499 becomes an op='ddl'
@@ -9142,6 +9173,7 @@ QUERIES = {
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
     "cdc_replay_drop": cdc_replay_drop,
+    "cdc_lake_constraints": cdc_lake_constraints,
     "kmv_distinct_users": kmv_distinct_users,
     "user_first_last_event": user_first_last_event,
     "late_events_audit": late_events_audit,
@@ -9293,6 +9325,7 @@ ORACLE_SQL = {
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "cdc_replay_drop": CDC_DROP_SQL,
+    "cdc_lake_constraints": CDC_EXPECT_SQL,
     "kmv_distinct_users": KMV_SQL,
     "user_first_last_event": FIRST_LAST_SQL,
     "late_events_audit": LATE_EVENTS_SQL,

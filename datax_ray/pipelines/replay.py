@@ -177,7 +177,13 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
             metrics=cfg.metrics,
             max_events_per_sec=cfg.max_events_per_sec,
-            expectations=cfg.expectations,
+            # lake-level constraints (alter_lake) compose with job-level
+            # ones: a change row must satisfy BOTH rule sets to ingest
+            expectations=(
+                (cfg.expectations or [])
+                + (manifest.committed_properties().get("expectations") or [])
+            )
+            or None,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -328,6 +334,46 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         dirty_rows=dirty,
         wall_s=time.perf_counter() - t0,
     )
+
+
+def alter_lake(
+    lake_dir: str,
+    expectations: list[dict] | None = None,
+    clear_expectations: bool = False,
+) -> dict:
+    """Set / clear LAKE-LEVEL ingest expectations (Delta-style table CHECK
+    constraints): persisted in the manifest's `properties` and enforced by
+    EVERY subsequent replay on this lake, no job config needed — unlike
+    `ReplayConfig.expectations`, which stays job-scoped (both compose:
+    lake rules AND job rules must pass). Commits a data-free 'alter' epoch
+    (state unchanged, properties replaced); works on an empty lake too, so
+    constraints can be in force from the very first ingest epoch. The spec
+    is validated eagerly (compile_expectations) so a bad rule fails here,
+    not mid-replay."""
+    from datax_ray.validation import compile_expectations
+
+    m = Manifest(lake_dir)
+    props = m.committed_properties()
+    if clear_expectations:
+        props.pop("expectations", None)
+    if expectations is not None:
+        compile_expectations(expectations)  # validate the spec now
+        props["expectations"] = expectations
+    rec = m.latest()
+    epoch = m.committed_epoch() + 1
+    m.commit(
+        epoch,
+        segments=[],
+        lsn_hi=rec["lsn_hi"] if rec else -1,
+        schema=m.committed_schema() or LAKE_SCHEMA,
+        partitions=m.current_partitions(),
+        ranges=m.current_ranges(),
+        layout=m.committed_layout(),
+        lineage=[],
+        metrics={"alter": {"properties": sorted(props)}},
+        properties=props,
+    )
+    return {"epoch": epoch, "properties": props}
 
 
 def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:

@@ -112,6 +112,13 @@ class Manifest:
         rec = self.at_epoch(epoch)
         return rec.get("layout") if rec else None
 
+    def committed_properties(self, epoch: int | None = None) -> dict:
+        """Lake-level table properties (e.g. persisted ingest expectations —
+        Delta-style table CHECK constraints). Set via `alter_lake`, carried
+        forward by every commit, {} on pre-upgrade manifests."""
+        rec = self.at_epoch(epoch)
+        return dict(rec.get("properties") or {}) if rec else {}
+
     def committed_turn_bounds(
         self, epoch: int | None = None
     ) -> tuple[int | None, int | None]:
@@ -181,6 +188,7 @@ class Manifest:
         layout: dict | None = None,
         lineage: list[dict],
         metrics: dict,
+        properties: dict | None = None,
     ) -> dict:
         os.makedirs(self.dir, exist_ok=True)
         # Fold global turn_idx bounds: previous record's bounds + this
@@ -203,6 +211,12 @@ class Manifest:
             "partitions": {str(k): v for k, v in partitions.items()},
             "ranges": {str(k): v for k, v in (ranges or {}).items()},
             "layout": layout,
+            # table properties carry forward unless a commit (alter_lake)
+            # explicitly replaces them — so constraints survive every
+            # replay/compact/purge/migration epoch without each caller
+            # having to thread them through
+            "properties": properties if properties is not None
+            else prev.get("properties"),
             "lineage": lineage,
             "metrics": metrics,
         }

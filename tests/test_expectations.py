@@ -111,6 +111,87 @@ def test_expectations_count_against_error_limit(tmp_path, ray_session):
         )
 
 
+def test_lake_level_constraints_persist(tmp_path, ray_session):
+    """alter_lake persists expectations in the manifest: replays with NO
+    job config enforce them — from the very first epoch on an empty lake,
+    and across later incremental epochs (carried forward by every commit).
+    Clearing them stops enforcement for subsequent epochs only."""
+    from datax_ray.pipelines.replay import alter_lake
+    from datax_ray.state.manifest import Manifest
+
+    table, changes = _changes(tmp_path)
+    expectations = [
+        {"column": "turn_idx", "op": "between", "lo": 0, "hi": 15},
+        {"column": "text", "op": "not_matches", "pattern": "^corrupted"},
+    ]
+    lake = str(tmp_path / "lake")
+    out = alter_lake(lake, expectations=expectations)  # empty lake: epoch 0
+    assert out["epoch"] == 0
+    replay(
+        ReplayConfig(
+            changes_dir=changes, lake_dir=lake, num_partitions=8,
+            segments_per_epoch=2,
+        )
+    )
+    got = final_table(lake).to_pandas().to_dict("records")
+    want = (
+        sequential_replay(table, expectations=expectations)
+        .to_pandas().to_dict("records")
+    )
+    assert got == want
+    # properties survived the replay epochs' commits
+    assert Manifest(lake).committed_properties()["expectations"] == expectations
+
+    # clear → later segments ingest unconstrained; equal to oracle with
+    # constraints applied only to the first stream
+    lake2 = str(tmp_path / "lake2")
+    alter_lake(lake2, expectations=expectations)
+    replay(ReplayConfig(changes_dir=changes, lake_dir=lake2, num_partitions=8))
+    alter_lake(lake2, clear_expectations=True)
+    assert "expectations" not in Manifest(lake2).committed_properties()
+    table2 = gen_changes(800, 50, seed=77)
+    table2 = table2.set_column(  # lift lsns above the committed watermark
+        table2.schema.get_field_index("lsn"), "lsn",
+        pc.cast(pc.add(table2["lsn"], 1_000_000), pa.int64()),
+    )
+    table2 = table2.set_column(  # and ts past stream 1, so the oracle's
+        # lsn=-1 base convention can't invert any (ts, lsn) race
+        table2.schema.get_field_index("ts"), "ts",
+        pc.add(table2["ts"], pa.scalar(86_400_000_000, pa.duration("us"))),
+    )
+    write_segments(table2, changes, seg_rows=700, start_seg=10)
+    replay(ReplayConfig(changes_dir=changes, lake_dir=lake2, num_partitions=8))
+    got2 = final_table(lake2).to_pandas().to_dict("records")
+    base = sequential_replay(table, expectations=expectations)
+    want2 = (
+        sequential_replay(table2, base=base).to_pandas().to_dict("records")
+    )
+    assert got2 == want2
+
+
+def test_job_and_lake_rules_compose(tmp_path, ray_session):
+    """A row must satisfy BOTH the lake-level and the job-level rule set."""
+    from datax_ray.pipelines.replay import alter_lake
+
+    table, changes = _changes(tmp_path)
+    lake = str(tmp_path / "lake")
+    lake_rules = [{"column": "text", "op": "not_matches", "pattern": "^corrupted"}]
+    job_rules = [{"column": "turn_idx", "op": "between", "lo": 0, "hi": 15}]
+    alter_lake(lake, expectations=lake_rules)
+    replay(
+        ReplayConfig(
+            changes_dir=changes, lake_dir=lake, num_partitions=8,
+            expectations=job_rules,
+        )
+    )
+    got = final_table(lake).to_pandas().to_dict("records")
+    want = (
+        sequential_replay(table, expectations=job_rules + lake_rules)
+        .to_pandas().to_dict("records")
+    )
+    assert got == want
+
+
 def test_deletes_are_exempt(tmp_path, ray_session):
     """A delete has null payload; payload expectations must not dirty it
     (else deletes would never apply and rows would resurrect)."""
