@@ -83,7 +83,9 @@ def sequential_replay(
 
     merged = sorted(ddl_list + rows, key=key_of)
 
-    extra_payload: list[str] = []
+    # source-column -> current lake-column name (identity until a
+    # rename_column DDL is applied)
+    col_map: dict[str, str] = {c: c for c in base_payload}
     state: dict[tuple, dict] = {}
     for r in merged:
         if r["op"] == "ddl":
@@ -95,12 +97,31 @@ def sequential_replay(
                 name, typ = d["name"], d["type"]
                 if all(n != name for n, _ in schema_fields):
                     schema_fields.append((name, _WIDEN.get(typ, pa.string())))
-                    extra_payload.append(name)
+                    col_map[name] = name
             elif d.get("action") == "widen":
                 name, typ = d["name"], d["type"]
                 schema_fields = [
                     (n, _WIDEN[typ] if n == name else t) for n, t in schema_fields
                 ]
+            elif d.get("action") == "drop_column":
+                name = d["name"]
+                schema_fields = [(n, t) for n, t in schema_fields if n != name]
+                col_map = {s: c for s, c in col_map.items() if c != name}
+            elif d.get("action") == "rename_column":
+                # the lake column changes name; incoming change events keep
+                # the ORIGINAL stream name, so record the mapping and keep
+                # reading events (and already-applied state rows) via it
+                old, new = d["name"], d["to"]
+                schema_fields = [
+                    (new if n == old else n, t) for n, t in schema_fields
+                ]
+                col_map = {
+                    src: (new if cur == old else cur)
+                    for src, cur in col_map.items()
+                }
+                for row in state.values():  # migrate already-applied rows
+                    if old in row:
+                        row[new] = row.pop(old)
             continue
         k = (r["conv_id"], r["turn_idx"])
         if r["op"] == "delete":
@@ -111,10 +132,8 @@ def sequential_replay(
                 "turn_idx": r["turn_idx"],
                 "ts": r["ts"],
             }
-            for c in base_payload:
-                row[c] = r.get(c)
-            for c in extra_payload:
-                row[c] = r.get(c)
+            for src, cur in col_map.items():
+                row[cur] = r.get(src)
             state[k] = row
 
     schema = pa.schema(schema_fields)

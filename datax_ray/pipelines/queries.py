@@ -911,6 +911,55 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_replay_rename(sf_dir: str):
+    """RENAME-COLUMN schema evolution — the fourth DDL verb (add / widen /
+    drop / rename): every event with event_id % 500 == 499 becomes an
+    op='ddl' rename_column("role" -> "speaker") event. The source keeps
+    emitting "role" (it doesn't know about lake-side renames): the rename
+    map rides on the lake schema's metadata, so the Normalizer keeps
+    resolving incoming events and merge-read remaps pre-rename fragments —
+    no data rewrite, Delta-column-mapping style. The oracle aliases the
+    column."""
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_rename/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work, rename_mod=500)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_RENAME_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+  WHERE event_id % 500 <> 499  -- the ddl events (schema-only, no row)
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role AS speaker, text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_lake_constraints(sf_dir: str):
     """LAKE-LEVEL persisted CHECK constraints (Delta table constraints, vs
     cdc_replay_expectations' job-level rules): `alter_lake` commits the
@@ -9174,6 +9223,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "cdc_replay_drop": cdc_replay_drop,
     "cdc_lake_constraints": cdc_lake_constraints,
+    "cdc_replay_rename": cdc_replay_rename,
     "kmv_distinct_users": kmv_distinct_users,
     "user_first_last_event": user_first_last_event,
     "late_events_audit": late_events_audit,
@@ -9326,6 +9376,7 @@ ORACLE_SQL = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "cdc_replay_drop": CDC_DROP_SQL,
     "cdc_lake_constraints": CDC_EXPECT_SQL,
+    "cdc_replay_rename": CDC_RENAME_SQL,
     "kmv_distinct_users": KMV_SQL,
     "user_first_last_event": FIRST_LAST_SQL,
     "late_events_audit": LATE_EVENTS_SQL,

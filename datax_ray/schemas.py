@@ -88,16 +88,62 @@ _TYPE_STR_TO_ARROW = {
 }
 
 
+# rename_column DDL state: schema metadata key holding a JSON map
+# {historical_name: current_name}. It rides ON the pa.Schema so every
+# consumer that already threads the lake schema (normalize, merge-read,
+# compaction, feed) sees the mapping without new plumbing; serde keeps it
+# via a sentinel row, so it survives the manifest round trip. Old manifests
+# (no sentinel) deserialize to an empty map — fully backward compatible.
+RENAMES_META_KEY = b"renames"
+_RENAMES_SENTINEL = "__renames__"
+
+
 def schema_to_json(schema: pa.Schema) -> list[list[str]]:
-    return [[f.name, str(f.type)] for f in schema]
+    out = [[f.name, str(f.type)] for f in schema]
+    meta = schema.metadata or {}
+    if meta.get(RENAMES_META_KEY):
+        out.append([_RENAMES_SENTINEL, meta[RENAMES_META_KEY].decode()])
+    return out
 
 
 def schema_from_json(fields: list[list[str]]) -> pa.Schema:
     out = []
+    renames_json: str | None = None
     for name, type_str in fields:
+        if name == _RENAMES_SENTINEL:
+            renames_json = type_str
+            continue
         try:
             typ = _TYPE_STR_TO_ARROW[type_str]
         except KeyError:
             raise ValueError(f"unsupported serialized arrow type: {type_str!r}")
         out.append(pa.field(name, typ))
-    return pa.schema(out)
+    schema = pa.schema(out)
+    if renames_json:
+        schema = schema.with_metadata({RENAMES_META_KEY: renames_json})
+    return schema
+
+
+def renames_of(schema: pa.Schema) -> dict[str, str]:
+    """The {historical: current} column-rename map carried on a lake
+    schema's metadata ({} when no rename DDL was ever applied)."""
+    import json as _json
+
+    meta = schema.metadata or {}
+    raw = meta.get(RENAMES_META_KEY)
+    return _json.loads(raw.decode()) if raw else {}
+
+
+def resolve_source_name(
+    src_schema: pa.Schema, name: str, renames: dict[str, str]
+) -> str | None:
+    """The column of `src_schema` that holds target column `name`'s data:
+    `name` itself, or — for pre-rename tables / original change-stream
+    events — a historical name that maps to it. None = genuinely absent
+    (null-fill)."""
+    if src_schema.get_field_index(name) != -1:
+        return name
+    for hist, cur in renames.items():
+        if cur == name and src_schema.get_field_index(hist) != -1:
+            return hist
+    return None

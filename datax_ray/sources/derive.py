@@ -48,6 +48,7 @@ def _write_atomic(t: pa.Table, path: str) -> None:
 _DDL_ADD_SENTIMENT = '{"action": "add_column", "name": "sentiment", "type": "string"}'
 _DDL_WIDEN_TURN = '{"action": "widen", "name": "turn_idx", "type": "int64"}'
 _DDL_DROP_TOOL = '{"action": "drop_column", "name": "tool"}'
+_DDL_RENAME_ROLE = '{"action": "rename_column", "name": "role", "to": "speaker"}'
 
 
 def derive_changes(
@@ -60,6 +61,7 @@ def derive_changes(
     widen_mod: int | None = None,
     text_words: int | None = None,
     drop_mod: int | None = None,
+    rename_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -138,6 +140,19 @@ def derive_changes(
             pa.array(np.full(t.num_rows, _DDL_DROP_TOOL, dtype=object), pa.string()),
             ddl,
         )
+    if rename_mod:
+        # rename_mod=N emits a rename_column("role" -> "speaker") DDL:
+        # events keep emitting "role" (the source system doesn't know),
+        # the lake serves the column as "speaker", and pre-rename
+        # fragments remap at merge-read via the schema's rename metadata.
+        is_r = pa.array(e % rename_mod == rename_mod - 1)
+        op = pc.if_else(is_r, "ddl", op)
+        role = pc.if_else(is_r, nulls, role)
+        ddl = pc.if_else(
+            is_r,
+            pa.array(np.full(t.num_rows, _DDL_RENAME_ROLE, dtype=object), pa.string()),
+            ddl,
+        )
     return pa.table(
         {
             "lsn": eid,
@@ -170,6 +185,7 @@ class ChangeDeriver:
         widen_mod: int | None = None,
         text_words: int | None = None,
         drop_mod: int | None = None,
+        rename_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -185,11 +201,13 @@ class ChangeDeriver:
         self.widen_mod = widen_mod
         self.text_words = text_words
         self.drop_mod = drop_mod
+        self.rename_mod = rename_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
             t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
             self.text_mod, self.widen_mod, self.text_words, self.drop_mod,
+            self.rename_mod,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:

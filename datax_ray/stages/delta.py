@@ -195,7 +195,10 @@ class DeltaWriter:
         # the sort keys, so the single lww sort also groups rows by range —
         # no second sort/take pass (these copies are the memory-bandwidth
         # hot spot at full-node concurrency).
-        schema_with_part = pa.schema([*self.schema, pa.field("part_id", pa.int32())])
+        schema_with_part = pa.schema(
+            [*self.schema, pa.field("part_id", pa.int32())],
+            metadata=self.schema.metadata,  # keep the rename map
+        )
         delta = apply_events(
             None, batch, schema_with_part, key_cols=("part_id", "conv_id", "turn_idx")
         )
@@ -246,7 +249,9 @@ class Compactor:
         for item in batch.to_pylist():
             rid = int(item["range_id"])
             schema_with_part = pa.schema(
-                [*self.schema, pa.field("part_id", pa.int32())]
+                [*self.schema, pa.field("part_id", pa.int32())],
+                metadata=self.schema.metadata,  # keep the rename map —
+                # pre-rename fragments/bases remap instead of null-filling
             )
             tables = []
             for rel, pid in zip(item["base_files"], item["base_pids"]):

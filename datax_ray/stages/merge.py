@@ -89,18 +89,25 @@ def apply_events(
     event carried it — null) so that a late, stale event arriving in a later
     epoch loses the LWW race against the tombstone instead of resurrecting
     the row."""
-    from datax_ray.schemas import DELETED_COL, INTERNAL_COLS
+    from datax_ray.schemas import (
+        DELETED_COL,
+        INTERNAL_COLS,
+        renames_of,
+        resolve_source_name,
+    )
 
     payload = [f.name for f in lake_schema if f.name not in INTERNAL_COLS]
+    renames = renames_of(lake_schema)
 
     def unify(t: pa.Table, op_col, lsn_col) -> pa.Table:
         cols = {"op": op_col, "lsn": lsn_col}
         for name in payload:
             want = lake_schema.field(name).type
-            if t.schema.get_field_index(name) == -1:
+            src = resolve_source_name(t.schema, name, renames)
+            if src is None:
                 cols[name] = pa.nulls(t.num_rows, want)
             else:
-                c = t[name]
+                c = t[src]
                 cols[name] = pc.cast(c, want) if c.type != want else c
         return pa.table(cols)
 
@@ -125,13 +132,18 @@ def apply_events(
 
 def unify_to_schema(t: pa.Table, lake_schema: pa.Schema) -> pa.Table:
     """Project a (possibly pre-DDL historical) lake-schema table onto the
-    current schema: null-fill added columns, widen-cast evolved ones."""
+    current schema: null-fill added columns, widen-cast evolved ones, remap
+    renamed ones via the schema's rename metadata."""
+    from datax_ray.schemas import renames_of, resolve_source_name
+
+    renames = renames_of(lake_schema)
     cols = {}
     for f in lake_schema:
-        if t.schema.get_field_index(f.name) == -1:
+        src = resolve_source_name(t.schema, f.name, renames)
+        if src is None:
             cols[f.name] = pa.nulls(t.num_rows, f.type)
         else:
-            c = t[f.name]
+            c = t[src]
             cols[f.name] = pc.cast(c, f.type) if c.type != f.type else c
     return pa.table(cols, schema=lake_schema)
 

@@ -25,7 +25,7 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from datax_ray.schemas import schema_from_json
+from datax_ray.schemas import renames_of, resolve_source_name, schema_from_json
 from datax_ray.stages.partitioning import part_ids_for
 from datax_ray.state.metrics import get_metrics_actor
 from datax_ray.validation import (
@@ -52,6 +52,7 @@ class Normalizer:
             compile_expectations(expectations) if expectations else None
         )
         self.schema = schema_from_json(target_schema_json)
+        self._renames = renames_of(self.schema)
         self.payload_cols = [f.name for f in self.schema if f.name != "_lsn"]
         self.num_partitions = num_partitions
         self.watermark_lsn = watermark_lsn
@@ -123,10 +124,14 @@ class Normalizer:
         }
         for name in self.payload_cols:
             want = self.schema.field(name).type
-            if good.schema.get_field_index(name) == -1:
+            # renamed columns: change events keep the ORIGINAL stream name
+            # (the source system doesn't know about lake-side renames), so
+            # resolve through the schema's rename metadata
+            src = resolve_source_name(good.schema, name, self._renames)
+            if src is None:
                 cols[name] = pa.nulls(good.num_rows, want)
             else:
-                col = good[name]
+                col = good[src]
                 cols[name] = pc.cast(col, want) if col.type != want else col
         out = pa.table(cols)
         out = out.append_column(

@@ -19,7 +19,12 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from datax_ray.schemas import LSN_COL
+from datax_ray.schemas import (
+    LSN_COL,
+    RENAMES_META_KEY,
+    renames_of,
+    resolve_source_name,
+)
 
 _NAMED_TYPES = {
     "string": pa.string(),
@@ -65,7 +70,36 @@ class SchemaTracker:
                 raise ValueError(f"cannot drop protected column {name!r}")
             i = self.schema.get_field_index(name)
             if i != -1:  # idempotent: re-drop of an absent column is a no-op
+                meta = self.schema.metadata
                 self.schema = self.schema.remove(i)
+                if meta:  # Schema.remove drops metadata; keep the renames
+                    self.schema = self.schema.with_metadata(meta)
+            return
+        if action == "rename_column":
+            new = d.get("to")
+            if name in _PROTECTED or new in _PROTECTED:
+                raise ValueError(f"cannot rename protected column ({name!r} -> {new!r})")
+            i = self.schema.get_field_index(name)
+            if i == -1:
+                if self.schema.get_field_index(new) != -1:
+                    return  # idempotent: rename already applied
+                raise ValueError(f"rename of unknown column {name!r}")
+            if self.schema.get_field_index(new) != -1:
+                raise ValueError(f"rename target {new!r} already exists")
+            # fold into the {historical: current} map so pre-rename
+            # fragments and original-name change events keep resolving
+            renames = {
+                h: (new if cur == name else cur)
+                for h, cur in renames_of(self.schema).items()
+            }
+            renames[name] = new
+            renames = {h: c for h, c in renames.items() if h != c}
+            schema = self.schema.set(
+                i, pa.field(new, self.schema.field(i).type)
+            )
+            self.schema = schema.with_metadata(
+                {**(schema.metadata or {}), RENAMES_META_KEY: json.dumps(renames)}
+            )
             return
         typ = _NAMED_TYPES.get(d.get("type"))
         if typ is None:
@@ -75,7 +109,10 @@ class SchemaTracker:
                 # keep _lsn last: insert before it if present
                 i = self.schema.get_field_index(LSN_COL)
                 pos = i if i != -1 else len(self.schema)
+                meta = self.schema.metadata
                 self.schema = self.schema.insert(pos, pa.field(name, typ))
+                if meta:
+                    self.schema = self.schema.with_metadata(meta)
         elif action == "widen":
             i = self.schema.get_field_index(name)
             if i == -1:
@@ -93,14 +130,16 @@ class SchemaTracker:
         """Project/cast `t` to the target schema (or a subset of its columns):
         missing columns null-filled, widenable mismatches cast."""
         names = columns if columns is not None else [f.name for f in self.schema]
+        renames = renames_of(self.schema)
         out = []
         n = t.num_rows
         for name in names:
             want = self.schema.field(name).type
-            if t.schema.get_field_index(name) == -1:
+            src = resolve_source_name(t.schema, name, renames)
+            if src is None:
                 out.append(pa.nulls(n, want))
                 continue
-            col = t[name]
+            col = t[src]
             if col.type != want:
                 col = pc.cast(col, want)
             out.append(col)

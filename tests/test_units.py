@@ -125,6 +125,31 @@ def test_schema_tracker_drop():
     assert tr.schema.field("tool").type == pa.string()
 
 
+def test_schema_tracker_rename():
+    from datax_ray.schemas import renames_of, schema_to_json
+
+    tr = SchemaTracker(LAKE_SCHEMA)
+    tr.apply_ddl(json.dumps({"action": "rename_column", "name": "role", "to": "speaker"}))
+    assert "speaker" in tr.schema.names and "role" not in tr.schema.names
+    assert renames_of(tr.schema) == {"role": "speaker"}
+    # idempotent re-apply is a no-op
+    tr.apply_ddl(json.dumps({"action": "rename_column", "name": "role", "to": "speaker"}))
+    # chained rename composes to a direct historical -> current map
+    tr.apply_ddl(json.dumps({"action": "rename_column", "name": "speaker", "to": "who"}))
+    assert renames_of(tr.schema) == {"role": "who", "speaker": "who"}
+    # the map survives the manifest serde round trip
+    rt = schema_from_json(schema_to_json(tr.schema))
+    assert renames_of(rt) == {"role": "who", "speaker": "who"}
+    # unify remaps a pre-rename table's column (no null-fill data loss)
+    old = pa.table({"role": pa.array(["user"])})
+    assert tr.unify(old, columns=["who"])["who"].to_pylist() == ["user"]
+    # protected columns cannot be renamed (either side)
+    for bad in (("conv_id", "x"), ("text", "ts")):
+        with pytest.raises(ValueError):
+            tr.apply_ddl(json.dumps(
+                {"action": "rename_column", "name": bad[0], "to": bad[1]}))
+
+
 def test_schema_tracker_unify():
     tr = SchemaTracker(LAKE_SCHEMA)
     tr.apply_ddl(json.dumps({"action": "add_column", "name": "lang", "type": "string"}))
