@@ -36,7 +36,7 @@ from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
 from datax_ray.sources.changelog import max_lsn, plan_epochs, read_segments, scan_ddl
 from datax_ray.stages.delta import Compactor, DeltaWriter
 from datax_ray.stages.normalize import Normalizer
-from datax_ray.state.manifest import Manifest
+from datax_ray.state.manifest import ConcurrentCommitError, Manifest
 from datax_ray.state.metrics import get_metrics_actor, total_dirty
 from datax_ray.state.schema_tracker import SchemaTracker
 
@@ -451,16 +451,36 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
     return {"compacted_ranges": len(to_compact), "epoch": epoch}
 
 
-def replay(cfg: ReplayConfig) -> list[EpochReport]:
-    """Replay all uncommitted segments (fresh run and resume alike)."""
+def replay(cfg: ReplayConfig, max_commit_retries: int = 3) -> list[EpochReport]:
+    """Replay all uncommitted segments (fresh run and resume alike).
+
+    Concurrent-writer REBASE: the manifest's exclusive commit (os.link)
+    guarantees one winner per epoch; the loser raises
+    ConcurrentCommitError. Instead of dying, replay re-plans from the NEW
+    committed state — the winner's epoch consumed some segments, so the
+    fresh plan covers exactly what remains — and continues. Safe because
+    the loser's already-written fragments are content-hash named (identical
+    bytes on re-run, orphans if the segments were taken by the winner) and
+    uncommitted segments re-apply idempotently. Optimistic concurrency in
+    the Delta commit-protocol sense, at epoch granularity."""
     manifest = Manifest(cfg.lake_dir)
-    reports = []
-    epochs = plan_epochs(cfg.changes_dir, manifest, cfg.segments_per_epoch)
-    epoch_no = manifest.committed_epoch() + 1
-    for segments in epochs:
-        reports.append(run_epoch(cfg, manifest, segments, epoch_no))
-        epoch_no += 1
-    return reports
+    reports: list[EpochReport] = []
+    retries = 0
+    while True:
+        epochs = plan_epochs(cfg.changes_dir, manifest, cfg.segments_per_epoch)
+        if not epochs:
+            return reports
+        epoch_no = manifest.committed_epoch() + 1
+        try:
+            for segments in epochs:
+                reports.append(run_epoch(cfg, manifest, segments, epoch_no))
+                epoch_no += 1
+            return reports
+        except ConcurrentCommitError:
+            retries += 1
+            if retries > max_commit_retries:
+                raise
+            continue  # rebase: re-plan against the winner's committed state
 
 
 def tail(

@@ -308,6 +308,53 @@ def test_concurrent_commit_raises_not_clobbers(tmp_path):
     assert m.latest() == winner  # record unchanged
 
 
+def test_concurrent_commit_rebase_retries(tmp_path, monkeypatch):
+    """A replay that LOSES an epoch commit race re-plans from the winner's
+    committed state and finishes the remaining segments (optimistic
+    rebase) — final lake equals the oracle, no manual resume needed."""
+    import datax_ray.pipelines.replay as rp
+    from datax_ray.state.manifest import ConcurrentCommitError
+
+    changes, chg, lake = _setup(tmp_path, "rebase")
+    real = rp.run_epoch
+    state = {"raced": False}
+
+    def racing(cfg, manifest, segments, epoch):
+        # epoch 0: a competing writer wins an IDENTICAL commit just before
+        # ours lands — simulate by letting the commit happen (that's the
+        # winner's record) and then surfacing the loser's error
+        out = real(cfg, manifest, segments, epoch)
+        if not state["raced"]:
+            state["raced"] = True
+            raise ConcurrentCommitError("simulated lost race")
+        return out
+
+    monkeypatch.setattr(rp, "run_epoch", racing)
+    rp.replay(
+        ReplayConfig(
+            changes_dir=chg, lake_dir=lake, num_partitions=4,
+            segments_per_epoch=1,
+        )
+    )
+    assert state["raced"]
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+    # a loser that can never win (its commits never land) gives up loudly
+    # after max_commit_retries rather than spinning
+    chg2, lake2 = str(tmp_path / "c_r2"), str(tmp_path / "l_r2")
+    write_segments(gen_changes(500, 10, seed=5), chg2, seg_rows=500)
+
+    def always_loses(cfg, manifest, segments, epoch):
+        raise ConcurrentCommitError("pathological loser")
+
+    monkeypatch.setattr(rp, "run_epoch", always_loses)
+    with pytest.raises(ConcurrentCommitError):
+        rp.replay(
+            ReplayConfig(changes_dir=chg2, lake_dir=lake2, num_partitions=4),
+            max_commit_retries=2,
+        )
+
+
 def test_export_partitioned_hive_layout(tmp_path):
     """partition_by writes out/<col>=<val>/part-*.ext with partition
     columns dropped from file content; a Hive-aware reader restores them
