@@ -9065,6 +9065,156 @@ FROM u
 """
 
 
+def winsorize_order_prices(sf_dir: str):
+    """Winsorization — clamp each order's price into its OWN status group's
+    [p05, p95] band (the outlier treatment that keeps rows instead of
+    deleting them, robust where a global clip drags small groups). Exact
+    per-group cutoffs fold from ONE (status, cents) histogram combiner
+    (shuffle bounded by the value grid, never rows; quantile_disc index
+    rule shared with the oracle), then the O(groups) cutoffs broadcast
+    into a stateless clamp map — no join, no second shuffle."""
+    from datax_ray.functions.relational import partial_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderstatus": t["o_orderstatus"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    hist = partial_agg(
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderstatus", "cents"],
+        counts="n",
+        single_reduce=True,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("o_orderstatus", "ascending"), ("cents", "ascending")])
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        val = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = t["n"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(st), dtype=bool)
+        new_run[1:] = st[1:] != st[:-1]
+        starts = np.flatnonzero(new_run)
+        out_st, out_lo, out_hi = [], [], []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(st)
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            lo_i = max(0, int(np.ceil(0.05 * n)) - 1)
+            hi_i = max(0, int(np.ceil(0.95 * n)) - 1)
+            out_st.append(st[s])
+            out_lo.append(int(val[s:e][np.searchsorted(cum, lo_i + 1)]))
+            out_hi.append(int(val[s:e][np.searchsorted(cum, hi_i + 1)]))
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(out_st, pa.string()),
+                "lo": pa.array(out_lo, pa.int64()),
+                "hi": pa.array(out_hi, pa.int64()),
+            }
+        )
+
+    cuts = hist.map_batches(fold, batch_format="pyarrow", batch_size=None).take_all()
+    band = {r["o_orderstatus"]: (r["lo"], r["hi"]) for r in cuts}  # O(groups)
+
+    def clamp(t: pa.Table) -> pa.Table:
+        st = pd.Series(t["o_orderstatus"].to_numpy(zero_copy_only=False))
+        lo = st.map({k: v[0] for k, v in band.items()}).to_numpy(dtype=np.int64)
+        hi = st.map({k: v[1] for k, v in band.items()}).to_numpy(dtype=np.int64)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "clamped_cents": pa.array(np.clip(cents, lo, hi), pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WINSORIZE_SQL = """
+WITH cut AS (
+  SELECT o_orderstatus,
+         quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.05) AS lo,
+         quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.95) AS hi
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       LEAST(GREATEST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT), cut.lo),
+             cut.hi) AS clamped_cents
+FROM orders o JOIN cut USING (o_orderstatus)
+"""
+
+
+def dod_retention_users(sf_dir: str):
+    """Day-over-day retention: per calendar day, how many distinct users
+    were active AND came back the next day — the operational retention
+    curve (distinct from the cohort matrix, which anchors on first touch).
+    Distinct (user, day) pairs via the per-batch combiner, ONE user-hash
+    exchange (all of a user's days co-locate), a sorted shifted-compare
+    marks next-day returns, then per-day partials fold in one tiny task —
+    the shuffle is bounded by distinct pairs, never events."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    DAY = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        tb = pa.table({"user_id": t["user_id"], "day": pa.array(day, pa.int64())})
+        tb = tb.group_by(["user_id", "day"], use_threads=False).aggregate([])
+        return tb.append_column("_grp", key_buckets(tb, ["user_id"], num_buckets))
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_grp"]).group_by(
+            ["user_id", "day"], use_threads=False
+        ).aggregate([])
+        t = t.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        ret = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            ret[:-1] = (uid[1:] == uid[:-1]) & (day[1:] - day[:-1] == 1)
+        cells = pa.table(
+            {
+                "day": t["day"],
+                "act": pa.array(np.ones(n, dtype=np.int64)),
+                "ret": pa.array(ret),
+            }
+        )
+        g = cells.group_by(["day"], use_threads=False).aggregate(
+            [("act", "sum"), ("ret", "sum")]
+        )
+        return g.rename_columns(["day", "act", "ret"])
+
+    partials = (
+        _read(sf_dir, "events", columns=["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return partial_agg(
+        partials,
+        keys=["day"],
+        sums={"act": "n_active", "ret": "n_retained_next"},
+        single_reduce=True,  # O(days) cells
+    )
+
+
+DOD_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT a.day, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained_next
+FROM act a LEFT JOIN act b ON b.user_id = a.user_id AND b.day = a.day + 1
+GROUP BY a.day
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -9228,6 +9378,8 @@ QUERIES = {
     "user_first_last_event": user_first_last_event,
     "late_events_audit": late_events_audit,
     "gini_event_mix_users": gini_event_mix_users,
+    "winsorize_order_prices": winsorize_order_prices,
+    "dod_retention_users": dod_retention_users,
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
@@ -9381,6 +9533,8 @@ ORACLE_SQL = {
     "user_first_last_event": FIRST_LAST_SQL,
     "late_events_audit": LATE_EVENTS_SQL,
     "gini_event_mix_users": GINI_SQL,
+    "winsorize_order_prices": WINSORIZE_SQL,
+    "dod_retention_users": DOD_RETENTION_SQL,
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
