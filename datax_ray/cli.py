@@ -96,6 +96,10 @@ def main(argv=None):
     e.add_argument("--partition-by", action="append", default=None,
                    help="Hive-style partitioned layout out/<col>=<val>/... "
                    "(repeatable; the odpswriter partition-spec analog)")
+    e.add_argument("--incremental", action="store_true",
+                   help="exactly-once incremental sync: rewrite only ranges "
+                   "whose committed file set changed since the last export "
+                   "(per-range dirs + _export_state.json fingerprints)")
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
@@ -542,8 +546,17 @@ def main(argv=None):
         _ensure_ray(a.num_cpus)
         import ray
 
-        from datax_ray.sinks.export import export_lake
+        from datax_ray.sinks.export import export_lake, export_lake_incremental
 
+        if a.incremental:
+            if a.partition_by or a.as_of_epoch is not None:
+                raise SystemExit(
+                    "--incremental is exclusive with --partition-by/--as-of-epoch"
+                )
+            out = export_lake_incremental(a.lake, a.out, fmt=a.format)
+            print(json.dumps(out))
+            ray.shutdown()
+            return 0
         rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch,
                            partition_by=a.partition_by)
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format,
