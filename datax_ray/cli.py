@@ -209,7 +209,21 @@ def main(argv=None):
         "tasks (repeatable; value 'null' matches SQL NULL)",
     )
     lk.add_argument("--as-of-epoch", type=int, default=None)
+    lk.add_argument("--as-of-tag", default=None,
+                    help="read AS OF a named savepoint (see `tag`)")
     lk.add_argument("--num-cpus", type=int, default=None)
+
+    tg = sub.add_parser(
+        "tag",
+        help="named savepoints: tag a committed epoch; tagged epochs "
+        "survive vacuum (durable time-travel anchors)",
+    )
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--epoch", type=int, default=None,
+                    help="epoch to tag (default: latest committed)")
+    tg.add_argument("--delete", action="store_true")
+    tg.add_argument("--list", action="store_true")
 
     pg = sub.add_parser(
         "purge",
@@ -844,6 +858,10 @@ def main(argv=None):
 
         from datax_ray.sinks.lake import LakeDatasource, read_lake
 
+        if a.as_of_tag is not None:
+            from datax_ray.state.manifest import Manifest as _M
+
+            a.as_of_epoch = _M(a.lake).resolve_tag(a.as_of_tag)
         if a.conv is None and a.min_ts is None and a.where is None:
             print(json.dumps({"error": "pass --conv, --min-ts and/or --where"}))
             return 2
@@ -899,6 +917,23 @@ def main(argv=None):
                 "rows_written": sum(int(r.get("rows", 0)) for r in lineage),
                 "lsn_hi": rec.get("lsn_hi"),
             }))
+        return 0
+
+    if a.cmd == "tag":
+        from datax_ray.state.manifest import Manifest
+
+        m = Manifest(a.lake)
+        if a.list or (a.name is None and not a.delete):
+            print(json.dumps({"tags": m.tags()}))
+            return 0
+        if a.name is None:
+            print(json.dumps({"error": "--delete requires --name"}))
+            return 2
+        if a.delete:
+            print(json.dumps({"deleted": m.delete_tag(a.name), "name": a.name}))
+            return 0
+        epoch = m.set_tag(a.name, a.epoch)
+        print(json.dumps({"name": a.name, "epoch": epoch}))
         return 0
 
     if a.cmd == "alter":

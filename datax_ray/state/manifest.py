@@ -138,18 +138,79 @@ class Manifest:
             out.extend(os.path.join(self.lake_dir, f) for f in v.get("frags", []))
         return out
 
+    # -- tags (named savepoints, Iceberg-style) ----------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.dir, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """{name: epoch} named savepoints. Metadata only — creating or
+        deleting a tag commits no epoch."""
+        p = self._tags_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._tags_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._tags_path())
+
+    def set_tag(self, name: str, epoch: int | None = None) -> int:
+        """Tag a committed epoch (default: the latest) with a stable name.
+        Tagged epochs SURVIVE vacuum — the retention contract that makes a
+        tag a durable savepoint rather than a comment."""
+        target = self.committed_epoch() if epoch is None else int(epoch)
+        if target < 0 or target > self.committed_epoch():
+            raise ValueError(f"epoch {epoch} is not committed")
+        tags = self.tags()
+        tags[name] = target
+        self._write_tags(tags)
+        return target
+
+    def delete_tag(self, name: str) -> bool:
+        tags = self.tags()
+        if name not in tags:
+            return False
+        del tags[name]
+        self._write_tags(tags)
+        return True
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r} (have: {sorted(tags)})")
+        return tags[name]
+
     # -- retention ---------------------------------------------------------
 
     def vacuum(self, keep_epochs: int = 1) -> dict:
         """Drop time-travel history: retain the newest `keep_epochs`
-        manifest records and delete (a) older manifest files and (b) any
-        data file under p=*/r=* not referenced by a retained record.
-        Offline operation — do not run concurrently with replay/compact
-        (they only ADD files, but a reader pinned to a dropped epoch would
-        lose its files). Dead-letter files are never touched."""
+        manifest records PLUS every tagged epoch's record, and delete (a)
+        other manifest files and (b) any data file under p=*/r=* not
+        referenced by a retained record. Offline operation — do not run
+        concurrently with replay/compact (they only ADD files, but a
+        reader pinned to a dropped epoch would lose its files).
+        Dead-letter files are never touched."""
         files = self._epoch_files()
         keep = files[-keep_epochs:] if keep_epochs > 0 else files
-        drop = files[: len(files) - len(keep)]
+        # tagged epochs are pinned: resolve each tag to the record that
+        # serves it (largest committed epoch <= tag target, same rule as
+        # at_epoch) and retain that manifest file too
+        pinned: set[int] = set()
+        for target in self.tags().values():
+            serving = [e for e, _ in files if e <= target]
+            if serving:
+                pinned.add(serving[-1])
+        keep = sorted(
+            {(e, p) for e, p in keep} | {(e, p) for e, p in files if e in pinned}
+        )
+        drop = [(e, p) for e, p in files if (e, p) not in set(keep)]
         referenced: set[str] = set()
         for _, p in keep:
             with open(p) as f:

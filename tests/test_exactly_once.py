@@ -278,6 +278,42 @@ def test_time_travel_and_vacuum(tmp_path):
         final_table(lake_dir, as_of_epoch=0)
 
 
+def test_tagged_epoch_survives_vacuum(tmp_path):
+    """A named tag pins its epoch through vacuum (manifest AND data
+    files) — the durable-savepoint contract; deleting the tag releases
+    the pin on the next vacuum."""
+    import pytest as _pytest
+
+    changes, chg, lake = _setup(tmp_path, "tags")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4,
+                        segments_per_epoch=1))
+    m = Manifest(lake)
+    assert m.committed_epoch() >= 2
+    want0 = final_table(lake, as_of_epoch=0)
+    assert m.set_tag("release", 0) == 0
+    assert m.tags() == {"release": 0}
+
+    out = m.vacuum(keep_epochs=1)
+    assert 0 in out["epochs_kept"]  # pinned by the tag
+    assert 1 not in out["epochs_kept"]  # untagged history dropped
+    assert_tables_equal(final_table(lake, as_of_epoch=0), want0)
+    # as_of floor semantics: epoch 1's record is gone, so as_of=1 serves
+    # the largest retained record below it (the tagged epoch 0)
+    assert_tables_equal(final_table(lake, as_of_epoch=1), want0)
+    # latest state still intact
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+    assert m.delete_tag("release")
+    m.vacuum(keep_epochs=1)
+    with _pytest.raises(ValueError, match="vacuum"):
+        final_table(lake, as_of_epoch=0)  # pin released
+
+    with _pytest.raises(ValueError, match="unknown tag"):
+        m.resolve_tag("nope")
+    with _pytest.raises(ValueError, match="not committed"):
+        m.set_tag("bad", 999)  # can't tag an uncommitted epoch
+
+
 def test_concurrent_commit_raises_not_clobbers(tmp_path):
     """Two drivers racing the same epoch: one winner, one loud error —
     the winner's record is never silently overwritten."""
