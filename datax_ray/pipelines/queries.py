@@ -9215,6 +9215,95 @@ GROUP BY a.day
 """
 
 
+def scd2_asof_snapshot(sf_dir: str):
+    """Temporal AS-OF-TIMESTAMP snapshot reconstructed from the SCD2
+    version history: the state of every (conv_id, turn_idx) key at probe
+    time T = midpoint of the event-time range — the warehouse pattern for
+    'what did the dimension look like at T' without replaying the log.
+    Keys whose version at T was a delete return nothing (the delete closes
+    its predecessor's interval and carries no row itself). Two passes:
+    an O(1) min/max ts fold picks T, then the interval filter
+    valid_from <= T < valid_to runs inside the SCD2 assembly's buckets —
+    no extra exchange beyond the history build itself."""
+    from datax_ray.functions.ordered import scd2_history
+    from datax_ray.sources.derive import derive_changes
+
+    ts_ds = _read(sf_dir, "events", columns=["ts"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {"lo": pa.array([pc.min(v).as_py()], pa.int64()),
+             "hi": pa.array([pc.max(v).as_py()], pa.int64())}
+        )
+
+    bounds = (
+        ts_ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {"lo": pa.array([pc.min(t["lo"]).as_py()], pa.int64()),
+                 "hi": pa.array([pc.max(t["hi"]).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()[0]
+    )  # O(1) driver rows
+    t_us = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+
+    changes = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        derive_changes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = scd2_history(changes, num_buckets=_buckets_for(sf_dir, "events"))
+
+    def asof(t: pa.Table) -> pa.Table:
+        vf = pc.cast(t["valid_from"], pa.int64())
+        vt = pc.cast(t["valid_to"], pa.int64())
+        keep = pc.and_kleene(
+            pc.less_equal(vf, t_us),
+            pc.coalesce(pc.greater(vt, t_us), pa.scalar(True)),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "version": pc.cast(t["version"], pa.int64()),
+                "role": t["role"],
+                "text": t["text"],
+            }
+        )
+
+    return hist.map_batches(asof, batch_format="pyarrow")
+
+
+SCD2_ASOF_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, CAST(row_number() OVER k AS BIGINT) AS version,
+         lead(ts) OVER k AS valid_to
+  FROM c WINDOW k AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+), b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS t FROM events
+)
+SELECT conv_id, turn_idx, version, role, text
+FROM w, b
+WHERE op <> 'delete' AND epoch_us(ts) <= b.t
+  AND (valid_to IS NULL OR epoch_us(valid_to) > b.t)
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -9380,6 +9469,7 @@ QUERIES = {
     "gini_event_mix_users": gini_event_mix_users,
     "winsorize_order_prices": winsorize_order_prices,
     "dod_retention_users": dod_retention_users,
+    "scd2_asof_snapshot": scd2_asof_snapshot,
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
@@ -9535,6 +9625,7 @@ ORACLE_SQL = {
     "gini_event_mix_users": GINI_SQL,
     "winsorize_order_prices": WINSORIZE_SQL,
     "dod_retention_users": DOD_RETENTION_SQL,
+    "scd2_asof_snapshot": SCD2_ASOF_SQL,
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
