@@ -163,6 +163,11 @@ def main(argv=None):
                     help="Delta-CDF-style rows: insert / update_preimage "
                     "/ update_postimage / delete (old values on pre/delete "
                     "rows) — enables additive downstream aggregation")
+    fd.add_argument("--consumer", default=None,
+                    help="named durable offset (Kafka-consumer-group "
+                    "analog): read since this consumer's last acknowledged "
+                    "epoch and acknowledge the new head after delivery "
+                    "(at-least-once)")
     fd.add_argument("--num-cpus", type=int, default=None)
 
     mr = sub.add_parser("mirror", help="exactly-once incremental mirror of the lake into a SQL table")
@@ -648,27 +653,44 @@ def main(argv=None):
             read_change_feed_preimages,
         )
 
+        from_epoch, to_epoch = a.from_epoch, a.to_epoch
+        if a.consumer:
+            from datax_ray.pipelines.feed import consumer_offset
+            from datax_ray.state.manifest import Manifest as _M
+
+            from_epoch = consumer_offset(a.lake, a.consumer)
+            if to_epoch is None:
+                to_epoch = _M(a.lake).committed_epoch()
         if a.preimages:
             from datax_ray.pipelines.feed import plan_feed_preimages
 
-            pplan = plan_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
+            pplan = plan_feed_preimages(a.lake, from_epoch, to_epoch)
             plan = [
                 {"epoch": p["epoch"], "file": f}
                 for p in pplan
                 for f in json.loads(p["new_files"])
             ]
-            ds = read_change_feed_preimages(a.lake, a.from_epoch, a.to_epoch)
+            ds = read_change_feed_preimages(a.lake, from_epoch, to_epoch)
         else:
-            plan = plan_change_feed(a.lake, a.from_epoch, a.to_epoch)
-            ds = read_change_feed(a.lake, a.from_epoch, a.to_epoch)
+            plan = plan_change_feed(a.lake, from_epoch, to_epoch)
+            ds = read_change_feed(a.lake, from_epoch, to_epoch)
         if a.out:
             ds.write_parquet(a.out)
         rows = ds.count() if not a.out else None
+        if a.consumer and to_epoch is not None and to_epoch > from_epoch:
+            # acknowledge AFTER the delivery effect (out file / count) —
+            # at-least-once: a crash above re-delivers the same epochs
+            from datax_ray.pipelines.feed import commit_consumer
+
+            commit_consumer(a.lake, a.consumer, to_epoch)
         print(
             json.dumps(
                 {
                     "files": len(plan),
                     "epochs": sorted({p["epoch"] for p in plan}),
+                    **({"consumer": a.consumer,
+                        "from_epoch": from_epoch,
+                        "to_epoch": to_epoch} if a.consumer else {}),
                     **({"rows": rows} if rows is not None else {"out": a.out}),
                 }
             )

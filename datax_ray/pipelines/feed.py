@@ -152,6 +152,65 @@ def read_change_feed(
     )
 
 
+# ----------------------------------------------------- consumer offsets --
+
+
+def _consumer_path(lake_dir: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad consumer name {name!r}")
+    return os.path.join(lake_dir, "_manifest", "consumers", f"{name}.json")
+
+
+def consumer_offset(lake_dir: str, name: str) -> int:
+    """The last epoch this named consumer has acknowledged (-1 = never
+    consumed: next read delivers since the beginning)."""
+    import json
+
+    p = _consumer_path(lake_dir, name)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["epoch"])
+
+
+def commit_consumer(lake_dir: str, name: str, epoch: int) -> None:
+    """Durably acknowledge epochs <= `epoch` for this consumer (atomic
+    file replace). The at-least-once contract: acknowledge AFTER your
+    downstream effect is durable — a crash in between re-delivers the
+    same rows, and CDC rows fold idempotently under LWW."""
+    import json
+
+    p = _consumer_path(lake_dir, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": int(epoch)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def read_change_feed_consumer(
+    lake_dir: str, name: str, to_epoch: int | None = None, preimages: bool = False
+) -> tuple[ray.data.Dataset, int, int]:
+    """Named-consumer feed read (Kafka-consumer-group analog for the CDC
+    source): delivers epochs (last-acknowledged, to_epoch-or-head] and
+    returns (dataset, from_epoch, to_epoch). The caller processes the
+    rows, then calls commit_consumer(lake_dir, name, to_epoch) — NOT this
+    function — so delivery is at-least-once, never silently lossy.
+    Vacuumed history past the offset raises (plan_change_feed's
+    availability rule): pin the feed window with a tag, or rebuild the
+    consumer from a full read."""
+    m = Manifest(lake_dir)
+    frm = consumer_offset(lake_dir, name)
+    to = m.committed_epoch() if to_epoch is None else int(to_epoch)
+    if preimages:
+        ds = read_change_feed_preimages(lake_dir, frm, to)
+    else:
+        ds = read_change_feed(lake_dir, frm, to)
+    return ds, frm, to
+
+
 # ------------------------------------------------------------ preimages --
 
 _CHANGE_COL = "_change_type"

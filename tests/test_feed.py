@@ -166,3 +166,52 @@ def test_plain_feed_skips_migration_epochs(tmp_path):
         [c for c in INTERNAL_COLS if c in live.column_names]
     )
     assert live.equals(final_table(lake))
+
+
+def test_named_consumer_offsets(tmp_path):
+    """feed --consumer semantics: first read delivers everything, the
+    acknowledged offset persists, the next read delivers ONLY new epochs,
+    and an unacknowledged read re-delivers (at-least-once)."""
+    from datax_ray.pipelines.feed import (
+        commit_consumer,
+        consumer_offset,
+        read_change_feed_consumer,
+    )
+
+    lake = _build(tmp_path)
+    head = Manifest(lake).committed_epoch()
+
+    ds, frm, to = read_change_feed_consumer(lake, "sink-a")
+    assert (frm, to) == (-1, head)
+    n_all = ds.count()
+    assert n_all > 0
+    # not acknowledged yet -> a re-read delivers the same window
+    ds2, frm2, to2 = read_change_feed_consumer(lake, "sink-a")
+    assert (frm2, to2) == (-1, head) and ds2.count() == n_all
+
+    commit_consumer(lake, "sink-a", to)
+    assert consumer_offset(lake, "sink-a") == head
+    ds3, frm3, to3 = read_change_feed_consumer(lake, "sink-a")
+    assert (frm3, to3) == (head, head) and ds3.count() == 0
+
+    # new epochs -> only the delta is delivered
+    more = gen_changes(600, 20, seed=91)
+    more = more.set_column(
+        more.schema.get_field_index("lsn"), "lsn",
+        pc.cast(pc.add(more["lsn"], 1_000_000), pa.int64()),
+    )
+    chg = str(tmp_path / "chg")
+    write_segments(more, chg, seg_rows=600, start_seg=20)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=16))
+    new_head = Manifest(lake).committed_epoch()
+    assert new_head > head
+    ds4, frm4, to4 = read_change_feed_consumer(lake, "sink-a")
+    assert (frm4, to4) == (head, new_head)
+    delta = ds4.count()
+    assert 0 < delta < n_all
+    # a second, independent consumer still sees everything
+    ds5, frm5, _ = read_change_feed_consumer(lake, "sink-b")
+    assert frm5 == -1 and ds5.count() == n_all + delta
+
+    with pytest.raises(ValueError):
+        consumer_offset(lake, "../escape")
