@@ -73,6 +73,7 @@ def apply() -> None:
         return
     _APPLIED = True
     try:
+        _patch_fsspec_http_stub()
         _patch_shuffle_block()
         _patch_broadcast_flag()
         _patch_join_aggregation()
@@ -83,6 +84,43 @@ def apply() -> None:
             "joins over aggregate outputs may crash on empty partitions",
             exc_info=True,
         )
+
+
+# --------------------------------------------------------------------- 0 --
+
+
+def _patch_fsspec_http_stub() -> None:
+    """Without aiohttp, ``import fsspec.implementations.http`` fails — Ray
+    guards every such import with ``except ModuleNotFoundError`` (e.g.
+    ray/data/datasource/path_util.py), which works single-threaded. But
+    when TWO driver threads hit the first read_parquet concurrently (a
+    multi-writer replay), the loser of the import race can observe the
+    winner's partially-initialized module and raise a bare ``ImportError``
+    ("cannot import name 'HTTPFileSystem'") that escapes Ray's guard and
+    kills the replay. Registering a FINISHED stub module (whose
+    HTTPFileSystem raises only if actually constructed for an http:// read
+    — impossible in this no-network engine) removes the race at the root:
+    every later import succeeds instantly and deterministically."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return  # aiohttp present: nothing to do
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 - mirrors the fsspec class name
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "fsspec HTTPFileSystem requires aiohttp, which is not "
+                "installed (datax_ray stub)"
+            )
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = stub
 
 
 # --------------------------------------------------------------------- A --

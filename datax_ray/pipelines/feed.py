@@ -182,7 +182,9 @@ def commit_consumer(lake_dir: str, name: str, epoch: int) -> None:
 
     p = _consumer_path(lake_dir, name)
     os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + f".tmp.{os.getpid()}"
+    import threading
+
+    tmp = p + f".tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump({"epoch": int(epoch)}, f)
         f.flush()

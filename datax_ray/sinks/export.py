@@ -247,7 +247,9 @@ def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -
 
     os.makedirs(out_dir, exist_ok=True)
     state = {"fmt": fmt, "epoch": m.committed_epoch(), "ranges": new_ranges}
-    tmp = state_path + f".tmp.{os.getpid()}"
+    import threading
+
+    tmp = state_path + f".tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1, sort_keys=True)
         f.flush()

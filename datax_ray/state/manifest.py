@@ -154,7 +154,9 @@ class Manifest:
 
     def _write_tags(self, tags: dict[str, int]) -> None:
         os.makedirs(self.dir, exist_ok=True)
-        tmp = self._tags_path() + f".tmp.{os.getpid()}"
+        import threading
+
+        tmp = self._tags_path() + f".tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as f:
             json.dump(tags, f, indent=1, sort_keys=True)
             f.flush()
@@ -282,7 +284,12 @@ class Manifest:
             "metrics": metrics,
         }
         final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
-        tmp = final + f".tmp.{os.getpid()}"
+        # pid AND thread id: two driver THREADS racing the same epoch
+        # (concurrent replays of one lake) share a pid — a shared tmp name
+        # would let one thread unlink the other's staged file mid-commit
+        import threading
+
+        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
             f.flush()

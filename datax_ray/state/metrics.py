@@ -37,6 +37,7 @@ class MetricsActor:
 
 
 _HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
+_HANDLES_LOCK = __import__("threading").Lock()
 
 
 def get_metrics_actor(name: str = METRICS_ACTOR_NAME):
@@ -47,10 +48,19 @@ def get_metrics_actor(name: str = METRICS_ACTOR_NAME):
     actor and receive a dead handle — so the creating process pins one
     handle here for the life of the session. (Deliberately not a detached
     actor: those trigger a raylet stdout notice under anonymous
-    namespaces, which would pollute callers' stdout contracts.)"""
-    if name not in _HANDLES:
-        _HANDLES[name] = MetricsActor.options(name=name, get_if_exists=True).remote()
-    return _HANDLES[name]
+    namespaces, which would pollute callers' stdout contracts.)
+
+    Creation is LOCKED: two driver threads (concurrent replays of one
+    lake) racing `.options(get_if_exists=True).remote()` can each create
+    an actor, with the registration loser's dying instantly — the loser
+    thread then holds a dead handle. One creation per process removes the
+    race."""
+    with _HANDLES_LOCK:
+        if name not in _HANDLES:
+            _HANDLES[name] = MetricsActor.options(
+                name=name, get_if_exists=True
+            ).remote()
+        return _HANDLES[name]
 
 
 def total_dirty(snapshot: dict) -> int:

@@ -391,6 +391,38 @@ def test_concurrent_commit_rebase_retries(tmp_path, monkeypatch):
         )
 
 
+def test_two_writers_race_one_lake(tmp_path):
+    """TWO replays of the same change log race one lake concurrently
+    (threads, real interleaving): exclusive commits make one winner per
+    epoch, losers rebase, stale-plan double-applied segments fold
+    idempotently under LWW — both writers finish and the lake equals the
+    oracle. The multi-writer safety story end to end."""
+    import threading
+
+    changes, chg, lake = _setup(tmp_path, "race2")
+    cfg = ReplayConfig(
+        changes_dir=chg, lake_dir=lake, num_partitions=4, segments_per_epoch=1
+    )
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            replay(cfg, max_commit_retries=10)
+        except BaseException as e:  # surfaced in the main thread below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+    # and every source segment is committed exactly as planned
+    m = Manifest(lake)
+    assert len(m.committed_segments()) == 4
+
+
 def test_export_partitioned_hive_layout(tmp_path):
     """partition_by writes out/<col>=<val>/part-*.ext with partition
     columns dropped from file content; a Hive-aware reader restores them
