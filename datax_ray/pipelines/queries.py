@@ -9304,6 +9304,96 @@ WHERE op <> 'delete' AND epoch_us(ts) <= b.t
 """
 
 
+def conversion_within_window(sf_dir: str):
+    """Time-bounded conversion: for every user who clicked, did a purchase
+    land within ONE HOUR after their FIRST click — the attribution-window
+    semantics an unbounded funnel gets wrong (a purchase next week is not
+    a conversion). One user-hash exchange; each bucket sorts once and
+    computes, per user run, the min click ts and the min purchase ts
+    inside (click, click+1h] with two reduceat passes — no join, no
+    per-user Python."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    HOUR = 3_600_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        tb = pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "is_click": pc.equal(t["event_type"], "click"),
+            }
+        )
+        return tb.append_column("_grp", key_buckets(tb, ["user_id"], num_buckets))
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_grp"]).sort_by(
+            [("user_id", "ascending"), ("ts_us", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        clk = t["is_click"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "click_us": pa.array([], pa.int64()),
+                    "purchase_us": pa.array([], pa.int64()),
+                }
+            )
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_run)
+        BIG = np.iinfo(np.int64).max
+        # min click ts per run (BIG where the run has no click)
+        first_click = np.minimum.reduceat(np.where(clk, ts, BIG), starts)
+        has_click = first_click != BIG
+        # min purchase ts inside (click, click+1h] per run: broadcast each
+        # run's click back to its rows, mask, reduce again
+        run_id = np.cumsum(new_run) - 1
+        click_of_row = first_click[run_id]
+        in_win = (~clk) & (ts > click_of_row) & (ts <= click_of_row + HOUR)
+        purch = np.minimum.reduceat(np.where(in_win, ts, BIG), starts)
+        out_uid = uid[starts][has_click]
+        out_click = first_click[has_click]
+        out_purch = purch[has_click].astype(object)
+        out_purch[purch[has_click] == BIG] = None
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "click_us": pa.array(out_click, pa.int64()),
+                "purchase_us": pa.array(list(out_purch), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+CONVERSION_WINDOW_SQL = """
+WITH c AS (
+  SELECT user_id, MIN(ts) AS click FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purch
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.click AND e.ts <= c.click + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT c.user_id, epoch_us(c.click) AS click_us, epoch_us(p.purch) AS purchase_us
+FROM c LEFT JOIN p USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -9470,6 +9560,7 @@ QUERIES = {
     "winsorize_order_prices": winsorize_order_prices,
     "dod_retention_users": dod_retention_users,
     "scd2_asof_snapshot": scd2_asof_snapshot,
+    "conversion_within_window": conversion_within_window,
     "skyline_customers": skyline_customers,
     "csv_source_events": csv_source_events,
     "jsonl_source_events": jsonl_source_events,
@@ -9626,6 +9717,7 @@ ORACLE_SQL = {
     "winsorize_order_prices": WINSORIZE_SQL,
     "dod_retention_users": DOD_RETENTION_SQL,
     "scd2_asof_snapshot": SCD2_ASOF_SQL,
+    "conversion_within_window": CONVERSION_WINDOW_SQL,
     "skyline_customers": SKYLINE_SQL,
     "csv_source_events": _EVENTS_TEXT_SQL,
     "jsonl_source_events": _EVENTS_TEXT_SQL,
