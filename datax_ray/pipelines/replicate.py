@@ -216,6 +216,7 @@ def replicate(
     segments_dir: str | None = None,
     metrics: bool = False,
     per_epoch: bool = False,
+    from_epoch: int | None = None,
 ) -> dict:
     """Catch the destination lake up to the source's committed epoch.
     Idempotent; resumable after a crash at any point; O(changed bytes) per
@@ -235,6 +236,14 @@ def replicate(
     m_src = Manifest(src_lake)
     committed = m_src.committed_epoch()
     last = replicated_through(dst_lake)
+    if from_epoch is not None:
+        # explicit sync start — the BRANCH-MERGE case: a clone's history
+        # below the branch point is one collapsed record (no per-epoch
+        # feed), and the merge target already holds that shared prefix, so
+        # the correct window is exactly (branch_point, head]. Never moves
+        # the start backwards past epochs already replicated (exactly-once
+        # bookkeeping stays authoritative).
+        last = max(last, int(from_epoch))
     out_dir = segments_dir or os.path.join(dst_lake, "_incoming")
     os.makedirs(out_dir, exist_ok=True)
 

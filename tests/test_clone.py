@@ -94,3 +94,49 @@ def test_branch_purge_and_vacuum_never_touch_source(tmp_path):
     # The source still has the conv, all its files, and a clean fsck.
     assert final_table(lake).equals(src_before)
     assert fsck(lake, deep=True)["ok"]
+
+
+def test_branch_merge_back_via_replicate(tmp_path):
+    """The Git-like workflow end to end: clone -> ingest on the branch ->
+    MERGE BACK into the source with `replicate`. Re-shipped rows the
+    source already holds fold as LWW no-ops, branch-only work lands, and
+    the merged source equals the oracle over the union of both streams."""
+    import datetime
+
+    from datax_ray.pipelines.replicate import replicate
+
+    from datax_ray.state.manifest import Manifest
+
+    changes, chg, lake = _build(tmp_path)
+    branch_point = Manifest(lake).committed_epoch()
+    br = str(tmp_path / "branch")
+    clone_lake(lake, br)
+
+    # branch-only stream: lsns and ts strictly after the shared prefix
+    more = gen_changes(1500, 50, seed=78)
+    lsn_off = int(pc.max(changes["lsn"]).as_py()) + 1
+    more = more.set_column(0, "lsn", pc.add(more["lsn"], lsn_off))
+    ts_off = (
+        pc.max(changes["ts"]).as_py() - pc.min(more["ts"]).as_py()
+        + datetime.timedelta(seconds=1)
+    )
+    more = more.set_column(
+        1, "ts", pc.add(more["ts"], pa.scalar(ts_off, pa.duration("us")))
+    )
+    chg_b = str(tmp_path / "chg_b")
+    os.makedirs(chg_b)
+    pq.write_table(more, os.path.join(chg_b, "seg-000000900.parquet"))
+    replay(ReplayConfig(changes_dir=chg_b, lake_dir=br, num_partitions=8))
+
+    # merge back: the source already holds the shared prefix, so the sync
+    # window starts at the branch point (a clone's collapsed history has
+    # no per-epoch feed below it)
+    out = replicate(br, lake, num_partitions=8, from_epoch=branch_point)
+    assert out["epochs_applied"] > 0
+    combined = pa.concat_tables([changes, more]).combine_chunks()
+    assert final_table(lake).equals(sequential_replay(combined))
+    assert fsck(lake, deep=True)["ok"]
+    # merge is idempotent: a second sync applies nothing new
+    out2 = replicate(br, lake, num_partitions=8, from_epoch=branch_point)
+    assert out2["epochs_applied"] == 0
+    assert final_table(lake).equals(sequential_replay(combined))
