@@ -130,6 +130,22 @@ def build_reader(cfg: dict) -> ray.data.Dataset:
         )
     if name == "streamreader":
         return _stream_reader(param)
+    if name == "lakereader":
+        # the CDC lake as a first-class DataX endpoint: committed live
+        # rows (optionally AS OF an epoch / filtered), streamed one
+        # merge-read task per range — lake -> anything jobs
+        from datax_ray.sinks.lake import read_lake
+
+        ds = read_lake(
+            param["lake"],
+            as_of_epoch=param.get("asOfEpoch"),
+            conv_ids=param.get("convIds"),
+            min_ts=param.get("minTs"),
+            where=param.get("where"),
+        )
+        if param.get("column"):
+            ds = ds.select_columns(param["column"])
+        return ds
     raise ValueError(f"unknown reader: {name!r}")
 
 
@@ -244,6 +260,40 @@ def run_writer(ds: ray.data.Dataset, cfg: dict) -> int:
         finally:
             conn.close()
         return rows
+    if name == "lakewriter":
+        # anything -> lake jobs: full-load the (transcripts-shaped) row
+        # stream as the lake's epoch 0 through the bootstrap path.
+        # writeMode truncate = replace the lake; nonConflict = only an
+        # empty/absent lake. Incremental appends are CHANGE STREAMS and
+        # belong to `replay`/`tail` (ordering + exactly-once need the
+        # (ts, lsn) contract a bare row stream doesn't carry) — pointing
+        # users there is the honest contract, not a silent re-numbering.
+        from datax_ray.pipelines.bootstrap import bootstrap
+        from datax_ray.pipelines.replay import ReplayConfig
+
+        lake, mode = param["lake"], param.get("writeMode", "nonConflict")
+        if mode == "append":
+            raise ValueError(
+                "lakewriter cannot append bare rows: incremental ingest is "
+                "a change stream — use `replay`/`tail` (or derive change "
+                "events with op/ts/lsn) instead"
+            )
+        if mode == "truncate" and os.path.isdir(lake):
+            shutil.rmtree(lake)
+        elif mode == "nonConflict" and os.path.isdir(lake) and os.listdir(lake):
+            raise FileExistsError(f"writeMode=nonConflict but {lake} is not empty")
+        rep = bootstrap(
+            None,
+            ReplayConfig(
+                changes_dir="",
+                lake_dir=lake,
+                num_partitions=int(param.get("numPartitions", 16)),
+                metrics=False,
+            ),
+            src_ds=ds,
+            src_label="job:lakewriter",
+        )
+        return rep.rows_out
     if name == "streamwriter":
         return int(
             sum(

@@ -332,3 +332,64 @@ def test_multi_content_entries_run_and_total(ray_session, tmp_path):
     assert pq.ParquetDataset(
         [os.path.join(out1, f) for f in os.listdir(out1) if f.endswith(".parquet")]
     ).read().num_rows == 100
+
+
+def test_lake_endpoints_in_job_matrix(tmp_path):
+    """The CDC lake as a first-class DataX endpoint: a parquet→lakewriter
+    job full-loads a transcripts snapshot (bootstrap path), a
+    lakereader→csv job exports the committed live rows, and the round
+    trip preserves every row. writeMode contracts: nonConflict refuses a
+    non-empty lake, append points users at the CDC path."""
+    import pyarrow as pa
+
+    from datax_ray.fixtures.generator import gen_transcripts
+    from datax_ray.sinks.lake import final_table
+
+    snap = gen_transcripts(n_convs=80, seed=5)
+    src = str(tmp_path / "snap.parquet")
+    pq.write_table(snap, src)
+    lake = str(tmp_path / "lake")
+
+    out = run_job(_cfg(
+        {"name": "parquetreader", "parameter": {"path": src}},
+        {"name": "lakewriter",
+         "parameter": {"lake": lake, "numPartitions": 8}},
+    ))
+    assert out["records"] == snap.num_rows
+    got = final_table(lake)
+    assert got.num_rows == snap.num_rows
+    want = snap.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    for c in ("conv_id", "turn_idx", "role", "text"):
+        assert got[c].to_pylist() == want[c].to_pylist()
+
+    # lake -> csv export through the job matrix
+    csv_out = str(tmp_path / "csv_out")
+    out2 = run_job(_cfg(
+        {"name": "lakereader",
+         "parameter": {"lake": lake, "column": ["conv_id", "turn_idx", "text"]}},
+        {"name": "csvwriter", "parameter": {"path": csv_out}},
+    ))
+    assert out2["records"] == snap.num_rows
+
+    # contracts
+    with pytest.raises(FileExistsError):
+        run_job(_cfg(
+            {"name": "parquetreader", "parameter": {"path": src}},
+            {"name": "lakewriter",
+             "parameter": {"lake": lake, "writeMode": "nonConflict"}},
+        ))
+    with pytest.raises(ValueError, match="change stream"):
+        run_job(_cfg(
+            {"name": "parquetreader", "parameter": {"path": src}},
+            {"name": "lakewriter",
+             "parameter": {"lake": lake, "writeMode": "append"}},
+        ))
+    # truncate replaces the lake wholesale
+    out3 = run_job(_cfg(
+        {"name": "parquetreader", "parameter": {"path": src}},
+        {"name": "lakewriter",
+         "parameter": {"lake": lake, "writeMode": "truncate",
+                       "numPartitions": 4}},
+    ))
+    assert out3["records"] == snap.num_rows
+    assert final_table(lake).num_rows == snap.num_rows
