@@ -218,6 +218,22 @@ def main(argv=None):
                     help="read AS OF a named savepoint (see `tag`)")
     lk.add_argument("--num-cpus", type=int, default=None)
 
+    st = sub.add_parser(
+        "sqltail",
+        help="DataX WHERE-clause incremental sync: poll an append-only SQL "
+        "log table for rows with pk > the lake's LSN watermark and replay "
+        "them (lsn = pk, so exactly-once needs no extra bookkeeping)",
+    )
+    st.add_argument("--db", required=True, help="sqlite database file")
+    st.add_argument("--table", required=True)
+    st.add_argument("--lake", required=True)
+    st.add_argument("--pk", default="id")
+    st.add_argument("--partitions", type=int, default=16)
+    st.add_argument("--num-splits", type=int, default=8)
+    st.add_argument("--max-polls", type=int, default=1)
+    st.add_argument("--interval", type=float, default=2.0)
+    st.add_argument("--num-cpus", type=int, default=None)
+
     tg = sub.add_parser(
         "tag",
         help="named savepoints: tag a committed epoch; tagged epochs "
@@ -939,6 +955,31 @@ def main(argv=None):
                 "rows_written": sum(int(r.get("rows", 0)) for r in lineage),
                 "lsn_hi": rec.get("lsn_hi"),
             }))
+        return 0
+
+    if a.cmd == "sqltail":
+        _ensure_ray(a.num_cpus)
+        import sqlite3 as _sqlite3
+        import time as _time
+
+        import ray
+
+        from datax_ray.sources.sqlsource import sql_tail
+
+        db = a.db
+        for i in range(a.max_polls):
+            out = sql_tail(
+                lambda: _sqlite3.connect(db),
+                a.table,
+                a.lake,
+                pk=a.pk,
+                num_splits=a.num_splits,
+                num_partitions=a.partitions,
+            )
+            print(json.dumps(out))
+            if i + 1 < a.max_polls:
+                _time.sleep(a.interval)
+        ray.shutdown()
         return 0
 
     if a.cmd == "tag":
