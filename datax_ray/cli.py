@@ -130,9 +130,16 @@ def main(argv=None):
     mva.add_argument("--rebuild", action="store_true")
     mva.add_argument("--num-cpus", type=int, default=None)
 
-    vac = sub.add_parser("vacuum", help="drop time-travel history older than --keep-epochs")
+    vac = sub.add_parser(
+        "vacuum",
+        help="drop time-travel history: --keep-epochs N (count-based) or "
+        "--older-than SECONDS (time-based, Delta RETAIN-style; head and "
+        "tagged epochs always survive)",
+    )
     vac.add_argument("--lake", required=True)
     vac.add_argument("--keep-epochs", type=int, default=1)
+    vac.add_argument("--older-than", type=float, default=None,
+                     help="retain records committed within this many seconds")
 
     rd = sub.add_parser(
         "redrive",
@@ -602,7 +609,9 @@ def main(argv=None):
     if a.cmd == "vacuum":
         from datax_ray.state.manifest import Manifest
 
-        out = Manifest(a.lake).vacuum(keep_epochs=a.keep_epochs)
+        out = Manifest(a.lake).vacuum(
+            keep_epochs=a.keep_epochs, older_than_s=a.older_than
+        )
         print(json.dumps(out))
         return 0
 

@@ -191,16 +191,35 @@ class Manifest:
 
     # -- retention ---------------------------------------------------------
 
-    def vacuum(self, keep_epochs: int = 1) -> dict:
+    def vacuum(self, keep_epochs: int = 1, older_than_s: float | None = None) -> dict:
         """Drop time-travel history: retain the newest `keep_epochs`
         manifest records PLUS every tagged epoch's record, and delete (a)
         other manifest files and (b) any data file under p=*/r=* not
-        referenced by a retained record. Offline operation — do not run
+        referenced by a retained record. `older_than_s` switches to
+        TIME-BASED retention (the Delta `VACUUM ... RETAIN` policy): keep
+        every record committed within the last `older_than_s` seconds —
+        the newest record is always kept regardless of age, and tagged
+        epochs stay pinned either way (pre-upgrade records without a
+        committed_at stamp count as old). Offline operation — do not run
         concurrently with replay/compact (they only ADD files, but a
         reader pinned to a dropped epoch would lose its files).
         Dead-letter files are never touched."""
         files = self._epoch_files()
-        keep = files[-keep_epochs:] if keep_epochs > 0 else files
+        if older_than_s is not None:
+            import time as _time
+
+            cutoff = _time.time() - older_than_s
+            keep = []
+            for e, p in files:
+                with open(p) as f:
+                    at = json.load(f).get("committed_at")
+                if at is not None and at >= cutoff:
+                    keep.append((e, p))
+            if files and (not keep or keep[-1] != files[-1]):
+                keep.append(files[-1])  # the head is never dropped
+            keep = sorted(set(keep))
+        else:
+            keep = files[-keep_epochs:] if keep_epochs > 0 else files
         # tagged epochs are pinned: resolve each tag to the record that
         # serves it (largest committed epoch <= tag target, same rule as
         # at_epoch) and retain that manifest file too
@@ -264,8 +283,11 @@ class Manifest:
         his = [prev.get("turn_hi")] + [r.get("turn_hi") for r in lineage]
         los = [v for v in los if v is not None]
         his = [v for v in his if v is not None]
+        import time as _time
+
         rec = {
             "epoch": epoch,
+            "committed_at": _time.time(),  # drives time-based retention
             "turn_lo": min(los) if los else None,
             "turn_hi": max(his) if his else None,
             "segments": sorted(os.path.basename(s) for s in segments),

@@ -314,6 +314,45 @@ def test_tagged_epoch_survives_vacuum(tmp_path):
         m.set_tag("bad", 999)  # can't tag an uncommitted epoch
 
 
+def test_time_based_retention(tmp_path):
+    """vacuum(older_than_s=...): keep records committed within the window;
+    the head always survives regardless of age, tagged epochs stay
+    pinned, and a generous window keeps everything."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    changes, chg, lake = _setup(tmp_path, "tret")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4,
+                        segments_per_epoch=1))
+    m = Manifest(lake)
+    assert m.committed_epoch() >= 2
+    # a generous window keeps all history
+    out = m.vacuum(older_than_s=3600)
+    assert len(out["epochs_kept"]) == m.committed_epoch() + 1
+
+    # age epoch 0 artificially (rewrite its committed_at far in the past)
+    files = dict(m._epoch_files())
+    rec0 = _json.load(open(files[0]))
+    rec0["committed_at"] = _time.time() - 10_000
+    with open(files[0], "w") as f:
+        _json.dump(rec0, f)
+    m.set_tag("pin1", 1)  # pin epoch 1 by tag
+    rec1 = _json.load(open(files[1]))
+    rec1["committed_at"] = _time.time() - 10_000
+    with open(files[1], "w") as f:
+        _json.dump(rec1, f)
+
+    out = m.vacuum(older_than_s=3600)
+    assert 0 not in out["epochs_kept"]       # aged out
+    assert 1 in out["epochs_kept"]           # old but tagged
+    assert m.committed_epoch() in out["epochs_kept"]  # head survives
+    with _pytest.raises(ValueError, match="vacuum"):
+        final_table(lake, as_of_epoch=0)
+    assert_tables_equal(final_table(lake), sequential_replay(changes))
+
+
 def test_concurrent_commit_raises_not_clobbers(tmp_path):
     """Two drivers racing the same epoch: one winner, one loud error —
     the winner's record is never silently overwritten."""
