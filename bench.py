@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "wau_trailing_7d",
     "user_activity_streaks",
     "funnel_pattern_match",
+    "scd2_asof_snapshot",
+    "conversion_within_window",
+    "kmv_distinct_users",
+    "dod_retention_users",
 ]
 
 

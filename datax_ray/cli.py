@@ -112,6 +112,12 @@ def main(argv=None):
     tl.add_argument("--max-polls", type=int, default=None)
     tl.add_argument("--idle-exit", type=int, default=None,
                     help="stop after this many consecutive empty polls")
+    tl.add_argument("--refresh-mv", default=None, metavar="DIR",
+                    help="refresh the stats MV here after every epoch")
+    tl.add_argument("--refresh-index", default=None, metavar="DIR",
+                    help="refresh the inverted text index here after every epoch")
+    tl.add_argument("--refresh-sketch", default=None, metavar="DIR",
+                    help="refresh the HLL sketch MV here after every epoch")
     tl.add_argument("--num-cpus", type=int, default=None)
 
     mvp = sub.add_parser("mv", help="refresh the per-conversation stats materialized view")
@@ -483,6 +489,20 @@ def main(argv=None):
                 ),
                 flush=True,
             )
+            # keep incremental artifacts warm: each refresh is
+            # fingerprint-skipped, so only this epoch's changed ranges pay
+            if a.refresh_mv:
+                from datax_ray.pipelines.mv import refresh_mv
+
+                refresh_mv(a.lake, a.refresh_mv)
+            if a.refresh_index:
+                from datax_ray.pipelines.index import refresh_index
+
+                refresh_index(a.lake, a.refresh_index)
+            if a.refresh_sketch:
+                from datax_ray.pipelines.sketchmv import refresh_sketch
+
+                refresh_sketch(a.lake, a.refresh_sketch)
 
         reports = tail(
             ReplayConfig(
