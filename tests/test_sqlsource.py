@@ -242,3 +242,47 @@ def test_sql_tail_incremental_sync(tmp_path, ray_session):
     out3 = sql_tail(_factory(db), "log", lake, pk="id", num_partitions=8)
     assert out3["rows_read"] == 0 and out3["epochs"] == 0
     assert out3["new_watermark"] == out2["new_watermark"]
+
+
+def test_sql_tail_without_op_column(tmp_path, ray_session):
+    """A log table with no `op` column: every row is an upsert (the plain
+    DataX incremental case); LWW by (ts, lsn=pk) still resolves multiple
+    rows per key to the latest."""
+    import pyarrow.compute as pc
+
+    from datax_ray.fixtures.generator import gen_changes
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.sqlsource import sql_tail
+
+    db = str(tmp_path / "plain.db")
+    lake = str(tmp_path / "lake")
+    changes = gen_changes(1200, 30, seed=47, dup_frac=0.0, p_delete=0.0)
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE log (id INTEGER PRIMARY KEY, ts INTEGER, conv_id TEXT,"
+        " turn_idx INTEGER, role TEXT, text TEXT, tool TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO log VALUES (?,?,?,?,?,?,?)",
+        list(zip(
+            changes["lsn"].to_pylist(),
+            pc.cast(changes["ts"], pa.int64()).to_pylist(),
+            changes["conv_id"].to_pylist(),
+            changes["turn_idx"].to_pylist(),
+            changes["role"].to_pylist(),
+            changes["text"].to_pylist(),
+            changes["tool"].to_pylist(),
+        )),
+    )
+    con.commit()
+    con.close()
+
+    out = sql_tail(_factory(db), "log", lake, pk="id", num_partitions=4)
+    assert out["rows_read"] == 1200
+    # oracle: the same stream with every op forced to insert (upsert)
+    upserts = changes.set_column(
+        2, "op", pa.array(["insert"] * changes.num_rows, pa.string())
+    )
+    got = final_table(lake).to_pandas().to_dict("records")
+    assert got == sequential_replay(upserts).to_pandas().to_dict("records")
