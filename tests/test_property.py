@@ -1,0 +1,193 @@
+"""Hypothesis property tests for the core kernels: the vectorized paths
+must agree with naive python references on ARBITRARY inputs, not just the
+seeded fixtures — ties, duplicates, empty groups, adversarial orderings.
+
+Kept Ray-free (pure pyarrow/numpy kernels) so examples run in
+milliseconds and shrinking stays useful."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datax_ray.stages.merge import lww_reduce, reduce_patch_partials, to_patch_partials
+from datax_ray.stages.partitioning import part_ids_for
+
+# one event: (conv 0-3, turn 0-2, ts 0-5, lsn 0-9, payload)
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 2),
+        st.integers(0, 5),
+        st.integers(0, 9),
+        st.integers(0, 99),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _events_table(rows):
+    return pa.table(
+        {
+            "conv_id": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "lsn": pa.array([r[3] for r in rows], pa.int64()),
+            "payload": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(_events)
+def test_lww_reduce_matches_naive_reference(rows):
+    """Winner per key = max (ts, lsn); duplicated (key, ts, lsn) rows may
+    pick either duplicate, so compare on the (ts, lsn) winners themselves
+    plus the payload when the winning stamp is unique."""
+    t = _events_table(rows)
+    got = lww_reduce(t, key_cols=("conv_id", "turn_idx"), order_cols=("ts", "lsn"))
+
+    ref: dict = {}
+    stamps: dict = {}
+    for r in rows:
+        k = (f"c{r[0]}", r[1])
+        stamp = (r[2], r[3])
+        if k not in ref or stamp >= stamps[k]:
+            # on exact stamp ties any of the tied rows may win
+            if k in ref and stamp == stamps[k]:
+                ref[k].add(r[4])
+            else:
+                ref[k] = {r[4]}
+            stamps[k] = stamp
+
+    assert got.num_rows == len(ref)
+    for i in range(got.num_rows):
+        k = (got["conv_id"][i].as_py(), got["turn_idx"][i].as_py())
+        assert k in ref
+        assert (
+            got["ts"][i].value,
+            got["lsn"][i].as_py(),
+        ) == stamps[k]
+        assert got["payload"][i].as_py() in ref[k]
+    # winners are key-sorted (the delta writer relies on this)
+    keys = list(
+        zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist())
+    )
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_events, st.integers(1, 2))
+def test_lww_reduce_is_associative_over_splits(rows, cut_denom):
+    """Reducing the whole table equals reducing two arbitrary halves and
+    then reducing their concatenation — the property the fragment/compact
+    /read paths rest on."""
+    t = _events_table(rows)
+    whole = lww_reduce(t, order_cols=("ts", "lsn"))
+    cut = len(rows) // (cut_denom + 1)
+    a = lww_reduce(t.slice(0, cut), order_cols=("ts", "lsn"))
+    b = lww_reduce(t.slice(cut), order_cols=("ts", "lsn"))
+    again = lww_reduce(pa.concat_tables([a, b]), order_cols=("ts", "lsn"))
+    # compare winning stamps per key (payload can differ on exact-tie keys)
+    def stamps(x):
+        return {
+            (c, ti): (ts, l)
+            for c, ti, ts, l in zip(
+                x["conv_id"].to_pylist(),
+                x["turn_idx"].to_pylist(),
+                [v.value for v in x["ts"]],
+                x["lsn"].to_pylist(),
+            )
+        }
+
+    assert stamps(again) == stamps(whole)
+
+
+# patch events: value None = column NOT SET
+_patches = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # conv
+        st.integers(0, 1),  # turn
+        st.integers(0, 30),  # lsn (unique-ified below)
+        st.one_of(st.none(), st.integers(0, 9)),  # role set?
+        st.one_of(st.none(), st.integers(0, 9)),  # text set?
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_patches, st.integers(0, 3))
+def test_patch_merge_matches_reference_and_split_invariance(rows, cut):
+    """Column-level LWW registers: final value per column = highest-lsn
+    event that SET it; arbitrary split + re-reduce equals one-shot."""
+    # unique lsns (the patch contract: lsn is the total order)
+    rows = [
+        (c, t, i, r, x) for i, (c, t, _, r, x) in enumerate(rows)
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "lsn": pa.array([r[2] for r in rows], pa.int64()),
+            "role": pa.array(
+                [None if r[3] is None else f"r{r[3]}" for r in rows], pa.string()
+            ),
+            "text": pa.array(
+                [None if r[4] is None else f"t{r[4]}" for r in rows], pa.string()
+            ),
+        }
+    )
+    payload = ("role", "text")
+    whole = reduce_patch_partials(
+        to_patch_partials(tbl, payload), payload_cols=payload
+    )
+
+    ref: dict = {}
+    for r in sorted(rows, key=lambda r: r[2]):
+        k = (f"c{r[0]}", r[1])
+        cur = ref.setdefault(k, {"role": None, "text": None})
+        if r[3] is not None:
+            cur["role"] = f"r{r[3]}"
+        if r[4] is not None:
+            cur["text"] = f"t{r[4]}"
+
+    assert whole.num_rows == len(ref)
+    for i in range(whole.num_rows):
+        k = (whole["conv_id"][i].as_py(), whole["turn_idx"][i].as_py())
+        assert whole["role"][i].as_py() == ref[k]["role"]
+        assert whole["text"][i].as_py() == ref[k]["text"]
+
+    # split invariance (combiner == reducer)
+    n = tbl.num_rows
+    lo = min(cut * n // 4, n)
+    a = reduce_patch_partials(to_patch_partials(tbl.slice(0, lo), payload), payload_cols=payload)
+    b = reduce_patch_partials(to_patch_partials(tbl.slice(lo), payload), payload_cols=payload)
+    again = reduce_patch_partials(pa.concat_tables([a, b]), payload_cols=payload)
+    assert again.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).equals(
+        whole.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+    st.integers(1, 64),
+    st.one_of(st.none(), st.integers(1, 8)),
+)
+def test_part_ids_stable_in_range_and_salt_local(convs, parts, salt_w):
+    """part_ids_for: deterministic, in [0, parts), and salting never
+    splits one (conv, turn-bucket) across partitions."""
+    turn = pa.array([i % 7 for i in range(len(convs))], pa.int32())
+    conv = pa.array(convs, pa.string())
+    p1 = part_ids_for(conv, turn, parts, salt_w).to_pylist()
+    p2 = part_ids_for(conv, turn, parts, salt_w).to_pylist()
+    assert p1 == p2
+    assert all(0 <= p < parts for p in p1)
+    seen: dict = {}
+    for c, t, p in zip(convs, turn.to_pylist(), p1):
+        bucket = t // salt_w if salt_w else 0
+        k = (c, bucket)
+        assert seen.setdefault(k, p) == p
