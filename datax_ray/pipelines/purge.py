@@ -286,6 +286,11 @@ def purge(
             rec["frags"] = [*rec.get("frags", []), r["file"]]
             rec["rows"] = int(rec.get("rows", 0)) + int(r["rows"])
             rec["lsn_hi"] = max(int(rec.get("lsn_hi", -1)), int(r["lsn_hi"]))
+            if r.get("key_bloom"):
+                rec["frag_bloom"] = {
+                    **rec.get("frag_bloom", {}),
+                    r["file"]: r["key_bloom"],
+                }
             eps = rec.get("epochs", [])
             rec["epochs"] = eps if epoch in eps else [*eps, epoch]
             ranges[rid] = rec

@@ -191,6 +191,11 @@ def redrive(cfg: ReplayConfig, fix_transformers: list[dict] | None = None) -> di
                 **rec.get("frag_ts", {}),
                 r["file"]: [r.get("ts_lo"), r.get("ts_hi")],
             }
+        if r.get("key_bloom"):
+            rec["frag_bloom"] = {
+                **rec.get("frag_bloom", {}),
+                r["file"]: r["key_bloom"],
+            }
         eps = rec.get("epochs", [])
         if epoch not in eps:
             eps = [*eps, epoch]

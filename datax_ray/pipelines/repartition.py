@@ -187,6 +187,11 @@ def repartition_lake(
         rec["frags"].append(r["file"])
         rec["rows"] += int(r["rows"])
         rec["lsn_hi"] = max(rec["lsn_hi"], int(r["lsn_hi"]))
+        if r.get("key_bloom"):
+            rec["frag_bloom"] = {
+                **rec.get("frag_bloom", {}),
+                r["file"]: r["key_bloom"],
+            }
 
     m.commit(
         epoch,

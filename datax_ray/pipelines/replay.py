@@ -284,6 +284,7 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             "lsn_hi": int(r["lsn_hi"]),
             "ts_lo": r.get("ts_lo"),
             "ts_hi": r.get("ts_hi"),
+            "bloom": r.get("key_bloom"),
         }
     for rid in to_compact:
         ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
@@ -305,6 +306,14 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
             rec["frag_ts"] = {
                 **rec.get("frag_ts", {}),
                 r["file"]: [r.get("ts_lo"), r.get("ts_hi")],
+            }
+        if r.get("key_bloom"):
+            # per-file conv_id Bloom (state/bloom.py): point lookups drop
+            # fragments of epochs that never touched the key — keyed by
+            # file like frag_ts, so rewrites simply orphan the entry
+            rec["frag_bloom"] = {
+                **rec.get("frag_bloom", {}),
+                r["file"]: r["key_bloom"],
             }
         eps = rec.get("epochs", [])
         if epoch not in eps:
@@ -434,6 +443,7 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
             "lsn_hi": int(r["lsn_hi"]),
             "ts_lo": r.get("ts_lo"),
             "ts_hi": r.get("ts_hi"),
+            "bloom": r.get("key_bloom"),
         }
     for rid in to_compact:
         ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}

@@ -90,12 +90,19 @@ def _ts_us(min_ts) -> int | None:
 def _range_plan(
     lake_dir: str, m: Manifest, as_of_epoch: int | None = None,
     only_rids: set[int] | None = None, min_ts_us: int | None = None,
+    probe: "np.ndarray | None" = None,
 ) -> list[dict]:
     """[{range_id, files, rows}] from the committed manifest — the unit of
     merge-read parallelism (base files of the range's partitions + its
     pending fragments). `as_of_epoch` plans against that epoch's record
     (time travel); `only_rids` restricts the plan to those ranges (keyed
-    point lookup)."""
+    point lookup); `probe` (uint64 key hashes, state/bloom.py) drops
+    individual FILES whose per-file conv_id Bloom proves they hold none
+    of the looked-up keys — the pruning tier between range routing and
+    parquet row-group stats. Safe under LWW: a pruned file has no row of
+    the probed keys at all, and rows of other keys are filtered pre-merge
+    anyway; missing blooms (pre-upgrade manifests, large files) never
+    prune."""
     layout = m.committed_layout(as_of_epoch) or {}
     num_partitions = int(layout.get("num_partitions", 0) or 0)
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
@@ -116,20 +123,32 @@ def _range_plan(
             min_ts_us is not None and ts_hi is not None and int(ts_hi) < min_ts_us
         )
 
+    from datax_ray.state.bloom import bloom_may_contain
+
+    def bloom_ok(b64) -> bool:
+        return probe is None or bloom_may_contain(b64, probe)
+
     for rid in sorted(all_rids):
         files, rows = [], 0
         for p in range(rid * ppr, (rid + 1) * ppr):
             prec = partitions.get(p, {})
-            if prec.get("base") and not below_cutoff(prec.get("ts_hi")):
+            if (
+                prec.get("base")
+                and not below_cutoff(prec.get("ts_hi"))
+                and bloom_ok(prec.get("bloom"))
+            ):
                 files.append(prec["base"])
                 rows += int(prec.get("rows", 0))
         rec = range_recs.get(rid, {})
         frag_ts = rec.get("frag_ts", {})
+        frag_bloom = rec.get("frag_bloom", {})
         all_frags = rec.get("frags", [])
         kept_frags = 0
         for f in all_frags:
             stats = frag_ts.get(f)
             if stats is not None and below_cutoff(stats[1]):
+                continue
+            if not bloom_ok(frag_bloom.get(f)):
                 continue
             files.append(f)
             kept_frags += 1
@@ -239,9 +258,14 @@ class LakeDatasource(ray.data.Datasource):
             if self._conv_ids is not None
             else None
         )
+        probe = None
+        if self._conv_ids:
+            from datax_ray.state.bloom import _probe_hashes
+
+            probe = _probe_hashes(self._conv_ids)
         self._parts = _range_plan(
             lake_dir, m, as_of_epoch, only_rids=only_rids,
-            min_ts_us=self._min_ts_us,
+            min_ts_us=self._min_ts_us, probe=probe,
         )
 
     def get_name(self) -> str:

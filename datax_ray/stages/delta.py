@@ -58,6 +58,9 @@ FRAG_LINEAGE_SCHEMA = pa.schema(
         ("ts_hi", pa.int64()),  # the manifest's data-skipping statistics
         ("turn_lo", pa.int64()),  # min/max turn_idx — lets point lookups
         ("turn_hi", pa.int64()),  # enumerate salt values on salted layouts
+        ("key_bloom", pa.string()),  # base64 Bloom over the file's distinct
+        # conv_ids (state/bloom.py) — point lookups drop whole files from
+        # the plan without a storage read; None = never pruned
     ]
 )
 
@@ -75,6 +78,7 @@ BASE_LINEAGE_SCHEMA = pa.schema(
         ("ts_hi", pa.int64()),
         ("turn_lo", pa.int64()),
         ("turn_hi", pa.int64()),
+        ("key_bloom", pa.string()),
     ]
 )
 
@@ -87,6 +91,17 @@ def _turn_bounds(piece: pa.Table) -> tuple[int | None, int | None]:
         return None, None
     mm = pc.min_max(pc.cast(piece["turn_idx"], pa.int64()))
     return mm["min"].as_py(), mm["max"].as_py()
+
+
+def _key_bloom(piece: pa.Table) -> str | None:
+    """base64 Bloom over the file's distinct conv_ids (state/bloom.py) —
+    manifest-resident file-level pruning for point lookups. Deterministic,
+    so retried tasks still emit identical lineage rows."""
+    if "conv_id" not in piece.column_names or piece.num_rows == 0:
+        return None
+    from datax_ray.state.bloom import bloom_of_keys
+
+    return bloom_of_keys(piece["conv_id"])
 
 
 def _ts_bounds(piece: pa.Table) -> tuple[int | None, int | None]:
@@ -144,6 +159,7 @@ def write_fragment(
         "ts_hi": ts_hi,
         "turn_lo": turn_lo,
         "turn_hi": turn_hi,
+        "key_bloom": _key_bloom(piece),
     }
 
 
@@ -296,6 +312,7 @@ class Compactor:
                         "ts_hi": ts_hi,
                         "turn_lo": turn_lo,
                         "turn_hi": turn_hi,
+                        "key_bloom": _key_bloom(piece),
                     }
                 )
             if self._metrics is not None:

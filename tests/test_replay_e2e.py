@@ -582,7 +582,10 @@ def test_point_lookup_salted_strict_prune_and_fallback(tmp_path):
     # rows are pre-merge: LWW folding + tombstones shrink the output)
     assert read_lake(lake).count() == full.num_rows
 
-    # simulate a pre-upgrade manifest: drop the turn bounds in place
+    # simulate a pre-upgrade manifest: drop the turn bounds in place.
+    # Per-file key blooms (state/bloom.py) still prune FILES within the
+    # unrouted plan, so turn-bound-less is no longer unpruned — only
+    # strictly-wider than the routed plan, and still exact.
     mfile = sorted(
         os.path.join(lake, "_manifest", f)
         for f in os.listdir(os.path.join(lake, "_manifest"))
@@ -590,6 +593,17 @@ def test_point_lookup_salted_strict_prune_and_fallback(tmp_path):
     rec = _json.load(open(mfile))
     rec.pop("turn_lo"), rec.pop("turn_hi")
     os.chmod(mfile, 0o644)
+    _json.dump(rec, open(mfile, "w"))
+    legacy = LakeDatasource(lake, conv_ids=[key])
+    assert len(legacy._parts) >= len(pruned._parts)
+    assert read_lake(lake, conv_ids=[key]).count() == want  # still exact
+
+    # fully pre-upgrade: no turn bounds AND no blooms => no pruning at all
+    rec = _json.load(open(mfile))
+    for v in rec.get("partitions", {}).values():
+        v.pop("bloom", None)
+    for v in rec.get("ranges", {}).values():
+        v.pop("frag_bloom", None)
     _json.dump(rec, open(mfile, "w"))
     legacy = LakeDatasource(lake, conv_ids=[key])
     assert len(legacy._parts) == len(everything._parts)  # no pruning
