@@ -9394,6 +9394,346 @@ FROM c LEFT JOIN p USING (user_id)
 """
 
 
+def cdc_conv_context_pairs(sf_dir: str, k: int = 3):
+    """Training-example extraction over the LWW-final transcript state:
+    for every surviving turn with at least one surviving predecessor in
+    its conversation, emit (conv_id, turn_idx, context, target) where
+    `context` joins the texts of the up-to-k immediately PRECEDING
+    surviving turns in turn order — the sliding context-window export a
+    chat-model data pipeline runs right after CDC maintenance. Scale
+    shape = cdc_conv_transcript: combiner LWW pre-reduce, ONE conv-hash
+    bucket exchange; inside a bucket the OVERLAPPING windows are built
+    vectorized — per-row window spans from a run-start prefix-max, one
+    np.repeat+arange gather, one run-offset ListArray, one
+    pc.binary_join. No per-conv or per-window Python."""
+    from datax_ray.functions.relational import key_buckets
+    from datax_ray.sources.derive import derive_changes
+
+    KEYS = ("conv_id", "turn_idx")
+    ORDER = ("ts", "lsn")
+    num_buckets = _buckets_for(sf_dir, "events")
+
+    changes = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id"]
+    ).map_batches(derive_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["ddl"]).append_column(
+            "_grp", key_buckets(t, ["conv_id"], num_buckets)
+        )
+        return lww_reduce(t, key_cols=KEYS, order_cols=ORDER)
+
+    _OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("context", pa.string()),
+            ("target", pa.string()),
+        ]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w = lww_reduce(g, key_cols=KEYS, order_cols=ORDER)
+        w = w.filter(pc.not_equal(w["op"], "delete"))
+        if w.num_rows == 0:
+            return _OUT.empty_table()
+        w = w.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = w.num_rows
+        conv = w["conv_id"].combine_chunks()
+        cv = conv.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([True], cv[1:] != cv[:-1]))
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        i = np.arange(n)
+        lo = np.maximum(run_start, i - k)
+        lens = i - lo  # 0 for a conversation's first surviving turn
+        keep = lens > 0
+        if not keep.any():
+            return _OUT.empty_table()
+        lo_k, lens_k = lo[keep], lens[keep]
+        total = int(lens_k.sum())
+        startcum = np.concatenate(([0], np.cumsum(lens_k)[:-1]))
+        intra = np.arange(total) - np.repeat(startcum, lens_k)
+        gather = np.repeat(lo_k, lens_k) + intra
+        texts = pc.fill_null(w["text"].combine_chunks(), "")
+        offsets = np.concatenate(([0], np.cumsum(lens_k))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), texts.take(pa.array(gather))
+        )
+        keep_idx = pa.array(i[keep])
+        return pa.table(
+            {
+                "conv_id": conv.take(keep_idx),
+                "turn_idx": w["turn_idx"].combine_chunks().take(keep_idx),
+                "context": pc.binary_join(lists, " "),
+                "target": texts.take(keep_idx),
+            }
+        )
+
+    return (
+        changes.map_batches(combiner, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+CDC_CONV_CONTEXT_PAIRS_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), f AS (
+  SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, turn_idx,
+       string_agg(text, ' ') OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+       text AS target
+FROM f
+QUALIFY context IS NOT NULL
+"""
+
+
+_US_60D = 60 * 86400 * 1_000_000  # late-shipment threshold in µs
+
+
+def orders_exists_late_ship(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS with a cross-table correlated predicate):
+    orders per priority where ANY line shipped > 60 days after the order
+    date. EXISTS(any late line) == max(l_shipdate) late, and max is a
+    safe partial — so the lineitem stream collapses to one
+    (orderkey, max_ship) cell per key via the combiner BEFORE the single
+    orderkey-hash co-group exchange with orders; per bucket the compare
+    is one searchsorted attach, and only O(priorities) cells leave."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+
+    max_ship = partial_agg(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        keys=["orderkey"],
+        maxs={"ship_us": "max_ship_us"},
+        num_buckets=num_buckets,
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "orderkey": t["o_orderkey"],
+                "max_ship_us": pa.nulls(t.num_rows, pa.int64()),
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "priority": t["o_orderpriority"],
+            }
+        )
+        return g.append_column("_grp", key_buckets(g, ["orderkey"], num_buckets))
+
+    def tag_ship(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "orderkey": t["orderkey"],
+                "max_ship_us": t["max_ship_us"],
+                "order_us": pa.nulls(t.num_rows, pa.int64()),
+                "priority": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+        return g.append_column("_grp", key_buckets(g, ["orderkey"], num_buckets))
+
+    _CELL = pa.schema([("o_orderpriority", pa.string()), ("n_orders", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_ship = pc.is_valid(g["max_ship_us"])
+        s, o = g.filter(is_ship), g.filter(pc.invert(is_ship))
+        if s.num_rows == 0 or o.num_rows == 0:
+            return _CELL.empty_table()
+        sk = s["orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(sk)
+        ok = o["orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk[order], ok)
+        pos_c = np.minimum(pos, len(sk) - 1)
+        hit = sk[order][pos_c] == ok
+        ship = s["max_ship_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        odate = o["order_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        late = hit & (ship[order][pos_c] > odate + _US_60D)
+        kept = o.filter(pa.array(late))
+        return (
+            pa.table({"o_orderpriority": kept["priority"]})
+            .group_by(["o_orderpriority"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "n_orders"])
+        )
+
+    return partial_agg(
+        max_ship.map_batches(tag_ship, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        keys=["o_orderpriority"],
+        sums={"n_orders": "n_orders"},
+        single_reduce=True,  # O(priorities) cells
+    )
+
+
+ORDERS_EXISTS_LATE_SHIP_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def suppliers_blamed_alone(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape (semi + anti self-join on the same relation):
+    suppliers who were the ONLY late shipper on a multi-supplier order —
+    'late' = that supplier's last line shipped > 60 days after the order
+    date. Plan: the lineitem stream collapses to (orderkey, suppkey,
+    max_ship) cells via the combiner (max is a safe partial); ONE
+    orderkey-hash co-group attaches the order date and evaluates both
+    the EXISTS (>=2 suppliers) and NOT EXISTS (no other late supplier)
+    predicates inside the bucket with run-length numpy over the sorted
+    pairs; only blamed (suppkey) rows leave, folded to O(suppliers)
+    cells and a deterministic top-k."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+
+    pair_ship = partial_agg(
+        _read(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "suppkey": t["l_suppkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        keys=["orderkey", "suppkey"],
+        maxs={"ship_us": "max_ship_us"},
+        num_buckets=num_buckets,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "orderkey": t["o_orderkey"],
+                "suppkey": pa.nulls(t.num_rows, pa.int64()),
+                "max_ship_us": pa.nulls(t.num_rows, pa.int64()),
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+        return g.append_column("_grp", key_buckets(g, ["orderkey"], num_buckets))
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "orderkey": t["orderkey"],
+                "suppkey": t["suppkey"],
+                "max_ship_us": t["max_ship_us"],
+                "order_us": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+        return g.append_column("_grp", key_buckets(g, ["orderkey"], num_buckets))
+
+    _CELL = pa.schema([("suppkey", pa.int64()), ("n_blamed", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(g["suppkey"])
+        p, o = g.filter(is_pair), g.filter(pc.invert(is_pair))
+        if p.num_rows == 0 or o.num_rows == 0:
+            return _CELL.empty_table()
+        p = p.sort_by([("orderkey", "ascending")])
+        pk = p["orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        okeys = o["orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(okeys)
+        pos = np.searchsorted(okeys[oorder], pk)
+        pos_c = np.minimum(pos, len(okeys) - 1)
+        hit = okeys[oorder][pos_c] == pk
+        odate = o["order_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        ship = p["max_ship_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        late = hit & (ship > odate[oorder][pos_c] + _US_60D)
+        # run-length per orderkey over the sorted pairs: suppliers per
+        # order and late suppliers per order (pairs are already distinct
+        # per (orderkey, suppkey) from the combiner)
+        n = len(pk)
+        starts = np.concatenate(([True], pk[1:] != pk[:-1]))
+        run_id = np.cumsum(starts) - 1
+        n_runs = int(run_id[-1]) + 1 if n else 0
+        n_supp = np.bincount(run_id, minlength=n_runs)
+        n_late = np.bincount(run_id, weights=late.astype(np.int64),
+                             minlength=n_runs).astype(np.int64)
+        blamed = late & (n_late[run_id] == 1) & (n_supp[run_id] >= 2)
+        kept = p.filter(pa.array(blamed))
+        return (
+            pa.table({"suppkey": kept["suppkey"]})
+            .group_by(["suppkey"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["suppkey", "n_blamed"])
+        )
+
+    cells = partial_agg(
+        pair_ship.map_batches(tag_pairs, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        keys=["suppkey"],
+        sums={"n_blamed": "n_blamed"},
+    )
+    return top_k(cells, by="n_blamed", k=k, tie_col="suppkey")
+
+
+SUPPLIERS_BLAMED_ALONE_SQL = """
+WITH ls AS (
+  SELECT l_orderkey AS ok, l_suppkey AS suppkey, MAX(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT ok, suppkey, (ms > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM ls JOIN orders ON o_orderkey = ok
+), agg AS (
+  SELECT ok, SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         COUNT(*) AS n_supp
+  FROM j GROUP BY ok
+)
+SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_blamed
+FROM j JOIN agg USING (ok)
+WHERE late AND n_late = 1 AND n_supp >= 2
+GROUP BY suppkey
+ORDER BY n_blamed DESC, suppkey ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -9538,6 +9878,9 @@ QUERIES = {
     "cdc_enrich_dimension": cdc_enrich_dimension,
     "cdc_conv_quality_report": cdc_conv_quality_report,
     "cdc_conv_transcript": cdc_conv_transcript,
+    "cdc_conv_context_pairs": cdc_conv_context_pairs,
+    "orders_exists_late_ship": orders_exists_late_ship,
+    "suppliers_blamed_alone": suppliers_blamed_alone,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -9695,6 +10038,9 @@ ORACLE_SQL = {
     "cdc_enrich_dimension": CDC_ENRICH_SQL,
     "cdc_conv_quality_report": CDC_CONV_QA_SQL,
     "cdc_conv_transcript": CDC_CONV_TRANSCRIPT_SQL,
+    "cdc_conv_context_pairs": CDC_CONV_CONTEXT_PAIRS_SQL,
+    "orders_exists_late_ship": ORDERS_EXISTS_LATE_SHIP_SQL,
+    "suppliers_blamed_alone": SUPPLIERS_BLAMED_ALONE_SQL,
     "gopher_repetition_docs": GOPHER_REPETITION_SQL,
     "events_debounce_daily": DEBOUNCE_SQL,
     "user_activity_streaks": STREAKS_SQL,
