@@ -191,3 +191,74 @@ def test_part_ids_stable_in_range_and_salt_local(convs, parts, salt_w):
         bucket = t // salt_w if salt_w else 0
         k = (c, bucket)
         assert seen.setdefault(k, p) == p
+
+
+# ---- grouped head-N kernel vs a naive reference ----------------------------
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 9)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_rows, st.integers(1, 4))
+def test_head_n_per_key_matches_naive(rows, n):
+    """_head_n_per_key == per-key 'sort by (val desc, tie asc), take n'
+    with a FULL deterministic order (tie column unique-ified), so the
+    vectorized rank-within-group mask is checked row-for-row."""
+    from datax_ray.functions.relational import _head_n_per_key
+
+    rows = [(k, v, i) for i, (k, v, _) in enumerate(rows)]  # unique tie col
+    t = pa.table(
+        {
+            "k": pa.array([f"k{r[0]}" for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "tie": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = _head_n_per_key(
+        t, keys=["k"], sort_cols=["k", "v", "tie"],
+        asc=[True, False, True], n=n,
+    )
+
+    ref: dict = {}
+    for k, v, tie in rows:
+        ref.setdefault(f"k{k}", []).append((-v, tie))
+    expect = sorted(
+        (k, -nv, tie)
+        for k, lst in ref.items()
+        for nv, tie in sorted(lst)[:n]
+    )
+    got_rows = sorted(
+        zip(got["k"].to_pylist(), got["v"].to_pylist(), got["tie"].to_pylist())
+    )
+    assert got_rows == expect
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(max_size=8)), min_size=0, max_size=30),
+    st.integers(2, 64),
+)
+def test_content_hash_and_buckets_deterministic(texts, buckets):
+    """content_hash64: equal strings hash equal, None -> 0, process-stable
+    re-evaluation; key_buckets: in range and invariant across calls."""
+    from datax_ray.functions.relational import key_buckets
+    from datax_ray.functions.text import content_hash64
+
+    h1, h2 = content_hash64(texts), content_hash64(texts)
+    assert (h1 == h2).all()
+    for i, a in enumerate(texts):
+        if a is None:
+            assert h1[i] == 0
+        for j, b in enumerate(texts):
+            if a == b and a is not None:
+                assert h1[i] == h1[j]
+
+    t = pa.table({"x": pa.array([x or "" for x in texts], pa.string())})
+    b1 = key_buckets(t, ["x"], buckets).to_pylist()
+    b2 = key_buckets(t, ["x"], buckets).to_pylist()
+    assert b1 == b2
+    assert all(0 <= b < buckets for b in b1)
