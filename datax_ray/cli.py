@@ -229,7 +229,25 @@ def main(argv=None):
     lk.add_argument("--as-of-epoch", type=int, default=None)
     lk.add_argument("--as-of-tag", default=None,
                     help="read AS OF a named savepoint (see `tag`)")
+    lk.add_argument(
+        "--value-idx",
+        default=None,
+        help="value-index dir (see `colindex`): prunes ranges whose live "
+        "value set cannot satisfy the --where predicate on the indexed "
+        "column; stale/unindexed ranges are never pruned",
+    )
     lk.add_argument("--num-cpus", type=int, default=None)
+
+    ci = sub.add_parser(
+        "colindex",
+        help="refresh the per-range distinct-VALUE index over one payload "
+        "column (predicate pruning for lookup --where; incremental by "
+        "manifest fingerprint)",
+    )
+    ci.add_argument("--lake", required=True)
+    ci.add_argument("--idx", required=True, help="index directory")
+    ci.add_argument("--column", required=True)
+    ci.add_argument("--num-cpus", type=int, default=None)
 
     st = sub.add_parser(
         "sqltail",
@@ -677,6 +695,16 @@ def main(argv=None):
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
         return 0
 
+    if a.cmd == "colindex":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.colindex import refresh_value_index
+
+        print(json.dumps(refresh_value_index(a.lake, a.idx, a.column)))
+        ray.shutdown()
+        return 0
+
     if a.cmd == "job":
         _ensure_ray(a.num_cpus)
         import ray
@@ -940,13 +968,13 @@ def main(argv=None):
                 where[col] = None if val == "null" else val
         src = LakeDatasource(
             a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
-            where=where,
+            where=where, where_index_dir=a.value_idx,
         )
         rows = []
         if src._parts:
             t = read_lake(
                 a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
-                where=where,
+                where=where, where_index_dir=a.value_idx,
             ).sort(["conv_id", "turn_idx"]).take_all()
             rows = [
                 {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.items()}

@@ -232,6 +232,7 @@ class LakeDatasource(ray.data.Datasource):
         keep_tombstones: bool = False,
         min_ts=None,
         where: dict | None = None,
+        where_index_dir: str | None = None,
     ):
         from datax_ray.schemas import schema_to_json
 
@@ -267,6 +268,20 @@ class LakeDatasource(ray.data.Datasource):
             lake_dir, m, as_of_epoch, only_rids=only_rids,
             min_ts_us=self._min_ts_us, probe=probe,
         )
+        if self._where and where_index_dir:
+            # payload-value index pruning (pipelines/colindex.py): keep a
+            # range only if its LIVE value set may satisfy the predicate —
+            # stale/unindexed ranges always stay (safe under lag). Only
+            # meaningful for the latest state: an as_of read predates the
+            # index's refresh point, so skip pruning for time travel.
+            if as_of_epoch is None:
+                from datax_ray.pipelines.colindex import value_index_rids
+
+                rids = value_index_rids(where_index_dir, self._parts, self._where)
+                if rids is not None:
+                    self._parts = [
+                        p for p in self._parts if int(p["range_id"]) in rids
+                    ]
 
     def get_name(self) -> str:
         return "DataxLake"
@@ -330,6 +345,7 @@ def read_lake(
     keep_tombstones: bool = False,
     min_ts=None,
     where: dict | None = None,
+    where_index_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Committed lake state as a Dataset (live rows only unless asked):
     one merge-read task per partition range via LakeDatasource, streaming —
@@ -352,7 +368,11 @@ def read_lake(
     `where` is a {column: value} equality filter applied POST-merge inside
     each read task (value None matches null): payload predicates must see
     the LWW winner, so they cannot prune files or pre-filter — but the
-    non-matching rows are dropped before ever leaving the task."""
+    non-matching rows are dropped before ever leaving the task.
+    `where_index_dir` points at a value index (pipelines/colindex.py)
+    over one payload column: ranges whose LIVE value set provably lacks
+    the predicate value are pruned from the plan (per-range fingerprints
+    guard staleness — a lagging index stops pruning, never mis-prunes)."""
     src = LakeDatasource(
         lake_dir,
         include_internal=include_internal,
@@ -361,6 +381,7 @@ def read_lake(
         keep_tombstones=keep_tombstones,
         min_ts=min_ts,
         where=where,
+        where_index_dir=where_index_dir,
     )
     if not src._parts:
         out_schema = src._schema if include_internal else pa.schema(
