@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -364,3 +365,69 @@ def ivf_fit(
     sample matrix)."""
     sample = sample_vectors(ds, sample_size, vec_col=vec_col, id_col=id_col)
     return IVFIndex.fit(sample, n_lists=n_lists, iters=iters, seed=seed)
+
+
+def semdedup(
+    ds,
+    k: int = 16,
+    iters: int = 4,
+    threshold_milli: int = 950,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SemDeDup-style SEMANTIC deduplication (the public method of Abbas
+    et al. 2023, arXiv:2303.09540): k-means cluster the embedding space,
+    then inside each cluster greedily drop every point whose cosine
+    similarity to an already-kept lower-id point is >= threshold (milli
+    units, so the cutoff is integer-stable in configs). Keep-lowest-id is
+    the deterministic stand-in for the paper's keep-farthest-from-centroid
+    tie rule — survivors are identical across runs, block layouts and
+    cluster sizes because seeding/assignment are hash-deterministic.
+
+    Scale shape: centroids come from the kmeans combiner (O(k x dim)
+    driver state, rows never shuffle during fit); assignment is one map
+    pass; then ONE cluster-hash exchange moves each row to its cluster's
+    reducer. Pairwise cosine runs only WITHIN a cluster — that bound is
+    the SemDeDup design point: pick k ~ n / target_cluster_size so a
+    cluster's Gram matrix fits a worker (the paper uses ~50k clusters for
+    ~100M points). Returns a Dataset (id_col, cluster) of survivors."""
+    centroids, _ = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+    tau = threshold_milli / 1000.0
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        mat = _unit(_as_matrix(t[vec_col]))
+        best = np.argmax(mat @ cents.T, axis=1)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(best.astype(np.int64)),
+                "vec": pa.array(list(mat.astype(np.float64))),
+            }
+        )
+
+    _OUT = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64())])
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([(id_col, "ascending")])
+        mat = np.asarray(g["vec"].to_pylist(), dtype=np.float64)
+        n = len(mat)
+        sims = mat @ mat.T
+        kept_mask = np.zeros(n, dtype=bool)
+        # greedy by ascending id: one numpy reduction per row against the
+        # kept set — O(n^2) flops, O(n) python steps per cluster (bounded
+        # by the cluster size the caller chose k for)
+        for i in range(n):
+            if not kept_mask[:i].any() or sims[i, :i][kept_mask[:i]].max() < tau:
+                kept_mask[i] = True
+        kept = g.filter(pa.array(kept_mask))
+        return pa.table({id_col: kept[id_col], "cluster": kept["cluster"]})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+    )

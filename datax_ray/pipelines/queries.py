@@ -9734,6 +9734,25 @@ LIMIT 10
 """
 
 
+def semdedup_docs(sf_dir: str):
+    """SemDeDup semantic deduplication over the embeddings table
+    (functions/similarity.py:semdedup): k-means partition of the
+    embedding space + within-cluster greedy cosine dedup at 0.95 —
+    the embedding-space complement of the exact/MinHash/SimHash text
+    dedup family. k scales with table size so per-cluster Gram matrices
+    stay worker-sized. Deterministic (hash seeding + keep-lowest-id), so
+    survivors are stable across runs and layouts; not SQL-expressible
+    (iterative k-means), covered by the sequential-reference pytest."""
+    from datax_ray.functions.similarity import semdedup
+
+    rows = parquet_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    k = max(4, min(64, rows // 64))
+    return semdedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=k, iters=4, threshold_milli=950,
+    )
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -9881,6 +9900,7 @@ QUERIES = {
     "cdc_conv_context_pairs": cdc_conv_context_pairs,
     "orders_exists_late_ship": orders_exists_late_ship,
     "suppliers_blamed_alone": suppliers_blamed_alone,
+    "semdedup_docs": semdedup_docs,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
