@@ -8031,6 +8031,227 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 3):
     )
 
 
+def lm_surprise_docs(sf_dir: str):
+    """Bigram-LM document quality scoring — the CCNet / perplexity-filter
+    step of a training-data pipeline (Wenzek et al. 2020 use a pruned LM;
+    here the LM is the corpus's own Laplace-smoothed bigram model),
+    integer-exact so the DuckDB oracle is bit-identical: per bigram
+    occurrence, surprise_milli = (1000 * (c1 + V)) // (c12 + 1) — the
+    milli-scaled inverse of the smoothed probability P(w2|w1) =
+    (c12+1)/(c1+V) — and per document the mean over its bigrams (floor
+    division; high surprise = improbable word sequences = low quality).
+
+    Scale shape: V (distinct context tokens) folds from per-batch distinct
+    partials (vocab-sized shuffle); then ONE unified w1-hash exchange
+    carries both the bigram-count partials and the per-doc occurrence
+    partials — every bigram with first token w1 lands in one bucket, so
+    the context count c1 = sum of that bucket's c12 rows is derived
+    IN-BUCKET (the vocabulary never broadcasts and never joins), c12/c1
+    attach to occurrences with bucket-local searchsorted, and the bucket
+    emits per-doc partial sums. A final doc_id-keyed fold is O(docs).
+    Model state is never on the driver."""
+    from datax_ray.functions.relational import key_buckets, partial_agg
+
+    num_buckets = _buckets_for(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bigram_arrays(t: pa.Table):
+        """(w1, w2, doc_ids) flat arrays of in-doc adjacent token pairs."""
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m < 2:
+            return None
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(n) - 1
+        valid = np.ones(m - 1, dtype=bool)
+        valid[ends[ends < m - 1]] = False  # pairs straddling documents
+        vmask = pa.array(valid)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        occ_ids = pa.array(
+            np.repeat(ids, np.maximum(n - 1, 0)).astype(np.int64)
+        )
+        return (
+            flat.slice(0, m - 1).filter(vmask),
+            flat.slice(1, m - 1).filter(vmask),
+            occ_ids,
+        )
+
+    # pass 1 — V: distinct context tokens, folded from per-batch partials
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        arrs = _bigram_arrays(t)
+        if arrs is None:
+            return pa.table({"w1": pa.array([], pa.string())})
+        return pa.table({"w1": pc.unique(arrs[0])})
+
+    vocab_size = partial_agg(
+        ds.map_batches(ctx_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w1"],
+        sums={},
+        num_buckets=num_buckets,
+    ).count()
+
+    # pass 2 — unified stream: kind 0 = bigram-count partials (w1,w2,cnt),
+    # kind 1 = per-doc occurrence partials (doc_id,w1,w2,cnt)
+    _UNI = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("doc_id", pa.int64()),
+            ("cnt", pa.int64()),
+            ("kind", pa.int8()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        arrs = _bigram_arrays(t)
+        if arrs is None:
+            out = _UNI.empty_table()
+            return out.append_column("_grp", pa.array([], pa.int32()))
+        w1, w2, occ_ids = arrs
+        base = pa.table({"w1": w1, "w2": w2, "doc_id": occ_ids})
+        bg = (
+            base.select(["w1", "w2"])
+            .group_by(["w1", "w2"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+        occ = (
+            base.group_by(["doc_id", "w1", "w2"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "w1", "w2", "cnt"])
+        )
+        out = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "w1": bg["w1"],
+                        "w2": bg["w2"],
+                        "doc_id": pa.nulls(bg.num_rows, pa.int64()),
+                        "cnt": pc.cast(bg["cnt"], pa.int64()),
+                        "kind": pa.array(np.zeros(bg.num_rows, np.int8), pa.int8()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "w1": occ["w1"],
+                        "w2": occ["w2"],
+                        "doc_id": occ["doc_id"],
+                        "cnt": pc.cast(occ["cnt"], pa.int64()),
+                        "kind": pa.array(np.ones(occ.num_rows, np.int8), pa.int8()),
+                    }
+                ),
+            ]
+        ).cast(_UNI)
+        return out.append_column("_grp", key_buckets(out, ["w1"], num_buckets))
+
+    _DOC_PART = pa.schema(
+        [("doc_id", pa.int64()), ("ssum", pa.int64()), ("nbg", pa.int64())]
+    )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_grp"])
+        occ = g.filter(pc.equal(g["kind"], 1))
+        if occ.num_rows == 0:
+            return _DOC_PART.empty_table()
+        bg = (
+            g.filter(pc.equal(g["kind"], 0))
+            .select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "c12"])
+        )
+        # c1 = sum of c12 over the bucket-local rows with this first token
+        ctx = (
+            bg.select(["w1", "c12"])
+            .group_by(["w1"], use_threads=False)
+            .aggregate([("c12", "sum")])
+            .rename_columns(["w1", "c1"])
+            .sort_by([("w1", "ascending")])
+        )
+        pair_key = pc.binary_join_element_wise(bg["w1"], bg["w2"], "\x00")
+        order = pc.sort_indices(pair_key)
+        pk_sorted = pair_key.take(order).to_numpy(zero_copy_only=False)
+        c12_sorted = (
+            bg["c12"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        occ_key = pc.binary_join_element_wise(
+            occ["w1"], occ["w2"], "\x00"
+        ).to_numpy(zero_copy_only=False)
+        c12v = c12_sorted[np.searchsorted(pk_sorted, occ_key)]
+        ctx_terms = ctx["w1"].combine_chunks().to_numpy(zero_copy_only=False)
+        c1_sorted = ctx["c1"].combine_chunks().to_numpy(zero_copy_only=False)
+        c1v = c1_sorted[
+            np.searchsorted(ctx_terms, occ["w1"].to_numpy(zero_copy_only=False))
+        ].astype(np.int64)
+        occ_n = occ["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        surprise = (1000 * (c1v + vocab_size)) // (c12v + 1)
+        part = pa.table(
+            {
+                "doc_id": occ["doc_id"],
+                "ssum": pa.array(surprise * occ_n, pa.int64()),
+                "nbg": pa.array(occ_n, pa.int64()),
+            }
+        )
+        return (
+            part.group_by(["doc_id"], use_threads=False)
+            .aggregate([("ssum", "sum"), ("nbg", "sum")])
+            .rename_columns(["doc_id", "ssum", "nbg"])
+        )
+
+    per_doc = partial_agg(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(score_bucket, batch_format="pyarrow"),
+        keys=["doc_id"],
+        sums={"ssum": "ssum", "nbg": "nbg"},
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ss = t["ssum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nbg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "avg_surprise_milli": pa.array(ss // nb, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LM_SURPRISE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT doc_id, term AS w1,
+         LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), occ AS (
+  SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL
+), bg AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT COUNT(*) AS vsz FROM ctx
+)
+SELECT o.doc_id, COUNT(*) AS n_bigrams,
+       SUM((1000 * (ctx.c1 + (SELECT vsz FROM v))) // (bg.c12 + 1))
+         // COUNT(*) AS avg_surprise_milli
+FROM occ o
+JOIN bg ON o.w1 = bg.w1 AND o.w2 = bg.w2
+JOIN ctx ON o.w1 = ctx.w1
+GROUP BY 1
+"""
+
+
 PMI_BIGRAMS_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -9901,6 +10122,7 @@ QUERIES = {
     "orders_exists_late_ship": orders_exists_late_ship,
     "suppliers_blamed_alone": suppliers_blamed_alone,
     "semdedup_docs": semdedup_docs,
+    "lm_surprise_docs": lm_surprise_docs,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -10069,6 +10291,7 @@ ORACLE_SQL = {
     "fuzzy_match_parts": FUZZY_PARTS_SQL,
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
+    "lm_surprise_docs": LM_SURPRISE_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
