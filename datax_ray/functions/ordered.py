@@ -163,3 +163,120 @@ def scd2_history(
         .groupby("_grp")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def sweep_peak(
+    points_ds,
+    key_col: str,
+    ts_col: str,
+    delta_col: str,
+    bucket_us: int = 3_600_000_000,
+    out_col: str = "peak",
+):
+    """Interval sweep-line: peak running sum of +1/-1 (or weighted) deltas
+    per key, ordered by (ts, delta) — i.e. max concurrent intervals under
+    [start, end) semantics (an end at ts frees its slot before a start at
+    the same ts occupies one). The classic single-machine algorithm is a
+    global sort + cumulative scan; that serializes on one node, so this is
+    the DISTRIBUTED two-level scan:
+
+      1. each point maps to a (key, time-bucket) cell — bucket boundaries
+         are data-independent (fixed-width epoch buckets), so assignment
+         is a stateless vectorized map;
+      2. one exchange co-locates each cell; the cell sorts ITS points,
+         scans locally, and emits ONE row (key, bucket, total, local_max)
+         — O(cells) rows survive, whatever the input size;
+      3. a final per-key fold (keys × buckets rows, tiny) sorts the cell
+         rows, prefix-sums the totals into per-cell offsets, and the peak
+         is max(offset + local_max).
+
+    The multiset of global prefix values is invariant to the order of
+    equal (ts, delta) points, so the result is deterministic under any
+    block layout. No driver state, no global sort, two exchanges of which
+    the second moves O(keys × buckets) rows."""
+    from datax_ray.functions.relational import key_buckets
+
+    _CELL = pa.schema(
+        [
+            (key_col, pa.string()),
+            ("bucket", pa.int64()),
+            ("total", pa.int64()),
+            ("local_max", pa.int64()),
+        ]
+    )
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64())
+        b = pc.divide(ts, bucket_us)
+        out = pa.table(
+            {
+                key_col: pc.cast(t[key_col], pa.string()),
+                "bucket": pc.cast(b, pa.int64()),
+                "ts": ts,
+                "delta": pc.cast(t[delta_col], pa.int64()),
+            }
+        )
+        return out.append_column(
+            "_grp", key_buckets(out, [key_col, "bucket"], 1 << 30)
+        )
+
+    def scan_cell(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_grp"])
+        if g.num_rows == 0:
+            return _CELL.empty_table()
+        # a _grp collision can hold several (key, bucket) cells: scan each
+        out = []
+        g = g.sort_by(
+            [(key_col, "ascending"), ("bucket", "ascending"),
+             ("ts", "ascending"), ("delta", "ascending")]
+        )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        deltas = g["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell_change = np.ones(len(keys), dtype=bool)
+        cell_change[1:] = (keys[1:] != keys[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.flatnonzero(cell_change)
+        ends = np.append(starts[1:], len(keys))
+        run = np.cumsum(deltas)
+        base = np.repeat(np.where(starts > 0, run[starts - 1], 0), ends - starts)
+        local = run - base  # per-cell cumulative sum
+        seg_max = np.maximum.reduceat(local, starts)
+        seg_tot = local[ends - 1]
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.string()),
+                "bucket": pa.array(buckets[starts], pa.int64()),
+                "total": pa.array(seg_tot, pa.int64()),
+                "local_max": pa.array(seg_max, pa.int64()),
+            }
+        )
+
+    def fold_key(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([(key_col, pa.string()), (out_col, pa.int64())]).empty_table()
+        g = g.sort_by([(key_col, "ascending"), ("bucket", "ascending")])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        tot = g["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lmax = g["local_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        change = np.ones(len(keys), dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        run = np.cumsum(tot)
+        base = np.repeat(np.where(starts > 0, run[starts - 1], 0),
+                         np.append(starts[1:], len(keys)) - starts)
+        offset = run - base - tot  # prefix of EARLIER cells within the key
+        peak = np.maximum.reduceat(offset + lmax, starts)
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.string()),
+                out_col: pa.array(peak, pa.int64()),
+            }
+        )
+
+    return (
+        points_ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(scan_cell, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(fold_key, batch_format="pyarrow")
+    )

@@ -9974,6 +9974,123 @@ def semdedup_docs(sf_dir: str):
     )
 
 
+def concurrent_events_peak(sf_dir: str):
+    """Max concurrent intervals per event_type — the interval sweep-line
+    family (meeting-room / peak-occupancy analytics), absent from every
+    window operator so far because it needs a GLOBAL ordered scan, not a
+    per-key window. Each event spans [ts, ts + (1 + event_id % 5) min)
+    (deterministic synthetic duration); peak = max running sum of +1/-1
+    boundary deltas ordered by (ts, delta) so an end frees its slot before
+    a same-instant start. Runs on functions/ordered.py:sweep_peak — the
+    distributed two-level scan (per-cell local scan -> O(cells) fold),
+    never a single-node global sort."""
+    from datax_ray.functions.ordered import sweep_peak
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def points(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = pa.array((1 + eid % 5) * 60_000_000, pa.int64())
+        te = pc.add(ts, dur)
+        n = t.num_rows
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [
+                        t["event_type"].combine_chunks().cast(pa.string()),
+                        t["event_type"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "p": pa.concat_arrays([pc.cast(ts, pa.int64()).combine_chunks(),
+                                       pc.cast(te, pa.int64()).combine_chunks()]),
+                "delta": pa.concat_arrays(
+                    [
+                        pa.array(np.ones(n, np.int64)),
+                        pa.array(-np.ones(n, np.int64)),
+                    ]
+                ),
+            }
+        )
+
+    pts = ds.map_batches(points, batch_format="pyarrow", zero_copy_batch=True)
+    return sweep_peak(
+        pts, key_col="event_type", ts_col="p", delta_col="delta",
+        out_col="peak_concurrency",
+    )
+
+
+CONCURRENT_PEAK_SQL = """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (1 + event_id % 5) * INTERVAL 1 MINUTE AS e
+  FROM events
+), pts AS (
+  SELECT event_type, s AS p, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS p, -1 AS delta FROM iv
+), run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY p, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM pts
+)
+SELECT event_type, MAX(c) AS peak_concurrency FROM run GROUP BY 1
+"""
+
+
+def embedding_gram_milli(sf_dir: str):
+    """Distributed Gram matrix of the embedding column — the sufficient
+    statistic for PCA / whitening / linear probes over a 100-TB embedding
+    store (compute X^T X once, eigendecompose the d x d result anywhere).
+    Integer-exact: vectors quantize to milli units with TRUNC (unambiguous
+    in both engines, unlike round-half modes), so each (i, j) upper-
+    triangle entry is an exact int64 sum of products. Per batch ONE numpy
+    matmul emits d(d+1)/2 partial rows — the combiner moves O(d^2) rows
+    per batch regardless of batch size — then a (i, j)-keyed fold. int64
+    headroom: |q| <= ~2000 milli => ~4e6 per term, ~2.3e12 rows before
+    overflow; rescale the quantization for corpora past that."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.trunc(vecs * 1000.0).astype(np.int64)
+        gram = q.T @ q  # d x d, exact int64
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),
+                "j": pa.array((ju + 1).astype(np.int64)),
+                "gram": pa.array(gram[iu, ju]),
+            }
+        )
+
+    return partial_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["i", "j"],
+        sums={"gram": "gram"},
+        num_buckets=max(2, _buckets_for(sf_dir, "embeddings") // 4),
+    )
+
+
+EMBEDDING_GRAM_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS gram
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -10123,6 +10240,8 @@ QUERIES = {
     "suppliers_blamed_alone": suppliers_blamed_alone,
     "semdedup_docs": semdedup_docs,
     "lm_surprise_docs": lm_surprise_docs,
+    "concurrent_events_peak": concurrent_events_peak,
+    "embedding_gram_milli": embedding_gram_milli,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -10292,6 +10411,8 @@ ORACLE_SQL = {
     "outlier_events_mad": OUTLIER_MAD_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
     "lm_surprise_docs": LM_SURPRISE_SQL,
+    "concurrent_events_peak": CONCURRENT_PEAK_SQL,
+    "embedding_gram_milli": EMBEDDING_GRAM_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
