@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "conversion_within_window",
     "kmv_distinct_users",
     "dod_retention_users",
+    "lm_surprise_docs",
+    "concurrent_events_peak",
+    "embedding_gram_milli",
+    "semdedup_docs",
 ]
 
 

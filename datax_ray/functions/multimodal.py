@@ -315,6 +315,47 @@ class FrameSampler:
         )
 
 
+class SceneCutDetector:
+    """Actor-pool shot-boundary detector: one video row in -> one row per
+    DETECTED CUT out (media_id, cut_frame, t_ms, diff_milli), where a cut
+    is a frame whose mean absolute pixel delta from the previous frame
+    exceeds `threshold_milli` (mean |delta| / 255, milli units). The frame
+    diff runs on the REAL decoded pixels (PPMV raw frames); integer milli
+    threshold keeps the decision deterministic. The per-video work is one
+    vectorized numpy diff over the full frame stack — no Python loop over
+    pixels; videos are independent, so the operator scales by actor count
+    alone (no exchange at all)."""
+
+    def __init__(self, threshold_milli: int = 80):
+        self.__name__ = "SceneCutDetector"
+        self.threshold_milli = threshold_milli
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, cuts, times, diffs = [], [], [], []
+        for r in t.to_pylist():
+            if r["kind"] != "video":
+                continue
+            frames, frame_ms = decode_ppmv(r["payload"])
+            if len(frames) < 2:
+                continue
+            stack = frames.astype(np.int32)
+            d = np.abs(stack[1:] - stack[:-1]).mean(axis=(1, 2, 3))
+            dm = (d * 1000 / 255).astype(np.int64)
+            for k in np.flatnonzero(dm >= self.threshold_milli):
+                ids.append(r["media_id"])
+                cuts.append(int(k) + 1)
+                times.append((int(k) + 1) * int(frame_ms))
+                diffs.append(int(dm[k]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "cut_frame": pa.array(cuts, pa.int32()),
+                "t_ms": pa.array(times, pa.int32()),
+                "diff_milli": pa.array(diffs, pa.int64()),
+            }
+        )
+
+
 # Back-compat aliases (round-1 names; the kernels are no longer stubs).
 DecodeStub = MediaDecoder
 ResizeStub = ImageResizer

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _rho(rem: np.ndarray, max_rho: int) -> np.ndarray:
@@ -346,4 +347,68 @@ def heavy_hitters(ds, col: str, k: int = 64, num_buckets: int = 16):
         .map_groups(merge, batch_format="pyarrow")
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def hll_registers_grouped(ds, col: str, group_col: str, p: int = 9):
+    """Per-group HLL register tables in ONE pass: (group, bucket, max_rho)
+    with <= groups x 2^p rows ever shuffled. The merge property (union
+    sketch == per-bucket max of the operand sketches) is exact, so unions
+    and inclusion-exclusion overlap estimates derive from this table with
+    no further data passes."""
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "max_rho": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        c = t[col]
+        ids = (
+            c.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(c, pa.ChunkedArray)
+            else c.to_numpy(zero_copy_only=False)
+        )
+        bucket, rho = _registers_kernel32(ids, p)
+        part = (
+            pa.table(
+                {
+                    group_col: pc.cast(t[group_col], pa.string()),
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "rho": pa.array(rho, pa.int64()),
+                }
+            )
+            .group_by([group_col, "bucket"], use_threads=False)
+            .aggregate([("rho", "max")])
+            .rename_columns([group_col, "bucket", "max_rho"])
+        )
+        return part
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "bucket"])
+        .max("max_rho")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [n if not n.startswith("max(") else "max_rho" for n in t.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def hll_merge_registers(tables: list[pa.Table]) -> pa.Table:
+    """Union of HLL sketches: per-bucket max across the operand register
+    tables — EXACT (the defining merge property of HLL), so a merged
+    sketch is bit-identical to the sketch of the unioned stream."""
+    both = pa.concat_tables([t.select(["bucket", "max_rho"]) for t in tables])
+    return (
+        both.group_by(["bucket"], use_threads=False)
+        .aggregate([("max_rho", "max")])
+        .rename_columns(["bucket", "max_rho"])
+        .sort_by([("bucket", "ascending")])
     )

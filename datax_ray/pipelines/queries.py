@@ -3955,6 +3955,23 @@ def multimodal_frame_sample(sf_dir: str):
     )
 
 
+def multimodal_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the synthetic video column: per-video
+    vectorized frame-delta on REAL decoded pixels, integer milli threshold
+    (functions/multimodal.py:SceneCutDetector) — rows-only; determinism +
+    planted-cut recall pytest in tests/test_multimodal.py's suite."""
+    from datax_ray.functions.multimodal import SceneCutDetector, synthesize_media_table
+
+    n = 256 if "0.001" in sf_dir else 1024
+    return ray.data.from_arrow(synthesize_media_table(n)).map_batches(
+        SceneCutDetector,
+        fn_constructor_kwargs=dict(threshold_milli=80),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 def user_event_path(sf_dir: str):
     """Ordered per-key string aggregation (SQL string_agg ... ORDER BY):
     each user's event-type sequence joined in (ts, event_id) order — the
@@ -10091,6 +10108,159 @@ GROUP BY 1, 2
 """
 
 
+def hll_union_click_purchase(sf_dir: str):
+    """HLL sketch SET OPERATION, driver-verified exactly: build one
+    register sketch per event_type in a single grouped pass (<= groups x
+    512 rows shuffle), then MERGE the 'click' and 'purchase' sketches by
+    per-bucket max. The oracle sketches the unioned stream directly —
+    equality is the HLL merge property (union sketch == register max), so
+    a hash-exact pass proves the merge kernel, not just the estimate.
+    The inclusion-exclusion overlap estimate derived from these registers
+    is error-bounded in tests/test_sketch_setops.py."""
+    from datax_ray.functions.sketch import hll_merge_registers, hll_registers_grouped
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    grouped = hll_registers_grouped(ds, "user_id", "event_type", p=9)
+    per_type = grouped.to_arrow_refs()
+    tabs = [t for t in ray.get(per_type) if t.num_rows]
+    merged = hll_merge_registers(
+        [pa.concat_tables(tabs)] if tabs else [pa.table(
+            {"bucket": pa.array([], pa.int64()), "max_rho": pa.array([], pa.int64())}
+        )]
+    )
+    return ray.data.from_arrow(merged)
+
+
+HLL_UNION_SQL = """
+WITH src AS (
+  SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
+),
+s0 AS (SELECT user_id % 4294967296 AS h FROM src),
+s1 AS (SELECT xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT xor(h, h >> 16) AS hv FROM s4),
+r AS (
+  SELECT hv % 512 AS bucket,
+         CASE WHEN hv // 512 = 0 THEN 24
+              ELSE 24 - length(format('{:b}', hv // 512)) END AS rho
+  FROM hv
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
+def bpe_merges_docs(sf_dir: str):
+    """Distributed BPE tokenizer training over the documents corpus
+    (functions/bpe.py): learn the top merge table — each iteration is one
+    per-batch pair-count combiner pass + a vocabulary-sized fold; the
+    corpus never materializes, driver state is the tiny merge list.
+    Deterministic (count-desc, pair-lex tie-break), asserted equal to the
+    textbook sequential reference by tests/test_bpe.py. Not
+    SQL-expressible (iterative argmax-and-reencode), so rows-only at the
+    driver."""
+    from datax_ray.functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    table = bpe_train(
+        ds, n_merges=12, min_count=2,
+        num_buckets=max(2, _buckets_for(sf_dir, "documents") // 4),
+    )
+    return ray.data.from_arrow(table)
+
+
+def pca_project_embeddings(sf_dir: str, k: int = 2):
+    """Distributed PCA of the embedding column: the d x d second-moment
+    and d first-moment statistics fold as EXACT trunc-milli int64 combiner
+    sums (same quantization as embedding_gram_milli — so the fitted basis
+    is bit-identical under any block layout or cluster size), the driver
+    eigendecomposes the tiny d x d covariance (sign-fixed: each
+    component's largest-|.| coordinate is made positive), and one
+    stateless map projects every vector onto the top-k components.
+    O(d^2) driver rows; the embeddings themselves never leave the
+    workers. Rows-only at the driver (eigendecomposition is not SQL);
+    determinism + variance-ordering are pytest-asserted."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.trunc(vecs * 1000.0).astype(np.int64)
+        d = q.shape[1]
+        gram = q.T @ q
+        iu, ju = np.triu_indices(d)
+        sums = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+                ),
+                "j": pa.array(
+                    np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)
+                ),
+                "v": pa.array(
+                    np.concatenate([gram[iu, ju], sums, [q.shape[0]]]).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    stats = partial_agg(
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["i", "j"],
+        sums={"v": "v"},
+        num_buckets=4,
+    ).take_all()  # O(d^2) rows — driver state bounded by dim, not data
+    n = next(r["v"] for r in stats if r["i"] == -1)
+    d = max(r["i"] for r in stats) + 1
+    gram = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in stats:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            mean[r["i"]] = r["v"]
+        else:
+            gram[r["i"], r["j"]] = r["v"]
+            gram[r["j"], r["i"]] = r["v"]
+    mean /= n
+    cov = gram / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    comps = eigvec[:, np.argsort(eigval)[::-1][:k]].T.copy()
+    for c in comps:  # sign convention: largest-|.| coordinate positive
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    comps_ref = ray.put((comps, mean))
+
+    def project(t: pa.Table) -> pa.Table:
+        cmps, mu = ray.get(comps_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.trunc(vecs * 1000.0)
+        proj = (q - mu) @ cmps.T  # milli-scale input => milli-scale output
+        cols = {"vec_id": pc.cast(t["vec_id"], pa.int64())}
+        for ci in range(cmps.shape[0]):
+            cols[f"pc{ci + 1}_milli"] = pa.array(
+                np.trunc(proj[:, ci]).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -10242,6 +10412,10 @@ QUERIES = {
     "lm_surprise_docs": lm_surprise_docs,
     "concurrent_events_peak": concurrent_events_peak,
     "embedding_gram_milli": embedding_gram_milli,
+    "bpe_merges_docs": bpe_merges_docs,
+    "pca_project_embeddings": pca_project_embeddings,
+    "hll_union_click_purchase": hll_union_click_purchase,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -10413,6 +10587,7 @@ ORACLE_SQL = {
     "lm_surprise_docs": LM_SURPRISE_SQL,
     "concurrent_events_peak": CONCURRENT_PEAK_SQL,
     "embedding_gram_milli": EMBEDDING_GRAM_SQL,
+    "hll_union_click_purchase": HLL_UNION_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
