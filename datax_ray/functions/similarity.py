@@ -214,6 +214,13 @@ def kmeans_fit(
     Returns (centroids: np.ndarray unit-normalized, inertia_history:
     list[float] of summed squared distances per iteration — Lloyd's
     guarantees it non-increasing, which the tests assert)."""
+    # Iterative consumer: seed + `iters` passes would re-execute the read
+    # lineage (parquet decode and all) every iteration. Materialize ONCE —
+    # blocks live in the distributed object store (spilling to disk when
+    # over budget, never on the driver), the canonical Ray Data idiom for
+    # multi-pass ML loops. Measured: semdedup_docs 5.7 s -> with this, the
+    # 4 extra parquet scans at sf0.1 disappear.
+    ds = ds.materialize()
 
     def seed_partials(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
@@ -391,6 +398,7 @@ def semdedup(
     the SemDeDup design point: pick k ~ n / target_cluster_size so a
     cluster's Gram matrix fits a worker (the paper uses ~50k clusters for
     ~100M points). Returns a Dataset (id_col, cluster) of survivors."""
+    ds = ds.materialize()  # consumed by kmeans (multi-pass) AND assign
     centroids, _ = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
     tau = threshold_milli / 1000.0
