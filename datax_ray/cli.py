@@ -289,6 +289,19 @@ def main(argv=None):
     pg.add_argument("--keep-epochs", type=int, default=1)
     pg.add_argument("--num-cpus", type=int, default=None)
 
+    rt = sub.add_parser(
+        "retention",
+        help="age-based TTL: tombstone every live row with event time "
+        "before --before (ISO timestamp); --hard compacts + vacuums so "
+        "the payload bytes are physically removed",
+    )
+    rt.add_argument("--lake", required=True)
+    rt.add_argument("--before", required=True,
+                    help="ISO timestamp cutoff (rows with ts < cutoff go)")
+    rt.add_argument("--hard", action="store_true")
+    rt.add_argument("--keep-epochs", type=int, default=1)
+    rt.add_argument("--num-cpus", type=int, default=None)
+
     ix = sub.add_parser(
         "index",
         help="refresh the incremental inverted text index (only ranges "
@@ -796,6 +809,18 @@ def main(argv=None):
 
         print(json.dumps(purge(
             a.lake, a.conv, hard=a.hard, keep_epochs=a.keep_epochs
+        )))
+        return 0
+
+    if a.cmd == "retention":
+        _ensure_ray(a.num_cpus)
+        import pandas as _pd
+
+        from datax_ray.pipelines.purge import retention
+
+        cutoff_us = int(_pd.Timestamp(a.before).value // 1000)
+        print(json.dumps(retention(
+            a.lake, cutoff_us, hard=a.hard, keep_epochs=a.keep_epochs
         )))
         return 0
 

@@ -102,6 +102,66 @@ def udf(fn: Callable[[pa.Table], pa.Table]) -> Callable:
     return fn
 
 
+def lookup(
+    col: str,
+    mapping: dict | None = None,
+    side_path: str | None = None,
+    key_field: str = "key",
+    value_field: str = "value",
+    out_col: str | None = None,
+    default: str | None = None,
+) -> Callable:
+    """dx_lookup: dictionary / small-dimension enrichment — map a column
+    through a key→value table given inline (`mapping`) or as a side
+    parquet file (`side_path` + key/value field names). The classic ETL
+    code-table join, done the broadcast way: the mapping is `ray.put`
+    ONCE at compile time and each task `ray.get`s it from shared memory
+    (zero re-ship per batch); the probe is one vectorized searchsorted
+    per batch. Misses take `default` (or null). For dimensions too big to
+    broadcast, use the lake join path (`cdc_enrich_dimension`), not a
+    transformer."""
+    import numpy as np
+
+    import ray
+
+    if mapping is None:
+        if side_path is None:
+            raise ValueError("dx_lookup needs `mapping` or `side_path`")
+        import pyarrow.parquet as pq
+
+        side = pq.read_table(side_path, columns=[key_field, value_field])
+        keys = np.asarray(side[key_field].to_pylist(), dtype=object)
+        vals = np.asarray(side[value_field].to_pylist(), dtype=object)
+    else:
+        keys = np.asarray(list(mapping.keys()), dtype=object)
+        vals = np.asarray(list(mapping.values()), dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+    target = out_col or col
+
+    def fn(t: pa.Table) -> pa.Table:
+        k_sorted, v_sorted = ray.get(ref)
+        probe = np.asarray(
+            pc.cast(t[col], pa.string()).to_pylist(), dtype=object
+        )
+        # searchsorted needs non-null comparables; nulls miss by definition
+        null_mask = np.array([p is None for p in probe], dtype=bool)
+        safe = np.where(null_mask, "", probe)
+        pos = np.clip(np.searchsorted(k_sorted, safe), 0, len(k_sorted) - 1)
+        hit = (k_sorted[pos] == safe) & ~null_mask if len(k_sorted) else np.zeros(
+            len(probe), dtype=bool
+        )
+        out_vals = np.where(
+            hit, v_sorted[pos] if len(k_sorted) else None, default
+        )
+        arr = pa.array(out_vals.tolist(), pa.string())
+        if target in t.column_names:
+            return t.set_column(t.schema.get_field_index(target), target, arr)
+        return t.append_column(target, arr)
+
+    return fn
+
+
 _BUILDERS = {
     "dx_substr": lambda p: substr(p["column"], int(p["startIndex"]), int(p["length"])),
     "dx_pad": lambda p: pad(
@@ -110,6 +170,15 @@ _BUILDERS = {
     "dx_replace": lambda p: replace(p["column"], p["pattern"], p["replacement"]),
     "dx_mask": lambda p: mask(p["column"], p["pattern"], p["replacement"]),
     "dx_filter": lambda p: filter_rows(p["column"], p["op"], p["value"]),
+    "dx_lookup": lambda p: lookup(
+        p["column"],
+        mapping=p.get("map"),
+        side_path=p.get("sidePath"),
+        key_field=p.get("keyField", "key"),
+        value_field=p.get("valueField", "value"),
+        out_col=p.get("outColumn"),
+        default=p.get("default"),
+    ),
 }
 
 

@@ -93,6 +93,7 @@ class PurgeTombstoner:
         salt_turn_width: int | None,
         parts_per_range: int,
         conv_ids_ref,
+        before_us: int | None = None,
     ):
         self.__name__ = "PurgeTombstoner"
         self.lake_dir = lake_dir
@@ -102,11 +103,14 @@ class PurgeTombstoner:
         self.salt_turn_width = salt_turn_width
         self.parts_per_range = parts_per_range
         self.conv_ids_ref = conv_ids_ref
+        self.before_us = before_us
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
 
-        conv_ids: list[str] = ray.get(self.conv_ids_ref)
+        conv_ids: list[str] | None = (
+            ray.get(self.conv_ids_ref) if self.conv_ids_ref is not None else None
+        )
         schema = schema_from_json(self.schema_json)
         out_rows = []
         for item in batch.to_pylist():
@@ -122,6 +126,10 @@ class PurgeTombstoner:
             live = state.filter(
                 pc.fill_null(pc.invert(state[DELETED_COL]), True)
             )
+            if self.before_us is not None:
+                live = live.filter(
+                    pc.less(pc.cast(live["ts"], pa.int64()), self.before_us)
+                )
             if live.num_rows == 0:
                 continue
             cols = {}
@@ -327,4 +335,121 @@ def purge(
         result["deadletter_rows_scrubbed"] = _scrub_deadletter(
             lake_dir, conv_ids
         )
+    return result
+
+
+def retention(
+    lake_dir: str,
+    before_us: int,
+    hard: bool = False,
+    keep_epochs: int = 1,
+    metrics: bool = False,
+) -> dict:
+    """Age-based retention (TTL): tombstone every live row whose event
+    time is strictly below `before_us` — the time-policy twin of the
+    keyed purge (Delta/Hudi "DELETE WHERE ts < cutoff" + compact +
+    vacuum). Reuses the purge machinery end to end: the same dominating
+    synthetic-LSN tombstones (so the change feed, SQL mirror and preimage
+    MV all fold the deletions incrementally, and genuinely newer source
+    events still win), the same single atomic manifest commit with the
+    watermark intentionally unchanged, the same hard path (force-compact
+    + vacuum) to physically drop the payload bytes.
+
+    Scans every committed range: the manifest records per-file ts_hi
+    (max) for forward time-slice pruning but no ts_lo, so absence of
+    OLD rows is not provable from stats — and retention is an infrequent
+    maintenance job where a full scan is the honest cost. (Recording
+    ts_lo at commit time would enable pruning here; noted, not needed.)
+    Idempotent: a second run finds the rows already tombstoned and
+    commits nothing."""
+    from datax_ray.sinks.lake import _range_plan
+
+    m = Manifest(lake_dir)
+    committed = m.committed_epoch()
+    if committed < 0:
+        raise ValueError(f"no committed lake at {lake_dir}")
+    layout = m.committed_layout() or {}
+    schema = m.committed_schema()
+    plan = _range_plan(lake_dir, m)
+    epoch = committed + 1
+    num_partitions = int(layout.get("num_partitions", 1) or 1)
+    frag_ranges = int(layout.get("frag_ranges", 1) or 1)
+    salt = layout.get("salt_turn_width")
+
+    lineage: list = []
+    if plan:
+        lineage = (
+            ray.data.from_items(plan, override_num_blocks=len(plan))
+            .map_batches(
+                PurgeTombstoner(
+                    lake_dir=lake_dir,
+                    epoch=epoch,
+                    schema_json=schema_to_json(schema),
+                    num_partitions=num_partitions,
+                    salt_turn_width=int(salt) if salt else None,
+                    parts_per_range=max(1, num_partitions // frag_ranges),
+                    conv_ids_ref=None,
+                    before_us=int(before_us),
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .take_all()
+        )
+
+    tombstoned = sum(int(r["rows"]) for r in lineage)
+    result = {
+        "before_us": int(before_us),
+        "tombstoned_rows": tombstoned,
+        "epoch": None,
+        "hard": hard,
+    }
+    if lineage:
+        partitions = m.current_partitions()
+        ranges = m.current_ranges()
+        for r in lineage:
+            rid = int(r["range_id"])
+            rec = ranges.get(rid) or {
+                "frags": [], "rows": 0, "lsn_hi": -1, "epochs": [],
+            }
+            if r["file"] in rec.get("frags", []):
+                continue
+            rec["frags"] = [*rec.get("frags", []), r["file"]]
+            rec["rows"] = int(rec.get("rows", 0)) + int(r["rows"])
+            rec["lsn_hi"] = max(int(rec.get("lsn_hi", -1)), int(r["lsn_hi"]))
+            if r.get("key_bloom"):
+                rec["frag_bloom"] = {
+                    **rec.get("frag_bloom", {}),
+                    r["file"]: r["key_bloom"],
+                }
+            eps = rec.get("epochs", [])
+            rec["epochs"] = eps if epoch in eps else [*eps, epoch]
+            ranges[rid] = rec
+        m.commit(
+            epoch,
+            segments=[],
+            lsn_hi=m.committed_lsn_hi(),
+            schema=schema,
+            partitions=partitions,
+            ranges=ranges,
+            layout=layout,
+            lineage=[dict(r) for r in lineage],
+            metrics={"retention": {
+                "before_us": int(before_us),
+                "tombstoned_rows": tombstoned,
+            }},
+        )
+        result["epoch"] = epoch
+
+    if hard and lineage:
+        from datax_ray.pipelines.replay import ReplayConfig, compact_lake
+
+        comp = compact_lake(
+            ReplayConfig(changes_dir="", lake_dir=lake_dir, metrics=metrics),
+            only_rids={int(r["range_id"]) for r in lineage},
+        )
+        vac = m.vacuum(keep_epochs=keep_epochs)
+        result["compacted_ranges"] = comp.get("compacted_ranges", 0)
+        result["files_removed"] = vac.get("files_removed", 0)
+        result["manifests_removed"] = vac.get("manifests_removed", 0)
     return result

@@ -55,3 +55,50 @@ def test_replay_transformers_reject_routing_columns(tmp_path):
             transformers=[{"name": "dx_substr", "column": "conv_id",
                            "startIndex": 0, "length": 3}],
         ))
+
+
+def test_dx_lookup_inline_map(ray_session):
+    import pyarrow as pa
+
+    from datax_ray.functions.transformers import compile_transformers
+
+    fn = compile_transformers(
+        [
+            {
+                "name": "dx_lookup",
+                "column": "role",
+                "map": {"user": "HUMAN", "assistant": "MODEL"},
+                "outColumn": "role_label",
+                "default": "OTHER",
+            }
+        ]
+    )
+    t = pa.table({"role": ["user", "assistant", "system", None]})
+    out = fn(t)
+    assert out["role_label"].to_pylist() == ["HUMAN", "MODEL", "OTHER", "OTHER"]
+
+
+def test_dx_lookup_side_parquet_and_replace_in_place(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_ray.functions.transformers import compile_transformers
+
+    side = tmp_path / "dim.parquet"
+    pq.write_table(
+        pa.table({"k": ["a", "b"], "v": ["alpha", "beta"]}), side
+    )
+    fn = compile_transformers(
+        [
+            {
+                "name": "dx_lookup",
+                "column": "code",
+                "sidePath": str(side),
+                "keyField": "k",
+                "valueField": "v",
+            }
+        ]
+    )
+    out = fn(pa.table({"code": ["b", "a", "zz"]}))
+    # no default: misses become null; in-place (no outColumn)
+    assert out["code"].to_pylist() == ["beta", "alpha", None]
