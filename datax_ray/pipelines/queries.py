@@ -10261,6 +10261,188 @@ def pca_project_embeddings(sf_dir: str, k: int = 2):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouping_sets_orders(sf_dir: str):
+    """GROUPING SETS ((status), (priority), ()) — the generalization that
+    completes the cube/rollup family: three aggregation levels in ONE
+    corpus pass (each batch emits pre-aggregated partials for every set,
+    tagged by `gset`), one (gset, key)-keyed fold. Versus running three
+    group-bys, the input is read and combined once. Integer-exact cents."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        base = pa.table(
+            {
+                "status": pc.cast(t["o_orderstatus"], pa.string()),
+                "priority": pc.cast(t["o_orderpriority"], pa.string()),
+                "cents": cents,
+            }
+        )
+        by_status = (
+            base.group_by(["status"], use_threads=False)
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["status", "sum_cents", "n"])
+        )
+        by_prio = (
+            base.group_by(["priority"], use_threads=False)
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["priority", "sum_cents", "n"])
+        )
+        total_c = pc.sum(cents).as_py() or 0
+        parts = [
+            pa.table(
+                {
+                    "gset": pa.array(
+                        np.zeros(by_status.num_rows, np.int64)
+                    ),
+                    "status": by_status["status"],
+                    "priority": pa.nulls(by_status.num_rows, pa.string()),
+                    "sum_cents": pc.cast(by_status["sum_cents"], pa.int64()),
+                    "n": pc.cast(by_status["n"], pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "gset": pa.array(np.ones(by_prio.num_rows, np.int64)),
+                    "status": pa.nulls(by_prio.num_rows, pa.string()),
+                    "priority": by_prio["priority"],
+                    "sum_cents": pc.cast(by_prio["sum_cents"], pa.int64()),
+                    "n": pc.cast(by_prio["n"], pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "gset": pa.array([2], pa.int64()),
+                    "status": pa.nulls(1, pa.string()),
+                    "priority": pa.nulls(1, pa.string()),
+                    "sum_cents": pa.array([int(total_c)], pa.int64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    return partial_agg(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["gset", "status", "priority"],
+        sums={"sum_cents": "sum_cents", "n": "n"},
+        num_buckets=4,
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT 0 AS gset, o_orderstatus AS status, NULL AS priority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 1, NULL, o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       COUNT(*)
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 2, NULL, NULL,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       COUNT(*)
+FROM orders
+"""
+
+
+def attribution_last_touch(sf_dir: str):
+    """Last-touch attribution: for every purchase, the SAME user's most
+    recent prior click — the self-as-of window an analytics pipeline runs
+    on every conversion table. Per user-hash bucket: one sort by (user,
+    ts, id), then the segmented forward-fill trick — a GLOBAL
+    maximum.accumulate over click row indices (indices are globally
+    increasing, so any in-segment click beats every earlier segment's)
+    clipped at each user's segment start. No per-user Python, one
+    exchange."""
+    from datax_ray.functions.relational import key_buckets
+
+    num_buckets = _buckets_for(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        )
+        return t.append_column("_grp", key_buckets(t, ["user_id"], num_buckets))
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("last_click_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        is_click = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        is_buy = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        idx_n = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = user[1:] != user[:-1]
+        starts = idx_n[first]
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        last_click = np.maximum.accumulate(np.where(is_click, idx_n, -1))
+        valid = is_buy & (last_click >= seg_start)
+        sel = np.flatnonzero(valid)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()).take(
+                    pa.array(sel)
+                ),
+                "user_id": pc.cast(t["user_id"], pa.int64()).take(
+                    pa.array(sel)
+                ),
+                "last_click_ts": pc.cast(
+                    pa.array(ts[last_click[sel]]), pa.timestamp("us")
+                ),
+            }
+        ).cast(_OUT)
+
+    return (
+        ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id, user_id, last_click_ts
+FROM w WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -10416,6 +10598,8 @@ QUERIES = {
     "pca_project_embeddings": pca_project_embeddings,
     "hll_union_click_purchase": hll_union_click_purchase,
     "multimodal_scene_cuts": multimodal_scene_cuts,
+    "grouping_sets_orders": grouping_sets_orders,
+    "attribution_last_touch": attribution_last_touch,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -10588,6 +10772,8 @@ ORACLE_SQL = {
     "concurrent_events_peak": CONCURRENT_PEAK_SQL,
     "embedding_gram_milli": EMBEDDING_GRAM_SQL,
     "hll_union_click_purchase": HLL_UNION_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
