@@ -10429,6 +10429,103 @@ def attribution_last_touch(sf_dir: str):
     )
 
 
+def events_ewma_alerts(sf_dir: str):
+    """EWMA control chart over daily event volumes per type — the
+    streaming anomaly monitor an ingest pipeline runs on its own feed.
+    Integer-exact recursion (e_t = (300*x_t*1000 + 700*e_{t-1}) // 1000,
+    alert when |x_t*1000 - e_{t-1}| > e_{t-1}//2), so the DuckDB oracle
+    (a recursive CTE) is bit-identical. Scale shape: ONE distributed
+    count combiner collapses the stream to (types x days) rows; the
+    inherently-sequential EWMA scan then runs per type over that tiny
+    series (O(days) integer steps — sequential by definition, not a
+    vectorization miss)."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            pa.int32(),
+        )
+        return (
+            pa.table(
+                {"event_type": pc.cast(t["event_type"], pa.string()), "day32": day}
+            )
+            .group_by(["event_type", "day32"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day32", "cnt"])
+        )
+
+    counts = partial_agg(
+        ds.map_batches(day_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "day32"],
+        sums={"cnt": "cnt"},
+        num_buckets=4,
+    )
+
+    _OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.date32()),
+            ("cnt", pa.int64()),
+            ("ewma_milli", pa.int64()),
+            ("alert", pa.bool_()),
+        ]
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("event_type", "ascending"), ("day32", "ascending")])
+        et = g["event_type"].to_pylist()
+        days = g["day32"].to_numpy(zero_copy_only=False)
+        cnts = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_e, out_a = np.zeros(len(et), np.int64), np.zeros(len(et), bool)
+        prev_key, e = None, 0
+        for i, k in enumerate(et):
+            x = int(cnts[i]) * 1000
+            if k != prev_key:
+                e, prev_key, alert = x, k, False
+            else:
+                alert = abs(x - e) > e // 2
+                e = (300 * x + 700 * e) // 1000
+            out_e[i], out_a[i] = e, alert
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": pc.cast(g["day32"], pa.date32()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "ewma_milli": pa.array(out_e, pa.int64()),
+                "alert": pa.array(out_a, pa.bool_()),
+            }
+        ).cast(_OUT)
+
+    return counts.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+EWMA_ALERTS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+), r AS (
+  SELECT event_type, day, cnt, rn,
+         CAST(cnt * 1000 AS BIGINT) AS ewma_milli, FALSE AS alert
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.cnt, s.rn,
+         CAST((300 * s.cnt * 1000 + 700 * r.ewma_milli) // 1000 AS BIGINT),
+         ABS(s.cnt * 1000 - r.ewma_milli) > r.ewma_milli // 2
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, day, cnt, ewma_milli, alert FROM r
+"""
+
+
 ATTRIBUTION_SQL = """
 WITH w AS (
   SELECT event_id, user_id, ts, event_type,
@@ -10600,6 +10697,7 @@ QUERIES = {
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "grouping_sets_orders": grouping_sets_orders,
     "attribution_last_touch": attribution_last_touch,
+    "events_ewma_alerts": events_ewma_alerts,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
@@ -10774,6 +10872,7 @@ ORACLE_SQL = {
     "hll_union_click_purchase": HLL_UNION_SQL,
     "grouping_sets_orders": GROUPING_SETS_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
+    "events_ewma_alerts": EWMA_ALERTS_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
