@@ -439,3 +439,109 @@ def semdedup(
         .groupby("cluster")
         .map_groups(per_cluster, batch_format="pyarrow")
     )
+
+
+def hard_negatives(
+    ds,
+    k: int = 16,
+    iters: int = 4,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+):
+    """Contrastive hard-negative mining: for each vector, the most
+    cosine-similar vector carrying a DIFFERENT label — the training-pair
+    generator of embedding fine-tuning (in-batch negatives are easy;
+    cluster-local search finds the hard ones). Exact all-pairs is O(n^2);
+    this is the scale path: k-means partition (hash-deterministic fit),
+    MULTI-PROBE assignment (each vector joins its `probes` nearest
+    clusters' reducers, so near-boundary negatives are not lost to the
+    partition), per-cluster vectorized masked-argmax, then a vec_id-hash
+    fold keeps each vector's globally best candidate. Cosine is
+    trunc-milli int so ordering and ties ((cos desc, neg_id asc)) are
+    deterministic under any layout. Recall vs the exact brute-force
+    reference is floor-asserted in tests/test_hardneg.py."""
+    ds = ds.materialize()  # multi-pass: kmeans + assign
+    centroids, _ = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        mat = _unit(_as_matrix(t[vec_col]))
+        p = min(probes, cents.shape[0])
+        top = np.argsort(-(mat @ cents.T), axis=1, kind="stable")[:, :p]
+        n = len(mat)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        labels = pc.cast(t[label_col], pa.int64()).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n), p)
+        return pa.table(
+            {
+                id_col: pa.array(ids[rep], pa.int64()),
+                "label": pa.array(labels[rep], pa.int64()),
+                "cluster": pa.array(top.reshape(-1).astype(np.int64)),
+                "vec": pa.array(list(mat[rep].astype(np.float64))),
+            }
+        )
+
+    _CAND = pa.schema(
+        [(id_col, pa.int64()), ("neg_id", pa.int64()), ("cos_milli", pa.int64())]
+    )
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _CAND.empty_table()
+        mat = np.asarray(g["vec"].to_pylist(), dtype=np.float64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        labels = g["label"].to_numpy(zero_copy_only=False)
+        sims = np.trunc(mat @ mat.T * 1000.0).astype(np.int64)
+        diff = labels[None, :] != labels[:, None]
+        # argmax over other-label candidates, ties -> lowest neg_id:
+        # order candidates by (cos desc, id asc) via a composite score
+        order = np.argsort(ids, kind="stable")
+        sims_o = sims[:, order]
+        diff_o = diff[:, order]
+        masked = np.where(diff_o, sims_o, np.int64(-(1 << 40)))
+        best = np.argmax(masked, axis=1)  # first occurrence = lowest id
+        rows = np.flatnonzero(masked[np.arange(len(ids)), best] > -(1 << 40))
+        return pa.table(
+            {
+                id_col: pa.array(ids[rows], pa.int64()),
+                "neg_id": pa.array(ids[order][best[rows]], pa.int64()),
+                "cos_milli": pa.array(
+                    masked[rows, best[rows]], pa.int64()
+                ),
+            }
+        )
+
+    def fold_best(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _CAND.empty_table()
+        g = g.sort_by(
+            [(id_col, "ascending"), ("cos_milli", "descending"),
+             ("neg_id", "ascending")]
+        )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        return g.filter(pa.array(first))
+
+    from datax_ray.functions.relational import key_buckets
+
+    cands = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+    )
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_grp", key_buckets(t, [id_col], 32))
+
+    return (
+        cands.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_grp")
+        .map_groups(
+            lambda g: fold_best(g.drop_columns(["_grp"])),
+            batch_format="pyarrow",
+        )
+    )

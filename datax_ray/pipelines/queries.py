@@ -10429,6 +10429,23 @@ def attribution_last_touch(sf_dir: str):
     )
 
 
+def hard_negatives_embeddings(sf_dir: str):
+    """Contrastive hard-negative mining over the embeddings table
+    (functions/similarity.py:hard_negatives): per vector, the most
+    cosine-similar OTHER-label vector via multi-probe k-means partition —
+    the training-pair generator of embedding fine-tuning. Rows-only
+    (argmax over cosine is not practical SQL); recall floor vs the exact
+    brute-force reference is pytest-asserted (tests/test_hardneg.py)."""
+    from datax_ray.functions.similarity import hard_negatives
+
+    rows = parquet_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    k = max(4, min(32, rows // 128))
+    return hard_negatives(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]),
+        k=k, iters=4, probes=2,
+    )
+
+
 def events_ewma_alerts(sf_dir: str):
     """EWMA control chart over daily event volumes per type — the
     streaming anomaly monitor an ingest pipeline runs on its own feed.
@@ -10698,6 +10715,7 @@ QUERIES = {
     "grouping_sets_orders": grouping_sets_orders,
     "attribution_last_touch": attribution_last_touch,
     "events_ewma_alerts": events_ewma_alerts,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "gopher_repetition_docs": gopher_repetition_docs,
     "events_debounce_daily": events_debounce_daily,
     "user_activity_streaks": user_activity_streaks,
