@@ -355,13 +355,15 @@ def retention(
     watermark intentionally unchanged, the same hard path (force-compact
     + vacuum) to physically drop the payload bytes.
 
-    Scans every committed range: the manifest records per-file ts_hi
-    (max) for forward time-slice pruning but no ts_lo, so absence of
-    OLD rows is not provable from stats — and retention is an infrequent
-    maintenance job where a full scan is the honest cost. (Recording
-    ts_lo at commit time would enable pruning here; noted, not needed.)
-    Idempotent: a second run finds the rows already tombstoned and
-    commits nothing."""
+    Data skipping: the manifest records per-file ts_lo/ts_hi (base
+    partitions carry ts_lo; fragments carry frag_ts = [lo, hi]), so a
+    range whose EVERY file has ts_lo >= cutoff provably holds no row
+    older than the cutoff and is pruned from the scan — the mirror image
+    of the time-slice read's ts_hi pruning. Missing stats (pre-upgrade
+    manifests) degrade to scanned, never mis-pruned. Idempotent: a
+    second run finds the rows already tombstoned and commits nothing —
+    note idempotence re-scans (the tombstones share the winners' old
+    ts), so `ranges_scanned` stays constant across re-runs."""
     from datax_ray.sinks.lake import _range_plan
 
     m = Manifest(lake_dir)
@@ -371,6 +373,25 @@ def retention(
     layout = m.committed_layout() or {}
     schema = m.committed_schema()
     plan = _range_plan(lake_dir, m)
+
+    # prune: a range where every file's ts_lo >= cutoff has no old rows
+    file_lo: dict[str, int | None] = {}
+    for prec in m.current_partitions().values():
+        if prec.get("base"):
+            file_lo[prec["base"]] = prec.get("ts_lo")
+    for rec in m.current_ranges().values():
+        for f, bounds in (rec.get("frag_ts") or {}).items():
+            file_lo[f] = bounds[0] if bounds else None
+
+    def may_hold_old(item) -> bool:
+        for f in item["files"]:
+            lo = file_lo.get(f)
+            if lo is None or int(lo) < int(before_us):
+                return True
+        return False
+
+    total_ranges = len(plan)
+    plan = [p for p in plan if may_hold_old(p)]
     epoch = committed + 1
     num_partitions = int(layout.get("num_partitions", 1) or 1)
     frag_ranges = int(layout.get("frag_ranges", 1) or 1)
@@ -401,6 +422,8 @@ def retention(
     result = {
         "before_us": int(before_us),
         "tombstoned_rows": tombstoned,
+        "ranges_scanned": len(plan),
+        "ranges_pruned": total_ranges - len(plan),
         "epoch": None,
         "hard": hard,
     }

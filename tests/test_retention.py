@@ -92,3 +92,17 @@ def test_retention_hard_compacts(tmp_path, ray_session):
     # survivors unchanged by the hard pass
     after = final_table(lake)
     assert after.num_rows == live.num_rows - rep["tombstoned_rows"]
+
+
+def test_retention_prunes_by_ts_lo(tmp_path, ray_session):
+    _, _, lake = _build(tmp_path, tag="p")
+    live = final_table(lake)
+    lo = int(pc.min(pc.cast(live["ts"], pa.int64())).as_py())
+    # cutoff below every event time: all ranges provably hold no old
+    # rows -> full prune, nothing scanned, nothing committed
+    rep = retention(lake, lo)
+    assert rep["ranges_scanned"] == 0 and rep["ranges_pruned"] > 0
+    assert rep["tombstoned_rows"] == 0 and rep["epoch"] is None
+    # cutoff above the minimum: at least one range scans and tombstones
+    rep2 = retention(lake, lo + 1)
+    assert rep2["ranges_scanned"] >= 1 and rep2["tombstoned_rows"] >= 1
