@@ -136,6 +136,19 @@ def main(argv=None):
     mva.add_argument("--rebuild", action="store_true")
     mva.add_argument("--num-cpus", type=int, default=None)
 
+    mvj = sub.add_parser(
+        "mvjoin",
+        help="refresh the JOIN view between two CDC lakes (delta-keyed: "
+        "only changed conv_ids re-join, untouched buckets keep their "
+        "files); --rebuild re-derives from one streaming join after "
+        "vacuumed history",
+    )
+    mvj.add_argument("--left", required=True, help="left (transcript) lake")
+    mvj.add_argument("--right", required=True, help="right (dimension) lake")
+    mvj.add_argument("--mv", required=True, help="view directory")
+    mvj.add_argument("--rebuild", action="store_true")
+    mvj.add_argument("--num-cpus", type=int, default=None)
+
     vac = sub.add_parser(
         "vacuum",
         help="drop time-travel history: --keep-epochs N (count-based) or "
@@ -706,6 +719,15 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "mvjoin":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvjoin import refresh_mv_join
+
+        print(json.dumps(
+            refresh_mv_join(a.left, a.right, a.mv, rebuild=a.rebuild)
+        ))
         return 0
 
     if a.cmd == "colindex":

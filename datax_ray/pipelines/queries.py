@@ -1194,6 +1194,89 @@ FROM final GROUP BY conv_id
 """
 
 
+def cdc_join_mv(sf_dir: str):
+    """Incrementally-maintained JOIN view between TWO CDC lakes
+    (pipelines/mvjoin.py — the third MV refresh strategy), driver-verified
+    MID-stream: the transcript lake (turn_mod=25) and a conv-level
+    dimension lake (turn_mod=1: every event upserts its conv's single
+    dimension row, LWW keeps the latest) both replay from derivations of
+    `events`; the view inner-joins per-turn text with the conv's current
+    dimension text on conv_id. First refresh runs after HALF the left
+    stream, the second folds only the remaining epochs' changed keys —
+    unaffected view buckets keep their old generation file. The oracle is
+    the SQL join of the two LWW folds."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvjoin import read_mv_join, refresh_mv_join
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvjoin/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)  # clears work; left log at /changes
+    lineage = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(
+            __import__("datax_ray.sources.derive", fromlist=["ChangeDeriver"])
+            .ChangeDeriver(f"{work}/changes_dim", turn_mod=1),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .take_all()
+    )
+    assert lineage
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_dim", lake_dir=f"{work}/dim", **cfg
+    ))
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_join(f"{work}/lake", f"{work}/dim", f"{work}/mvjoin")
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_join(f"{work}/lake", f"{work}/dim", f"{work}/mvjoin")
+    assert stats["applied_left"] >= 0  # second refresh was incremental
+    return read_mv_join(f"{work}/mvjoin")
+
+
+CDC_JOIN_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), lw AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), lfinal AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM lw WHERE rn = 1 AND op <> 'delete'
+), rw AS (
+  SELECT conv_id, op, text, row_number() OVER (PARTITION BY conv_id
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), rfinal AS (
+  SELECT conv_id, text AS r_text FROM rw WHERE rn = 1 AND op <> 'delete'
+)
+SELECT l.conv_id, l.turn_idx, l.role, l.text, r.r_text
+FROM lfinal l JOIN rfinal r ON l.conv_id = r.conv_id
+"""
+
+
 def cdc_bootstrap_replay(sf_dir: str):
     """Snapshot full-load (epoch 0, DataX full-sync analog) + incremental
     change replay. The snapshot derives from `customer` (4 turns per
@@ -10579,6 +10662,7 @@ QUERIES = {
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
+    "cdc_join_mv": cdc_join_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
@@ -10767,6 +10851,7 @@ ORACLE_SQL = {
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
+    "cdc_join_mv": CDC_JOIN_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
