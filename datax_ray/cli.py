@@ -136,6 +136,22 @@ def main(argv=None):
     mva.add_argument("--rebuild", action="store_true")
     mva.add_argument("--num-cpus", type=int, default=None)
 
+    mvw = sub.add_parser(
+        "mvwindow",
+        help="fold the preimage feed into the event-time TUMBLING-WINDOW "
+        "aggregate MV with watermark + allowed-lateness freeze; late "
+        "deltas divert to a side output instead of mutating frozen "
+        "windows; --rebuild recomputes from the live lake (all on-time)",
+    )
+    mvw.add_argument("--lake", required=True)
+    mvw.add_argument("--mv", required=True, help="view directory")
+    mvw.add_argument("--window", type=int, default=3600,
+                     help="tumbling window size, seconds")
+    mvw.add_argument("--lateness", type=float, default=None,
+                     help="allowed lateness, seconds (default: no freezing)")
+    mvw.add_argument("--rebuild", action="store_true")
+    mvw.add_argument("--num-cpus", type=int, default=None)
+
     mvj = sub.add_parser(
         "mvjoin",
         help="refresh the JOIN view between two CDC lakes (delta-keyed: "
@@ -719,6 +735,16 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "mvwindow":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvwindow import refresh_mv_window
+
+        print(json.dumps(refresh_mv_window(
+            a.lake, a.mv, window_s=a.window, lateness_s=a.lateness,
+            rebuild=a.rebuild,
+        )))
         return 0
 
     if a.cmd == "mvjoin":

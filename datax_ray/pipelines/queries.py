@@ -1194,6 +1194,74 @@ FROM final GROUP BY conv_id
 """
 
 
+def cdc_window_mv(sf_dir: str):
+    """Event-time TUMBLING-WINDOW aggregate MV through the full engine,
+    driver-verified MID-stream (pipelines/mvwindow.py — the streaming-window
+    MV strategy): replay HALF the change log, fold the preimage feed into
+    daily (window_start, role) cells, replay the rest, fold ONLY the new
+    epochs' deltas — updates whose ts moved windows transfer mass between
+    cells via exact −pre/+post deltas. With lateness disabled the complete
+    fold must equal the tumbling-window aggregate of the whole-stream LWW
+    oracle (each live row nets +1 at its final window; deleted and moved
+    rows cancel). The watermark/allowed-lateness freeze path is pytest-
+    verified (tests/test_mvwindow.py) — freezing depends on epoch lineage,
+    which SQL over the raw events cannot see."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvwindow import read_mv_window, refresh_mv_window
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvwindow/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_window(
+        f"{work}/lake", f"{work}/mvw", window_s=86400, lateness_s=None
+    )
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_window(f"{work}/lake", f"{work}/mvw", window_s=86400)
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_mv_window(f"{work}/mvw")
+
+
+CDC_WINDOW_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT role, text, ts FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+         AS window_start,
+       role,
+       COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM final GROUP BY 1, 2
+"""
+
+
 def cdc_join_mv(sf_dir: str):
     """Incrementally-maintained JOIN view between TWO CDC lakes
     (pipelines/mvjoin.py — the third MV refresh strategy), driver-verified
@@ -10662,6 +10730,7 @@ QUERIES = {
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
+    "cdc_window_mv": cdc_window_mv,
     "cdc_join_mv": cdc_join_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
@@ -10851,6 +10920,7 @@ ORACLE_SQL = {
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
+    "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,

@@ -1,0 +1,197 @@
+"""Windowed-aggregate MV (pipelines/mvwindow.py): no-freeze fold equals the
+tumbling-window aggregate of the final LWW state; refresh-batching
+invariance of both the view and the late side output; watermark freezing
+diverts late deltas without mutating frozen windows; config pinning;
+vacuum-fallback rebuild."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from datax_ray.fixtures.generator import gen_changes, write_segments
+from datax_ray.pipelines.mvwindow import (
+    read_mv_window,
+    read_mv_window_late,
+    refresh_mv_window,
+)
+from datax_ray.pipelines.replay import ReplayConfig, replay
+from datax_ray.sinks.lake import final_table
+
+WINDOW_S = 2  # fixture ts advances ~1ms/event → a few thousand events/window
+
+
+def _direct(lake: str, window_s: int):
+    """Tumbling-window aggregate of the live lake state."""
+    live = final_table(lake)
+    w_us = window_s * 1_000_000
+    ts = pc.cast(live["ts"], pa.int64())
+    w = pc.multiply(pc.divide(ts, w_us), w_us)
+    chars = pc.cast(pc.fill_null(pc.utf8_length(live["text"]), 0), pa.int64())
+    g = (
+        pa.table({"window_start": w, "role": live["role"], "sum_chars": chars})
+        .group_by(["window_start", "role"], use_threads=False)
+        .aggregate([("sum_chars", "sum"), ("sum_chars", "count")])
+    )
+    return (
+        pa.table(
+            {
+                "window_start": pc.cast(g["window_start"], pa.timestamp("us")),
+                "role": g["role"],
+                "n_turns": pc.cast(g["sum_chars_count"], pa.int64()),
+                "sum_chars": g["sum_chars_sum"],
+            }
+        )
+        .sort_by([("window_start", "ascending"), ("role", "ascending")])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+def _view(mv: str):
+    return (
+        read_mv_window(mv)
+        .to_pandas()
+        .sort_values(["window_start", "role"])
+        .reset_index(drop=True)[["window_start", "role", "n_turns", "sum_chars"]]
+    )
+
+
+def _late(mv: str):
+    df = read_mv_window_late(mv).to_pandas()
+    return df.sort_values(["_lsn", "_change_type"]).reset_index(drop=True)[
+        ["conv_id", "ts", "window_start", "sign", "chars", "_lsn", "_change_type"]
+    ]
+
+
+def _mklake(tmp_path, name, changes, spe=2):
+    chg = str(tmp_path / f"chg_{name}")
+    lk = str(tmp_path / f"lake_{name}")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=spe))
+    return chg, lk
+
+
+def test_nofreeze_equals_direct_and_incremental(tmp_path, ray_session):
+    changes = gen_changes(6000, 50, seed=31, p_delete=0.15,
+                          out_of_order_frac=0.2)
+    chg, lk = _mklake(tmp_path, "a", changes)
+    mv = str(tmp_path / "mv_a")
+
+    r1 = refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=None)
+    assert r1["applied_from"] == -1 and r1["late_rows"] == 0
+    assert _view(mv).equals(_direct(lk, WINDOW_S))
+
+    # no-op refresh
+    r2 = refresh_mv_window(lk, mv, window_s=WINDOW_S)
+    assert r2["buckets_touched"] == 0
+
+    # more epochs fold additively from the feed only; still equals direct
+    more = gen_changes(3000, 50, seed=32, p_delete=0.2, out_of_order_frac=0.2)
+    more = more.set_column(
+        0, "lsn", pc.add(more["lsn"], pa.scalar(6000, pa.int64()))
+    )
+    write_segments(more, chg, seg_rows=1000, start_seg=6)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    r3 = refresh_mv_window(lk, mv, window_s=WINDOW_S)
+    assert r3["applied_from"] == r1["applied_to"]
+    assert _view(mv).equals(_direct(lk, WINDOW_S))
+
+
+def test_batching_invariance_view_and_late(tmp_path, ray_session):
+    """refresh(-1→C) ≡ refresh per epoch: same view, same late multiset —
+    the wm_after(e−1) rule makes freezing independent of refresh schedule."""
+    changes = gen_changes(8000, 40, seed=33, p_delete=0.1,
+                          out_of_order_frac=0.25)
+    _, lk = _mklake(tmp_path, "b", changes, spe=2)
+    from datax_ray.state.manifest import Manifest
+
+    committed = Manifest(lk).committed_epoch()
+    assert committed >= 2  # several epochs so batching matters
+
+    lateness = 1.5  # seconds; ooo backdating up to 5s → real late events
+    mv1 = str(tmp_path / "mv_onego")
+    refresh_mv_window(lk, mv1, window_s=WINDOW_S, lateness_s=lateness)
+
+    mv2 = str(tmp_path / "mv_stepped")
+    # step one epoch at a time by refreshing against partial replays:
+    # simplest faithful schedule = refresh after each commit; the lake is
+    # already fully committed, so emulate with to-epoch slices via a
+    # second lake built from the same segments in two replay calls.
+    chg2 = str(tmp_path / "chg_b2")
+    lk2 = str(tmp_path / "lake_b2")
+    half = changes.slice(0, 4000)
+    write_segments(half, chg2, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg2, lake_dir=lk2, num_partitions=8,
+                        segments_per_epoch=2))
+    refresh_mv_window(lk2, mv2, window_s=WINDOW_S, lateness_s=lateness)
+    write_segments(changes, chg2, seg_rows=1000)  # full log (same bytes)
+    replay(ReplayConfig(changes_dir=chg2, lake_dir=lk2, num_partitions=8,
+                        segments_per_epoch=2))
+    refresh_mv_window(lk2, mv2, window_s=WINDOW_S)
+
+    assert _view(mv1).equals(_view(mv2))
+    assert _late(mv1).equals(_late(mv2))
+
+
+def test_freezing_diverts_and_freezes(tmp_path, ray_session):
+    """With finite lateness the late output is non-empty, frozen cells stop
+    moving, and view+late together still account for every delta: the view
+    equals direct minus the late deltas' net effect."""
+    changes = gen_changes(8000, 40, seed=34, p_delete=0.1,
+                          out_of_order_frac=0.3)
+    _, lk = _mklake(tmp_path, "c", changes, spe=2)
+    mv = str(tmp_path / "mv_c")
+    stats = refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=0.5)
+    assert stats["late_rows"] > 0
+    assert stats["watermark_us"] is not None
+
+    late = _late(mv)
+    assert (late["sign"].abs() == 1).all()
+    # conservation: view + net(late deltas) == direct windowed aggregate
+    import pandas as pd
+
+    view = _view(mv)
+    ld = late.dropna(subset=["window_start"]).copy()
+    ld["n_turns"] = ld["sign"]
+    ld["sum_chars"] = ld["sign"] * ld["chars"]
+    # late rows lack role; fold by window only, so compare by-window sums
+    v = view.groupby("window_start", as_index=False)[["n_turns", "sum_chars"]].sum()
+    lnet = ld.groupby("window_start", as_index=False)[["n_turns", "sum_chars"]].sum()
+    d = _direct(lk, WINDOW_S).groupby("window_start", as_index=False)[
+        ["n_turns", "sum_chars"]
+    ].sum()
+    merged = v.merge(lnet, on="window_start", how="outer", suffixes=("_v", "_l")).fillna(0)
+    merged["n_turns"] = merged["n_turns_v"] + merged["n_turns_l"]
+    merged["sum_chars"] = merged["sum_chars_v"] + merged["sum_chars_l"]
+    merged = merged[(merged["n_turns"] != 0) | (merged["sum_chars"] != 0)]
+    got = merged[["window_start", "n_turns", "sum_chars"]].sort_values(
+        "window_start"
+    ).reset_index(drop=True)
+    want = d[(d["n_turns"] != 0) | (d["sum_chars"] != 0)].sort_values(
+        "window_start"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_turns": "int64", "sum_chars": "int64"}), want
+    )
+
+
+def test_config_pinned_and_rebuild(tmp_path, ray_session):
+    changes = gen_changes(3000, 30, seed=35)
+    _, lk = _mklake(tmp_path, "d", changes)
+    mv = str(tmp_path / "mv_d")
+    refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=1.0)
+    with pytest.raises(ValueError, match="window_s"):
+        refresh_mv_window(lk, mv, window_s=WINDOW_S * 2)
+    with pytest.raises(ValueError, match="lateness_s"):
+        refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=9.0)
+
+    # rebuild: recompute from live lake, everything on-time, late cleared
+    r = refresh_mv_window(lk, mv, window_s=WINDOW_S, rebuild=True)
+    assert r["late_rows"] == 0
+    assert _view(mv).equals(_direct(lk, WINDOW_S))
+    assert len(read_mv_window_late(mv).take_all()) == 0
+    assert os.path.exists(os.path.join(mv, "_mvwindow_state.json"))
