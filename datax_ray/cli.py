@@ -152,6 +152,20 @@ def main(argv=None):
     mvw.add_argument("--rebuild", action="store_true")
     mvw.add_argument("--num-cpus", type=int, default=None)
 
+    mvs = sub.add_parser(
+        "mvsession",
+        help="refresh the gap-based SESSION-window view (delta-keyed: "
+        "only changed conversations re-sessionize via manifest-pruned "
+        "point reads; session merge/split handled by per-conv recompute); "
+        "--rebuild re-sessionizes everything (allows a new --gap)",
+    )
+    mvs.add_argument("--lake", required=True)
+    mvs.add_argument("--mv", required=True, help="view directory")
+    mvs.add_argument("--gap", type=float, default=1800.0,
+                     help="session gap, seconds")
+    mvs.add_argument("--rebuild", action="store_true")
+    mvs.add_argument("--num-cpus", type=int, default=None)
+
     mvj = sub.add_parser(
         "mvjoin",
         help="refresh the JOIN view between two CDC lakes (delta-keyed: "
@@ -735,6 +749,15 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "mvsession":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvsession import refresh_mv_session
+
+        print(json.dumps(refresh_mv_session(
+            a.lake, a.mv, gap_s=a.gap, rebuild=a.rebuild,
+        )))
         return 0
 
     if a.cmd == "mvwindow":

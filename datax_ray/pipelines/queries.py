@@ -1262,6 +1262,79 @@ FROM final GROUP BY 1, 2
 """
 
 
+def cdc_session_mv(sf_dir: str):
+    """Delta-keyed SESSION-window MV through the full engine,
+    driver-verified MID-stream (pipelines/mvsession.py): replay HALF the
+    change log, sessionize every conversation's live turns into 2-day-gap
+    sessions, replay the rest, re-sessionize ONLY the conversations the
+    new epochs touched (manifest-pruned point reads; untouched view
+    buckets keep their generation files). Session windows merge and split
+    under inserts/deletes, which additive folds cannot express — the
+    per-conv recompute handles both. The oracle sessionizes the
+    whole-stream LWW fold with lag/gap window functions."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvsession import read_mv_session, refresh_mv_session
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvsession/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_session(f"{work}/lake", f"{work}/mvs", gap_s=172800.0)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_session(f"{work}/lake", f"{work}/mvs", gap_s=172800.0)
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_mv_session(f"{work}/mvs")
+
+
+CDC_SESSION_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, text, ts FROM w WHERE rn = 1 AND op <> 'delete'
+), s AS (
+  SELECT conv_id, ts, text,
+         CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+                   > INTERVAL 172800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM final
+), g AS (
+  SELECT conv_id, ts, text,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s
+)
+SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM g GROUP BY conv_id, session_idx
+"""
+
+
 def cdc_join_mv(sf_dir: str):
     """Incrementally-maintained JOIN view between TWO CDC lakes
     (pipelines/mvjoin.py — the third MV refresh strategy), driver-verified
@@ -10731,6 +10804,7 @@ QUERIES = {
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
     "cdc_window_mv": cdc_window_mv,
+    "cdc_session_mv": cdc_session_mv,
     "cdc_join_mv": cdc_join_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
@@ -10921,6 +10995,7 @@ ORACLE_SQL = {
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
+    "cdc_session_mv": CDC_SESSION_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
