@@ -152,6 +152,34 @@ def main(argv=None):
     mvw.add_argument("--rebuild", action="store_true")
     mvw.add_argument("--num-cpus", type=int, default=None)
 
+    reg = sub.add_parser(
+        "register",
+        help="register a derived artifact (MV / index / sketch / export) "
+        "against the lake so `sync` refreshes it; --delete removes; "
+        "--list shows the registry",
+    )
+    reg.add_argument("--lake", required=True)
+    reg.add_argument("--name", default=None, help="artifact name")
+    reg.add_argument("--kind", default=None,
+                     help="mv|mvadd|mvsession|mvwindow|index|dedup|neardup|"
+                     "colindex|sketch|export")
+    reg.add_argument("--dir", default=None, help="artifact directory")
+    reg.add_argument("--param", action="append", default=[],
+                     help="k=v refresher param (repeatable), e.g. gap_s=1800")
+    reg.add_argument("--delete", action="store_true")
+    reg.add_argument("--list", action="store_true")
+
+    syn = sub.add_parser(
+        "sync",
+        help="refresh EVERY registered artifact to the lake's committed "
+        "head in one command (each refresher is incremental + idempotent, "
+        "so sync is too; per-artifact errors don't block the rest)",
+    )
+    syn.add_argument("--lake", required=True)
+    syn.add_argument("--only", action="append", default=None,
+                     help="sync only this artifact (repeatable)")
+    syn.add_argument("--num-cpus", type=int, default=None)
+
     mvs = sub.add_parser(
         "mvsession",
         help="refresh the gap-based SESSION-window view (delta-keyed: "
@@ -750,6 +778,44 @@ def main(argv=None):
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
         return 0
+
+    if a.cmd == "register":
+        from datax_ray.pipelines.registry import (
+            list_artifacts,
+            register_artifact,
+            unregister_artifact,
+        )
+
+        if a.list:
+            print(json.dumps(list_artifacts(a.lake), indent=1))
+            return 0
+        if not a.name:
+            print("register: --name is required", file=sys.stderr)
+            return 2
+        if a.delete:
+            print(json.dumps(unregister_artifact(a.lake, a.name)))
+            return 0
+        if not a.kind or not a.dir:
+            print("register: --kind and --dir are required", file=sys.stderr)
+            return 2
+        params = {}
+        for kv in a.param:
+            k, _, v = kv.partition("=")
+            try:
+                params[k] = json.loads(v)
+            except json.JSONDecodeError:
+                params[k] = v
+        print(json.dumps(register_artifact(a.lake, a.name, a.kind, a.dir,
+                                           params)))
+        return 0
+
+    if a.cmd == "sync":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.registry import sync_artifacts
+
+        out = sync_artifacts(a.lake, only=a.only)
+        print(json.dumps(out))
+        return 0 if out["failed"] == 0 else 1
 
     if a.cmd == "mvsession":
         _ensure_ray(a.num_cpus)

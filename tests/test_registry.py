@@ -1,0 +1,99 @@
+"""Artifact registry + sync (pipelines/registry.py): one command refreshes
+every registered artifact incrementally; second sync is all no-ops; new
+epochs refresh only incrementally; per-artifact errors don't block the
+rest; kind/param validation is eager."""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from datax_ray.fixtures.generator import gen_changes, write_segments
+from datax_ray.pipelines.registry import (
+    list_artifacts,
+    register_artifact,
+    sync_artifacts,
+    unregister_artifact,
+)
+from datax_ray.pipelines.replay import ReplayConfig, replay
+
+
+@pytest.fixture()
+def lake(tmp_path, ray_session):
+    changes = gen_changes(4000, 50, seed=51, p_delete=0.12)
+    chg = str(tmp_path / "chg")
+    lk = str(tmp_path / "lake")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    return chg, lk
+
+
+def test_register_sync_incremental(lake, tmp_path):
+    chg, lk = lake
+    register_artifact(lk, "stats", "mvadd", str(tmp_path / "mvadd"))
+    register_artifact(lk, "sessions", "mvsession", str(tmp_path / "mvs"),
+                      {"gap_s": 1.0})
+    register_artifact(lk, "hourly", "mvwindow", str(tmp_path / "mvw"),
+                      {"window_s": 2})
+    register_artifact(lk, "terms", "index", str(tmp_path / "idx"))
+    register_artifact(lk, "outbox", "export", str(tmp_path / "exp"),
+                      {"fmt": "parquet"})
+    assert len(list_artifacts(lk)) == 5
+
+    r1 = sync_artifacts(lk)
+    assert r1["failed"] == 0 and r1["synced"] == 5
+    assert r1["results"]["stats"]["applied_to"] >= 0
+    assert os.path.exists(os.path.join(str(tmp_path / "exp"),
+                                       "_export_state.json"))
+
+    # second sync: every artifact reports a no-op
+    r2 = sync_artifacts(lk)
+    assert r2["failed"] == 0
+    assert r2["results"]["stats"]["buckets_touched"] == 0
+    assert r2["results"]["sessions"]["buckets_touched"] == 0
+    assert r2["results"]["hourly"]["buckets_touched"] == 0
+    assert r2["results"]["outbox"]["ranges_exported"] == 0
+
+    # new epochs: sync refreshes incrementally (applied_from advances)
+    import pyarrow as pa
+
+    more = gen_changes(1000, 50, seed=52, p_delete=0.2)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"],
+                                            pa.scalar(4000, pa.int64())))
+    write_segments(more, chg, seg_rows=1000, start_seg=4)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    r3 = sync_artifacts(lk)
+    assert r3["failed"] == 0
+    assert r3["results"]["stats"]["applied_from"] == \
+        r1["results"]["stats"]["applied_to"]
+
+    # subset sync
+    r4 = sync_artifacts(lk, only=["terms"])
+    assert list(r4["results"]) == ["terms"]
+    with pytest.raises(ValueError, match="not registered"):
+        sync_artifacts(lk, only=["nope"])
+
+
+def test_validation_errors_and_isolation(lake, tmp_path):
+    _, lk = lake
+    with pytest.raises(ValueError, match="unknown artifact kind"):
+        register_artifact(lk, "x", "warp-drive", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="does not accept params"):
+        register_artifact(lk, "x", "mvadd", str(tmp_path / "x"),
+                          {"gap_s": 1.0})
+
+    # a broken artifact (bad column) fails alone; the good one still syncs
+    register_artifact(lk, "bad", "colindex", str(tmp_path / "ci"),
+                      {"column": "no_such_column"})
+    register_artifact(lk, "good", "mvadd", str(tmp_path / "mvadd2"))
+    r = sync_artifacts(lk)
+    assert r["failed"] == 1
+    assert not r["results"]["bad"]["ok"]
+    assert r["results"]["good"]["ok"]
+
+    assert unregister_artifact(lk, "bad")["found"]
+    assert not unregister_artifact(lk, "bad")["found"]
+    assert sync_artifacts(lk)["failed"] == 0
