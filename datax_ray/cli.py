@@ -152,6 +152,17 @@ def main(argv=None):
     mvw.add_argument("--rebuild", action="store_true")
     mvw.add_argument("--num-cpus", type=int, default=None)
 
+    fo = sub.add_parser(
+        "feedout",
+        help="export the change feed as Debezium-style before/after "
+        "ENVELOPE files (op c/u/d + full pre/post images) for external "
+        "CDC consumers — exactly-once incremental, one window per run",
+    )
+    fo.add_argument("--lake", required=True)
+    fo.add_argument("--out", required=True, help="envelope output directory")
+    fo.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    fo.add_argument("--num-cpus", type=int, default=None)
+
     reg = sub.add_parser(
         "register",
         help="register a derived artifact (MV / index / sketch / export) "
@@ -777,6 +788,15 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "feedout":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.sinks.feedout import export_change_feed_envelopes
+
+        print(json.dumps(export_change_feed_envelopes(
+            a.lake, a.out, fmt=a.format
+        )))
         return 0
 
     if a.cmd == "register":

@@ -32,6 +32,7 @@ Registered kinds and their refreshers:
     colindex  pipelines/colindex.py:refresh_value_index    (params: column)
     sketch    pipelines/sketchmv.py:refresh_sketch         (params: p)
     export    sinks/export.py:export_lake_incremental      (params: fmt)
+    feedout   sinks/feedout.py:export_change_feed_envelopes (params: fmt)
 """
 
 from __future__ import annotations
@@ -107,9 +108,14 @@ def _dispatch(kind: str):
         from datax_ray.sinks.export import export_lake_incremental
 
         return export_lake_incremental, {"fmt"}
+    if kind == "feedout":
+        from datax_ray.sinks.feedout import export_change_feed_envelopes
+
+        return export_change_feed_envelopes, {"fmt"}
     raise ValueError(
         f"unknown artifact kind {kind!r} — expected one of mv/mvadd/"
-        "mvsession/mvwindow/index/dedup/neardup/colindex/sketch/export"
+        "mvsession/mvwindow/index/dedup/neardup/colindex/sketch/export/"
+        "feedout"
     )
 
 
