@@ -163,6 +163,18 @@ def main(argv=None):
     fo.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
     fo.add_argument("--num-cpus", type=int, default=None)
 
+    ei = sub.add_parser(
+        "envingest",
+        help="consume a Debezium-style envelope stream (this engine's "
+        "feedout, or any foreign CDC producer) into change-log segments; "
+        "with --lake also replays them — the interop ingest loop",
+    )
+    ei.add_argument("--env", required=True, help="envelope directory (jsonl)")
+    ei.add_argument("--changes", required=True, help="segment output dir")
+    ei.add_argument("--lake", default=None, help="also replay into this lake")
+    ei.add_argument("--partitions", type=int, default=16)
+    ei.add_argument("--num-cpus", type=int, default=None)
+
     reg = sub.add_parser(
         "register",
         help="register a derived artifact (MV / index / sketch / export) "
@@ -797,6 +809,26 @@ def main(argv=None):
         print(json.dumps(export_change_feed_envelopes(
             a.lake, a.out, fmt=a.format
         )))
+        return 0
+
+    if a.cmd == "envingest":
+        from datax_ray.sources.envelope import envelopes_to_segments
+
+        out = envelopes_to_segments(a.env, a.changes)
+        if a.lake:
+            _ensure_ray(a.num_cpus)
+            from datax_ray.pipelines.replay import ReplayConfig, replay
+
+            from dataclasses import asdict
+
+            out["replay"] = [
+                {k: v for k, v in asdict(r).items() if k != "segments"}
+                for r in replay(ReplayConfig(
+                    changes_dir=a.changes, lake_dir=a.lake,
+                    num_partitions=a.partitions,
+                ))
+            ]
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "register":
