@@ -118,6 +118,10 @@ def main(argv=None):
                     help="refresh the inverted text index here after every epoch")
     tl.add_argument("--refresh-sketch", default=None, metavar="DIR",
                     help="refresh the HLL sketch MV here after every epoch")
+    tl.add_argument("--sync", action="store_true",
+                    help="after every epoch, refresh EVERY registered "
+                    "artifact (see `register`) — streaming pipelines keep "
+                    "all downstream views warm automatically")
     tl.add_argument("--num-cpus", type=int, default=None)
 
     mvp = sub.add_parser("mv", help="refresh the per-conversation stats materialized view")
@@ -628,6 +632,13 @@ def main(argv=None):
                 from datax_ray.pipelines.sketchmv import refresh_sketch
 
                 refresh_sketch(a.lake, a.refresh_sketch)
+            if a.sync:
+                from datax_ray.pipelines.registry import sync_artifacts
+
+                s = sync_artifacts(a.lake)
+                print(json.dumps({"sync": {
+                    "synced": s["synced"], "failed": s["failed"]}}),
+                    flush=True)
 
         reports = tail(
             ReplayConfig(

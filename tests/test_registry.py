@@ -40,10 +40,12 @@ def test_register_sync_incremental(lake, tmp_path):
     register_artifact(lk, "terms", "index", str(tmp_path / "idx"))
     register_artifact(lk, "outbox", "export", str(tmp_path / "exp"),
                       {"fmt": "parquet"})
-    assert len(list_artifacts(lk)) == 5
+    register_artifact(lk, "cdc_out", "feedout", str(tmp_path / "env"),
+                      {"fmt": "jsonl"})
+    assert len(list_artifacts(lk)) == 6
 
     r1 = sync_artifacts(lk)
-    assert r1["failed"] == 0 and r1["synced"] == 5
+    assert r1["failed"] == 0 and r1["synced"] == 6
     assert r1["results"]["stats"]["applied_to"] >= 0
     assert os.path.exists(os.path.join(str(tmp_path / "exp"),
                                        "_export_state.json"))
@@ -55,6 +57,7 @@ def test_register_sync_incremental(lake, tmp_path):
     assert r2["results"]["sessions"]["buckets_touched"] == 0
     assert r2["results"]["hourly"]["buckets_touched"] == 0
     assert r2["results"]["outbox"]["ranges_exported"] == 0
+    assert r2["results"]["cdc_out"]["files"] == 0
 
     # new epochs: sync refreshes incrementally (applied_from advances)
     import pyarrow as pa
