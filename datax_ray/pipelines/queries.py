@@ -212,6 +212,58 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_envelope_roundtrip(sf_dir: str):
+    """Full INTEROP loop, driver-verified: derive → replay into lake A →
+    export the change feed as Debezium-style before/after envelopes
+    (sinks/feedout.py) → ingest the envelope stream into a BRAND-NEW lake
+    B through sources/envelope.py (fresh synthesized lsn space, different
+    partition count) → return B's final state. Equality with the LWW
+    oracle proves the envelope format is a complete, sufficient encoding
+    of the lake's history — a foreign consumer applying it in stream
+    order reconstructs the table exactly (the converter lands envelopes in
+    the CHANGES schema, so B's turn_idx is int32 like any ingested lake)."""
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.feedout import export_change_feed_envelopes
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.envelope import envelopes_to_segments
+
+    work = f"/tmp/datax_cdc_envrt/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+    export_change_feed_envelopes(f"{work}/lake", f"{work}/env", fmt="jsonl")
+    envelopes_to_segments(f"{work}/env", f"{work}/changes_rt")
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_rt", lake_dir=f"{work}/lake_rt",
+        num_partitions=8, segments_per_epoch=10**9,
+    ))
+    return final_table(f"{work}/lake_rt")
+
+
+CDC_ENVELOPE_RT_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_dup_texts(sf_dir: str):
     """Duplicate-content scan over the CDC lake, driver-verified
     (pipelines/dedupscan.py): derive a change log whose texts fold onto
@@ -10804,6 +10856,7 @@ QUERIES = {
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
     "cdc_window_mv": cdc_window_mv,
+    "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_session_mv": cdc_session_mv,
     "cdc_join_mv": cdc_join_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
@@ -10995,6 +11048,7 @@ ORACLE_SQL = {
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
+    "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_session_mv": CDC_SESSION_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
