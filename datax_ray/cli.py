@@ -167,6 +167,25 @@ def main(argv=None):
     fo.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
     fo.add_argument("--num-cpus", type=int, default=None)
 
+    bf = sub.add_parser(
+        "backfill",
+        help="bulk UPDATE: apply a dx_* transformer chain to the lake's "
+        "LIVE rows retroactively (PII scrub, normalization), committed as "
+        "one epoch of dominating rewrites; only rows the chain actually "
+        "changes rewrite, so an idempotent chain converges to a no-op; "
+        "keys and event-time are immutable",
+    )
+    bf.add_argument("--lake", required=True)
+    bf.add_argument("--transformers", required=True,
+                    help="JSON file with the spec list (same format as "
+                    "replay --transformers)")
+    bf.add_argument("--where", default=None, metavar="COL=VALUE",
+                    help="post-merge equality filter, e.g. role=tool")
+    bf.add_argument("--conv", action="append", default=None,
+                    help="restrict to these conv_ids (repeatable; prunes "
+                    "the range plan)")
+    bf.add_argument("--num-cpus", type=int, default=None)
+
     ei = sub.add_parser(
         "envingest",
         help="consume a Debezium-style envelope stream (this engine's "
@@ -820,6 +839,20 @@ def main(argv=None):
         print(json.dumps(export_change_feed_envelopes(
             a.lake, a.out, fmt=a.format
         )))
+        return 0
+
+    if a.cmd == "backfill":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.backfill import backfill
+
+        with open(a.transformers) as f:
+            specs = json.load(f)
+        where = None
+        if a.where:
+            k, _, v = a.where.partition("=")
+            where = {k: (None if v == "null" else v)}
+        print(json.dumps(backfill(a.lake, specs, where=where,
+                                  conv_ids=a.conv)))
         return 0
 
     if a.cmd == "envingest":

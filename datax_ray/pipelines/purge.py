@@ -141,7 +141,18 @@ class PurgeTombstoner:
                 elif f.name == "ts":
                     cols[f.name] = live["ts"]
                 elif f.name == LSN_COL:
-                    cols[f.name] = pc.add(live[LSN_COL], _SYNTH_LSN_BASE + 1)
+                    # overflow-safe for winners that are ALREADY synthetic
+                    # (a backfill rewrite, then a purge of the same key):
+                    # real lsns jump into the reserved space, reserved
+                    # ones step within it
+                    lsn = live[LSN_COL]
+                    if isinstance(lsn, pa.ChunkedArray):
+                        lsn = lsn.combine_chunks()
+                    cols[f.name] = pc.if_else(
+                        pc.less(lsn, _SYNTH_LSN_BASE),
+                        pc.add(lsn, _SYNTH_LSN_BASE + 1),
+                        pc.add(lsn, 1),
+                    )
                 elif f.name == DELETED_COL:
                     cols[f.name] = pa.array(
                         np.ones(live.num_rows, dtype=bool)

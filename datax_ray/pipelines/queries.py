@@ -264,6 +264,56 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_backfill_scrub(sf_dir: str):
+    """Bulk UPDATE through the full engine, driver-verified
+    (pipelines/backfill.py): replay the derived log, then retroactively
+    rewrite every live row's text with a dx_replace chain (the
+    'scrub/normalize history' shape) — one epoch of dominating synthetic-
+    lsn rewrites, O(changed rows); a second identical backfill must
+    converge to a no-op (asserted). The oracle applies the same literal
+    replacement to the LWW fold."""
+    from datax_ray.pipelines.backfill import backfill
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_backfill/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+    spec = [{"name": "dx_replace", "column": "text",
+             "pattern": "payload-", "replacement": "doc-"}]
+    r = backfill(f"{work}/lake", spec)
+    assert r["rewritten_rows"] > 0
+    assert backfill(f"{work}/lake", spec)["epoch"] is None  # converged
+    return final_table(f"{work}/lake")
+
+
+CDC_BACKFILL_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role,
+       replace(text, 'payload-', 'doc-') AS text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def cdc_dup_texts(sf_dir: str):
     """Duplicate-content scan over the CDC lake, driver-verified
     (pipelines/dedupscan.py): derive a change log whose texts fold onto
@@ -10857,6 +10907,7 @@ QUERIES = {
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+    "cdc_backfill_scrub": cdc_backfill_scrub,
     "cdc_session_mv": cdc_session_mv,
     "cdc_join_mv": cdc_join_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
@@ -11049,6 +11100,7 @@ ORACLE_SQL = {
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
+    "cdc_backfill_scrub": CDC_BACKFILL_SQL,
     "cdc_session_mv": CDC_SESSION_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
