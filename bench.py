@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "concurrent_events_peak",
     "embedding_gram_milli",
     "semdedup_docs",
+    "cdc_window_mv",
+    "cdc_session_mv",
+    "cdc_envelope_roundtrip",
+    "cdc_backfill_scrub",
 ]
 
 

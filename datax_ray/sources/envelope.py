@@ -24,12 +24,16 @@ deletes on the (ts, lsn) order without outrunning later legitimate
 updates). Folding the converted log therefore reproduces the producer's
 final state row-for-row (round-trip pytest).
 
-Scope: the core transcript payload (conv_id, turn_idx, role, text, tool,
-ts). DDL-added columns in a foreign stream need a matching DDL on the
-target lake first; the converter ignores unknown keys inside the images
-(forward-compatible) and accepts only jsonl envelopes (Arrow's C JSON
-reader parses images into structs — no per-row Python; parquet envelopes
-hold images as strings and would force row-wise json.loads)."""
+Schema evolution flows THROUGH the interop loop: image keys beyond the
+core transcript payload (a producer-side add_column DDL, or a foreign
+system's extra fields) are auto-registered — the converter emits an
+`op=ddl add_column` event (type inferred from the Arrow struct field the
+C JSON reader produced) BEFORE the first data event carrying the column,
+records it in the state so later files don't re-emit, and passes the
+values through; the target lake evolves exactly like it would tailing a
+native stream. Accepts only jsonl envelopes (Arrow's C JSON reader parses
+images into structs — no per-row Python; parquet envelopes hold images as
+strings and would force row-wise json.loads)."""
 
 from __future__ import annotations
 
@@ -42,6 +46,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from datax_ray.schemas import CHANGES_SCHEMA
+from datax_ray.state.schema_tracker import _NAMED_TYPES as _NAMED_DDL_TYPES
 
 _STATE = "_envingest_state.json"
 
@@ -81,16 +86,57 @@ def _img_col(img: pa.ChunkedArray | pa.Array, name: str, typ: pa.DataType,
     return pc.cast(field, typ)
 
 
-def _convert_file(path: str, base_lsn: int) -> pa.Table:
-    """One envelope jsonl file → CHANGES rows with synthesized lsns
-    base_lsn + row index (file rows are already (epoch, lsn, key)-sorted
-    by the producer)."""
-    from pyarrow import json as pa_json
+_CORE_IMG = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
 
-    t = pa_json.read_json(path)
+_ARROW_TO_DDL = {
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.int32(): "int64",
+    pa.int64(): "int64",
+    pa.float32(): "double",
+    pa.float64(): "double",
+    pa.bool_(): "bool",
+    pa.timestamp("us"): "timestamp[us]",
+}
+
+
+def _ddl_type_of(name: str, typ: pa.DataType) -> str:
+    out = _ARROW_TO_DDL.get(typ)
+    if out is None:
+        raise ValueError(
+            f"envelope image field {name!r} has type {typ} — not "
+            "representable as a lake column (flatten nested payloads on "
+            "the producer side)"
+        )
+    return out
+
+
+def _extra_fields(t: pa.Table) -> dict[str, pa.DataType]:
+    """Image struct fields beyond the core transcript payload."""
+    out: dict[str, pa.DataType] = {}
+    for img in ("after", "before"):
+        if img not in t.column_names:
+            continue
+        typ = t[img].type
+        if not isinstance(typ, pa.StructType):
+            continue
+        for f in typ:
+            if f.name not in _CORE_IMG and f.name not in out:
+                out[f.name] = f.type
+    return out
+
+
+def _convert_table(t: pa.Table, base_lsn: int,
+                   extras: dict[str, str]) -> pa.Table:
+    """One envelope table → CHANGES rows (+ extra payload columns) with
+    synthesized lsns base_lsn + row index (file rows are already
+    (epoch, lsn, key)-sorted by the producer)."""
     n = t.num_rows
+    schema = CHANGES_SCHEMA
+    for name, ddl_t in extras.items():
+        schema = schema.append(pa.field(name, _NAMED_DDL_TYPES[ddl_t]))
     if n == 0:
-        return CHANGES_SCHEMA.empty_table()
+        return schema.empty_table()
     op_map = pc.case_when(
         pc.make_struct(
             pc.equal(t["op"], "c"),
@@ -121,19 +167,48 @@ def _convert_file(path: str, base_lsn: int) -> pa.Table:
             pa.timestamp("us"),
         )
         ts = pc.if_else(pc.is_valid(ts), ts, fallback)
-    return pa.table(
-        {
-            "lsn": pa.array(np.arange(base_lsn, base_lsn + n, dtype=np.int64)),
-            "ts": ts,
-            "op": op_map,
-            "conv_id": pc.cast(t["conv_id"], pa.string()),
-            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
-            "role": payload("role", pa.string()),
-            "text": payload("text", pa.string()),
-            "tool": payload("tool", pa.string()),
-            "ddl": pa.nulls(n, pa.string()),
+    cols = {
+        "lsn": pa.array(np.arange(base_lsn, base_lsn + n, dtype=np.int64)),
+        "ts": ts,
+        "op": op_map,
+        "conv_id": pc.cast(t["conv_id"], pa.string()),
+        "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+        "role": payload("role", pa.string()),
+        "text": payload("text", pa.string()),
+        "tool": payload("tool", pa.string()),
+        "ddl": pa.nulls(n, pa.string()),
+    }
+    for name, ddl_t in extras.items():
+        cols[name] = payload(name, _NAMED_DDL_TYPES[ddl_t])
+    return pa.table(cols).cast(schema)
+
+
+def _ddl_rows(new_cols: dict[str, str], base_lsn: int, before_ts_us: int,
+              extras: dict[str, str]) -> pa.Table:
+    """op=ddl add_column events registering this run's new image fields —
+    ts strictly before every data event (the epoch-boundary invariant)."""
+    rows = []
+    for i, (name, ddl_t) in enumerate(sorted(new_cols.items())):
+        r = {
+            "lsn": base_lsn + i,
+            "ts": before_ts_us,
+            "op": "ddl",
+            "conv_id": "ddl",
+            "turn_idx": 0,
+            "role": None,
+            "text": None,
+            "tool": None,
+            "ddl": json.dumps(
+                {"action": "add_column", "name": name, "type": ddl_t}
+            ),
         }
-    ).cast(CHANGES_SCHEMA)
+        for cname in extras:
+            r[cname] = None
+        rows.append(r)
+    schema = CHANGES_SCHEMA
+    for name, ddl_t in extras.items():
+        schema = schema.append(pa.field(name, _NAMED_DDL_TYPES[ddl_t]))
+    return pa.Table.from_pylist(rows).select(schema.names).cast(schema)
 
 
 def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
@@ -164,20 +239,57 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
         ),
         key=window_key,
     )
-    rows = 0
+
+    # Pass 1 — parse + discover image fields beyond the already-registered
+    # set, so every segment of THIS run shares one schema (segments inside
+    # one replay epoch concatenate) and each new column gets exactly one
+    # DDL event before its first data event.
+    from pyarrow import json as pa_json
+
+    known: dict[str, str] = dict(state.get("ddl_cols", {}))
+    new_cols: dict[str, str] = {}
+    tables: list[pa.Table] = []
+    min_ts_us = None
     for p in pending:
-        t = _convert_file(p, next_lsn)
-        if t.num_rows:
-            seg = os.path.join(changes_dir, f"seg-{next_lsn:012d}.parquet")
+        t = pa_json.read_json(p)
+        for name, typ in _extra_fields(t).items():
+            if name not in known and name not in new_cols:
+                new_cols[name] = _ddl_type_of(name, typ)
+        if t.num_rows and "ts_ms" in t.column_names:
+            lo = pc.min(t["ts_ms"]).as_py()
+            if lo is not None:
+                lo *= 1000
+                min_ts_us = lo if min_ts_us is None else min(min_ts_us, lo)
+        tables.append(t)
+    extras = {**known, **new_cols}
+
+    # Pass 2 — write segments; the run's DDL events lead its first segment
+    rows = 0
+    for i, (p, t) in enumerate(zip(pending, tables)):
+        parts = []
+        if i == 0 and new_cols:
+            parts.append(_ddl_rows(
+                new_cols, next_lsn,
+                (min_ts_us or 0) - 1_000_000, extras,
+            ))
+            next_lsn += len(new_cols)
+        body = _convert_table(t, next_lsn, extras)
+        parts.append(body)
+        out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if out.num_rows:
+            seg = os.path.join(
+                changes_dir, f"seg-{out['lsn'][0].as_py():012d}.parquet"
+            )
             tmp = seg + f".tmp.{os.getpid()}"
-            pq.write_table(t, tmp, compression="zstd", compression_level=1)
+            pq.write_table(out, tmp, compression="zstd", compression_level=1)
             os.replace(tmp, seg)
-            next_lsn += t.num_rows
-            rows += t.num_rows
+            next_lsn += body.num_rows
+            rows += out.num_rows
         done.add(os.path.basename(p))
     _save_state(
         changes_dir,
-        {"converted": sorted(done), "next_lsn": next_lsn},
+        {"converted": sorted(done), "next_lsn": next_lsn,
+         "ddl_cols": extras},
     )
     return {"converted_files": len(pending), "rows": rows,
-            "next_lsn": next_lsn}
+            "next_lsn": next_lsn, "added_columns": sorted(new_cols)}

@@ -67,6 +67,44 @@ def test_roundtrip_and_incremental(tmp_path, ray_session):
     assert _core(final_table(dst)).equals(_core(final_table(src)))
 
 
+def test_ddl_flows_through_roundtrip(tmp_path, ray_session):
+    """A producer-side add_column DDL survives the envelope loop: the
+    converter auto-registers the extra image field with its own DDL event
+    and the target lake's final state matches the source's INCLUDING the
+    added column."""
+    changes = gen_changes(3000, 40, seed=73, p_delete=0.1, with_ddl=True)
+    chg = str(tmp_path / "chg")
+    src = str(tmp_path / "src_lake")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=src, num_partitions=8,
+                        segments_per_epoch=1))
+    env = str(tmp_path / "env")
+    export_change_feed_envelopes(src, env, fmt="jsonl")
+
+    chg2 = str(tmp_path / "chg2")
+    dst = str(tmp_path / "dst_lake")
+    r = envelopes_to_segments(env, chg2)
+    assert "lang" in r["added_columns"]
+    replay(ReplayConfig(changes_dir=chg2, lake_dir=dst, num_partitions=4,
+                        segments_per_epoch=10**9))
+
+    a = final_table(src)
+    b = final_table(dst)
+    assert "lang" in b.column_names
+
+    def full(t):
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lang"]
+        return (
+            t.select(cols)
+            .set_column(1, "turn_idx", pc.cast(t["turn_idx"], pa.int64()))
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    assert full(b).equals(full(a))
+
+
 def test_foreign_envelopes_ts_ms_fallback(tmp_path, ray_session):
     """A minimal foreign producer: images without ts, envelope ts_ms only."""
     env = str(tmp_path / "env")
