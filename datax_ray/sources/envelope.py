@@ -248,9 +248,10 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
 
     known: dict[str, str] = dict(state.get("ddl_cols", {}))
     new_cols: dict[str, str] = {}
-    tables: list[pa.Table] = []
     min_ts_us = None
     for p in pending:
+        # parse, harvest schema + min ts, DROP — memory stays O(one file)
+        # even on a first full-history export (pass 2 re-parses)
         t = pa_json.read_json(p)
         for name, typ in _extra_fields(t).items():
             if name not in known and name not in new_cols:
@@ -260,12 +261,13 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
             if lo is not None:
                 lo *= 1000
                 min_ts_us = lo if min_ts_us is None else min(min_ts_us, lo)
-        tables.append(t)
+        del t
     extras = {**known, **new_cols}
 
     # Pass 2 — write segments; the run's DDL events lead its first segment
     rows = 0
-    for i, (p, t) in enumerate(zip(pending, tables)):
+    for i, p in enumerate(pending):
+        t = pa_json.read_json(p)
         parts = []
         if i == 0 and new_cols:
             parts.append(_ddl_rows(
