@@ -153,6 +153,9 @@ def main(argv=None):
                      help="tumbling window size, seconds")
     mvw.add_argument("--lateness", type=float, default=None,
                      help="allowed lateness, seconds (default: no freezing)")
+    mvw.add_argument("--hop", type=int, default=None,
+                     help="hop size, seconds (< window makes the windows "
+                     "HOPPING; window must be a multiple)")
     mvw.add_argument("--rebuild", action="store_true")
     mvw.add_argument("--num-cpus", type=int, default=None)
 
@@ -928,7 +931,7 @@ def main(argv=None):
 
         print(json.dumps(refresh_mv_window(
             a.lake, a.mv, window_s=a.window, lateness_s=a.lateness,
-            rebuild=a.rebuild,
+            hop_s=a.hop, rebuild=a.rebuild,
         )))
         return 0
 

@@ -120,20 +120,43 @@ class _Tagger:
     exchange. wm_by_epoch maps epoch → wm_after(epoch−1), precomputed on
     the driver from O(epochs) per-epoch maxima."""
 
-    def __init__(self, window_us: int, wm_lo: int, wm_used: list[int]):
+    def __init__(self, window_us: int, wm_lo: int, wm_used: list[int],
+                 hop_us: int | None = None):
         self.__name__ = "_Tagger"
         self.window_us = window_us
+        self.hop_us = hop_us or window_us
         self.wm_lo = wm_lo  # first epoch covered by wm_used
         self.wm_used = np.asarray(wm_used, dtype=np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _tag_schema().empty_table()
+        if self.hop_us != self.window_us:
+            # HOPPING: each delta belongs to window/hop overlapping
+            # windows — explode the batch once (np.repeat + arange), then
+            # the tumbling path below runs unchanged on window starts
+            k = self.window_us // self.hop_us
+            ts0 = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            null0 = pc.is_null(t["ts"]).to_numpy(zero_copy_only=False)
+            # null-ts rows keep ONE copy (they go straight to late)
+            reps = np.where(null0, 1, k).astype(np.int64)
+            idx = np.repeat(np.arange(t.num_rows), reps)
+            off = (np.arange(len(idx)) -
+                   np.repeat(np.cumsum(reps) - reps, reps))
+            t = t.take(pa.array(idx))
+            anchor = (np.where(null0, 0, ts0)[idx] // self.hop_us
+                      ) * self.hop_us
+            wstart_h = anchor - off * self.hop_us
+            return self._tag(t, wstart_h)
+        ts_f0 = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        null0 = pc.is_null(t["ts"]).to_numpy(zero_copy_only=False)
+        wstart_t = (np.where(null0, 0, ts_f0) // self.window_us) * self.window_us
+        return self._tag(t, wstart_t)
+
+    def _tag(self, t: pa.Table, wstart: np.ndarray) -> pa.Table:
         ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         # null ts cannot be windowed — treat as late (never mutates view)
         null_ts = pc.is_null(t["ts"]).to_numpy(zero_copy_only=False)
-        ts_f = np.where(null_ts, 0, ts)
-        wstart = (ts_f // self.window_us) * self.window_us
         epoch = pc.cast(t["_epoch"], pa.int64()).to_numpy(zero_copy_only=False)
         wm = self.wm_used[np.clip(epoch - self.wm_lo, 0, len(self.wm_used) - 1)]
         late = null_ts | (wstart + self.window_us <= wm)
@@ -164,7 +187,7 @@ class _Tagger:
             {
                 "_b": pc.cast(
                     pc.bit_wise_and(
-                        pc.divide(g["window_start"], self.window_us),
+                        pc.divide(g["window_start"], self.hop_us),
                         N_BUCKETS - 1,
                     ),
                     pa.int32(),
@@ -187,7 +210,7 @@ class _Tagger:
             {
                 "_b": pc.cast(
                     pc.bit_wise_and(
-                        pa.array(wstart[late] // self.window_us),
+                        pa.array(wstart[late] // self.hop_us),
                         N_BUCKETS - 1,
                     ),
                     pa.int32(),
@@ -358,13 +381,17 @@ def refresh_mv_window(
     mv_dir: str,
     window_s: int = 3600,
     lateness_s: float | None = None,
+    hop_s: int | None = None,
     rebuild: bool = False,
 ) -> dict:
     """Fold the preimage feed since the last applied epoch into the
-    windowed view under the watermark rule. window_s/lateness_s are pinned
-    at view creation; later calls must match (or omit → reuse stored).
-    Returns {"applied_from", "applied_to", "buckets_touched", "cells",
-    "late_rows", "watermark_us"}."""
+    windowed view under the watermark rule. hop_s < window_s makes the
+    windows HOPPING (each delta folds into window_s/hop_s overlapping
+    windows; window_s must be a multiple of hop_s); default is tumbling.
+    window_s/lateness_s/hop_s are pinned at view creation; later calls
+    must match (or omit → reuse stored). Returns {"applied_from",
+    "applied_to", "buckets_touched", "cells", "late_rows",
+    "watermark_us"}."""
     from datax_ray.pipelines.feed import read_change_feed_preimages
     from datax_ray.state.manifest import Manifest
 
@@ -385,11 +412,23 @@ def refresh_mv_window(
                 f"view was created with lateness_s={stored_late}; got {lateness_s}"
             )
         lateness_s = stored_late
+        stored_hop = state.get("hop_s")
+        if hop_s is not None and hop_s != stored_hop:
+            raise ValueError(
+                f"view was created with hop_s={stored_hop}; got {hop_s}"
+            )
+        hop_s = stored_hop
+    if hop_s is not None and (hop_s <= 0 or window_s % hop_s):
+        raise ValueError(
+            f"window_s ({window_s}) must be a positive multiple of hop_s "
+            f"({hop_s})"
+        )
     applied = int(state.get("applied_epoch", -1))
     os.makedirs(mv_dir, exist_ok=True)
 
     if rebuild:
-        return _rebuild(lake_dir, mv_dir, committed, window_s, lateness_s)
+        return _rebuild(lake_dir, mv_dir, committed, window_s, lateness_s,
+                        hop_s)
     if applied >= committed:
         return {
             "applied_from": applied,
@@ -424,8 +463,10 @@ def refresh_mv_window(
             if e in maxima:
                 wm_running = max(wm_running, maxima[e] - lateness_us)
 
+    hop_us = None if hop_s is None else int(hop_s * 1_000_000)
     tagged = feed.map_batches(
-        _Tagger(window_us, applied + 1, wm_used), batch_format="pyarrow"
+        _Tagger(window_us, applied + 1, wm_used, hop_us),
+        batch_format="pyarrow",
     )
     old_files = dict(state.get("buckets", {}))
     lineage = (
@@ -459,6 +500,7 @@ def refresh_mv_window(
             "applied_epoch": committed,
             "window_s": window_s,
             "lateness_s": lateness_s,
+            "hop_s": hop_s,
             "watermark_us": None if wm_running == _NEG_INF else wm_running,
             "buckets": new_files,
             "bucket_cells": bucket_cells,
@@ -490,12 +532,15 @@ def _rebuild(
     committed: int,
     window_s: int,
     lateness_s: float | None,
+    hop_s: int | None = None,
 ) -> dict:
     """One streaming pass of the LIVE lake: every row on-time, watermark
     re-anchored, late side output cleared (freeze history is gone)."""
     from datax_ray.sinks.lake import read_lake
 
     window_us = int(window_s * 1_000_000)
+    hop_us = window_us if hop_s is None else int(hop_s * 1_000_000)
+    k_hops = window_us // hop_us
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -508,8 +553,17 @@ def _rebuild(
                     "mx": pa.array([], pa.int64()),
                 }
             )
-        ts = pc.cast(t["ts"], pa.int64())
-        w = pc.multiply(pc.divide(ts, window_us), window_us)
+        if k_hops > 1:  # hopping: explode each live row into its windows
+            idx = np.repeat(np.arange(t.num_rows), k_hops)
+            t = t.take(pa.array(idx))
+            ts_np = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            off = np.tile(np.arange(k_hops, dtype=np.int64), t.num_rows // k_hops)
+            w_np = (ts_np // hop_us) * hop_us - off * hop_us
+            ts = pc.cast(t["ts"], pa.int64())
+            w = pa.array(w_np)
+        else:
+            ts = pc.cast(t["ts"], pa.int64())
+            w = pc.multiply(pc.divide(ts, window_us), window_us)
         d = pa.table(
             {
                 "window_start": w,
@@ -531,7 +585,7 @@ def _rebuild(
 
     def fold(g: pa.Table) -> pa.Table:
         b = int(
-            (g["window_start"][0].as_py() // window_us) % N_BUCKETS
+            (g["window_start"][0].as_py() // hop_us) % N_BUCKETS
         )
         merged = (
             g.group_by(["window_start", "role"], use_threads=False)
@@ -567,7 +621,7 @@ def _rebuild(
         return t.append_column(
             "_b",
             pc.cast(
-                pc.bit_wise_and(pc.divide(t["window_start"], window_us), N_BUCKETS - 1),
+                pc.bit_wise_and(pc.divide(t["window_start"], hop_us), N_BUCKETS - 1),
                 pa.int32(),
             ),
         )
@@ -591,6 +645,7 @@ def _rebuild(
             "applied_epoch": committed,
             "window_s": window_s,
             "lateness_s": lateness_s,
+            "hop_s": hop_s,
             "watermark_us": wm,
             "buckets": files,
             "bucket_cells": bucket_cells,

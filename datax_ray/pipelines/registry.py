@@ -25,7 +25,7 @@ Registered kinds and their refreshers:
     mvadd     pipelines/mvadd.py:refresh_mv_additive
     mvsession pipelines/mvsession.py:refresh_mv_session   (params: gap_s)
     mvwindow  pipelines/mvwindow.py:refresh_mv_window     (params: window_s,
-                                                           lateness_s)
+                                                           lateness_s, hop_s)
     index     pipelines/index.py:refresh_index
     dedup     pipelines/dedupscan.py:refresh_dedup_index
     neardup   pipelines/dedupscan.py:refresh_neardup_index (params: shingle_k)
@@ -83,7 +83,7 @@ def _dispatch(kind: str):
     if kind == "mvwindow":
         from datax_ray.pipelines.mvwindow import refresh_mv_window
 
-        return refresh_mv_window, {"window_s", "lateness_s"}
+        return refresh_mv_window, {"window_s", "lateness_s", "hop_s"}
     if kind == "index":
         from datax_ray.pipelines.index import refresh_index
 

@@ -179,6 +179,75 @@ def test_freezing_diverts_and_freezes(tmp_path, ray_session):
     )
 
 
+def _direct_hopping(lake: str, window_s: int, hop_s: int):
+    """Hopping aggregate of the live state: explode each row into its
+    window/hop overlapping windows, then aggregate."""
+    import numpy as np
+
+    live = final_table(lake)
+    w_us, h_us = window_s * 1_000_000, hop_s * 1_000_000
+    k = w_us // h_us
+    ts = pc.cast(live["ts"], pa.int64()).to_numpy()
+    idx = np.repeat(np.arange(live.num_rows), k)
+    off = np.tile(np.arange(k, dtype=np.int64), live.num_rows)
+    w = (ts[idx] // h_us) * h_us - off * h_us
+    ex = live.take(pa.array(idx))
+    chars = pc.cast(pc.fill_null(pc.utf8_length(ex["text"]), 0), pa.int64())
+    g = (
+        pa.table({"window_start": pa.array(w), "role": ex["role"],
+                  "sum_chars": chars})
+        .group_by(["window_start", "role"], use_threads=False)
+        .aggregate([("sum_chars", "sum"), ("sum_chars", "count")])
+    )
+    return (
+        pa.table(
+            {
+                "window_start": pc.cast(g["window_start"], pa.timestamp("us")),
+                "role": g["role"],
+                "n_turns": pc.cast(g["sum_chars_count"], pa.int64()),
+                "sum_chars": g["sum_chars_sum"],
+            }
+        )
+        .sort_by([("window_start", "ascending"), ("role", "ascending")])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_hopping_windows(tmp_path, ray_session):
+    """hop < window: every delta folds into window/hop overlapping
+    windows; the no-freeze fold equals the exploded direct aggregate, the
+    incremental refresh keeps it, and a rebuild lands the SAME bucket
+    layout (hop-granular) so later incremental refreshes read the right
+    generation files."""
+    changes = gen_changes(5000, 40, seed=36, p_delete=0.15,
+                          out_of_order_frac=0.2)
+    chg, lk = _mklake(tmp_path, "h", changes)
+    mv = str(tmp_path / "mv_h")
+    r = refresh_mv_window(lk, mv, window_s=4, hop_s=2, lateness_s=None)
+    assert r["late_rows"] == 0
+    assert _view(mv).equals(_direct_hopping(lk, 4, 2))
+
+    with pytest.raises(ValueError, match="hop_s"):
+        refresh_mv_window(lk, mv, window_s=4, hop_s=1)
+    with pytest.raises(ValueError, match="multiple"):
+        refresh_mv_window(lk, str(tmp_path / "mv_bad"), window_s=5, hop_s=2)
+
+    # rebuild, then fold MORE epochs incrementally on top of the rebuilt
+    # generations — catches bucket-layout mismatches between the two paths
+    refresh_mv_window(lk, mv, window_s=4, rebuild=True)
+    assert _view(mv).equals(_direct_hopping(lk, 4, 2))
+    more = gen_changes(2000, 40, seed=37, p_delete=0.2,
+                       out_of_order_frac=0.2)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"],
+                                            pa.scalar(5000, pa.int64())))
+    write_segments(more, chg, seg_rows=1000, start_seg=5)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    refresh_mv_window(lk, mv, window_s=4)
+    assert _view(mv).equals(_direct_hopping(lk, 4, 2))
+
+
 def test_config_pinned_and_rebuild(tmp_path, ray_session):
     changes = gen_changes(3000, 30, seed=35)
     _, lk = _mklake(tmp_path, "d", changes)
