@@ -157,6 +157,10 @@ def main(argv=None):
                      help="hop size, seconds (< window makes the windows "
                      "HOPPING; window must be a multiple)")
     mvw.add_argument("--rebuild", action="store_true")
+    mvw.add_argument("--admit-late", action="store_true",
+                     help="correction pass: fold the diverted late deltas "
+                     "into their frozen windows and clear the side output "
+                     "(watermark untouched)")
     mvw.add_argument("--num-cpus", type=int, default=None)
 
     fo = sub.add_parser(
@@ -927,8 +931,11 @@ def main(argv=None):
 
     if a.cmd == "mvwindow":
         _ensure_ray(a.num_cpus)
-        from datax_ray.pipelines.mvwindow import refresh_mv_window
+        from datax_ray.pipelines.mvwindow import admit_late_events, refresh_mv_window
 
+        if a.admit_late:
+            print(json.dumps(admit_late_events(a.mv)))
+            return 0
         print(json.dumps(refresh_mv_window(
             a.lake, a.mv, window_s=a.window, lateness_s=a.lateness,
             hop_s=a.hop, rebuild=a.rebuild,

@@ -77,6 +77,7 @@ _LATE_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("ts", pa.timestamp("us")),
         ("window_start", pa.timestamp("us")),
+        ("role", pa.string()),
         ("sign", pa.int64()),
         ("chars", pa.int64()),
         ("_lsn", pa.int64()),
@@ -257,11 +258,15 @@ class _WindowBucketFolder:
     deterministic target-epoch names, so a retried task rewrites identical
     bytes. Emits one lineage row per bucket."""
 
-    def __init__(self, mv_dir: str, old_files: dict, to_epoch: int):
+    def __init__(self, mv_dir: str, old_files: dict, to_epoch: int,
+                 suffix: str = ""):
         self.__name__ = "_WindowBucketFolder"
         self.mv_dir = mv_dir
         self.old_files = old_files
         self.to_epoch = to_epoch
+        self.suffix = suffix  # "-l" for late-admission generations: keeps
+        # them distinct from the same epoch's refresh generation, so the
+        # old files stay intact until the ONE atomic state publish
 
     def __call__(self, g: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -304,7 +309,7 @@ class _WindowBucketFolder:
                     pc.not_equal(merged["sum_chars"], 0),
                 )
             ).sort_by([("window_start", "ascending"), ("role", "ascending")])
-            view_rel = f"w={b:04d}-e={self.to_epoch:06d}.parquet"
+            view_rel = f"w={b:04d}-e={self.to_epoch:06d}{self.suffix}.parquet"
             tmp = os.path.join(self.mv_dir, view_rel + f".tmp.{os.getpid()}")
             pq.write_table(merged, tmp, compression="zstd", compression_level=1)
             os.replace(tmp, os.path.join(self.mv_dir, view_rel))
@@ -326,6 +331,7 @@ class _WindowBucketFolder:
                         ),
                         pa.timestamp("us"),
                     ),
+                    "role": late["role"],
                     "sign": late["dn"],
                     "chars": pc.multiply(late["dn"], late["dchars"]),
                     "_lsn": late["_lsn"],
@@ -334,7 +340,7 @@ class _WindowBucketFolder:
                 }
             ).sort_by([("_lsn", "ascending"), ("_change_type", "ascending")])
             # chars column stores |dchars| (sign folded out) for readability
-            late_rel = f"late-b={b:04d}-e={self.to_epoch:06d}.parquet"
+            late_rel = f"late-b={b:04d}-e={self.to_epoch:06d}{self.suffix}.parquet"
             tmp = os.path.join(self.mv_dir, late_rel + f".tmp.{os.getpid()}")
             pq.write_table(lt, tmp, compression="zstd", compression_level=1)
             os.replace(tmp, os.path.join(self.mv_dir, late_rel))
@@ -668,6 +674,140 @@ def _rebuild(
         "late_rows": 0,
         "watermark_us": wm,
     }
+
+
+def admit_late_events(mv_dir: str) -> dict:
+    """CORRECTION pass (Flink's fired-again-on-late-data shape, made a
+    deliberate verb): fold every diverted late delta into its frozen
+    window, so the view becomes equal to the no-freeze fold of everything
+    seen so far — then clear the side output. The watermark is untouched;
+    future epochs keep freezing by the same rule. Unfoldable rows (null
+    event-time) stay in the side output. Deterministic and crash-safe:
+    admission generations carry a `-l` name suffix so the refresh
+    generation of the same epoch survives until the atomic state publish;
+    a second admit with an empty side output is a no-op. Returns
+    {"admitted", "cells", "late_rows"}."""
+    state = _load_state(mv_dir)
+    if not state:
+        raise ValueError(f"no windowed view at {mv_dir}")
+    late_files = list(state.get("late_files", []))
+    if not late_files:
+        return {
+            "admitted": 0,
+            "cells": int(state.get("cells", 0)),
+            "late_rows": int(state.get("late_rows", 0)),
+        }
+    window_s = state["window_s"]
+    hop_us = int((state.get("hop_s") or window_s) * 1_000_000)
+    applied = int(state.get("applied_epoch", 0))
+
+    def to_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _tag_schema().empty_table()
+        if "role" not in t.column_names:
+            # side-output files written before role was recorded: their
+            # deltas fold under a null role cell (still conserved totals)
+            t = t.append_column("role", pa.nulls(t.num_rows, pa.string()))
+        has_w = pc.is_valid(t["window_start"])
+        f = t.filter(has_w)
+        u = t.filter(pc.invert(has_w))
+        w = pc.cast(f["window_start"], pa.int64())
+        g = (
+            pa.table(
+                {
+                    "window_start": w,
+                    "role": f["role"],
+                    "dn": f["sign"],
+                    "dchars": pc.multiply(f["sign"], f["chars"]),
+                }
+            )
+            .group_by(["window_start", "role"], use_threads=False)
+            .aggregate([("dn", "sum"), ("dchars", "sum")])
+            .rename_columns(["window_start", "role", "dn", "dchars"])
+        )
+        out_on = pa.table(
+            {
+                "_b": pc.cast(
+                    pc.bit_wise_and(
+                        pc.divide(g["window_start"], hop_us), N_BUCKETS - 1
+                    ),
+                    pa.int32(),
+                ),
+                "_late": pa.array(np.zeros(g.num_rows, bool)),
+                "window_start": g["window_start"],
+                "role": g["role"],
+                "dn": g["dn"],
+                "dchars": g["dchars"],
+                "conv_id": pa.nulls(g.num_rows, pa.string()),
+                "ts": pa.nulls(g.num_rows, pa.int64()),
+                "_lsn": pa.nulls(g.num_rows, pa.int64()),
+                "_epoch": pa.nulls(g.num_rows, pa.int32()),
+                "_change_type": pa.nulls(g.num_rows, pa.string()),
+            }
+        )
+        out_u = pa.table(
+            {
+                "_b": pa.array(np.zeros(u.num_rows, np.int32)),
+                "_late": pa.array(np.ones(u.num_rows, bool)),
+                "window_start": pa.array(
+                    np.full(u.num_rows, _NEG_INF, np.int64)
+                ),
+                "role": u["role"],
+                "dn": u["sign"],
+                "dchars": pc.multiply(u["sign"], u["chars"]),
+                "conv_id": u["conv_id"],
+                "ts": pc.cast(u["ts"], pa.int64()),
+                "_lsn": u["_lsn"],
+                "_epoch": u["_epoch"],
+                "_change_type": u["_change_type"],
+            }
+        )
+        return pa.concat_tables([out_on, out_u])
+
+    old_files = dict(state.get("buckets", {}))
+    lineage = (
+        ray.data.read_parquet([os.path.join(mv_dir, f) for f in late_files])
+        .map_batches(to_partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            _WindowBucketFolder(mv_dir, old_files, applied, suffix="-l"),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    new_files = dict(old_files)
+    bucket_cells = dict(state.get("bucket_cells", {}))
+    residual_files: list[str] = []
+    residual = 0
+    for r in lineage:
+        b = str(int(r["bucket"]))
+        if r["file"]:
+            new_files[b] = r["file"]
+            bucket_cells[b] = int(r["cells"])
+        if r["late_file"]:
+            residual_files.append(r["late_file"])
+            residual += int(r["late_rows"])
+    cells = sum(bucket_cells.get(b, 0) for b in new_files)
+    admitted = int(state.get("late_rows", 0)) - residual
+    _save_state(
+        mv_dir,
+        {
+            **state,
+            "buckets": new_files,
+            "bucket_cells": bucket_cells,
+            "late_files": residual_files,
+            "cells": cells,
+            "late_rows": residual,
+        },
+    )
+    live = {os.path.join(mv_dir, f) for f in new_files.values()}
+    live |= {os.path.join(mv_dir, f) for f in residual_files}
+    for p in _glob.glob(os.path.join(mv_dir, "w=*.parquet")) + _glob.glob(
+        os.path.join(mv_dir, "late-*.parquet")
+    ):
+        if p not in live:
+            os.remove(p)
+    return {"admitted": admitted, "cells": cells, "late_rows": residual}
 
 
 def read_mv_window(mv_dir: str) -> ray.data.Dataset:

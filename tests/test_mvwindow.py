@@ -179,6 +179,48 @@ def test_freezing_diverts_and_freezes(tmp_path, ray_session):
     )
 
 
+def test_admit_late_correction(tmp_path, ray_session):
+    """admit_late folds the diverted deltas into their frozen windows: the
+    view becomes the no-freeze fold (== direct aggregate), the side output
+    clears, a second admit is a no-op, and later refreshes keep freezing."""
+    from datax_ray.pipelines.mvwindow import admit_late_events
+
+    changes = gen_changes(8000, 40, seed=38, p_delete=0.1,
+                          out_of_order_frac=0.3)
+    chg, lk = _mklake(tmp_path, "adm", changes, spe=2)
+    mv = str(tmp_path / "mv_adm")
+    stats = refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=0.5)
+    assert stats["late_rows"] > 0
+
+    r = admit_late_events(mv)
+    assert r["admitted"] == stats["late_rows"] and r["late_rows"] == 0
+    assert _view(mv).equals(_direct(lk, WINDOW_S))
+    assert len(read_mv_window_late(mv).take_all()) == 0
+
+    r2 = admit_late_events(mv)
+    assert r2["admitted"] == 0
+
+    # freezing continues for future epochs under the unchanged watermark
+    more = gen_changes(3000, 40, seed=39, p_delete=0.15,
+                       out_of_order_frac=0.4)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"],
+                                            pa.scalar(8000, pa.int64())))
+    # advance event-time with the log position (the generator derives ts
+    # from its own lsn range) so the new events WIN their keys, with their
+    # ooo-backdated fraction falling below the standing watermark
+    more = more.set_column(
+        1, "ts",
+        pc.add(more["ts"], pa.scalar(8_000_000, pa.duration("us"))),
+    )
+    write_segments(more, chg, seg_rows=1000, start_seg=8)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    s2 = refresh_mv_window(lk, mv, window_s=WINDOW_S)
+    assert s2["late_rows"] > 0  # new late deltas diverted again
+    admit_late_events(mv)
+    assert _view(mv).equals(_direct(lk, WINDOW_S))
+
+
 def _direct_hopping(lake: str, window_s: int, hop_s: int):
     """Hopping aggregate of the live state: explode each row into its
     window/hop overlapping windows, then aggregate."""
