@@ -16,16 +16,25 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None):
+    """Own the Ray session: local by default; under `ray job submit` (or
+    any RAY_ADDRESS pointing at a cluster) attach to the running cluster —
+    the same CLI verbs then fan their map_batches work across the nodes."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(
-            address="local", include_dashboard=False, ignore_reinit_error=True,
-            logging_level="ERROR", log_to_driver=False, namespace="datax",
-        )
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    kwargs = dict(
+        ignore_reinit_error=True, logging_level="ERROR",
+        log_to_driver=False, namespace="datax",
+    )
+    if addr == "local":
+        kwargs["address"] = "local"
+        kwargs["include_dashboard"] = False
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    # non-local: attach to the cluster; per-process cpu caps don't apply
+    ray.init(**kwargs)
 
 
 def main(argv=None):
