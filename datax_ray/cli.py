@@ -256,6 +256,19 @@ def main(argv=None):
     mvs.add_argument("--rebuild", action="store_true")
     mvs.add_argument("--num-cpus", type=int, default=None)
 
+    mvaf = sub.add_parser(
+        "mvasof",
+        help="refresh the AS-OF JOIN view between two CDC lakes (per left "
+        "turn, the right row with the greatest ts at-or-before it; "
+        "delta-keyed: only changed conversations on EITHER side "
+        "recompute); --rebuild recomputes from two streaming passes",
+    )
+    mvaf.add_argument("--left", required=True, help="left (event) lake")
+    mvaf.add_argument("--right", required=True, help="right (enrichment) lake")
+    mvaf.add_argument("--mv", required=True, help="view directory")
+    mvaf.add_argument("--rebuild", action="store_true")
+    mvaf.add_argument("--num-cpus", type=int, default=None)
+
     mvj = sub.add_parser(
         "mvjoin",
         help="refresh the JOIN view between two CDC lakes (delta-keyed: "
@@ -948,6 +961,15 @@ def main(argv=None):
         print(json.dumps(refresh_mv_window(
             a.lake, a.mv, window_s=a.window, lateness_s=a.lateness,
             hop_s=a.hop, rebuild=a.rebuild,
+        )))
+        return 0
+
+    if a.cmd == "mvasof":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvasof import refresh_mv_asof
+
+        print(json.dumps(refresh_mv_asof(
+            a.left, a.right, a.mv, rebuild=a.rebuild
         )))
         return 0
 

@@ -1,0 +1,410 @@
+"""Incrementally-maintained AS-OF JOIN view between TWO CDC lakes — the
+temporal-enrichment member of the MV family (and the materialized
+counterpart of functions/relational.py:asof_join): for every LIVE left
+turn, the right lake's live row with the same conv_id and the greatest
+r_ts ≤ ts (backward as-of, equal-ts matches). The classic shape: event
+stream enriched with the latest config/price/profile as of event time,
+kept fresh as BOTH sides keep changing.
+
+Incremental unit is the CONVERSATION (the mvsession/mvjoin rule): an
+as-of match depends on the conv's full row sets on both sides, and any
+change on either side can re-point matches arbitrarily within the conv —
+but never across convs. Changed conv_ids from BOTH lakes' change feeds
+(id-only combiner rows) select which convs recompute; their live rows
+come from manifest-pruned point-reads AS OF each side's target epoch;
+each view bucket drops the changed convs' old rows and splices freshly
+joined ones in. Refresh cost is O(changed convs' rows), never O(lakes);
+past `max_point_keys` a full-scan fallback kicks in (filtered in-bucket).
+
+The in-bucket join is the exchange-free segmented-accumulate kernel of
+asof_join (sort by (conv, t, side) with right rows first at equal t, one
+np.maximum.accumulate carries the latest right position forward inside
+each conv segment) — vectorized across every conv of the bucket at once,
+no pandas round-trip. Right rows are assumed unique per (conv_id, r_ts);
+among exact r_ts ties the match is undefined (SQL ASOF JOIN's caveat).
+
+Storage/publish protocol is the family's: epoch-pair-named bucket
+generations + ONE atomic `_mvasof_state.json` replace; untouched buckets
+keep their old file; deletes on either side propagate (a deleted right
+row re-points its dependents to the previous right row, a deleted left
+row leaves the view); vacuumed-history `rebuild=True` recomputes from two
+streaming passes.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_STATE = "_mvasof_state.json"
+N_BUCKETS = 64
+
+_VIEW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("r_turn_idx", pa.int64()),
+        ("r_ts", pa.timestamp("us")),
+        ("r_text", pa.string()),
+    ]
+)
+
+
+def _load_state(d: str) -> dict:
+    try:
+        with open(os.path.join(d, _STATE)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _save_state(d: str, state: dict) -> None:
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, _STATE))
+
+
+def _bucket_of(conv: pa.Array) -> pa.Array:
+    from datax_ray.functions.relational import key_buckets
+
+    return key_buckets(pa.table({"conv_id": conv}), ["conv_id"], N_BUCKETS)
+
+
+def _asof_table(left: pa.Table, right: pa.Table) -> pa.Table:
+    """In-bucket backward as-of join, vectorized across all convs: the
+    asof_join segmented-accumulate kernel on plain tables."""
+    if left.num_rows == 0:
+        return _VIEW_SCHEMA.empty_table()
+    nl, nr = left.num_rows, right.num_rows
+    both = pa.table(
+        {
+            "conv_id": pa.concat_tables(
+                [
+                    pa.table({"conv_id": right["conv_id"]}),
+                    pa.table({"conv_id": left["conv_id"]}),
+                ]
+            )["conv_id"],
+            "_t": pa.concat_tables(
+                [
+                    pa.table({"_t": pc.cast(right["r_ts"], pa.int64())}),
+                    pa.table({"_t": pc.cast(left["ts"], pa.int64())}),
+                ]
+            )["_t"],
+            "_side": pa.array(
+                np.r_[np.zeros(nr, np.int8), np.ones(nl, np.int8)]
+            ),
+            "_row": pa.array(
+                np.r_[np.arange(nr, dtype=np.int64),
+                      np.arange(nl, dtype=np.int64)]
+            ),
+        }
+    )
+    idx = pc.sort_indices(
+        both,
+        sort_keys=[("conv_id", "ascending"), ("_t", "ascending"),
+                   ("_side", "ascending")],
+    )
+    g = both.take(idx)
+    n = g.num_rows
+    conv = g["conv_id"].to_numpy(zero_copy_only=False)
+    side = g["_side"].to_numpy(zero_copy_only=False)
+    row = g["_row"].to_numpy(zero_copy_only=False)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = conv[1:] != conv[:-1]
+    seg = np.cumsum(first) - 1
+    pos = np.arange(n, dtype=np.int64)
+    x = np.where(side == 0, pos + seg * n, -1)
+    acc = np.maximum.accumulate(x)
+    matched = (side == 1) & (acc >= seg * n)
+    li = np.flatnonzero(matched)
+    ri = acc[li] - seg[li] * n
+    lrows = left.take(pa.array(row[li]))
+    rrows = right.take(pa.array(row[ri]))
+    return pa.table(
+        {
+            "conv_id": lrows["conv_id"],
+            "turn_idx": lrows["turn_idx"],
+            "ts": lrows["ts"],
+            "r_turn_idx": rrows["r_turn_idx"],
+            "r_ts": rrows["r_ts"],
+            "r_text": rrows["r_text"],
+        }
+    ).cast(_VIEW_SCHEMA)
+
+
+class _AsofBucketFolder:
+    """map_groups over one bucket's union slice (_k=0 changed-key markers,
+    _k=1 left live turns, _k=2 right live rows): drop the changed convs'
+    old view rows, as-of-join the fresh slices, splice, write the
+    epoch-pair generation file."""
+
+    def __init__(self, mv_dir: str, old_files: dict, suffix: str,
+                 rebuild: bool):
+        self.__name__ = "_AsofBucketFolder"
+        self.mv_dir = mv_dir
+        self.old_files = old_files
+        self.suffix = suffix
+        self.rebuild = rebuild
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        b = int(g["_b"][0].as_py())
+        kind = g["_k"]
+        left = g.filter(pc.equal(kind, 1))
+        right = g.filter(pc.equal(kind, 2))
+        if self.rebuild:
+            old = _VIEW_SCHEMA.empty_table()
+        else:
+            keys = pc.unique(
+                g.filter(pc.equal(kind, 0))["conv_id"].combine_chunks()
+            )
+            old_rel = self.old_files.get(str(b))
+            if old_rel:
+                old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+                old = old.filter(
+                    pc.invert(pc.is_in(old["conv_id"], value_set=keys))
+                )
+            else:
+                old = _VIEW_SCHEMA.empty_table()
+            left = left.filter(pc.is_in(left["conv_id"], value_set=keys))
+            right = right.filter(pc.is_in(right["conv_id"], value_set=keys))
+        fresh = _asof_table(
+            pa.table(
+                {
+                    "conv_id": left["conv_id"],
+                    "turn_idx": left["turn_idx"],
+                    "ts": left["ts"],
+                }
+            ),
+            pa.table(
+                {
+                    "conv_id": right["conv_id"],
+                    "r_turn_idx": right["turn_idx"],
+                    "r_ts": right["ts"],
+                    "r_text": right["text"],
+                }
+            ),
+        )
+        merged = pa.concat_tables([old, fresh]).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        if merged.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([b], pa.int64()),
+                    "file": pa.array([""], pa.string()),
+                    "rows": pa.array([0], pa.int64()),
+                }
+            )
+        rel = f"b={b:04d}-{self.suffix}.parquet"
+        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
+        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
+        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "file": pa.array([rel], pa.string()),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+            }
+        )
+
+
+def _tag(kind: int):
+    def apply(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table(
+            {
+                "conv_id": pc.cast(t["conv_id"], pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64())
+                if "turn_idx" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "ts": pc.cast(t["ts"], pa.timestamp("us"))
+                if "ts" in t.column_names
+                else pa.nulls(n, pa.timestamp("us")),
+                "text": pc.cast(t["text"], pa.string())
+                if "text" in t.column_names
+                else pa.nulls(n, pa.string()),
+            }
+        )
+        out = out.append_column("_k", pa.array([kind] * n, pa.int8()))
+        return out.append_column(
+            "_b", _bucket_of(out["conv_id"].combine_chunks())
+        )
+
+    return apply
+
+
+def _changed_keys(lake_dir: str, frm: int, to: int) -> ray.data.Dataset:
+    from datax_ray.pipelines.feed import read_change_feed
+
+    def uniq(t: pa.Table) -> pa.Table:
+        ids = pc.unique(t["conv_id"].combine_chunks()).drop_null()
+        return pa.table({"conv_id": pc.cast(ids, pa.string())})
+
+    return read_change_feed(lake_dir, frm, to).map_batches(
+        uniq, batch_format="pyarrow"
+    )
+
+
+def refresh_mv_asof(
+    left_lake: str,
+    right_lake: str,
+    mv_dir: str,
+    rebuild: bool = False,
+    max_point_keys: int = 100_000,
+) -> dict:
+    """Bring the as-of view up to both lakes' committed heads. Returns
+    {"applied_left", "applied_right", "buckets_touched", "rows"}."""
+    from datax_ray.sinks.lake import read_lake
+    from datax_ray.state.manifest import Manifest
+
+    ml, mr = Manifest(left_lake), Manifest(right_lake)
+    head_l, head_r = ml.committed_epoch(), mr.committed_epoch()
+    if head_l < 0 or head_r < 0:
+        raise ValueError("both lakes need a committed epoch")
+    state = _load_state(mv_dir)
+    applied_l = int(state.get("applied_left", -1))
+    applied_r = int(state.get("applied_right", -1))
+    os.makedirs(mv_dir, exist_ok=True)
+    suffix = f"l{head_l:06d}-r{head_r:06d}"
+
+    if rebuild:
+        for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
+            os.remove(p)
+        stream = read_lake(left_lake, as_of_epoch=head_l).map_batches(
+            _tag(1), batch_format="pyarrow"
+        ).union(
+            read_lake(right_lake, as_of_epoch=head_r).map_batches(
+                _tag(2), batch_format="pyarrow"
+            )
+        )
+        lineage = (
+            stream.groupby("_b")
+            .map_groups(
+                _AsofBucketFolder(mv_dir, {}, suffix, rebuild=True),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        return _publish(mv_dir, {}, lineage, head_l, head_r, state=None)
+
+    if applied_l >= head_l and applied_r >= head_r:
+        return {
+            "applied_left": applied_l,
+            "applied_right": applied_r,
+            "buckets_touched": 0,
+            "rows": int(state.get("rows", 0)),
+        }
+    for m, applied, side in ((ml, applied_l, "left"), (mr, applied_r, "right")):
+        if applied >= 0 and m.at_epoch(applied) is None:
+            raise ValueError(
+                f"{side} epochs since {applied} were vacuumed — run with "
+                "rebuild=True"
+            )
+
+    keys_parts = []
+    if head_l > applied_l:
+        keys_parts.append(_changed_keys(left_lake, applied_l, head_l))
+    if head_r > applied_r:
+        keys_parts.append(_changed_keys(right_lake, applied_r, head_r))
+    keys_ds = keys_parts[0] if len(keys_parts) == 1 else keys_parts[0].union(
+        keys_parts[1]
+    )
+    key_rows = keys_ds.take_all()  # id-only, O(changed convs)
+    changed = sorted({r["conv_id"] for r in key_rows})
+    if not changed:
+        _save_state(mv_dir, {**state, "applied_left": head_l,
+                             "applied_right": head_r})
+        return {
+            "applied_left": head_l,
+            "applied_right": head_r,
+            "buckets_touched": 0,
+            "rows": int(state.get("rows", 0)),
+        }
+    point = len(changed) <= max_point_keys
+    l_ds = read_lake(
+        left_lake, as_of_epoch=head_l, conv_ids=changed if point else None
+    )
+    r_ds = read_lake(
+        right_lake, as_of_epoch=head_r, conv_ids=changed if point else None
+    )
+    key_tbl = pa.table({"conv_id": pa.array(changed, pa.string())})
+    stream = (
+        ray.data.from_arrow(_tag(0)(key_tbl))
+        .union(l_ds.map_batches(_tag(1), batch_format="pyarrow"))
+        .union(r_ds.map_batches(_tag(2), batch_format="pyarrow"))
+    )
+    old_files = dict(state.get("buckets", {}))
+    lineage = (
+        stream.groupby("_b")
+        .map_groups(
+            _AsofBucketFolder(mv_dir, old_files, suffix, rebuild=False),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return _publish(mv_dir, old_files, lineage, head_l, head_r, state)
+
+
+def _publish(
+    mv_dir: str, old_files: dict, lineage: list, head_l: int, head_r: int,
+    state: dict | None,
+) -> dict:
+    state = dict(state or {})
+    new_files = dict(old_files)
+    bucket_rows = dict(state.get("bucket_rows", {}))
+    for r in lineage:
+        b = str(int(r["bucket"]))
+        if r["file"]:
+            new_files[b] = r["file"]
+            bucket_rows[b] = int(r["rows"])
+        else:
+            new_files.pop(b, None)
+            bucket_rows.pop(b, None)
+    total = sum(bucket_rows.values())
+    _save_state(
+        mv_dir,
+        {
+            "applied_left": head_l,
+            "applied_right": head_r,
+            "buckets": new_files,
+            "bucket_rows": bucket_rows,
+            "rows": total,
+        },
+    )
+    live = {os.path.join(mv_dir, f) for f in new_files.values()}
+    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
+        if p not in live:
+            os.remove(p)
+    return {
+        "applied_left": head_l,
+        "applied_right": head_r,
+        "buckets_touched": len(lineage),
+        "rows": total,
+    }
+
+
+def read_mv_asof(mv_dir: str) -> ray.data.Dataset:
+    """The as-of view as a Dataset — buckets are disjoint and final."""
+    state = _load_state(mv_dir)
+    files = [
+        os.path.join(mv_dir, f)
+        for f in sorted(state.get("buckets", {}).values())
+    ]
+    if not files:
+        return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
+    return ray.data.read_parquet(files)

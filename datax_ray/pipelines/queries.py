@@ -1364,6 +1364,74 @@ FROM final GROUP BY 1, 2
 """
 
 
+def cdc_hopping_mv(sf_dir: str):
+    """HOPPING-window variant of the watermarked MV (pipelines/mvwindow.py
+    with hop_s < window_s): every live row counts in window/hop = 2
+    overlapping windows (2-day windows hopping daily), folded from the
+    preimage feed with one np.repeat explode per batch; driver-verified
+    MID-stream like cdc_window_mv. The oracle explodes the LWW fold with a
+    2-row range join."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvwindow import read_mv_window, refresh_mv_window
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvhop/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_window(
+        f"{work}/lake", f"{work}/mvh", window_s=172800, hop_s=86400,
+        lateness_s=None,
+    )
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_window(f"{work}/lake", f"{work}/mvh", window_s=172800)
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_mv_window(f"{work}/mvh")
+
+
+CDC_HOPPING_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT role, text, ts FROM w WHERE rn = 1 AND op <> 'delete'
+), exploded AS (
+  SELECT f.role, f.text,
+         make_timestamp(
+           ((epoch_us(f.ts) // 86400000000) - j.i) * 86400000000
+         ) AS window_start
+  FROM final f CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) j
+)
+SELECT window_start, role,
+       COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM exploded GROUP BY 1, 2
+"""
+
+
 def cdc_session_mv(sf_dir: str):
     """Delta-keyed SESSION-window MV through the full engine,
     driver-verified MID-stream (pipelines/mvsession.py): replay HALF the
@@ -1487,6 +1555,90 @@ def cdc_join_mv(sf_dir: str):
     stats = refresh_mv_join(f"{work}/lake", f"{work}/dim", f"{work}/mvjoin")
     assert stats["applied_left"] >= 0  # second refresh was incremental
     return read_mv_join(f"{work}/mvjoin")
+
+
+def cdc_asof_mv(sf_dir: str):
+    """Incrementally-maintained AS-OF JOIN view between TWO CDC lakes
+    (pipelines/mvasof.py — the temporal-enrichment MV), driver-verified
+    MID-stream: the transcript lake (turn_mod=25) and a second derivation
+    (turn_mod=7 — several enrichment rows per conv at varied event-times)
+    both replay from `events`; per live left turn the view carries the
+    right row with the greatest ts at-or-before it (backward as-of, exact
+    ties match). First refresh runs after HALF the left stream, the second
+    folds only changed conversations. The oracle is DuckDB's ASOF JOIN of
+    the two LWW folds."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvasof import read_mv_asof, refresh_mv_asof
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvasof/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)  # clears work; left log at /changes
+    lineage = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(
+            __import__("datax_ray.sources.derive", fromlist=["ChangeDeriver"])
+            .ChangeDeriver(f"{work}/changes_enrich", turn_mod=7),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .take_all()
+    )
+    assert lineage
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_enrich", lake_dir=f"{work}/enrich", **cfg
+    ))
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_asof(f"{work}/lake", f"{work}/enrich", f"{work}/mvasof")
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_asof(f"{work}/lake", f"{work}/enrich", f"{work}/mvasof")
+    assert stats["applied_left"] >= 0  # second refresh was incremental
+    return read_mv_asof(f"{work}/mvasof")
+
+
+CDC_ASOF_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS lturn,
+         CAST(event_id % 7 AS INTEGER) AS rturn,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), lw AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, lturn
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), lfinal AS (
+  SELECT conv_id, CAST(lturn AS BIGINT) AS turn_idx, ts
+  FROM lw WHERE rn = 1 AND op <> 'delete'
+), rw AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, rturn
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), rfinal AS (
+  SELECT conv_id, CAST(rturn AS BIGINT) AS r_turn_idx, ts AS r_ts,
+         text AS r_text
+  FROM rw WHERE rn = 1 AND op <> 'delete'
+)
+SELECT l.conv_id, l.turn_idx, l.ts, r.r_turn_idx, r.r_ts, r.r_text
+FROM lfinal l ASOF JOIN rfinal r
+  ON l.conv_id = r.conv_id AND l.ts >= r.r_ts
+"""
 
 
 CDC_JOIN_MV_SQL = """
@@ -10909,7 +11061,9 @@ QUERIES = {
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
     "cdc_session_mv": cdc_session_mv,
+    "cdc_hopping_mv": cdc_hopping_mv,
     "cdc_join_mv": cdc_join_mv,
+    "cdc_asof_mv": cdc_asof_mv,
     "cdc_hll_conv_mv": cdc_hll_conv_mv,
     "cdc_bootstrap_replay": cdc_bootstrap_replay,
     "dx_substr": dx_substr,
@@ -11102,7 +11256,9 @@ ORACLE_SQL = {
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,
     "cdc_session_mv": CDC_SESSION_MV_SQL,
+    "cdc_hopping_mv": CDC_HOPPING_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
+    "cdc_asof_mv": CDC_ASOF_MV_SQL,
     "cdc_hll_conv_mv": CDC_HLL_MV_SQL,
     "cdc_bootstrap_replay": CDC_BOOTSTRAP_SQL,
     "dx_substr": DX_SUBSTR_SQL,
