@@ -33,6 +33,8 @@ Registered kinds and their refreshers:
     sketch    pipelines/sketchmv.py:refresh_sketch         (params: p)
     export    sinks/export.py:export_lake_incremental      (params: fmt)
     feedout   sinks/feedout.py:export_change_feed_envelopes (params: fmt)
+    mvjoin    pipelines/mvjoin.py:refresh_mv_join           (params: right_lake)
+    mvasof    pipelines/mvasof.py:refresh_mv_asof           (params: right_lake)
 """
 
 from __future__ import annotations
@@ -112,10 +114,24 @@ def _dispatch(kind: str):
         from datax_ray.sinks.feedout import export_change_feed_envelopes
 
         return export_change_feed_envelopes, {"fmt"}
+    if kind == "mvjoin":
+        from datax_ray.pipelines.mvjoin import refresh_mv_join
+
+        def _join(lake_dir, mv_dir, right_lake):
+            return refresh_mv_join(lake_dir, right_lake, mv_dir)
+
+        return _join, {"right_lake"}
+    if kind == "mvasof":
+        from datax_ray.pipelines.mvasof import refresh_mv_asof
+
+        def _asof(lake_dir, mv_dir, right_lake):
+            return refresh_mv_asof(lake_dir, right_lake, mv_dir)
+
+        return _asof, {"right_lake"}
     raise ValueError(
         f"unknown artifact kind {kind!r} — expected one of mv/mvadd/"
-        "mvsession/mvwindow/index/dedup/neardup/colindex/sketch/export/"
-        "feedout"
+        "mvsession/mvwindow/mvjoin/mvasof/index/dedup/neardup/colindex/"
+        "sketch/export/feedout"
     )
 
 
