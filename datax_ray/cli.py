@@ -91,8 +91,21 @@ def main(argv=None):
     v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
     v.add_argument("--num-cpus", type=int, default=None)
 
+    stt = sub.add_parser(
+        "status",
+        help="operational staleness report: committed head, fragment "
+        "pressure, per-artifact lag, consumer offsets, dead-letter "
+        "backlog — manifest metadata only, no Ray session, no storage "
+        "reads",
+    )
+    stt.add_argument("--lake", required=True)
+
     c = sub.add_parser("compact", help="force-compact all ranges with pending fragments")
     c.add_argument("--lake", required=True)
+    c.add_argument("--min-frags", type=int, default=None,
+                   help="size-tiered policy: compact ONLY ranges with at "
+                   "least this many pending fragments (manifest-only "
+                   "check — cold ranges pay nothing)")
     c.add_argument("--num-cpus", type=int, default=None)
 
     e = sub.add_parser("export", help="materialize the lake to a parquet/orc/csv/jsonl sink")
@@ -777,13 +790,30 @@ def main(argv=None):
         ray.shutdown()
         return 0 if ok else 1
 
+    if a.cmd == "status":
+        from datax_ray.pipelines.status import lake_status
+
+        print(json.dumps(lake_status(a.lake), indent=1))
+        return 0
+
     if a.cmd == "compact":
         _ensure_ray(a.num_cpus)
         import ray
 
         from datax_ray.pipelines.replay import ReplayConfig, compact_lake
 
-        out = compact_lake(ReplayConfig(changes_dir="", lake_dir=a.lake))
+        only = None
+        if a.min_frags is not None:
+            from datax_ray.state.manifest import Manifest
+
+            ranges = Manifest(a.lake).current_ranges()
+            only = {
+                rid for rid, rec in ranges.items()
+                if len(rec.get("frags", [])) >= a.min_frags
+            }
+        out = compact_lake(
+            ReplayConfig(changes_dir="", lake_dir=a.lake), only_rids=only
+        )
         print(json.dumps(out))
         ray.shutdown()
         return 0

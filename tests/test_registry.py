@@ -80,6 +80,36 @@ def test_register_sync_incremental(lake, tmp_path):
         sync_artifacts(lk, only=["nope"])
 
 
+def test_status_reports_lag_and_sync_clears_it(lake, tmp_path):
+    import pyarrow as pa
+
+    from datax_ray.pipelines.status import lake_status
+
+    chg, lk = lake
+    register_artifact(lk, "stats", "mvadd", str(tmp_path / "mvadd"))
+    register_artifact(lk, "cdc_out", "feedout", str(tmp_path / "env"))
+    st0 = lake_status(lk)
+    assert st0["artifacts"]["stats"]["state"] == "never refreshed"
+    sync_artifacts(lk)
+    st1 = lake_status(lk)
+    assert st1["artifacts"]["stats"]["behind"] == 0
+    assert st1["artifacts"]["cdc_out"]["behind"] == 0
+
+    more = gen_changes(800, 50, seed=53)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"],
+                                            pa.scalar(4000, pa.int64())))
+    write_segments(more, chg, seg_rows=1000, start_seg=4)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    st2 = lake_status(lk)
+    assert st2["artifacts"]["stats"]["behind"] > 0
+    assert st2["committed_epoch"] > st1["committed_epoch"]
+    sync_artifacts(lk)
+    st3 = lake_status(lk)
+    assert all(a.get("behind", 0) == 0 for a in st3["artifacts"].values())
+    assert st3["deadletter"]["pending_files"] == 0
+
+
 def test_validation_errors_and_isolation(lake, tmp_path):
     _, lk = lake
     with pytest.raises(ValueError, match="unknown artifact kind"):
