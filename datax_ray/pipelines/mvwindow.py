@@ -453,7 +453,11 @@ def refresh_mv_window(
     window_us = int(window_s * 1_000_000)
     lateness_us = None if lateness_s is None else int(lateness_s * 1_000_000)
 
-    feed = read_change_feed_preimages(lake_dir, applied, committed).materialize()
+    feed = read_change_feed_preimages(lake_dir, applied, committed)
+    if lateness_us is not None:
+        # the watermark pass reads the feed once before the fold does —
+        # materialize so the preimage merge-reads run once, not twice
+        feed = feed.materialize()
 
     # wm_used[e - (applied+1)] = watermark a delta of epoch e is judged by
     # (= wm_after(e−1)); prefix-max over per-epoch feed maxima.

@@ -290,6 +290,84 @@ def test_hopping_windows(tmp_path, ray_session):
     assert _view(mv).equals(_direct_hopping(lk, 4, 2))
 
 
+def test_refresh_across_rename_ddl(tmp_path, ray_session):
+    """A rename_column(role -> speaker) DDL mid-stream: the view keeps
+    aggregating the same payload under its original `role` key name
+    (_role_col resolves either), and an incremental refresh spanning the
+    rename equals a direct aggregate of the renamed final state."""
+    import json as _json
+
+    import numpy as np
+
+    base = 1_700_000_000_000_000
+    n = 30
+
+    def batch(start_lsn, ts0, with_ddl=False):
+        rows = []
+        if with_ddl:
+            rows.append(dict(
+                lsn=start_lsn, ts=ts0 - 5_000_000, op="ddl", conv_id="ddl",
+                turn_idx=0, role=None, text=None, tool=None,
+                ddl=_json.dumps({"action": "rename_column", "name": "role",
+                                 "to": "speaker"}),
+            ))
+        for i in range(n):
+            rows.append(dict(
+                lsn=start_lsn + len(rows), ts=ts0 + i * 1000, op="insert",
+                conv_id=f"conv-{i % 3}", turn_idx=(start_lsn + i) % 25,
+                role="user" if i % 2 == 0 else "assistant",
+                text="x" * (5 + i % 7), tool="", ddl=None,
+            ))
+        t = pa.Table.from_pylist(rows)
+        return pa.table({
+            "lsn": pc.cast(t["lsn"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.timestamp("us")),
+            "op": t["op"], "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+            "role": pc.cast(t["role"], pa.string()),
+            "text": pc.cast(t["text"], pa.string()),
+            "tool": pc.cast(t["tool"], pa.string()),
+            "ddl": pc.cast(t["ddl"], pa.string()),
+        })
+
+    chg = str(tmp_path / "chg")
+    lk = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    write_segments(batch(0, base), chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=4,
+                        segments_per_epoch=1))
+    refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=None)
+
+    write_segments(batch(100, base + 60_000_000, with_ddl=True), chg,
+                   seg_rows=1000, start_seg=1)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=4,
+                        segments_per_epoch=1))
+    refresh_mv_window(lk, mv, window_s=WINDOW_S)
+
+    live = final_table(lk)
+    assert "speaker" in live.column_names  # rename landed
+    w_us = WINDOW_S * 1_000_000
+    w = pc.multiply(pc.divide(pc.cast(live["ts"], pa.int64()), w_us), w_us)
+    chars = pc.cast(pc.utf8_length(live["text"]), pa.int64())
+    g = (
+        pa.table({"window_start": w, "role": live["speaker"],
+                  "sum_chars": chars})
+        .group_by(["window_start", "role"], use_threads=False)
+        .aggregate([("sum_chars", "sum"), ("sum_chars", "count")])
+    )
+    want = (
+        pa.table({
+            "window_start": pc.cast(g["window_start"], pa.timestamp("us")),
+            "role": g["role"],
+            "n_turns": pc.cast(g["sum_chars_count"], pa.int64()),
+            "sum_chars": g["sum_chars_sum"],
+        })
+        .sort_by([("window_start", "ascending"), ("role", "ascending")])
+        .to_pandas().reset_index(drop=True)
+    )
+    assert _view(mv).equals(want)
+
+
 def test_config_pinned_and_rebuild(tmp_path, ray_session):
     changes = gen_changes(3000, 30, seed=35)
     _, lk = _mklake(tmp_path, "d", changes)
