@@ -49,25 +49,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from datax_ray.pipelines.purge import _SYNTH_LSN_BASE
+from datax_ray.pipelines.purge import bump_synthetic_lsn
 from datax_ray.schemas import DELETED_COL, LSN_COL, schema_from_json, schema_to_json
 from datax_ray.stages.delta import FRAG_LINEAGE_SCHEMA, write_fragment
 from datax_ray.stages.partitioning import part_ids_for
 from datax_ray.state.manifest import Manifest
 
 _IMMUTABLE = ("conv_id", "turn_idx", "ts")
-
-
-def _bump_lsn(lsn: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Dominating synthetic lsn, overflow-safe for already-synthetic
-    winners: real lsns jump into the reserved space, reserved ones step."""
-    if isinstance(lsn, pa.ChunkedArray):
-        lsn = lsn.combine_chunks()
-    return pc.if_else(
-        pc.less(lsn, _SYNTH_LSN_BASE),
-        pc.add(lsn, _SYNTH_LSN_BASE + 1),
-        pc.add(lsn, 1),
-    )
 
 
 def _null_safe_neq(a, b) -> pa.Array:
@@ -167,7 +155,7 @@ class BackfillRewriter:
             cols = {}
             for f in schema:
                 if f.name == LSN_COL:
-                    cols[f.name] = _bump_lsn(j[LSN_COL])
+                    cols[f.name] = bump_synthetic_lsn(j[LSN_COL])
                 elif f.name == DELETED_COL:
                     cols[f.name] = pa.array(np.zeros(j.num_rows, dtype=bool))
                 else:

@@ -85,6 +85,11 @@ def _bucket_of(conv: pa.Array) -> pa.Array:
 def _asof_table(left: pa.Table, right: pa.Table) -> pa.Table:
     """In-bucket backward as-of join, vectorized across all convs: the
     asof_join segmented-accumulate kernel on plain tables."""
+    # SQL ASOF semantics: a NULL event-time matches nothing (l.ts >= r.ts
+    # is NULL) — exclude on both sides rather than letting nulls sort last
+    # and spuriously match the conv's latest right row
+    left = left.filter(pc.is_valid(left["ts"]))
+    right = right.filter(pc.is_valid(right["r_ts"]))
     if left.num_rows == 0:
         return _VIEW_SCHEMA.empty_table()
     nl, nr = left.num_rows, right.num_rows
@@ -283,8 +288,9 @@ def refresh_mv_asof(
     suffix = f"l{head_l:06d}-r{head_r:06d}"
 
     if rebuild:
-        for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-            os.remove(p)
+        # old generations stay on disk until the atomic state publish —
+        # _publish GCs whatever the fresh state no longer references, so a
+        # crashed rebuild leaves the previous view fully readable
         stream = read_lake(left_lake, as_of_epoch=head_l).map_batches(
             _tag(1), batch_format="pyarrow"
         ).union(

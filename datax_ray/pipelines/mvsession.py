@@ -262,8 +262,8 @@ def refresh_mv_session(
             )
 
     if rebuild:
-        for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-            os.remove(p)
+        # old generations stay on disk until the atomic state publish —
+        # a crashed rebuild leaves the previous view fully readable
         stream = read_lake(lake_dir, as_of_epoch=committed).map_batches(
             _tag(1), batch_format="pyarrow"
         )

@@ -385,7 +385,7 @@ def _epoch_maxima(feed: ray.data.Dataset) -> dict[int, int]:
 def refresh_mv_window(
     lake_dir: str,
     mv_dir: str,
-    window_s: int = 3600,
+    window_s: int | None = None,
     lateness_s: float | None = None,
     hop_s: int | None = None,
     rebuild: bool = False,
@@ -407,7 +407,7 @@ def refresh_mv_window(
         raise ValueError(f"no committed lake at {lake_dir}")
     state = _load_state(mv_dir)
     if state:
-        if window_s != state["window_s"]:
+        if window_s is not None and window_s != state["window_s"]:
             raise ValueError(
                 f"view was created with window_s={state['window_s']}; "
                 f"got {window_s} — windows cannot be re-keyed incrementally"
@@ -424,6 +424,9 @@ def refresh_mv_window(
                 f"view was created with hop_s={stored_hop}; got {hop_s}"
             )
         hop_s = stored_hop
+        window_s = state["window_s"]  # omitted -> reuse stored
+    if window_s is None:
+        window_s = 3600
     if hop_s is not None and (hop_s <= 0 or window_s % hop_s):
         raise ValueError(
             f"window_s ({window_s}) must be a positive multiple of hop_s "
@@ -461,7 +464,8 @@ def refresh_mv_window(
 
     # wm_used[e - (applied+1)] = watermark a delta of epoch e is judged by
     # (= wm_after(e−1)); prefix-max over per-epoch feed maxima.
-    wm_running = int(state.get("watermark_us") or _NEG_INF)
+    stored_wm = state.get("watermark_us")
+    wm_running = _NEG_INF if stored_wm is None else int(stored_wm)
     wm_used: list[int] = []
     if lateness_us is None:
         wm_used = [_NEG_INF] * (committed - applied)
@@ -563,6 +567,12 @@ def _rebuild(
                     "mx": pa.array([], pa.int64()),
                 }
             )
+        # null event-times cannot be windowed; the incremental path
+        # diverts them to the late side output, and a rebuild clears that
+        # output — so they are excluded here too (documented behavior)
+        t = t.filter(pc.is_valid(t["ts"]))
+        if t.num_rows == 0:
+            return partial(t.slice(0, 0))
         if k_hops > 1:  # hopping: explode each live row into its windows
             idx = np.repeat(np.arange(t.num_rows), k_hops)
             t = t.take(pa.array(idx))
@@ -573,7 +583,11 @@ def _rebuild(
             w = pa.array(w_np)
         else:
             ts = pc.cast(t["ts"], pa.int64())
-            w = pc.multiply(pc.divide(ts, window_us), window_us)
+            ts_np = ts.to_numpy(zero_copy_only=False)
+            # numpy floor division: negative (pre-epoch) timestamps land
+            # in the SAME window as the incremental fold (arrow's divide
+            # truncates toward zero and would disagree at ts < 0)
+            w = pa.array((ts_np // window_us) * window_us)
         d = pa.table(
             {
                 "window_start": w,
@@ -589,8 +603,11 @@ def _rebuild(
             .aggregate([("n_turns", "sum"), ("sum_chars", "sum")])
             .rename_columns(["window_start", "role", "n_turns", "sum_chars"])
         )
+        mx_v = pc.max(ts).as_py()
         return g.append_column(
-            "mx", pa.array([pc.max(ts).as_py() or _NEG_INF] * g.num_rows, pa.int64())
+            "mx",
+            pa.array([_NEG_INF if mx_v is None else mx_v] * g.num_rows,
+                     pa.int64()),
         )
 
     def fold(g: pa.Table) -> pa.Table:

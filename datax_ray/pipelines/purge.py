@@ -77,6 +77,20 @@ from datax_ray.state.manifest import Manifest
 _SYNTH_LSN_BASE = 1 << 62
 
 
+def bump_synthetic_lsn(lsn: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Dominating synthetic lsn, overflow-safe for winners that are
+    ALREADY synthetic (a backfill rewrite then a purge of the same key, or
+    repeated backfills): real lsns jump into the reserved space, reserved
+    ones step within it."""
+    if isinstance(lsn, pa.ChunkedArray):
+        lsn = lsn.combine_chunks()
+    return pc.if_else(
+        pc.less(lsn, _SYNTH_LSN_BASE),
+        pc.add(lsn, _SYNTH_LSN_BASE + 1),
+        pc.add(lsn, 1),
+    )
+
+
 class PurgeTombstoner:
     """Map task over range-plan items: merge-read the purged keys' current
     winners in one range, emit a dominating tombstone fragment for the
@@ -141,18 +155,7 @@ class PurgeTombstoner:
                 elif f.name == "ts":
                     cols[f.name] = live["ts"]
                 elif f.name == LSN_COL:
-                    # overflow-safe for winners that are ALREADY synthetic
-                    # (a backfill rewrite, then a purge of the same key):
-                    # real lsns jump into the reserved space, reserved
-                    # ones step within it
-                    lsn = live[LSN_COL]
-                    if isinstance(lsn, pa.ChunkedArray):
-                        lsn = lsn.combine_chunks()
-                    cols[f.name] = pc.if_else(
-                        pc.less(lsn, _SYNTH_LSN_BASE),
-                        pc.add(lsn, _SYNTH_LSN_BASE + 1),
-                        pc.add(lsn, 1),
-                    )
+                    cols[f.name] = bump_synthetic_lsn(live[LSN_COL])
                 elif f.name == DELETED_COL:
                     cols[f.name] = pa.array(
                         np.ones(live.num_rows, dtype=bool)

@@ -23,8 +23,8 @@ _KIND_STATE = {
     "mvadd": ("_mvadd_state.json", ["applied_epoch"]),
     "mvsession": ("_mvsession_state.json", ["applied_epoch"]),
     "mvwindow": ("_mvwindow_state.json", ["applied_epoch"]),
-    "mvjoin": ("_mvjoin_state.json", ["applied_left", "applied_right"]),
-    "mvasof": ("_mvasof_state.json", ["applied_left", "applied_right"]),
+    "mvjoin": ("_mvjoin_state.json", ["applied_left"]),
+    "mvasof": ("_mvasof_state.json", ["applied_left"]),
     "feedout": ("_feedout_state.json", ["exported_epoch"]),
     "export": ("_export_state.json", []),
     "index": ("_index_state.json", []),
@@ -95,6 +95,18 @@ def lake_status(lake_dir: str) -> dict:
                 )
                 rec["applied_epoch"] = applied
                 rec["behind"] = max(0, committed - applied)
+                # two-lake views: the right side lags against the RIGHT
+                # lake's own head, not this lake's
+                right_lake = a.get("params", {}).get("right_lake")
+                if right_lake and "applied_right" in st:
+                    r_head = Manifest(right_lake).committed_epoch()
+                    rec["applied_right"] = int(st["applied_right"])
+                    rec["right_behind"] = max(
+                        0, r_head - int(st["applied_right"])
+                    )
+                    rec["behind"] = max(
+                        rec["behind"], rec["right_behind"]
+                    )
             else:
                 rec["state"] = "fingerprint-based (fresh after last sync)"
         arts[name] = rec

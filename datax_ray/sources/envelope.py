@@ -139,14 +139,22 @@ def _convert_table(t: pa.Table, base_lsn: int,
         return schema.empty_table()
     op_map = pc.case_when(
         pc.make_struct(
-            pc.equal(t["op"], "c"),
-            pc.equal(t["op"], "u"),
+            pc.is_in(t["op"], value_set=pa.array(["c", "r"])),  # Debezium
+            pc.equal(t["op"], "u"),  # snapshot reads ("r") fold as inserts
             pc.equal(t["op"], "d"),
         ),
         "insert",
         "update",
         "delete",
     )
+    if op_map.null_count:
+        bad = pc.unique(
+            t.filter(pc.is_null(op_map))["op"].combine_chunks()
+        ).to_pylist()
+        raise ValueError(
+            f"envelope stream carries unsupported op values {bad!r} — "
+            "expected c/r (insert), u (update), d (delete)"
+        )
     after = t["after"] if "after" in t.column_names else pa.nulls(n)
     before = t["before"] if "before" in t.column_names else pa.nulls(n)
     is_del = pc.equal(t["op"], "d")

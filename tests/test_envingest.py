@@ -129,12 +129,32 @@ def test_foreign_envelopes_ts_ms_fallback(tmp_path, ray_session):
         for r in recs:
             f.write(json.dumps(r) + "\n")
 
+    # Debezium snapshot records (op "r") fold as inserts
+    recs.insert(0, {
+        "op": "r", "conv_id": "c-0", "turn_idx": 0,
+        "ts_ms": 1_699_999_999_000, "lsn": 1, "epoch": 0,
+        "before": None, "after": {"role": "user", "text": "snap", "tool": ""},
+    })
+    with open(os.path.join(env, "env-b0000-e000000-000001.jsonl"), "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
     chg = str(tmp_path / "chg")
     lk = str(tmp_path / "lake")
-    assert envelopes_to_segments(env, chg)["rows"] == 4
+    assert envelopes_to_segments(env, chg)["rows"] == 5
     replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=2,
                         segments_per_epoch=1))
     live = final_table(lk)
-    assert live.num_rows == 1
-    assert live["conv_id"][0].as_py() == "c-1"
-    assert live["text"][0].as_py() == "hello"
+    assert live.num_rows == 2
+    got = dict(zip(live["conv_id"].to_pylist(), live["text"].to_pylist()))
+    assert got == {"c-0": "snap", "c-1": "hello"}
+
+    # unknown ops fail loudly, not silently
+    env2 = str(tmp_path / "env2")
+    os.makedirs(env2)
+    with open(os.path.join(env2, "env-b0000-e000000-000000.jsonl"), "w") as f:
+        f.write(json.dumps({"op": "x", "conv_id": "c", "turn_idx": 0,
+                            "ts_ms": 1, "lsn": 0, "epoch": 0,
+                            "before": None, "after": None}) + "\n")
+    with pytest.raises(ValueError, match="unsupported op"):
+        envelopes_to_segments(env2, str(tmp_path / "chg2"))

@@ -88,6 +88,14 @@ def test_status_reports_lag_and_sync_clears_it(lake, tmp_path):
     chg, lk = lake
     register_artifact(lk, "stats", "mvadd", str(tmp_path / "mvadd"))
     register_artifact(lk, "cdc_out", "feedout", str(tmp_path / "env"))
+    # an mvwindow artifact registered WITHOUT params must reuse the view's
+    # stored window_s on every sync (regression: the 3600 default used to
+    # mismatch and fail forever)
+    from datax_ray.pipelines.mvwindow import refresh_mv_window
+
+    refresh_mv_window(lk, str(tmp_path / "mvw5"), window_s=5)
+    register_artifact(lk, "win5", "mvwindow", str(tmp_path / "mvw5"))
+
     st0 = lake_status(lk)
     assert st0["artifacts"]["stats"]["state"] == "never refreshed"
     sync_artifacts(lk)
