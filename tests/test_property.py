@@ -262,3 +262,107 @@ def test_content_hash_and_buckets_deterministic(texts, buckets):
     b2 = key_buckets(t, ["x"], buckets).to_pylist()
     assert b1 == b2
     assert all(0 <= b < buckets for b in b1)
+
+
+# ---- session-window kernel (pipelines/mvsession._sessionize_table) ----
+
+_turns = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # conv
+        st.integers(0, 40),       # ts (µs — gaps split at > gap_us)
+        st.integers(0, 9),        # text length
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(_turns, st.integers(1, 8))
+@settings(max_examples=120, deadline=None)
+def test_sessionize_table_matches_naive(rows, gap_us):
+    from datax_ray.pipelines.mvsession import _sessionize_table
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array(["x" * r[2] for r in rows], pa.string()),
+        }
+    )
+    got = _sessionize_table(t, gap_us).to_pylist()
+    got = sorted(
+        (r["conv_id"], r["session_idx"], r["start_ts"].timestamp() * 1e6,
+         r["end_ts"].timestamp() * 1e6, r["n_turns"], r["sum_chars"])
+        for r in got
+    )
+
+    # naive reference
+    byconv: dict = {}
+    for c, ts, ln in sorted(rows):
+        byconv.setdefault(f"c{c}", []).append((ts, ln))
+    want = []
+    for conv, evs in byconv.items():
+        sid = -1
+        prev = None
+        cur = None
+        for ts, ln in evs:
+            if prev is None or ts - prev > gap_us:
+                if cur:
+                    want.append(cur)
+                sid += 1
+                cur = [conv, sid, ts, ts, 0, 0]
+            cur[3] = ts
+            cur[4] += 1
+            cur[5] += ln
+            prev = ts
+        if cur:
+            want.append(cur)
+    want = sorted(
+        (c, s, float(a), float(b), n, ch) for c, s, a, b, n, ch in want
+    )
+    assert got == want
+
+
+# ---- as-of kernel (pipelines/mvasof._asof_table) ----
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+             min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+             min_size=0, max_size=25),
+)
+@settings(max_examples=120, deadline=None)
+def test_asof_table_matches_naive(lrows, rrows):
+    from datax_ray.pipelines.mvasof import _asof_table
+
+    # right rows unique per (conv, ts) — the kernel's documented contract
+    rrows = sorted(set(rrows))
+    left = pa.table(
+        {
+            "conv_id": pa.array([f"c{c}" for c, _ in lrows], pa.string()),
+            "turn_idx": pa.array(list(range(len(lrows))), pa.int64()),
+            "ts": pa.array([ts for _, ts in lrows], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "conv_id": pa.array([f"c{c}" for c, _ in rrows], pa.string()),
+            "r_turn_idx": pa.array(list(range(len(rrows))), pa.int64()),
+            "r_ts": pa.array([ts for _, ts in rrows], pa.timestamp("us")),
+            "r_text": pa.array([f"t{i}" for i in range(len(rrows))],
+                               pa.string()),
+        }
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["r_turn_idx"])
+        for r in _asof_table(left, right).to_pylist()
+    )
+    want = []
+    for i, (c, ts) in enumerate(lrows):
+        best = None
+        for j, (rc, rts) in enumerate(rrows):
+            if rc == c and rts <= ts and (best is None or rts > rrows[best][1]):
+                best = j
+        if best is not None:
+            want.append((f"c{c}", i, best))
+    assert got == sorted(want)
