@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "semdedup_docs",
     "cdc_window_mv",
     "cdc_session_mv",
+    "cdc_hopping_mv",
     "cdc_envelope_roundtrip",
     "cdc_backfill_scrub",
 ]
