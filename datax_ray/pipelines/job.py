@@ -130,6 +130,13 @@ def build_reader(cfg: dict) -> ray.data.Dataset:
         )
     if name == "streamreader":
         return _stream_reader(param)
+    if name == "envelopereader":
+        # a Debezium-style envelope export (sinks/feedout.py — ours or a
+        # foreign producer's published set) as a row stream: envelope
+        # dir -> anything jobs (audits, counts, re-shipping)
+        from datax_ray.sinks.feedout import read_envelopes
+
+        return read_envelopes(param["path"])
     if name == "lakereader":
         # the CDC lake as a first-class DataX endpoint: committed live
         # rows (optionally AS OF an epoch / filtered), streamed one

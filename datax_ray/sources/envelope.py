@@ -170,6 +170,11 @@ def _convert_table(t: pa.Table, base_lsn: int,
     ts = payload("ts", pa.timestamp("us"))
     if ts.null_count > 0:
         # foreign producers may omit image ts — fall back to envelope ts_ms
+        if "ts_ms" not in t.column_names:
+            raise ValueError(
+                "envelope rows lack both an image ts and a ts_ms field — "
+                "no event-time to order the LWW merge by"
+            )
         fallback = pc.cast(
             pc.multiply(pc.cast(t["ts_ms"], pa.int64()), 1000),
             pa.timestamp("us"),

@@ -393,3 +393,26 @@ def test_lake_endpoints_in_job_matrix(tmp_path):
     ))
     assert out3["records"] == snap.num_rows
     assert final_table(lake).num_rows == snap.num_rows
+
+
+def test_envelope_reader_in_job_matrix(tmp_path):
+    """An envelope export (sinks/feedout.py) is a first-class job SOURCE:
+    an envelopereader→jsonl job re-ships every change record, count
+    preserved."""
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.feedout import export_change_feed_envelopes
+
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_segments(gen_changes(1500, 30, seed=55), chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4,
+                        segments_per_epoch=2))
+    env = str(tmp_path / "env")
+    r = export_change_feed_envelopes(lake, env, fmt="jsonl")
+
+    out = run_job(_cfg(
+        {"name": "envelopereader", "parameter": {"path": env}},
+        {"name": "jsonlwriter", "parameter": {"path": str(tmp_path / "out")}},
+    ))
+    assert out["records"] == r["rows"]
