@@ -290,7 +290,52 @@ def test_hopping_windows(tmp_path, ray_session):
     assert _view(mv).equals(_direct_hopping(lk, 4, 2))
 
 
-def test_refresh_across_rename_ddl(tmp_path, ray_session):
+def test_crash_retry_rewrites_identical_bytes(tmp_path, ray_session):
+    """Two-phase publish: a refresh that crashed AFTER writing generation
+    files but BEFORE the state replace retries to byte-identical files,
+    and the published view is unaffected."""
+    import glob
+    import hashlib
+    import shutil
+
+    changes = gen_changes(4000, 40, seed=40, p_delete=0.15,
+                          out_of_order_frac=0.2)
+    chg, lk = _mklake(tmp_path, "crash", changes)
+    mv = str(tmp_path / "mv_crash")
+    refresh_mv_window(lk, mv, window_s=WINDOW_S, lateness_s=0.8)
+    pre_dir = str(tmp_path / "mv_pre")
+    shutil.copytree(mv, pre_dir)  # the moment before the second refresh
+
+    # more epochs -> a second refresh window
+    more = gen_changes(2000, 40, seed=41, p_delete=0.2,
+                       out_of_order_frac=0.2)
+    import pyarrow as _pa
+
+    more = more.set_column(0, "lsn", pc.add(more["lsn"],
+                                            _pa.scalar(4000, _pa.int64())))
+    write_segments(more, chg, seg_rows=1000, start_seg=4)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8,
+                        segments_per_epoch=2))
+    refresh_mv_window(lk, mv, window_s=WINDOW_S)
+
+    def digests():
+        return {
+            os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(mv, "*.parquet"))
+        }
+
+    want_view = _view(mv)
+    first = digests()
+
+    # reconstruct the crash moment: the refresh had written its new
+    # generation files but NOT published — old state + old generations
+    # back in place, the new (unreferenced) files still present
+    for f in os.listdir(pre_dir):
+        shutil.copy(os.path.join(pre_dir, f), os.path.join(mv, f))
+    refresh_mv_window(lk, mv, window_s=WINDOW_S)  # the retry
+
+    assert digests() == first  # identical bytes at identical names
+    assert _view(mv).equals(want_view)
     """A rename_column(role -> speaker) DDL mid-stream: the view keeps
     aggregating the same payload under its original `role` key name
     (_role_col resolves either), and an incremental refresh spanning the
