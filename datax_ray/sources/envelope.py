@@ -262,13 +262,15 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
     known: dict[str, str] = dict(state.get("ddl_cols", {}))
     new_cols: dict[str, str] = {}
     min_ts_us = None
+    file_rows: list[int] = []
     for p in pending:
-        # parse, harvest schema + min ts, DROP — memory stays O(one file)
-        # even on a first full-history export (pass 2 re-parses)
+        # parse, harvest schema + row count + min ts, DROP — memory stays
+        # O(one file) even on a first full-history export (pass 2 re-parses)
         t = pa_json.read_json(p)
         for name, typ in _extra_fields(t).items():
             if name not in known and name not in new_cols:
                 new_cols[name] = _ddl_type_of(name, typ)
+        file_rows.append(t.num_rows)
         if t.num_rows and "ts_ms" in t.column_names:
             lo = pc.min(t["ts_ms"]).as_py()
             if lo is not None:
@@ -277,29 +279,60 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
         del t
     extras = {**known, **new_cols}
 
-    # Pass 2 — write segments; the run's DDL events lead its first segment
+    # Pass 2 — write segments. Pass 1 fixed every file's base lsn, so each
+    # file converts INDEPENDENTLY: large runs fan out as one Ray task per
+    # file (a first full-history ingest is O(lake) work — a driver loop
+    # would serialize it), tiny runs stay in-process.
     rows = 0
-    for i, p in enumerate(pending):
-        t = pa_json.read_json(p)
-        parts = []
-        if i == 0 and new_cols:
-            parts.append(_ddl_rows(
-                new_cols, next_lsn,
-                (min_ts_us or 0) - 1_000_000, extras,
-            ))
-            next_lsn += len(new_cols)
-        body = _convert_table(t, next_lsn, extras)
-        parts.append(body)
-        out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    plan = []
+    base = next_lsn + len(new_cols)
+    for p, n in zip(pending, file_rows):
+        plan.append({"path": p, "base_lsn": base})
+        base += n
+    if new_cols:
+        ddl_t = _ddl_rows(new_cols, next_lsn,
+                          (min_ts_us or 0) - 1_000_000, extras)
+        seg = os.path.join(changes_dir, f"seg-{next_lsn:012d}.parquet")
+        tmp = seg + f".tmp.{os.getpid()}"
+        pq.write_table(ddl_t, tmp, compression="zstd", compression_level=1)
+        os.replace(tmp, seg)
+        rows += ddl_t.num_rows
+    next_lsn = base
+
+    def convert_one(path: str, base_lsn: int) -> int:
+        t = pa_json.read_json(path)
+        out = _convert_table(t, base_lsn, extras)
         if out.num_rows:
-            seg = os.path.join(
-                changes_dir, f"seg-{out['lsn'][0].as_py():012d}.parquet"
-            )
+            seg = os.path.join(changes_dir, f"seg-{base_lsn:012d}.parquet")
             tmp = seg + f".tmp.{os.getpid()}"
-            pq.write_table(out, tmp, compression="zstd", compression_level=1)
+            pq.write_table(out, tmp, compression="zstd",
+                           compression_level=1)
             os.replace(tmp, seg)
-            next_lsn += body.num_rows
-            rows += out.num_rows
+        return out.num_rows
+
+    if len(plan) > 8:
+        import ray
+        import ray.data
+
+        def task(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq  # noqa: F401 (worker import)
+
+            counts = [
+                convert_one(r["path"], int(r["base_lsn"]))
+                for r in t.to_pylist()
+            ]
+            return pa.table({"rows": pa.array(counts, pa.int64())})
+
+        for r in (
+            ray.data.from_items(plan, override_num_blocks=len(plan))
+            .map_batches(task, batch_format="pyarrow")
+            .take_all()
+        ):
+            rows += int(r["rows"])
+    else:
+        for item in plan:
+            rows += convert_one(item["path"], item["base_lsn"])
+    for p in pending:
         done.add(os.path.basename(p))
     _save_state(
         changes_dir,
