@@ -395,6 +395,10 @@ def main(argv=None):
         "value set cannot satisfy the --where predicate on the indexed "
         "column; stale/unindexed ranges are never pruned",
     )
+    lk.add_argument("--explain", action="store_true",
+                    help="print the read PLAN only — per-tier pruning "
+                    "counts (hash routing / Bloom / ts stats / value "
+                    "index), files and estimated rows — no data reads")
     lk.add_argument("--num-cpus", type=int, default=None)
 
     ci = sub.add_parser(
@@ -1286,7 +1290,8 @@ def main(argv=None):
             from datax_ray.state.manifest import Manifest as _M
 
             a.as_of_epoch = _M(a.lake).resolve_tag(a.as_of_tag)
-        if a.conv is None and a.min_ts is None and a.where is None:
+        if (a.conv is None and a.min_ts is None and a.where is None
+                and not a.explain):
             print(json.dumps({"error": "pass --conv, --min-ts and/or --where"}))
             return 2
         where = None
@@ -1299,6 +1304,12 @@ def main(argv=None):
             a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
             where=where, where_index_dir=a.value_idx,
         )
+        if a.explain:
+            # the PLAN only — which pruning tier dropped what — without
+            # reading a single data byte
+            print(json.dumps(src._explain, indent=1))
+            ray.shutdown()
+            return 0
         rows = []
         if src._parts:
             t = read_lake(

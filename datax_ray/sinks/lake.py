@@ -90,7 +90,7 @@ def _ts_us(min_ts) -> int | None:
 def _range_plan(
     lake_dir: str, m: Manifest, as_of_epoch: int | None = None,
     only_rids: set[int] | None = None, min_ts_us: int | None = None,
-    probe: "np.ndarray | None" = None,
+    probe: "np.ndarray | None" = None, explain: dict | None = None,
 ) -> list[dict]:
     """[{range_id, files, rows}] from the committed manifest — the unit of
     merge-read parallelism (base files of the range's partitions + its
@@ -111,8 +111,15 @@ def _range_plan(
     range_recs = m.current_ranges(as_of_epoch)
     parts = []
     all_rids = set(range_recs) | {pid // ppr for pid in partitions}
+    if explain is not None:
+        explain["ranges_total"] = len(all_rids)
     if only_rids is not None:
         all_rids &= only_rids
+    if explain is not None:
+        explain["ranges_after_hash_routing"] = len(all_rids)
+        explain.update(base_files_kept=0, base_pruned_ts=0,
+                       base_pruned_bloom=0, frags_kept=0, frags_pruned_ts=0,
+                       frags_pruned_bloom=0)
     def below_cutoff(ts_hi) -> bool:
         # A file whose every event-time is strictly below the cutoff can
         # neither produce an in-slice winner (its rows' ts < cutoff) nor
@@ -132,13 +139,20 @@ def _range_plan(
         files, rows = [], 0
         for p in range(rid * ppr, (rid + 1) * ppr):
             prec = partitions.get(p, {})
-            if (
-                prec.get("base")
-                and not below_cutoff(prec.get("ts_hi"))
-                and bloom_ok(prec.get("bloom"))
-            ):
-                files.append(prec["base"])
-                rows += int(prec.get("rows", 0))
+            if not prec.get("base"):
+                continue
+            if below_cutoff(prec.get("ts_hi")):
+                if explain is not None:
+                    explain["base_pruned_ts"] += 1
+                continue
+            if not bloom_ok(prec.get("bloom")):
+                if explain is not None:
+                    explain["base_pruned_bloom"] += 1
+                continue
+            if explain is not None:
+                explain["base_files_kept"] += 1
+            files.append(prec["base"])
+            rows += int(prec.get("rows", 0))
         rec = range_recs.get(rid, {})
         frag_ts = rec.get("frag_ts", {})
         frag_bloom = rec.get("frag_bloom", {})
@@ -147,9 +161,15 @@ def _range_plan(
         for f in all_frags:
             stats = frag_ts.get(f)
             if stats is not None and below_cutoff(stats[1]):
+                if explain is not None:
+                    explain["frags_pruned_ts"] += 1
                 continue
             if not bloom_ok(frag_bloom.get(f)):
+                if explain is not None:
+                    explain["frags_pruned_bloom"] += 1
                 continue
+            if explain is not None:
+                explain["frags_kept"] += 1
             files.append(f)
             kept_frags += 1
         # planner ESTIMATE only: fragment rows are recorded per range, not
@@ -264,9 +284,15 @@ class LakeDatasource(ray.data.Datasource):
             from datax_ray.state.bloom import _probe_hashes
 
             probe = _probe_hashes(self._conv_ids)
+        self._explain: dict = {
+            "hash_routing": "on" if only_rids is not None else "off (full scan"
+            " or salted layout)",
+            "bloom_probe": "on" if probe is not None else "off",
+            "ts_cutoff": self._min_ts_us,
+        }
         self._parts = _range_plan(
             lake_dir, m, as_of_epoch, only_rids=only_rids,
-            min_ts_us=self._min_ts_us, probe=probe,
+            min_ts_us=self._min_ts_us, probe=probe, explain=self._explain,
         )
         if self._where and where_index_dir:
             # payload-value index pruning (pipelines/colindex.py): keep a
@@ -277,11 +303,21 @@ class LakeDatasource(ray.data.Datasource):
             if as_of_epoch is None:
                 from datax_ray.pipelines.colindex import value_index_rids
 
+                before = len(self._parts)
                 rids = value_index_rids(where_index_dir, self._parts, self._where)
                 if rids is not None:
                     self._parts = [
                         p for p in self._parts if int(p["range_id"]) in rids
                     ]
+                    self._explain["ranges_pruned_value_index"] = (
+                        before - len(self._parts)
+                    )
+
+        self._explain["ranges_planned"] = len(self._parts)
+        self._explain["files_planned"] = sum(
+            len(p["files"]) for p in self._parts
+        )
+        self._explain["estimated_rows"] = sum(p["rows"] for p in self._parts)
 
     def get_name(self) -> str:
         return "DataxLake"
