@@ -221,7 +221,7 @@ def _tag(kind: int):
 def refresh_mv_session(
     lake_dir: str,
     mv_dir: str,
-    gap_s: float = 1800.0,
+    gap_s: float | None = None,
     rebuild: bool = False,
     max_point_keys: int = 100_000,
 ) -> dict:
@@ -236,12 +236,16 @@ def refresh_mv_session(
     if committed < 0:
         raise ValueError(f"no committed lake at {lake_dir}")
     state = _load_state(mv_dir)
-    if state and gap_s != state["gap_s"] and not rebuild:
-        raise ValueError(
-            f"view was created with gap_s={state['gap_s']}; got {gap_s} — "
-            "sessions cannot be re-keyed incrementally (rebuild=True to "
-            "re-create)"
-        )
+    if state and not rebuild:
+        if gap_s is not None and gap_s != state["gap_s"]:
+            raise ValueError(
+                f"view was created with gap_s={state['gap_s']}; got "
+                f"{gap_s} — sessions cannot be re-keyed incrementally "
+                "(rebuild=True to re-create)"
+            )
+        gap_s = state["gap_s"]  # omitted -> reuse stored
+    if gap_s is None:
+        gap_s = 1800.0
     applied = int(state.get("applied_epoch", -1))
     os.makedirs(mv_dir, exist_ok=True)
     gap_us = int(gap_s * 1_000_000)

@@ -95,6 +95,10 @@ def test_status_reports_lag_and_sync_clears_it(lake, tmp_path):
 
     refresh_mv_window(lk, str(tmp_path / "mvw5"), window_s=5)
     register_artifact(lk, "win5", "mvwindow", str(tmp_path / "mvw5"))
+    from datax_ray.pipelines.mvsession import refresh_mv_session
+
+    refresh_mv_session(lk, str(tmp_path / "mvs7"), gap_s=7.0)
+    register_artifact(lk, "sess7", "mvsession", str(tmp_path / "mvs7"))
 
     st0 = lake_status(lk)
     assert st0["artifacts"]["stats"]["state"] == "never refreshed"
