@@ -512,7 +512,9 @@ def main(argv=None):
     )
     sk.add_argument("--lake", required=True)
     sk.add_argument("--idx", required=True, help="sketch artifact dir")
-    sk.add_argument("--p", type=int, default=9, help="register precision (2^p buckets)")
+    sk.add_argument("--p", type=int, default=None,
+                    help="register precision (2^p buckets); omitted -> "
+                    "reuse the sketch's stored p (9 for a fresh one)")
     sk.add_argument("--num-cpus", type=int, default=None)
 
     vx = sub.add_parser(
@@ -1208,8 +1210,11 @@ def main(argv=None):
         )
 
         stats = refresh_sketch(a.lake, a.idx, p=a.p)
+        from datax_ray.pipelines.sketchmv import _load_state as _sk_state
+
+        eff_p = int(_sk_state(a.idx).get("_p", a.p or 9))
         regs = pa.Table.from_pylist(read_sketch(a.idx).take_all())
-        est = estimate_distinct(regs, p=a.p) if regs.num_rows else 0.0
+        est = estimate_distinct(regs, p=eff_p) if regs.num_rows else 0.0
         print(json.dumps({**stats, "registers": regs.num_rows,
                           "distinct_convs_est": round(est, 1)}))
         return 0

@@ -136,9 +136,14 @@ class _RangeSketcher:
         )
 
 
-def refresh_sketch(lake_dir: str, sketch_dir: str, p: int = 9) -> dict:
+def refresh_sketch(lake_dir: str, sketch_dir: str,
+                   p: int | None = None) -> dict:
     """Bring the register artifacts up to the lake's committed state.
-    Returns {"refreshed": n, "skipped": n, "removed": n}."""
+    `p` is pinned at creation (omitted → reuse stored; default 9 for a
+    fresh sketch) and folded into every per-range fingerprint, so changing
+    it re-sketches EVERY range — mixed register sizes across ranges would
+    silently corrupt the distinct estimate. Returns {"refreshed": n,
+    "skipped": n, "removed": n}."""
     from datax_ray.schemas import schema_to_json
     from datax_ray.sinks.lake import _range_plan, lake_schema
     from datax_ray.state.manifest import Manifest
@@ -146,13 +151,15 @@ def refresh_sketch(lake_dir: str, sketch_dir: str, p: int = 9) -> dict:
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
     state = _load_state(sketch_dir)
+    if p is None:
+        p = int(state.get("_p", 9))
     os.makedirs(sketch_dir, exist_ok=True)
 
     todo, skipped = [], 0
-    new_state: dict[str, str] = {}
+    new_state: dict[str, str] = {"_p": p}
     for part in parts:
         rid = int(part["range_id"])
-        fp = _fingerprint(part["files"])
+        fp = _fingerprint(part["files"]) + f":p={p}"
         new_state[str(rid)] = fp
         if state.get(str(rid)) == fp and os.path.exists(
             os.path.join(sketch_dir, f"r={rid:05d}.parquet")
