@@ -180,3 +180,31 @@ def test_salted_layout_blooms_still_prune_files(tmp_path, ray_session):
     _strip_blooms(lake)
     legacy = _plan_files(lake, conv_ids=[key])
     assert len(pruned) < len(legacy)
+
+
+def test_explain_reports_pruning_tiers(tmp_path, ray_session):
+    """lookup --explain's counters: a keyed point read routes to one range
+    and reports per-tier file pruning without reading data."""
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import LakeDatasource, final_table
+
+    chg = str(tmp_path / "chg")
+    lk = str(tmp_path / "lake")
+    write_segments(gen_changes(3000, 60, seed=77), chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=16,
+                        segments_per_epoch=1))
+    conv = final_table(lk)["conv_id"][0].as_py()
+
+    src = LakeDatasource(lk, conv_ids=[conv])
+    ex = src._explain
+    assert ex["hash_routing"] == "on" and ex["bloom_probe"] == "on"
+    assert ex["ranges_after_hash_routing"] < ex["ranges_total"]
+    assert ex["ranges_planned"] == len(src._parts)
+    assert ex["files_planned"] == sum(len(p["files"]) for p in src._parts)
+    # bloom pruning drops fragments of epochs that never touched the key
+    assert ex["frags_pruned_bloom"] + ex["frags_kept"] > 0
+
+    full = LakeDatasource(lk)
+    assert full._explain["ranges_planned"] == full._explain["ranges_total"]
+    assert full._explain["hash_routing"].startswith("off")
