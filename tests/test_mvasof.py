@@ -117,6 +117,34 @@ def test_equals_direct_and_incremental_both_sides(lakes, tmp_path):
     assert untouched, "expected untouched bucket generations"
 
 
+def test_status_tracks_right_lake_head(lakes, tmp_path):
+    """A two-lake artifact's lag is measured against EACH lake's own head:
+    a fully-synced view reads behind=0 even when the two heads differ, and
+    a right-side-only commit shows up as right_behind."""
+    chg_l, lk_l, chg_r, lk_r = lakes
+    from datax_ray.pipelines.registry import register_artifact, sync_artifacts
+    from datax_ray.pipelines.status import lake_status
+
+    mv = str(tmp_path / "mv_status")
+    register_artifact(lk_l, "enrich", "mvasof", mv, {"right_lake": lk_r})
+    assert sync_artifacts(lk_l)["failed"] == 0
+    rec = lake_status(lk_l)["artifacts"]["enrich"]
+    assert rec["behind"] == 0 and rec["right_behind"] == 0
+
+    more_r = gen_changes(500, 3, seed=95)
+    more_r = more_r.set_column(
+        0, "lsn", pc.add(more_r["lsn"], pa.scalar(2500, pa.int64()))
+    )
+    write_segments(more_r, chg_r, seg_rows=1000, start_seg=3)
+    replay(ReplayConfig(changes_dir=chg_r, lake_dir=lk_r, num_partitions=8,
+                        segments_per_epoch=2))
+    rec = lake_status(lk_l)["artifacts"]["enrich"]
+    assert rec["right_behind"] > 0 and rec["behind"] > 0
+    assert sync_artifacts(lk_l)["failed"] == 0
+    rec = lake_status(lk_l)["artifacts"]["enrich"]
+    assert rec["behind"] == 0 and rec["right_behind"] == 0
+
+
 def test_fallback_and_rebuild(lakes, tmp_path):
     _, lk_l, _, lk_r = lakes
     mv_a = str(tmp_path / "mv_a")
