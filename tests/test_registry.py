@@ -122,6 +122,52 @@ def test_status_reports_lag_and_sync_clears_it(lake, tmp_path):
     assert st3["deadletter"]["pending_files"] == 0
 
 
+def test_concurrent_syncs_are_safe(lake, tmp_path):
+    """Two racing sync_artifacts calls on the same fleet: every refresher
+    writes content-deterministic generation files (os.replace-atomic, same
+    bytes from both racers) and the state replace is atomic, so both
+    finish ok and the views equal a direct recompute."""
+    import threading
+
+    from datax_ray.pipelines.mvadd import read_mv_additive
+    from datax_ray.sinks.lake import final_table
+
+    _, lk = lake
+    register_artifact(lk, "stats", "mvadd", str(tmp_path / "mvadd"))
+    register_artifact(lk, "sessions", "mvsession", str(tmp_path / "mvs"),
+                      {"gap_s": 1.0})
+
+    results = [None, None]
+
+    def run(i):
+        results[i] = sync_artifacts(lk)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r is not None and r["failed"] == 0 for r in results)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    live = final_table(lk)
+    chars = pc2.cast(pc2.fill_null(pc2.utf8_length(live["text"]), 0),
+                     pa.int64())
+    want = (
+        pa.table({"conv_id": live["conv_id"], "c": chars})
+        .group_by("conv_id", use_threads=False)
+        .aggregate([("c", "sum")])
+    )
+    want_map = {r["conv_id"]: int(r["c_sum"]) for r in want.to_pylist()}
+    got = {
+        r["conv_id"]: int(r["sum_chars"])
+        for r in read_mv_additive(str(tmp_path / "mvadd")).take_all()
+    }
+    assert got == want_map
+
+
 def test_validation_errors_and_isolation(lake, tmp_path):
     _, lk = lake
     with pytest.raises(ValueError, match="unknown artifact kind"):
