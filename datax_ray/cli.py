@@ -264,8 +264,9 @@ def main(argv=None):
     )
     mvs.add_argument("--lake", required=True)
     mvs.add_argument("--mv", required=True, help="view directory")
-    mvs.add_argument("--gap", type=float, default=1800.0,
-                     help="session gap, seconds")
+    mvs.add_argument("--gap", type=float, default=None,
+                     help="session gap, seconds (omitted -> reuse the "
+                     "view's stored gap; 1800 for a fresh view)")
     mvs.add_argument("--rebuild", action="store_true")
     mvs.add_argument("--num-cpus", type=int, default=None)
 

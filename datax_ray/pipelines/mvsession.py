@@ -236,14 +236,15 @@ def refresh_mv_session(
     if committed < 0:
         raise ValueError(f"no committed lake at {lake_dir}")
     state = _load_state(mv_dir)
-    if state and not rebuild:
-        if gap_s is not None and gap_s != state["gap_s"]:
+    if state:
+        if gap_s is not None and gap_s != state["gap_s"] and not rebuild:
             raise ValueError(
                 f"view was created with gap_s={state['gap_s']}; got "
                 f"{gap_s} — sessions cannot be re-keyed incrementally "
                 "(rebuild=True to re-create)"
             )
-        gap_s = state["gap_s"]  # omitted -> reuse stored
+        if gap_s is None:  # omitted -> reuse stored, rebuild or not
+            gap_s = state["gap_s"]
     if gap_s is None:
         gap_s = 1800.0
     applied = int(state.get("applied_epoch", -1))

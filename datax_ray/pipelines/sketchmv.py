@@ -152,11 +152,18 @@ def refresh_sketch(lake_dir: str, sketch_dir: str,
     parts = _range_plan(lake_dir, m)
     state = _load_state(sketch_dir)
     if p is None:
+        if state and "_p" not in state:
+            raise ValueError(
+                "this sketch predates precision pinning and does not "
+                "record its p — pass p= matching the original precision "
+                "once to upgrade (a wrong guess would silently mix "
+                "register sizes)"
+            )
         p = int(state.get("_p", 9))
     os.makedirs(sketch_dir, exist_ok=True)
 
     todo, skipped = [], 0
-    new_state: dict[str, str] = {"_p": p}
+    new_state: dict[str, str | int] = {"_p": p}
     for part in parts:
         rid = int(part["range_id"])
         fp = _fingerprint(part["files"]) + f":p={p}"

@@ -298,11 +298,19 @@ def export_change_feed_envelopes(
 
 
 def read_envelopes(out_dir: str) -> ray.data.Dataset:
-    """Published envelope records as a Dataset (both formats)."""
+    """Published envelope records as a Dataset (both formats). Our own
+    exports read exactly the state-published file set; a FOREIGN
+    producer's directory (no `_feedout_state.json`) falls back to every
+    `env-*` file on disk — the same contract sources/envelope.py ingests."""
     state = _load_state(out_dir)
+    fmt = state.get("fmt")
     files = [os.path.join(out_dir, f) for f in state.get("files", [])]
+    if not files and not state:
+        jl = sorted(_glob.glob(os.path.join(out_dir, "env-*.jsonl")))
+        pq_f = sorted(_glob.glob(os.path.join(out_dir, "env-*.parquet")))
+        files, fmt = (jl, "jsonl") if jl else (pq_f, "parquet")
     if not files:
         return ray.data.from_arrow(_ENV_SCHEMA.empty_table())
-    if state.get("fmt") == "parquet":
+    if fmt == "parquet":
         return ray.data.read_parquet(files)
     return ray.data.read_json(files)

@@ -289,6 +289,7 @@ class LakeDatasource(ray.data.Datasource):
             " or salted layout)",
             "bloom_probe": "on" if probe is not None else "off",
             "ts_cutoff": self._min_ts_us,
+            "value_index": "off",
         }
         self._parts = _range_plan(
             lake_dir, m, as_of_epoch, only_rids=only_rids,
@@ -309,9 +310,16 @@ class LakeDatasource(ray.data.Datasource):
                     self._parts = [
                         p for p in self._parts if int(p["range_id"]) in rids
                     ]
+                    self._explain["value_index"] = "on"
                     self._explain["ranges_pruned_value_index"] = (
                         before - len(self._parts)
                     )
+                else:
+                    self._explain["value_index"] = (
+                        "abstained (stale index or unindexed column)"
+                    )
+            else:
+                self._explain["value_index"] = "skipped (time travel)"
 
         self._explain["ranges_planned"] = len(self._parts)
         self._explain["files_planned"] = sum(

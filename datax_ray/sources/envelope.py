@@ -315,8 +315,6 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
         import ray.data
 
         def task(t: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq  # noqa: F401 (worker import)
-
             counts = [
                 convert_one(r["path"], int(r["base_lsn"]))
                 for r in t.to_pylist()

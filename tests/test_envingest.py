@@ -139,6 +139,11 @@ def test_foreign_envelopes_ts_ms_fallback(tmp_path, ray_session):
         for r in recs:
             f.write(json.dumps(r) + "\n")
 
+    # a FOREIGN dir (no _feedout_state.json) is still readable as a stream
+    from datax_ray.sinks.feedout import read_envelopes
+
+    assert read_envelopes(env).count() == 5
+
     chg = str(tmp_path / "chg")
     lk = str(tmp_path / "lake")
     assert envelopes_to_segments(env, chg)["rows"] == 5

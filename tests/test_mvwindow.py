@@ -336,6 +336,9 @@ def test_crash_retry_rewrites_identical_bytes(tmp_path, ray_session):
 
     assert digests() == first  # identical bytes at identical names
     assert _view(mv).equals(want_view)
+
+
+def test_refresh_across_rename_ddl(tmp_path, ray_session):
     """A rename_column(role -> speaker) DDL mid-stream: the view keeps
     aggregating the same payload under its original `role` key name
     (_role_col resolves either), and an incremental refresh spanning the
