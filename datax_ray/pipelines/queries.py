@@ -11035,6 +11035,118 @@ FROM w WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
 """
 
 
+def source_quota_sample_docs(sf_dir: str, quota: int = 20):
+    """Per-source quota sampling (domain capping): keep at most `quota`
+    documents per source, chosen by the deterministic fmix32(doc_id)
+    priority (smallest first, doc_id tie-break) — the curation step that
+    stops one over-crawled domain from dominating the training mixture
+    (C4 / RefinedWeb both cap per-host contributions). RNG-free, so
+    re-runs, resumes and the SQL oracle pick the identical subset. Rides
+    the combiner-bounded top_n_per_key plan: each batch forwards at most
+    quota rows per source, so the shuffle moves O(sources × quota), never
+    the corpus."""
+    from datax_ray.functions.relational import top_n_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        h = _fmix32_np(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "priority": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return top_n_per_key(
+        ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source"],
+        order_cols=["priority", "doc_id"],
+        n=quota,
+        descending=False,
+    ).map_batches(
+        lambda t: t.select(["doc_id", "source", "priority"]),
+        batch_format="pyarrow",
+    )
+
+
+SOURCE_QUOTA_SQL = """
+WITH s0 AS (
+  SELECT doc_id, source, doc_id % 4294967296 AS h FROM documents
+), s1 AS (SELECT doc_id, source, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT doc_id, source,
+              CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h
+       FROM s1),
+s3 AS (SELECT doc_id, source, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT doc_id, source,
+              CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h
+       FROM s3),
+hv AS (SELECT doc_id, source, xor(h, h >> 16) AS priority FROM s4)
+SELECT doc_id, source, priority FROM hv
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) <= 20
+"""
+
+
+def lang_mixture_rates(sf_dir: str):
+    """Language-mixture rebalancing rates: per language, document and
+    whitespace-token totals plus the integer milli-rate
+    (1000 · min-lang-tokens) // lang-tokens that downsamples every
+    language to the smallest one's token budget — the multilingual
+    balancing step before corpus sampling. ONE combiner pass collapses
+    the corpus to O(langs) cells (token counts fold as decomposable sums);
+    the min and the rates are a single tiny reduce over those cells —
+    nothing re-reads or re-shuffles the corpus."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        )
+        return pa.table({"lang": t["lang"], "n_tok": pc.cast(n, pa.int64())})
+
+    cells = partial_agg(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        sums={"n_tok": "n_tokens"},
+        counts="n_docs",
+        single_reduce=True,
+    )
+
+    def rates(t: pa.Table) -> pa.Table:
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = tok.min() if len(tok) else 0
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "n_tokens": t["n_tokens"],
+                "milli_rate": pa.array(
+                    (1000 * mn) // np.maximum(tok, 1), pa.int64()
+                ),
+            }
+        )
+
+    return cells.map_batches(rates, batch_format="pyarrow")
+
+
+LANG_MIXTURE_SQL = """
+WITH cells AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       (1000 * MIN(n_tokens) OVER ()) // n_tokens AS milli_rate
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -11213,6 +11325,8 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
+    "source_quota_sample_docs": source_quota_sample_docs,
+    "lang_mixture_rates": lang_mixture_rates,
     "cdc_replay_drop": cdc_replay_drop,
     "cdc_lake_constraints": cdc_lake_constraints,
     "cdc_replay_rename": cdc_replay_rename,
@@ -11387,6 +11501,8 @@ ORACLE_SQL = {
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "source_quota_sample_docs": SOURCE_QUOTA_SQL,
+    "lang_mixture_rates": LANG_MIXTURE_SQL,
     "cdc_replay_drop": CDC_DROP_SQL,
     "cdc_lake_constraints": CDC_EXPECT_SQL,
     "cdc_replay_rename": CDC_RENAME_SQL,
