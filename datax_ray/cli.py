@@ -122,6 +122,12 @@ def main(argv=None):
                    help="exactly-once incremental sync: rewrite only ranges "
                    "whose committed file set changed since the last export "
                    "(per-range dirs + _export_state.json fingerprints)")
+    e.add_argument("--transformers", default=None,
+                   help="JSON file with a dx_* chain applied to every batch "
+                   "before the write (PII-scrubbed egress view; the lake "
+                   "itself is untouched). With --incremental the chain spec "
+                   "folds into the range fingerprints, so changing it "
+                   "rewrites the whole sync")
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
@@ -592,6 +598,12 @@ def main(argv=None):
     al.add_argument("--expectations", default=None,
                     help="JSON file with the constraint spec to persist")
     al.add_argument("--clear-expectations", action="store_true")
+    al.add_argument("--schema-policy", default=None,
+                    help="pin a DDL-compatibility policy on the lake: "
+                    "'additive' (add_column only) or 'compatible' "
+                    "(add_column + widen); later replays abort loudly on "
+                    "forbidden DDL verbs before writing anything")
+    al.add_argument("--clear-schema-policy", action="store_true")
 
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
@@ -836,12 +848,21 @@ def main(argv=None):
                 raise SystemExit(
                     "--incremental is exclusive with --partition-by/--as-of-epoch"
                 )
-            out = export_lake_incremental(a.lake, a.out, fmt=a.format)
+            out = export_lake_incremental(
+                a.lake, a.out, fmt=a.format,
+                transformers=(
+                    json.load(open(a.transformers)) if a.transformers else None
+                ),
+            )
             print(json.dumps(out))
             ray.shutdown()
             return 0
         rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch,
-                           partition_by=a.partition_by)
+                           partition_by=a.partition_by,
+                           transformers=(
+                               json.load(open(a.transformers))
+                               if a.transformers else None
+                           ))
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format,
                           "partition_by": a.partition_by}))
         ray.shutdown()
@@ -1411,6 +1432,8 @@ def main(argv=None):
                 json.load(open(a.expectations)) if a.expectations else None
             ),
             clear_expectations=a.clear_expectations,
+            schema_policy=a.schema_policy,
+            clear_schema_policy=a.clear_schema_policy,
         )
         print(json.dumps(out))
         return 0

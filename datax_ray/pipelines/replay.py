@@ -98,7 +98,12 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
 
     # 1. Schema evolution: fold this epoch's DDL events (epoch-boundary
     #    application; see SchemaTracker docstring for the soundness argument).
-    tracker = SchemaTracker(manifest.committed_schema() or LAKE_SCHEMA)
+    #    A lake-pinned schema policy (alter --schema-policy) gates which DDL
+    #    verbs may fold — a violation aborts HERE, before any write.
+    tracker = SchemaTracker(
+        manifest.committed_schema() or LAKE_SCHEMA,
+        policy=manifest.committed_properties().get("schema_policy"),
+    )
     for _, ddl in scan_ddl(segments):
         tracker.apply_ddl(ddl)
     lake_schema = tracker.schema
@@ -349,10 +354,16 @@ def alter_lake(
     lake_dir: str,
     expectations: list[dict] | None = None,
     clear_expectations: bool = False,
+    schema_policy: str | None = None,
+    clear_schema_policy: bool = False,
 ) -> dict:
-    """Set / clear LAKE-LEVEL ingest expectations (Delta-style table CHECK
-    constraints): persisted in the manifest's `properties` and enforced by
-    EVERY subsequent replay on this lake, no job config needed — unlike
+    """Set / clear LAKE-LEVEL table properties: ingest expectations
+    (Delta-style CHECK constraints) and/or a DDL-compatibility schema
+    policy ('additive' = add_column only; 'compatible' = add_column +
+    widen — rename/drop always require clearing the policy first, they
+    break name-bound consumers). Both persist in the manifest's
+    `properties` and are enforced by EVERY subsequent replay on this
+    lake, no job config needed — unlike
     `ReplayConfig.expectations`, which stays job-scoped (both compose:
     lake rules AND job rules must pass). Commits a data-free 'alter' epoch
     (state unchanged, properties replaced); works on an empty lake too, so
@@ -368,6 +379,17 @@ def alter_lake(
     if expectations is not None:
         compile_expectations(expectations)  # validate the spec now
         props["expectations"] = expectations
+    if clear_schema_policy:
+        props.pop("schema_policy", None)
+    if schema_policy is not None:
+        from datax_ray.state.schema_tracker import SCHEMA_POLICIES
+
+        if schema_policy not in SCHEMA_POLICIES:
+            raise ValueError(
+                f"unknown schema policy {schema_policy!r} "
+                f"(expected one of {sorted(SCHEMA_POLICIES)})"
+            )
+        props["schema_policy"] = schema_policy
     rec = m.latest()
     epoch = m.committed_epoch() + 1
     m.commit(

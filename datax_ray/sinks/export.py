@@ -65,10 +65,16 @@ def export_lake(
     fmt: str = "parquet",
     as_of_epoch: int | None = None,
     partition_by: list[str] | None = None,
+    transformers: list[dict] | None = None,
 ) -> int:
     """Write the lake's live rows to `out_dir` in `fmt`; returns row count.
     `as_of_epoch` exports a past committed state (time travel);
-    `partition_by` produces the Hive layout above.
+    `partition_by` produces the Hive layout above; `transformers` applies
+    a dx_* chain (functions/transformers.py) to every batch before the
+    write — the PII-scrubbed / redacted EGRESS view (dx_mask + export),
+    leaving the lake itself untouched. The chain compiles ONCE on the
+    driver (broadcast state like dx_lookup's table ships via ray.put) and
+    fuses into the per-range write task.
 
     Files carry content-hash names (one or more per range task; a retried
     task rewrites identical bytes). Re-running is a TRUE full overwrite:
@@ -77,12 +83,19 @@ def export_lake(
     ones."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
+    xform = None
+    if transformers:
+        from datax_ray.functions.transformers import compile_transformers
+
+        xform = compile_transformers(transformers)
     ds = read_lake(lake_dir, as_of_epoch=as_of_epoch)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
+        if xform is not None:
+            t = xform(t)
         import hashlib
 
         from datax_ray.sinks.datasink import serialize_table
@@ -117,10 +130,12 @@ def export_lake(
 _STATE_NAME = "_export_state.json"
 
 
-def _range_fingerprint(files: list[str]) -> str:
+def _range_fingerprint(files: list[str], extra: str = "") -> str:
     import hashlib
 
-    return hashlib.sha1("\n".join(sorted(files)).encode()).hexdigest()[:16]
+    return hashlib.sha1(
+        ("\n".join(sorted(files)) + "\x00" + extra).encode()
+    ).hexdigest()[:16]
 
 
 class _RangeExporter:
@@ -128,12 +143,14 @@ class _RangeExporter:
     live rows, serialize, write content-hash part files under
     out/r=NNNNN/ (idempotent under task retry), return a stat row."""
 
-    def __init__(self, lake_dir: str, out_dir: str, fmt: str, schema_json):
+    def __init__(self, lake_dir: str, out_dir: str, fmt: str, schema_json,
+                 xform=None):
         self.__name__ = "RangeExporter"
         self.lake_dir = lake_dir
         self.out_dir = out_dir
         self.fmt = fmt
         self.schema_json = schema_json
+        self.xform = xform
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -149,6 +166,8 @@ class _RangeExporter:
             t = _merge_read_range(
                 self.lake_dir, files, self.schema_json, include_internal=False
             )
+            if self.xform is not None:
+                t = self.xform(t)
             d = os.path.join(self.out_dir, f"r={rid:05d}")
             os.makedirs(d, exist_ok=True)
             names = []
@@ -171,13 +190,22 @@ class _RangeExporter:
         return pa.Table.from_pylist(out_rows)
 
 
-def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -> dict:
+def export_lake_incremental(
+    lake_dir: str,
+    out_dir: str,
+    fmt: str = "parquet",
+    transformers: list[dict] | None = None,
+) -> dict:
     """Exactly-once INCREMENTAL export — the file-sink analog of the SQL
     mirror (pipelines/mirror.py): per-range output directories plus a
     state file recording each range's committed file-set fingerprint, so a
     re-run after new epochs rewrites ONLY ranges whose committed files
     changed (manifest-only check — zero lake reads for untouched ranges)
     and a downstream consumer syncs in O(changed bytes), never O(lake).
+    `transformers` applies a dx_* chain per range before serialization
+    (scrubbed-egress sync); the chain SPEC folds into every range
+    fingerprint, so changing the chain rewrites everything — a stale
+    sync can never mix two redaction policies.
 
     Two-phase: content-hash part files land first (a retried/crashed task
     rewrites identical bytes), then ONE atomic state publish; stale parts
@@ -191,6 +219,13 @@ def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -
 
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
+    xform = None
+    xspec = ""
+    if transformers:
+        from datax_ray.functions.transformers import compile_transformers
+
+        xform = compile_transformers(transformers)
+        xspec = json.dumps(transformers, sort_keys=True)
     m = Manifest(lake_dir)
     from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
 
@@ -205,7 +240,7 @@ def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -
 
     todo = []
     for p in plan:
-        fp = _range_fingerprint(p["files"])
+        fp = _range_fingerprint(p["files"], xspec)
         if known.get(str(p["range_id"]), {}).get("fp") != fp:
             todo.append(
                 {
@@ -222,7 +257,7 @@ def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -
         results = (
             ray.data.from_items(todo, override_num_blocks=len(todo))
             .map_batches(
-                _RangeExporter(lake_dir, out_dir, fmt, schema_json),
+                _RangeExporter(lake_dir, out_dir, fmt, schema_json, xform),
                 batch_format="pyarrow",
                 batch_size=None,
             )
@@ -234,7 +269,8 @@ def export_lake_incremental(lake_dir: str, out_dir: str, fmt: str = "parquet") -
         str(p["range_id"]): known[str(p["range_id"])]
         for p in plan
         if str(p["range_id"]) in known
-        and known[str(p["range_id"])].get("fp") == _range_fingerprint(p["files"])
+        and known[str(p["range_id"])].get("fp")
+        == _range_fingerprint(p["files"], xspec)
     }
     rows_written = 0
     for r in results:

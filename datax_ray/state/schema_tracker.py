@@ -56,15 +56,45 @@ _WIDEN_OK = {
 # lineage (_lsn) — rejected at DDL-application time.
 _PROTECTED = ("conv_id", "turn_idx", "ts", LSN_COL)
 
+# DDL-compatibility policies (schema-registry style) an operator can pin
+# on the lake (`alter --schema-policy`, persisted in manifest properties):
+# which DDL verbs later replays may fold. "additive" admits only new
+# columns (old readers keep working untouched); "compatible" also admits
+# value-preserving widenings (readers re-resolving the committed schema
+# stay correct); rename/drop — the verbs that break downstream consumers
+# bound to a column name — always need the policy cleared first.
+SCHEMA_POLICIES = {
+    "additive": frozenset({"add_column"}),
+    "compatible": frozenset({"add_column", "widen"}),
+}
+
+
+class SchemaPolicyViolation(ValueError):
+    """A change-stream DDL event asked for a verb the lake's pinned
+    schema policy forbids. Raised BEFORE any of the epoch's data is
+    written, so the replay aborts loudly with the lake untouched."""
+
 
 class SchemaTracker:
-    def __init__(self, schema: pa.Schema):
+    def __init__(self, schema: pa.Schema, policy: str | None = None):
+        if policy is not None and policy not in SCHEMA_POLICIES:
+            raise ValueError(
+                f"unknown schema policy {policy!r} "
+                f"(expected one of {sorted(SCHEMA_POLICIES)})"
+            )
         self.schema = schema
+        self.policy = policy
 
     def apply_ddl(self, ddl_json: str) -> None:
         d = json.loads(ddl_json)
         action = d.get("action")
         name = d.get("name")
+        if self.policy is not None and action not in SCHEMA_POLICIES[self.policy]:
+            raise SchemaPolicyViolation(
+                f"lake schema policy {self.policy!r} forbids ddl action "
+                f"{action!r} (event: {ddl_json}); clear or relax the policy "
+                f"via `alter --schema-policy` to apply it"
+            )
         if action == "drop_column":
             if name in _PROTECTED:
                 raise ValueError(f"cannot drop protected column {name!r}")

@@ -101,3 +101,43 @@ def test_incremental_export_fmt_change_resyncs(tmp_path, ray_session):
         assert all(n.endswith(".jsonl") for n in rec["files"])
     # stale parquet parts were cleaned after publish
     assert not glob.glob(os.path.join(out, "r=*", "*.parquet"))
+
+
+def test_export_with_transformer_chain_scrubs_egress(tmp_path, ray_session):
+    """dx_* chain on export = the PII-scrubbed egress view: the exported
+    files carry the transformed texts, the lake itself is untouched, and
+    with --incremental the chain spec folds into the fingerprints so (a)
+    an unchanged lake+chain re-sync is a no-op and (b) CHANGING the chain
+    rewrites every range (two redaction policies can never mix)."""
+    from datax_ray.sinks.export import export_lake
+
+    changes, chg, lake = _setup(tmp_path, n=1500)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=4,
+                        segments_per_epoch=2))
+    spec = [{"name": "dx_mask", "column": "text",
+             "pattern": "[0-9]+", "replacement": "#"}]
+
+    # full export: transformed view on disk, lake untouched
+    out_full = str(tmp_path / "exp_full")
+    export_lake(lake, out_full, transformers=spec)
+    got = pa.concat_tables(
+        [pq.read_table(p) for p in glob.glob(os.path.join(out_full, "*.parquet"))]
+    )
+    texts = [t for t in got["text"].to_pylist() if t]
+    assert texts and all(not any(ch.isdigit() for ch in t) for t in texts)
+    lake_texts = [t for t in final_table(lake)["text"].to_pylist() if t]
+    assert any(any(ch.isdigit() for ch in t) for t in lake_texts)
+
+    # incremental: scrubbed, idempotent, chain-change rewrites everything
+    out_inc = str(tmp_path / "exp_inc")
+    r1 = export_lake_incremental(lake, out_inc, transformers=spec)
+    assert r1["ranges_exported"] > 0
+    inc = _read_export(out_inc)
+    inc_texts = [t for t in inc["text"].to_pylist() if t]
+    assert all(not any(ch.isdigit() for ch in t) for t in inc_texts)
+    r2 = export_lake_incremental(lake, out_inc, transformers=spec)
+    assert r2["ranges_exported"] == 0
+    spec2 = [{"name": "dx_mask", "column": "text",
+              "pattern": "[0-9]+", "replacement": "*"}]
+    r3 = export_lake_incremental(lake, out_inc, transformers=spec2)
+    assert r3["ranges_exported"] == r1["ranges_exported"]
