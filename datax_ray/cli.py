@@ -89,6 +89,12 @@ def main(argv=None):
     v.add_argument("--changes", required=True)
     v.add_argument("--lake", required=True)
     v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
+    v.add_argument("--sample-convs", type=int, default=None,
+                   help="spot-verify only N deterministically-chosen "
+                   "conversations: the oracle folds just their change rows "
+                   "(O(sample) memory) and the lake side point-reads their "
+                   "ranges via manifest hash-routing — the scale-practical "
+                   "audit of a huge lake, never an O(lake) read")
     v.add_argument("--num-cpus", type=int, default=None)
 
     stt = sub.add_parser(
@@ -802,6 +808,13 @@ def main(argv=None):
 
         changes = pads.dataset(list_segments(a.changes)).to_table()
         base = _pq.read_table(a.base) if a.base else None
+        if a.sample_convs:
+            from datax_ray.oracle import sampled_verify
+
+            out = sampled_verify(changes, a.lake, a.sample_convs, base=base)
+            print(json.dumps(out))
+            ray.shutdown()
+            return 0 if out["match"] else 1
         oracle = sequential_replay(changes, base=base)
         ours = final_table(a.lake)
         ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)

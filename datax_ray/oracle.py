@@ -145,3 +145,52 @@ def sequential_replay(
         for f in schema
     }
     return pa.table(cols, schema=schema)
+
+
+def sampled_verify(
+    changes: pa.Table, lake_dir: str, n: int, base: pa.Table | None = None
+) -> dict:
+    """Spot-verify N deterministically-chosen conversations against the
+    sequential oracle — the scale-practical audit: the oracle folds only
+    the sample's change rows (O(sample) memory; DDL events are kept so
+    schema evolution still applies), and the lake side point-reads just
+    the sample's ranges via manifest hash-routing (`read_lake(conv_ids=)`)
+    — never an O(lake) read. Sample = the n smallest sha1(conv_id) across
+    every conv the stream/base mentions, so re-runs audit the same set.
+    Returns {"match", "rows", "oracle_rows", "sampled_convs"}."""
+    import hashlib
+
+    from datax_ray.sinks.lake import read_lake
+
+    convs = set(pc.drop_null(changes["conv_id"]).unique().to_pylist())
+    if base is not None:
+        convs |= set(base["conv_id"].unique().to_pylist())
+    sampled = sorted(convs, key=lambda c: hashlib.sha1(c.encode()).hexdigest())[:n]
+    in_sample = pc.is_in(changes["conv_id"], pa.array(sampled, pa.string()))
+    changes = changes.filter(
+        pc.or_kleene(in_sample, pc.equal(changes["op"], "ddl"))
+    )
+    if base is not None:
+        base = base.filter(pc.is_in(base["conv_id"], pa.array(sampled, pa.string())))
+    oracle = sequential_replay(changes, base=base)
+    t = pa.concat_tables(
+        [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in read_lake(lake_dir, conv_ids=sampled).iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            )
+        ]
+        or [oracle.schema.empty_table()]
+    )
+    ours = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)
+    return {
+        "match": bool(ok),
+        "rows": ours.num_rows,
+        "oracle_rows": oracle.num_rows,
+        "sampled_convs": len(sampled),
+    }
