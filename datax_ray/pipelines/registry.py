@@ -31,7 +31,7 @@ Registered kinds and their refreshers:
     neardup   pipelines/dedupscan.py:refresh_neardup_index (params: shingle_k)
     colindex  pipelines/colindex.py:refresh_value_index    (params: column)
     sketch    pipelines/sketchmv.py:refresh_sketch         (params: p)
-    export    sinks/export.py:export_lake_incremental      (params: fmt)
+    export    sinks/export.py:export_lake_incremental      (params: fmt, transformers)
     feedout   sinks/feedout.py:export_change_feed_envelopes (params: fmt)
     mvjoin    pipelines/mvjoin.py:refresh_mv_join           (params: right_lake)
     mvasof    pipelines/mvasof.py:refresh_mv_asof           (params: right_lake)
@@ -109,7 +109,7 @@ def _dispatch(kind: str):
     if kind == "export":
         from datax_ray.sinks.export import export_lake_incremental
 
-        return export_lake_incremental, {"fmt"}
+        return export_lake_incremental, {"fmt", "transformers"}
     if kind == "feedout":
         from datax_ray.sinks.feedout import export_change_feed_envelopes
 

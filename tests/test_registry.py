@@ -188,3 +188,29 @@ def test_validation_errors_and_isolation(lake, tmp_path):
     assert unregister_artifact(lk, "bad")["found"]
     assert not unregister_artifact(lk, "bad")["found"]
     assert sync_artifacts(lk)["failed"] == 0
+
+
+def test_scrubbed_export_artifact_syncs_redacted(lake, tmp_path):
+    """Registry kind 'export' accepts a transformers param: `sync` keeps
+    a REDACTED mirror warm (dx_mask applied on the way out), incremental
+    and idempotent like every artifact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datax_ray.pipelines.registry import sync_artifacts
+
+    chg, lk = lake
+    spec = [{"name": "dx_mask", "column": "text",
+             "pattern": "[0-9]+", "replacement": "#"}]
+    out = str(tmp_path / "scrubbed")
+    register_artifact(lk, "pub", "export", out,
+                      {"fmt": "parquet", "transformers": spec})
+    r1 = sync_artifacts(lk)
+    assert r1["results"]["pub"]["ranges_exported"] > 0
+    texts = []
+    for p in glob.glob(os.path.join(out, "r=*", "*.parquet")):
+        texts += [t for t in pq.read_table(p)["text"].to_pylist() if t]
+    assert texts and all(not any(c.isdigit() for c in t) for t in texts)
+    r2 = sync_artifacts(lk)
+    assert r2["results"]["pub"]["ranges_exported"] == 0
