@@ -11147,6 +11147,131 @@ FROM cells
 """
 
 
+def mixture_sample_docs(sf_dir: str):
+    """The rebalanced-corpus SAMPLER that lang_mixture_rates plans:
+    keep a document iff fmix32(doc_id) mod 1000 < its language's
+    milli-rate — every language downsampled to the smallest one's token
+    budget, deterministically (RNG-free: re-runs, resumes and the SQL
+    oracle keep the identical subset). Pass 1 folds per-lang token totals
+    to O(langs) cells (combiner, single reduce — the only driver state is
+    that tiny dict); pass 2 is a stateless vectorized filter map. Nothing
+    ever shuffles the corpus."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        )
+        return pa.table({"lang": t["lang"], "n_tok": pc.cast(n, pa.int64())})
+
+    cells = partial_agg(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        sums={"n_tok": "n_tokens"},
+        single_reduce=True,
+    ).take_all()  # O(langs) rows
+    toks_by_lang = {r["lang"]: int(r["n_tokens"]) for r in cells}
+    mn = min(toks_by_lang.values()) if toks_by_lang else 0
+    rates = {
+        lang: (1000 * mn) // max(tot, 1) for lang, tot in toks_by_lang.items()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _fmix32_np(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ).astype(np.int64) % 1000
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        lim = np.array([rates.get(l, 0) for l in langs], np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"]}
+        ).filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH cells AS (
+  SELECT lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, (1000 * MIN(n_tokens) OVER ()) // n_tokens AS milli_rate
+  FROM cells
+), s0 AS (
+  SELECT doc_id, lang, doc_id % 4294967296 AS h FROM documents
+), s1 AS (SELECT doc_id, lang, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT doc_id, lang,
+              CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h
+       FROM s1),
+s3 AS (SELECT doc_id, lang, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT doc_id, lang,
+              CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h
+       FROM s3),
+hv AS (SELECT doc_id, lang, xor(h, h >> 16) % 1000 AS h FROM s4)
+SELECT hv.doc_id, hv.lang
+FROM hv JOIN rates USING (lang)
+WHERE hv.h < rates.milli_rate
+"""
+
+
+def pii_span_stats(sf_dir: str):
+    """Pre-masking PII-span audit: per event_type, how many digit-run
+    spans (the dx_mask '[0-9]+' target) the payload carries — total
+    spans, rows with at least one, and integer milli-spans-per-row. The
+    measurement step an operator runs BEFORE pinning a redaction chain
+    on an egress sync. One vectorized RE2 pass per batch (count via
+    split-minus-one on the same pattern both engines compile), combiner
+    to O(types) cells."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        # span count == len(split_pattern(s, '[0-9]+')) - 1 for non-null s
+        parts = pc.split_pattern_regex(pc.fill_null(t["props"], ""), "[0-9]+")
+        n = pc.subtract(pc.list_value_length(parts), 1)
+        n = pc.if_else(pc.is_null(t["props"]), pa.scalar(0, pa.int64()),
+                       pc.cast(n, pa.int64()))
+        has = pc.cast(pc.greater(n, 0), pa.int64())
+        return pa.table(
+            {"event_type": t["event_type"], "n_spans": n, "has_span": has}
+        )
+
+    cells = partial_agg(
+        ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type"],
+        sums={"n_spans": "total_spans", "has_span": "rows_with_spans"},
+        counts="n_rows",
+        single_reduce=True,
+    )
+
+    def rates(t: pa.Table) -> pa.Table:
+        tot = t["total_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "milli_spans_per_row",
+            pa.array((1000 * tot) // np.maximum(n, 1), pa.int64()),
+        )
+
+    return cells.map_batches(rates, batch_format="pyarrow")
+
+
+PII_SPAN_SQL = """
+SELECT event_type,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+           AS total_spans,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (1000 * CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT))
+           // COUNT(*) AS milli_spans_per_row
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -11327,6 +11452,8 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "source_quota_sample_docs": source_quota_sample_docs,
     "lang_mixture_rates": lang_mixture_rates,
+    "mixture_sample_docs": mixture_sample_docs,
+    "pii_span_stats": pii_span_stats,
     "cdc_replay_drop": cdc_replay_drop,
     "cdc_lake_constraints": cdc_lake_constraints,
     "cdc_replay_rename": cdc_replay_rename,
@@ -11503,6 +11630,8 @@ ORACLE_SQL = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "source_quota_sample_docs": SOURCE_QUOTA_SQL,
     "lang_mixture_rates": LANG_MIXTURE_SQL,
+    "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
+    "pii_span_stats": PII_SPAN_SQL,
     "cdc_replay_drop": CDC_DROP_SQL,
     "cdc_lake_constraints": CDC_EXPECT_SQL,
     "cdc_replay_rename": CDC_RENAME_SQL,
