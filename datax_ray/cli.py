@@ -808,7 +808,7 @@ def main(argv=None):
 
         changes = pads.dataset(list_segments(a.changes)).to_table()
         base = _pq.read_table(a.base) if a.base else None
-        if a.sample_convs:
+        if a.sample_convs is not None:
             from datax_ray.oracle import sampled_verify
 
             out = sampled_verify(changes, a.lake, a.sample_convs, base=base)

@@ -160,11 +160,13 @@ def sampled_verify(
     Returns {"match", "rows", "oracle_rows", "sampled_convs"}."""
     import hashlib
 
-    from datax_ray.sinks.lake import read_lake
+    from datax_ray.sinks.lake import final_table
 
+    if n <= 0:
+        raise ValueError(f"sample size must be positive, got {n}")
     convs = set(pc.drop_null(changes["conv_id"]).unique().to_pylist())
     if base is not None:
-        convs |= set(base["conv_id"].unique().to_pylist())
+        convs |= set(pc.drop_null(base["conv_id"]).unique().to_pylist())
     sampled = sorted(convs, key=lambda c: hashlib.sha1(c.encode()).hexdigest())[:n]
     in_sample = pc.is_in(changes["conv_id"], pa.array(sampled, pa.string()))
     changes = changes.filter(
@@ -173,20 +175,7 @@ def sampled_verify(
     if base is not None:
         base = base.filter(pc.is_in(base["conv_id"], pa.array(sampled, pa.string())))
     oracle = sequential_replay(changes, base=base)
-    t = pa.concat_tables(
-        [
-            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-            for b in read_lake(lake_dir, conv_ids=sampled).iter_batches(
-                batch_format="pyarrow", batch_size=65536
-            )
-        ]
-        or [oracle.schema.empty_table()]
-    )
-    ours = t.take(
-        pc.sort_indices(
-            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-    )
+    ours = final_table(lake_dir, conv_ids=sampled)
     ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)
     return {
         "match": bool(ok),

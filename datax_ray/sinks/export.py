@@ -230,6 +230,12 @@ def export_lake_incremental(
     from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
 
     schema_json = schema_to_json(m.committed_schema() or LAKE_SCHEMA)
+    # the committed SCHEMA folds into every fingerprint too: a DDL epoch
+    # (rename/widen/add) must re-export even ranges whose FILES didn't
+    # change, or the mirror would mix pre- and post-DDL columns forever.
+    # (Fingerprint-format changes cost one full re-export on first sync —
+    # the safe direction: stale fps rewrite, never mis-skip.)
+    xspec = xspec + "\x00" + json.dumps(schema_json, sort_keys=True)
     plan = _range_plan(lake_dir, m)
     state_path = os.path.join(out_dir, _STATE_NAME)
     prev: dict = {}

@@ -435,15 +435,21 @@ def read_lake(
     return ray.data.read_datasource(src, override_num_blocks=len(src._parts))
 
 
-def final_table(lake_dir: str, as_of_epoch: int | None = None) -> pa.Table:
+def final_table(
+    lake_dir: str,
+    as_of_epoch: int | None = None,
+    conv_ids: list[str] | None = None,
+) -> pa.Table:
     """Materialized final state sorted by (conv_id, turn_idx) — the
     verification view (BASELINE.json: per-turn text equality under stable
-    turn ordering). Only for test/small-scale use: materializes."""
+    turn ordering). Only for test/small-scale use: materializes.
+    `conv_ids` restricts to a keyed sample via the manifest-pruned point
+    read — O(sample), the sampled auditor's view."""
     batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in read_lake(lake_dir, as_of_epoch=as_of_epoch).iter_batches(
-            batch_format="pyarrow", batch_size=65536
-        )
+        for b in read_lake(
+            lake_dir, as_of_epoch=as_of_epoch, conv_ids=conv_ids
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)
     ]
     schema = pa.schema(
         [f for f in lake_schema(lake_dir, as_of_epoch) if f.name not in INTERNAL_COLS]

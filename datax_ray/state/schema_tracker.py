@@ -89,6 +89,11 @@ class SchemaTracker:
         d = json.loads(ddl_json)
         action = d.get("action")
         name = d.get("name")
+        # verb validation FIRST: a malformed/unknown action must not be
+        # misreported as a policy violation (which would steer an operator
+        # into clearing a governance guard for a garbage event)
+        if action not in ("add_column", "widen", "drop_column", "rename_column"):
+            raise ValueError(f"unknown ddl action: {action!r}")
         if self.policy is not None and action not in SCHEMA_POLICIES[self.policy]:
             raise SchemaPolicyViolation(
                 f"lake schema policy {self.policy!r} forbids ddl action "

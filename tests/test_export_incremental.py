@@ -141,3 +141,56 @@ def test_export_with_transformer_chain_scrubs_egress(tmp_path, ray_session):
               "pattern": "[0-9]+", "replacement": "*"}]
     r3 = export_lake_incremental(lake, out_inc, transformers=spec2)
     assert r3["ranges_exported"] == r1["ranges_exported"]
+
+
+def test_ddl_epoch_reexports_every_range_no_mixed_schema(tmp_path, ray_session):
+    """A DDL epoch (rename) must re-export even ranges whose FILES didn't
+    change: the committed schema folds into every range fingerprint, so
+    the mirror can never mix pre- and post-DDL columns."""
+    import json as _json
+
+    import numpy as np
+
+    from datax_ray.schemas import CHANGES_SCHEMA
+
+    changes, chg, lake = _setup(tmp_path, n=2000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
+                        segments_per_epoch=3))
+    out = str(tmp_path / "sync")
+    r1 = export_lake_incremental(lake, out)
+    assert r1["ranges_exported"] > 0
+
+    # a rename-only epoch: one DDL event, no data rows
+    hi = int(pc.max(changes["lsn"]).as_py()) + 1
+    ts0 = pc.min(changes["ts"]).as_py()
+    ddl = pa.table(
+        {
+            "lsn": pa.array([hi], pa.int64()),
+            "ts": pa.array([ts0], pa.timestamp("us")),
+            "op": pa.array(["ddl"]),
+            "conv_id": pa.array([None], pa.string()),
+            "turn_idx": pa.array([None], pa.int32()),
+            "role": pa.array([None], pa.string()),
+            "text": pa.array([None], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ddl": pa.array(
+                [_json.dumps({"action": "rename_column", "name": "tool",
+                              "to": "tool_name"})], pa.string()),
+        },
+        schema=CHANGES_SCHEMA,
+    )
+    pq.write_table(ddl, os.path.join(chg, "seg-zz-ddl.parquet"))
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
+                        segments_per_epoch=3))
+
+    r2 = export_lake_incremental(lake, out)
+    assert r2["ranges_exported"] == r1["ranges_exported"], (
+        "schema change must invalidate every range fingerprint")
+    # every exported file carries the NEW schema — no mixed mirror
+    from datax_ray.sinks.export import read_export_state
+
+    state = read_export_state(out)
+    for rid, rec in state["ranges"].items():
+        for name in rec["files"]:
+            s = pq.read_schema(os.path.join(out, f"r={int(rid):05d}", name))
+            assert "tool_name" in s.names and "tool" not in s.names

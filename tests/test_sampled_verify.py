@@ -56,6 +56,9 @@ def test_sampled_verify_catches_in_sample_corruption(tmp_path, ray_session):
     )[:10]
     victim = convs[0]
     hit = False
+    # corrupt EVERY file holding the victim conv — some may carry only
+    # LWW-superseded rows, so stopping at the first would leave the merged
+    # view intact depending on glob order
     for p in glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True):
         t = pq.read_table(p)
         if "conv_id" not in t.column_names or "text" not in t.column_names:
@@ -71,8 +74,6 @@ def test_sampled_verify_catches_in_sample_corruption(tmp_path, ray_session):
         t = t.set_column(t.schema.get_field_index("text"), "text",
                          pa.array(texts, t.schema.field("text").type))
         pq.write_table(t, p)
-        if hit:
-            break
     assert hit, "no lake file held the victim conv"
     assert not sampled_verify(table, lake, 10)["match"]
 
