@@ -576,19 +576,31 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
             cmd = [sys.executable, os.path.abspath(__file__), "--replay-only",
                    "--address", addr, "--sf-dir", sf_dir, "--events", str(events)]
             pin = f"0-{8 * n_nodes - 1}"  # driver shares the cluster's cores
-            best = None
-            for _ in range(2):  # best-of-2: bound writeback noise
+            # STEAL-AWARE (same protocol as --scaling): a leg whose
+            # /proc/stat steal delta exceeds 1% is hypervisor-contaminated;
+            # retry it (bounded), else keep the fastest and flag the JSON.
+            best, attempts, steals = None, 0, []
+            while attempts < 4:
+                attempts += 1
                 settle()
                 env = dict(os.environ)
                 env.pop("RAY_ADDRESS", None)
                 run_cmd = (["taskset", "-c", pin] + cmd) if shutil.which("taskset") else cmd
+                s0 = _steal_snapshot()
                 out = subprocess.run(run_cmd, capture_output=True, text=True, env=env)
+                frac = _steal_fraction(s0)
+                steals.append(round(frac, 4))
                 if out.returncode != 0:
                     raise RuntimeError(f"replay at {n_nodes} nodes failed: {out.stderr[-800:]}")
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
+                r["steal_frac"] = frac
                 if best is None or r["sustained_sec"] < best["sustained_sec"]:
                     best = r
+                # stop once we hold two attempts OR one clean fast leg
+                if attempts >= 2 and best["steal_frac"] <= 0.01:
+                    break
+            best["steal_fracs"] = steals
             results[n_nodes] = best
     finally:
         _ray_cli(["ray", "stop", "--force"], pin=None)
@@ -605,6 +617,10 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
         "sustained_sec_4node": round(results[4]["sustained_sec"], 3),
         "events_per_sec_1node": round(tp1, 1),
         "events_per_sec_4node": round(tp4, 1),
+        "steal_fracs": {str(n): results[n].get("steal_fracs") for n in (1, 4)},
+        "steal_contaminated": any(
+            results[n].get("steal_frac", 0) > 0.01 for n in (1, 4)
+        ),
     }))
 
 
