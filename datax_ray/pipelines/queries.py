@@ -11272,6 +11272,117 @@ GROUP BY event_type
 """
 
 
+def median_cont_order_price(sf_dir: str):
+    """Per-status INTERPOLATED median (percentile_cont 0.5 — the
+    SQL-standard continuous rule, distinct from D46's quantile_disc): kept
+    integer-exact by reporting HALF-cents = lower-middle + upper-middle of
+    the expanded multiset (odd n: 2× the middle), so the oracle compare
+    has no float surface. Same ONE-histogram plan as the MAD query: the
+    combiner moves O(statuses × distinct cents) rows, both middles come
+    from two cumulative-histogram lookups — the corpus never re-reads."""
+    import pandas as pd
+
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderstatus": t["o_orderstatus"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    hist = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderstatus", "cents"],
+        counts="n",
+        single_reduce=True,
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for st, g in df.groupby("o_orderstatus", sort=True):
+            order = np.argsort(g["cents"].to_numpy(), kind="stable")
+            vals = g["cents"].to_numpy()[order]
+            cum = np.cumsum(g["n"].to_numpy()[order])
+            n = int(cum[-1])
+            lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+            hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+            rows.append({"o_orderstatus": st, "median_halfcents": lo + hi,
+                         "n_orders": n})
+        return pd.DataFrame(rows, columns=["o_orderstatus", "median_halfcents",
+                                           "n_orders"])
+
+    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+MEDIAN_CONT_SQL = """
+SELECT o_orderstatus,
+       CAST(round(2 * percentile_cont(0.5) WITHIN GROUP (
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT)
+           AS median_halfcents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_event_counts(sf_dir: str):
+    """PIVOT: one row per day, one count column per event type (the
+    wide-format report shape). One distributed combiner pass collapses
+    the stream to O(days × types) (day, type, n) cells; the pivot itself
+    is a vectorized scatter inside the per-day-bucket fold — no
+    row-per-cell Python and nothing ever re-reads the events."""
+    from datax_ray.functions.relational import partial_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                         86_400_000_000)), pa.int64())
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    cells = partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["day", "event_type"],
+        counts="n",
+        single_reduce=True,
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        days = t["day"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(days)
+        pos = np.searchsorted(uniq, days)
+        out = {"day": pa.array(uniq, pa.int64())}
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for et in _PIVOT_TYPES:
+            col = np.zeros(len(uniq), np.int64)
+            m = types == et
+            np.add.at(col, pos[m], n[m])
+            out[f"n_{et}"] = pa.array(col, pa.int64())
+        return pa.table(out)
+
+    return cells.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+
+
+PIVOT_DAILY_SQL = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+            AS BIGINT) AS n_click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0)
+            AS BIGINT) AS n_error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+            AS BIGINT) AS n_purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+            AS BIGINT) AS n_signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+            AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -11454,6 +11565,8 @@ QUERIES = {
     "lang_mixture_rates": lang_mixture_rates,
     "mixture_sample_docs": mixture_sample_docs,
     "pii_span_stats": pii_span_stats,
+    "median_cont_order_price": median_cont_order_price,
+    "pivot_daily_event_counts": pivot_daily_event_counts,
     "cdc_replay_drop": cdc_replay_drop,
     "cdc_lake_constraints": cdc_lake_constraints,
     "cdc_replay_rename": cdc_replay_rename,
@@ -11632,6 +11745,8 @@ ORACLE_SQL = {
     "lang_mixture_rates": LANG_MIXTURE_SQL,
     "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
     "pii_span_stats": PII_SPAN_SQL,
+    "median_cont_order_price": MEDIAN_CONT_SQL,
+    "pivot_daily_event_counts": PIVOT_DAILY_SQL,
     "cdc_replay_drop": CDC_DROP_SQL,
     "cdc_lake_constraints": CDC_EXPECT_SQL,
     "cdc_replay_rename": CDC_RENAME_SQL,
