@@ -54,7 +54,12 @@ def main(argv=None):
     g.add_argument("--ddl", action="store_true")
 
     r = sub.add_parser("replay", help="replay uncommitted change segments into the lake")
-    r.add_argument("--changes", required=True)
+    r.add_argument("--changes", default=None,
+                   help="single-source change-log dir (exclusive with --source)")
+    r.add_argument("--source", action="append", default=None, metavar="NAME=DIR",
+                   help="multi-source replication: repeatable NAME=DIR "
+                   "producer logs, each with its own lsn space (glsn-"
+                   "remapped into the lake's pinned slot map)")
     r.add_argument("--lake", required=True)
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--segments-per-epoch", type=int, default=None)
@@ -647,9 +652,18 @@ def main(argv=None):
 
         from datax_ray.pipelines.replay import ReplayConfig, replay
 
+        sources = None
+        if a.source:
+            sources = {}
+            for spec in a.source:
+                name, _, d = spec.partition("=")
+                if not name or not d:
+                    raise SystemExit(f"--source expects NAME=DIR, got {spec!r}")
+                sources[name] = d
         reports = replay(
             ReplayConfig(
                 changes_dir=a.changes,
+                sources=sources,
                 lake_dir=a.lake,
                 num_partitions=a.partitions,
                 segments_per_epoch=a.segments_per_epoch,

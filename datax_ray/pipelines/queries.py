@@ -212,6 +212,42 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_multisource_replay(sf_dir: str):
+    """Multi-source replication (replay.py MULTISOURCE_SLOTS design): the
+    derived change log is split segment-alternately across TWO producer
+    dirs — each keeps a strictly-increasing lsn space — and replayed with
+    ReplayConfig(sources=...). Because the glsn remap (lsn*slots + slot)
+    is monotone in the original, globally-unique lsn, the merged LWW fold
+    is IDENTICAL to the single-log fold, so the oracle is CDC_REPLAY_SQL
+    verbatim — the driver hash-verifies the per-source watermarking, slot
+    pinning, union-of-remapped-reads path end to end."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_multisrc/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    src_a, src_b = f"{work}/src_a", f"{work}/src_b"
+    os.makedirs(src_a, exist_ok=True)
+    os.makedirs(src_b, exist_ok=True)
+    segs = sorted(os.listdir(f"{work}/changes"))
+    for i, s in enumerate(segs):
+        os.rename(
+            os.path.join(f"{work}/changes", s),
+            os.path.join(src_a if i % 2 == 0 else src_b, s),
+        )
+    replay(
+        ReplayConfig(
+            sources={"alpha": src_a, "beta": src_b},
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
 def cdc_envelope_roundtrip(sf_dir: str):
     """Full INTEROP loop, driver-verified: derive → replay into lake A →
     export the change feed as Debezium-style before/after envelopes
@@ -11388,6 +11424,7 @@ FROM events GROUP BY 1
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
+    "cdc_multisource_replay": cdc_multisource_replay,
     "cdc_replay_dirty_routed": cdc_replay_dirty_routed,
     "cdc_redrive_repair": cdc_redrive_repair,
     "cdc_replay_expectations": cdc_replay_expectations,
@@ -11588,6 +11625,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
+    "cdc_multisource_replay": CDC_REPLAY_SQL,
     "cdc_replay_dirty_routed": CDC_DIRTY_SQL,
     "cdc_redrive_repair": CDC_REPLAY_SQL,
     "hll_registers_events": HLL_SQL,

@@ -33,7 +33,14 @@ import ray
 import ray.data
 
 from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
-from datax_ray.sources.changelog import max_lsn, plan_epochs, read_segments, scan_ddl
+from datax_ray.sources.changelog import (
+    max_lsn,
+    plan_epochs,
+    plan_epochs_multi,
+    read_segments,
+    scan_ddl,
+    scan_ddl_ts,
+)
 from datax_ray.stages.delta import Compactor, DeltaWriter
 from datax_ray.stages.normalize import Normalizer
 from datax_ray.state.manifest import ConcurrentCommitError, Manifest
@@ -45,10 +52,51 @@ class DirtyLimitExceeded(RuntimeError):
     pass
 
 
+# Multi-source replication (MySQL multi-source / Debezium multi-topic
+# analog): N producers, each with its OWN strictly-increasing lsn space,
+# replay into ONE lake. No merged-log converter and no global sort is
+# needed — LWW only requires a deterministic per-key total order, so each
+# source's lsn maps into a disjoint global space
+#     glsn = lsn * slots + slot        (slot = the source's pinned index)
+# which preserves per-source order, never collides across sources, and
+# breaks exact (ts) ties deterministically (by source lsn, then slot).
+# `slots` is pinned at the lake's first multi-source commit and the
+# name→slot map persists in manifest properties, so adding a producer
+# later never re-orders history. Per-source watermarks (in SOURCE lsn
+# space) persist next to the slots and dedup re-delivered events before
+# the remap, exactly like the single-source watermark filter.
+MULTISOURCE_SLOTS = 64
+
+
+def _lsn_remap(slots: int, slot: int, watermark: int):
+    """Per-source ingest stage: drop already-committed events (source-lsn
+    watermark, exact), then remap lsn → glsn. Vectorized, zero-copy in;
+    multiply_checked makes a glsn overflow loud (source lsns must stay
+    below 2^63/slots — ~1.4e17 at the default 64)."""
+    import pyarrow.compute as _pc
+
+    def remap(t):
+        keep = _pc.fill_null(_pc.greater(t["lsn"], watermark), False)
+        t = t.filter(keep)
+        idx = t.schema.get_field_index("lsn")
+        glsn = _pc.add(
+            _pc.multiply_checked(_pc.cast(t["lsn"], "int64"), slots), slot
+        )
+        return t.set_column(idx, "lsn", glsn)
+
+    return remap
+
+
 @dataclass
 class ReplayConfig:
-    changes_dir: str
-    lake_dir: str
+    changes_dir: str | None = None
+    # Multi-source replication: {source_name: changes_dir}. Mutually
+    # exclusive with changes_dir — when set, every source's uncommitted
+    # segments replay each epoch with lsns remapped into the lake's pinned
+    # glsn space (see MULTISOURCE_SLOTS above). Names must not contain
+    # '::' or '/' (they qualify segment names in the manifest).
+    sources: dict[str, str] | None = None
+    lake_dir: str = ""
     num_partitions: int = 64
     segments_per_epoch: int | None = None  # None => one epoch for all pending
     salt_turn_width: int | None = None
@@ -90,11 +138,51 @@ class EpochReport:
     wall_s: float
 
 
-def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch: int) -> EpochReport:
+def run_epoch(
+    cfg: ReplayConfig,
+    manifest: Manifest,
+    segments: "list[str] | dict[str, list[str]]",
+    epoch: int,
+) -> EpochReport:
+    """One replay epoch. `segments` is a path list (single-source) or a
+    {source_name: [paths]} dict (multi-source replication — see
+    MULTISOURCE_SLOTS for the glsn design)."""
     t0 = time.perf_counter()
+    multi = isinstance(segments, dict)
     metrics = get_metrics_actor() if cfg.metrics else None
     if metrics is not None:
         ray.get(metrics.reset.remote())
+
+    props = manifest.committed_properties()
+    ms = props.get("multisource")
+    if multi:
+        if ms is None and manifest.committed_lsn_hi() >= 0:
+            raise ValueError(
+                "multi-source replay on a lake with single-source change "
+                "history — the committed lsn space is not glsn-remapped; "
+                "start multi-source replication on a fresh (or bootstrap-"
+                "only) lake"
+            )
+        slots = int(ms["slots"]) if ms else MULTISOURCE_SLOTS
+        srcmap: dict[str, dict] = {
+            k: dict(v) for k, v in ((ms or {}).get("sources") or {}).items()
+        }
+        for name in sorted(segments):
+            if "::" in name or "/" in name:
+                raise ValueError(f"invalid source name {name!r} ('::' and '/' are reserved)")
+            if name not in srcmap:
+                used = {int(v["slot"]) for v in srcmap.values()}
+                free = next((i for i in range(slots) if i not in used), None)
+                if free is None:
+                    raise ValueError(
+                        f"no free source slot (lake pinned slots={slots})"
+                    )
+                srcmap[name] = {"slot": free, "lsn_hi": -1}
+    elif ms is not None:
+        raise ValueError(
+            "this lake is multi-source replicated — replay it with "
+            "ReplayConfig(sources={name: dir, ...}), not changes_dir"
+        )
 
     # 1. Schema evolution: fold this epoch's DDL events (epoch-boundary
     #    application; see SchemaTracker docstring for the soundness argument).
@@ -102,10 +190,23 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     #    verbs may fold — a violation aborts HERE, before any write.
     tracker = SchemaTracker(
         manifest.committed_schema() or LAKE_SCHEMA,
-        policy=manifest.committed_properties().get("schema_policy"),
+        policy=props.get("schema_policy"),
     )
-    for _, ddl in scan_ddl(segments):
-        tracker.apply_ddl(ddl)
+    if multi:
+        # DDL from every source, folded in the SAME (ts, glsn) order the
+        # data events merge under — deterministic across producers.
+        ddl_events = []
+        for name, paths in segments.items():
+            slot, wm = int(srcmap[name]["slot"]), int(srcmap[name]["lsn_hi"])
+            for ts_us, lsn, ddl in scan_ddl_ts(paths):
+                if lsn <= wm:
+                    continue
+                ddl_events.append((ts_us, lsn * slots + slot, ddl))
+        for _, _, ddl in sorted(ddl_events):
+            tracker.apply_ddl(ddl)
+    else:
+        for _, ddl in scan_ddl(segments):
+            tracker.apply_ddl(ddl)
     lake_schema = tracker.schema
     schema_json = schema_to_json(lake_schema)
 
@@ -172,12 +273,37 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
     # 2b. Map-only Dataset pipeline (instances shipped once via the object
     #    store; task pools — zero spin-up, elastic). No shuffle anywhere:
     #    co-location happens in the lake's file layout itself.
-    ds = read_segments(segments)
+    if multi:
+        # One pruned read + vectorized lsn→glsn remap per source, then a
+        # union: the streaming executor interleaves the sources' blocks,
+        # and everything downstream (normalize → delta write → commit) is
+        # the unchanged single-log path. Per-source watermark dedup runs
+        # inside the remap (source-lsn space), so the Normalizer's global
+        # watermark filter is disabled below.
+        src_parts = []
+        for name in sorted(segments):
+            src_parts.append(
+                read_segments(segments[name]).map_batches(
+                    _lsn_remap(
+                        slots,
+                        int(srcmap[name]["slot"]),
+                        int(srcmap[name]["lsn_hi"]),
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=cfg.batch_size,
+                )
+            )
+        ds = src_parts[0]
+        for p in src_parts[1:]:
+            ds = ds.union(p)
+    else:
+        ds = read_segments(segments)
     ds = ds.map_batches(
         Normalizer(
             target_schema_json=schema_json,
             num_partitions=num_partitions,
-            watermark_lsn=watermark,
+            watermark_lsn=-1 if multi else watermark,
             salt_turn_width=salt_turn_width,
             deadletter_dir=f"{cfg.lake_dir}/_deadletter/epoch={epoch:06d}",
             metrics=cfg.metrics,
@@ -327,10 +453,25 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         ranges[rid] = rec
 
     # 5. ONE atomic commit covering fragments + compaction.
-    lsn_hi = max(watermark, max_lsn(segments))
+    commit_props = None  # None => manifest carries prior properties forward
+    if multi:
+        lsn_hi = watermark
+        seg_names = []
+        for name, paths in segments.items():
+            seg_names.extend(f"{name}::{os.path.basename(p)}" for p in paths)
+            src_hi = max_lsn(paths)
+            if src_hi >= 0:
+                srcmap[name]["lsn_hi"] = max(int(srcmap[name]["lsn_hi"]), src_hi)
+                lsn_hi = max(lsn_hi, src_hi * slots + int(srcmap[name]["slot"]))
+        props["multisource"] = {"slots": slots, "sources": srcmap}
+        commit_props = props
+        commit_segments = sorted(seg_names)
+    else:
+        lsn_hi = max(watermark, max_lsn(segments))
+        commit_segments = segments
     manifest.commit(
         epoch,
-        segments=segments,
+        segments=commit_segments,
         lsn_hi=lsn_hi,
         schema=lake_schema,
         partitions=partitions,
@@ -338,11 +479,12 @@ def run_epoch(cfg: ReplayConfig, manifest: Manifest, segments: list[str], epoch:
         layout=layout,
         lineage=[dict(r) for r in (*lineage, *base_lineage)],
         metrics=snap,
+        properties=commit_props,
     )
     rows_out = sum(int(r["rows"]) for r in lineage)
     return EpochReport(
         epoch=epoch,
-        segments=[s for s in segments],
+        segments=[s for s in commit_segments],
         events_in=rows_in,
         rows_out=rows_out,
         dirty_rows=dirty,
@@ -495,11 +637,18 @@ def replay(cfg: ReplayConfig, max_commit_retries: int = 3) -> list[EpochReport]:
     bytes on re-run, orphans if the segments were taken by the winner) and
     uncommitted segments re-apply idempotently. Optimistic concurrency in
     the Delta commit-protocol sense, at epoch granularity."""
+    if bool(cfg.changes_dir) == bool(cfg.sources):
+        raise ValueError("ReplayConfig needs exactly one of changes_dir / sources")
+    if not cfg.lake_dir:
+        raise ValueError("ReplayConfig.lake_dir is required")
     manifest = Manifest(cfg.lake_dir)
     reports: list[EpochReport] = []
     retries = 0
     while True:
-        epochs = plan_epochs(cfg.changes_dir, manifest, cfg.segments_per_epoch)
+        if cfg.sources:
+            epochs = plan_epochs_multi(cfg.sources, manifest, cfg.segments_per_epoch)
+        else:
+            epochs = plan_epochs(cfg.changes_dir, manifest, cfg.segments_per_epoch)
         if not epochs:
             return reports
         epoch_no = manifest.committed_epoch() + 1

@@ -114,6 +114,46 @@ def plan_epochs(
     ]
 
 
+def plan_epochs_multi(
+    sources: dict[str, str],
+    manifest: Manifest,
+    segments_per_epoch: int | None = None,
+) -> list[dict[str, list[str]]]:
+    """Multi-source epoch plan: uncommitted segments of EVERY source,
+    chunked so one epoch takes up to `segments_per_epoch` segments from
+    EACH source (sources advance together; a source with nothing new
+    simply contributes nothing that epoch). Committed segments are
+    recorded source-qualified ('name::basename') so two producers may
+    both ship a seg-00000.parquet without colliding."""
+    committed = manifest.committed_segments()
+    pending: dict[str, list[str]] = {}
+    for name, d in sources.items():
+        segs = [
+            s
+            for s in list_segments(d)
+            if f"{name}::{os.path.basename(s)}" not in committed
+        ]
+        if segs:
+            pending[name] = segs
+    if not pending:
+        return []
+    if not segments_per_epoch or segments_per_epoch <= 0:
+        return [pending]
+    n_epochs = max(
+        -(-len(v) // segments_per_epoch) for v in pending.values()
+    )
+    out: list[dict[str, list[str]]] = []
+    for i in range(n_epochs):
+        ep = {
+            name: segs[i * segments_per_epoch : (i + 1) * segments_per_epoch]
+            for name, segs in pending.items()
+        }
+        ep = {k: v for k, v in ep.items() if v}
+        if ep:
+            out.append(ep)
+    return out
+
+
 def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
     """[(lsn, ddl_json)] for op='ddl' rows, in (ts, lsn) order.
 
@@ -121,6 +161,14 @@ def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
     can contain 'ddl' rows only if min(op) <= 'ddl' (every other op string
     sorts after 'ddl'), so with rare DDL almost no data pages are read and
     this stays O(files) driver-side at any event scale."""
+    return [(lsn, ddl) for _, lsn, ddl in scan_ddl_ts(segment_paths)]
+
+
+def scan_ddl_ts(segment_paths: list[str]) -> list[tuple[int, int, str]]:
+    """[(ts_us, lsn, ddl_json)] for op='ddl' rows, in (ts, lsn) order —
+    the ts-carrying variant multi-source replay needs to merge DDL events
+    from several logs into one deterministic fold order. Same row-group
+    pruning as scan_ddl (which is a thin wrapper over this)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -162,7 +210,8 @@ def scan_ddl(segment_paths: list[str]) -> list[tuple[int, str]]:
     if t.num_rows == 0:
         return []
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("lsn", "ascending")]))
-    return list(zip(t["lsn"].to_pylist(), t["ddl"].to_pylist()))
+    ts_us = pc.cast(t["ts"], pa.int64()).to_pylist()
+    return list(zip(ts_us, t["lsn"].to_pylist(), t["ddl"].to_pylist()))
 
 
 def _read_any(path: str, columns: list[str] | None = None):
