@@ -318,7 +318,8 @@ def main() -> None:
         rep = run_replay(changes, lake, num_cpus)
 
         if args.replay_only:
-            print(json.dumps({**rep, "events": n_events, "num_cpus": num_cpus}))
+            print(json.dumps({**rep, "events": n_events, "num_cpus": num_cpus,
+                              "host_memcpy_gibs_1proc": host_fingerprint()}))
             return
 
         from datax_ray.pipelines.queries import QUERIES
@@ -347,6 +348,9 @@ def main() -> None:
             "lake_root": LAKE_ROOT,
             "lake_medium": "tmpfs" if LAKE_ROOT.startswith("/dev/shm") else "disk",
             "inputs_warmed": True,
+            # host speed stamp: single-proc memcpy GiB/s (hosts vary ~2x
+            # per-core across sittings; engine headline moves with it)
+            "host_memcpy_gibs_1proc": host_fingerprint(),
         }))
     finally:
         ray.shutdown()
@@ -447,6 +451,7 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None,
             results[lo_w].get("steal_contaminated")
             or results[hi_w].get("steal_contaminated")
         ),
+        "host_memcpy_gibs_1proc": host_fingerprint(),
     }))
 
 
@@ -465,6 +470,23 @@ def _steal_fraction(before: tuple[int, int]) -> float:
     s0, t0 = before
     dt = t1 - t0
     return (s1 - s0) / dt if dt > 0 else 0.0
+
+
+def host_fingerprint(seconds: float = 0.6) -> float:
+    """Single-proc memcpy GiB/s — a ~0.6 s hardware speed stamp embedded
+    in every bench JSON. The sandbox schedules rounds on hosts whose
+    per-core speed varies ~2x (measured 7.5 vs 13.9 GiB/s single-proc
+    across sittings, with engine headline moving proportionally), so
+    cross-round BENCH comparisons need the host class recorded next to
+    the number they qualify."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    p = mp.Process(target=_membw_worker, args=(q, seconds))
+    p.start()
+    total = q.get()
+    p.join()
+    return round(total / seconds / (1 << 30), 2)
 
 
 def _membw_worker(q, seconds: float) -> None:
@@ -621,6 +643,7 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
         "steal_contaminated": any(
             results[n].get("steal_frac", 0) > 0.01 for n in (1, 4)
         ),
+        "host_memcpy_gibs_1proc": host_fingerprint(),
     }))
 
 
