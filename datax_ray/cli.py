@@ -179,6 +179,25 @@ def main(argv=None):
     mva.add_argument("--rebuild", action="store_true")
     mva.add_argument("--num-cpus", type=int, default=None)
 
+    mvh = sub.add_parser(
+        "mvhist",
+        help="fold the preimage change feed into the ADDITIVE grouped "
+        "text-length HISTOGRAM MV (O(changed rows) refresh; updates "
+        "transfer mass across (group, bucket) cells exactly); "
+        "--quantiles prints per-group approximate percentiles from the "
+        "folded cells; --rebuild recomputes from the live lake",
+    )
+    mvh.add_argument("--lake", required=True)
+    mvh.add_argument("--mv", required=True, help="view directory")
+    mvh.add_argument("--group-col", default=None,
+                     help="grouping column (pinned at creation; default role)")
+    mvh.add_argument("--bucket-width", type=int, default=None,
+                     help="histogram bucket width in chars (pinned; default 64)")
+    mvh.add_argument("--quantiles", default=None,
+                     help="comma-separated quantiles to print, e.g. 0.5,0.95")
+    mvh.add_argument("--rebuild", action="store_true")
+    mvh.add_argument("--num-cpus", type=int, default=None)
+
     mvw = sub.add_parser(
         "mvwindow",
         help="fold the preimage feed into the event-time TUMBLING-WINDOW "
@@ -944,6 +963,23 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "mvhist":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mvhist import hist_quantiles, refresh_mv_hist
+
+        out = refresh_mv_hist(
+            a.lake, a.mv, group_col=a.group_col,
+            bucket_width=a.bucket_width, rebuild=a.rebuild,
+        )
+        if a.quantiles:
+            qs = [float(x) for x in a.quantiles.split(",") if x]
+            out["quantiles"] = [
+                dict(zip(("group_val", "q", "value"), row))
+                for row in zip(*(c.to_pylist() for c in hist_quantiles(a.mv, qs).columns))
+            ]
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "feedout":

@@ -1309,6 +1309,67 @@ def cdc_mv_additive_stats(sf_dir: str):
     return read_mv_additive(f"{work}/mvadd")
 
 
+def cdc_hist_mv(sf_dir: str):
+    """ADDITIVE grouped-HISTOGRAM MV through the full engine, driver-
+    verified mid-stream (pipelines/mvhist.py): replay HALF the change
+    log, fold the preimage feed into per-(role, length-bucket) cells,
+    replay the rest, fold ONLY the new epochs' feed — updates transfer
+    mass across cells via exact −pre/+post deltas, no lake range re-read.
+    The final cells must equal the whole-stream LWW oracle's histogram
+    (CDC_HIST_MV_SQL)."""
+    import glob as _glob
+
+    from datax_ray.pipelines.mvhist import read_mv_hist, refresh_mv_hist
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_mvhist/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_mv_hist(f"{work}/lake", f"{work}/mvhist",
+                    group_col="role", bucket_width=2)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_mv_hist(f"{work}/lake", f"{work}/mvhist")
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_mv_hist(f"{work}/mvhist")
+
+
+CDC_HIST_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT role, COALESCE(length(text), 0) AS len
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT role AS group_val, CAST(len // 2 AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows, CAST(SUM(len) AS BIGINT) AS sum_len
+FROM final GROUP BY 1, 2
+"""
+
+
 CDC_MV_ADD_SQL = """
 WITH c AS (
   SELECT event_id AS lsn, ts,
@@ -11442,6 +11503,7 @@ QUERIES = {
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
+    "cdc_hist_mv": cdc_hist_mv,
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
@@ -11644,6 +11706,7 @@ ORACLE_SQL = {
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
+    "cdc_hist_mv": CDC_HIST_MV_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,

@@ -86,6 +86,10 @@ def _dispatch(kind: str):
         from datax_ray.pipelines.mvwindow import refresh_mv_window
 
         return refresh_mv_window, {"window_s", "lateness_s", "hop_s"}
+    if kind == "mvhist":
+        from datax_ray.pipelines.mvhist import refresh_mv_hist
+
+        return refresh_mv_hist, {"group_col", "bucket_width"}
     if kind == "index":
         from datax_ray.pipelines.index import refresh_index
 
@@ -130,8 +134,8 @@ def _dispatch(kind: str):
         return _asof, {"right_lake"}
     raise ValueError(
         f"unknown artifact kind {kind!r} — expected one of mv/mvadd/"
-        "mvsession/mvwindow/mvjoin/mvasof/index/dedup/neardup/colindex/"
-        "sketch/export/feedout"
+        "mvhist/mvsession/mvwindow/mvjoin/mvasof/index/dedup/neardup/"
+        "colindex/sketch/export/feedout"
     )
 
 
