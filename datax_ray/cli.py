@@ -37,6 +37,20 @@ def _ensure_ray(num_cpus: int | None):
     ray.init(**kwargs)
 
 
+def _parse_sources(specs: list[str] | None) -> dict[str, str] | None:
+    """--source NAME=DIR (repeatable) → {name: dir} for multi-source
+    replication verbs (replay/tail/verify)."""
+    if not specs:
+        return None
+    out: dict[str, str] = {}
+    for spec in specs:
+        name, _, d = spec.partition("=")
+        if not name or not d:
+            raise SystemExit(f"--source expects NAME=DIR, got {spec!r}")
+        out[name] = d
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="datax_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -91,7 +105,12 @@ def main(argv=None):
     b.add_argument("--num-cpus", type=int, default=None)
 
     v = sub.add_parser("verify", help="compare lake state against the sequential oracle")
-    v.add_argument("--changes", required=True)
+    v.add_argument("--changes", default=None,
+                   help="single-source change-log dir (exclusive with --source)")
+    v.add_argument("--source", action="append", default=None, metavar="NAME=DIR",
+                   help="multi-source lake: the producer logs it was "
+                   "replayed from; the oracle folds their union under the "
+                   "lake's pinned glsn remap")
     v.add_argument("--lake", required=True)
     v.add_argument("--base", default=None, help="transcripts snapshot the lake was bootstrapped from")
     v.add_argument("--sample-convs", type=int, default=None,
@@ -142,7 +161,11 @@ def main(argv=None):
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
-    tl.add_argument("--changes", required=True)
+    tl.add_argument("--changes", default=None,
+                    help="single-source change-log dir (exclusive with --source)")
+    tl.add_argument("--source", action="append", default=None, metavar="NAME=DIR",
+                    help="multi-source replication: repeatable NAME=DIR "
+                    "producer logs to tail into one lake")
     tl.add_argument("--lake", required=True)
     tl.add_argument("--partitions", type=int, default=64)
     tl.add_argument("--segments-per-epoch", type=int, default=4)
@@ -197,6 +220,24 @@ def main(argv=None):
                      help="comma-separated quantiles to print, e.g. 0.5,0.95")
     mvh.add_argument("--rebuild", action="store_true")
     mvh.add_argument("--num-cpus", type=int, default=None)
+
+    cms = sub.add_parser(
+        "cmsmv",
+        help="fold the preimage change feed into the TURNSTILE Count-Min "
+        "register MV (constant 32 KiB state, delete-capable): approximate "
+        "live-turn counts per conversation at any key cardinality; "
+        "--query prints overestimate-guaranteed point estimates",
+    )
+    cms.add_argument("--lake", required=True)
+    cms.add_argument("--mv", required=True, help="view directory")
+    cms.add_argument("--depth", type=int, default=None,
+                     help="CMS hash rows (pinned at creation; default 4)")
+    cms.add_argument("--width", type=int, default=None,
+                     help="CMS columns per row (pinned; default 1024)")
+    cms.add_argument("--query", action="append", default=None, metavar="CONV_ID",
+                     help="point-estimate live turns for this conv (repeatable)")
+    cms.add_argument("--rebuild", action="store_true")
+    cms.add_argument("--num-cpus", type=int, default=None)
 
     mvw = sub.add_parser(
         "mvwindow",
@@ -671,18 +712,10 @@ def main(argv=None):
 
         from datax_ray.pipelines.replay import ReplayConfig, replay
 
-        sources = None
-        if a.source:
-            sources = {}
-            for spec in a.source:
-                name, _, d = spec.partition("=")
-                if not name or not d:
-                    raise SystemExit(f"--source expects NAME=DIR, got {spec!r}")
-                sources[name] = d
         reports = replay(
             ReplayConfig(
                 changes_dir=a.changes,
-                sources=sources,
+                sources=_parse_sources(a.source),
                 lake_dir=a.lake,
                 num_partitions=a.partitions,
                 segments_per_epoch=a.segments_per_epoch,
@@ -762,6 +795,7 @@ def main(argv=None):
         reports = tail(
             ReplayConfig(
                 changes_dir=a.changes,
+                sources=_parse_sources(a.source),
                 lake_dir=a.lake,
                 num_partitions=a.partitions,
                 segments_per_epoch=a.segments_per_epoch,
@@ -839,7 +873,33 @@ def main(argv=None):
         from datax_ray.sinks.lake import final_table
         from datax_ray.sources.changelog import list_segments
 
-        changes = pads.dataset(list_segments(a.changes)).to_table()
+        srcs = _parse_sources(a.source)
+        if bool(a.changes) == bool(srcs):
+            raise SystemExit("verify needs exactly one of --changes / --source")
+        if srcs:
+            # multi-source lake: oracle folds the union of the producer
+            # logs under the lake's pinned glsn remap (replay.py design)
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            from datax_ray.state.manifest import Manifest
+
+            ms = Manifest(a.lake).committed_properties().get("multisource") or {}
+            slots = int(ms.get("slots", 64))
+            smap = ms.get("sources") or {}
+            parts = []
+            for i, name in enumerate(sorted(srcs)):
+                t = pads.dataset(list_segments(srcs[name])).to_table()
+                slot = int(smap.get(name, {}).get("slot", i))
+                glsn = _pc.add(
+                    _pc.multiply_checked(_pc.cast(t["lsn"], "int64"), slots),
+                    slot,
+                )
+                t = t.set_column(t.schema.get_field_index("lsn"), "lsn", glsn)
+                parts.append(t)
+            changes = _pa.concat_tables(parts, promote_options="default")
+        else:
+            changes = pads.dataset(list_segments(a.changes)).to_table()
         base = _pq.read_table(a.base) if a.base else None
         if a.sample_convs is not None:
             from datax_ray.oracle import sampled_verify
@@ -963,6 +1023,21 @@ def main(argv=None):
         from datax_ray.pipelines.mvadd import refresh_mv_additive
 
         print(json.dumps(refresh_mv_additive(a.lake, a.mv, rebuild=a.rebuild)))
+        return 0
+
+    if a.cmd == "cmsmv":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.cmsmv import cms_mv_estimate, refresh_cms_mv
+
+        out = refresh_cms_mv(
+            a.lake, a.mv, depth=a.depth, width=a.width, rebuild=a.rebuild
+        )
+        if a.query:
+            est = cms_mv_estimate(a.mv, a.query)
+            out["estimates"] = dict(
+                zip(est["conv_id"].to_pylist(), est["est_turns"].to_pylist())
+            )
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "mvhist":

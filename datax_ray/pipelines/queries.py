@@ -1370,6 +1370,70 @@ FROM final GROUP BY 1, 2
 """
 
 
+def cdc_cms_mv(sf_dir: str):
+    """TURNSTILE Count-Min register MV through the full engine, driver-
+    verified mid-stream (pipelines/cmsmv.py): replay HALF the change log,
+    fold the preimage feed into the 4x256 register cells, replay the
+    rest, fold ONLY the new epochs' feed — deletes subtract exactly, so
+    the final cells must equal the CMS of the whole-stream LWW state,
+    which DuckDB reproduces bit-for-bit from the fixed fmix32 chain
+    (CDC_CMS_MV_SQL, the cms_registers_users HUGEINT recipe keyed on the
+    conversation ordinal)."""
+    import glob as _glob
+
+    from datax_ray.pipelines.cmsmv import read_cms_mv, refresh_cms_mv
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+
+    work = f"/tmp/datax_cdc_cmsmv/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+
+    segs = sorted(_glob.glob(f"{work}/changes/seg-*.parquet"))
+    os.makedirs(f"{work}/changes_half", exist_ok=True)
+    for s in segs[: max(1, len(segs) // 2)]:
+        os.link(s, os.path.join(f"{work}/changes_half", os.path.basename(s)))
+
+    cfg = dict(num_partitions=16, segments_per_epoch=spe)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes_half", lake_dir=f"{work}/lake", **cfg
+    ))
+    refresh_cms_mv(f"{work}/lake", f"{work}/cmsmv", depth=4, width=256)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", **cfg
+    ))
+    stats = refresh_cms_mv(f"{work}/lake", f"{work}/cmsmv")
+    assert stats["applied_from"] >= 0  # second refresh was incremental
+    return read_cms_mv(f"{work}/cmsmv")
+
+
+CDC_CMS_MV_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         user_id
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT user_id AS ord FROM w WHERE rn = 1 AND op <> 'delete'
+), seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+s0 AS (SELECT j, (ord + j * 2654435761) % 4294967296 AS h
+       FROM final CROSS JOIN seeds),
+s1 AS (SELECT j, xor(h, h >> 16) AS h FROM s0),
+s2 AS (SELECT j, CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h FROM s1),
+s3 AS (SELECT j, xor(h, h >> 13) AS h FROM s2),
+s4 AS (SELECT j, CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h FROM s3),
+hv AS (SELECT j, xor(h, h >> 16) AS hv FROM s4)
+SELECT CAST(j AS BIGINT) AS cms_row, CAST(hv % 256 AS BIGINT) AS cms_col,
+       COUNT(*) AS cnt
+FROM hv GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 CDC_MV_ADD_SQL = """
 WITH c AS (
   SELECT event_id AS lsn, ts,
@@ -11504,6 +11568,7 @@ QUERIES = {
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
     "cdc_mv_additive_stats": cdc_mv_additive_stats,
     "cdc_hist_mv": cdc_hist_mv,
+    "cdc_cms_mv": cdc_cms_mv,
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
@@ -11707,6 +11772,7 @@ ORACLE_SQL = {
     "cdc_mv_conv_stats": CDC_MV_SQL,
     "cdc_mv_additive_stats": CDC_MV_ADD_SQL,
     "cdc_hist_mv": CDC_HIST_MV_SQL,
+    "cdc_cms_mv": CDC_CMS_MV_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,

@@ -90,6 +90,10 @@ def _dispatch(kind: str):
         from datax_ray.pipelines.mvhist import refresh_mv_hist
 
         return refresh_mv_hist, {"group_col", "bucket_width"}
+    if kind == "cmsmv":
+        from datax_ray.pipelines.cmsmv import refresh_cms_mv
+
+        return refresh_cms_mv, {"depth", "width"}
     if kind == "index":
         from datax_ray.pipelines.index import refresh_index
 
@@ -134,8 +138,8 @@ def _dispatch(kind: str):
         return _asof, {"right_lake"}
     raise ValueError(
         f"unknown artifact kind {kind!r} — expected one of mv/mvadd/"
-        "mvhist/mvsession/mvwindow/mvjoin/mvasof/index/dedup/neardup/"
-        "colindex/sketch/export/feedout"
+        "mvhist/cmsmv/mvsession/mvwindow/mvjoin/mvasof/index/dedup/"
+        "neardup/colindex/sketch/export/feedout"
     )
 
 

@@ -21,6 +21,8 @@ import os
 _KIND_STATE = {
     "mv": ("_mv_state.json", ["applied_epoch"]),
     "mvadd": ("_mvadd_state.json", ["applied_epoch"]),
+    "mvhist": ("_mvhist_state.json", ["applied_epoch"]),
+    "cmsmv": ("_cmsmv_state.json", ["applied_epoch"]),
     "mvsession": ("_mvsession_state.json", ["applied_epoch"]),
     "mvwindow": ("_mvwindow_state.json", ["applied_epoch"]),
     "mvjoin": ("_mvjoin_state.json", ["applied_left"]),
@@ -45,6 +47,17 @@ def lake_status(lake_dir: str) -> dict:
     if committed < 0:
         return out
     out["lsn_hi"] = m.committed_lsn_hi()
+    ms = m.committed_properties().get("multisource")
+    if ms:
+        # multi-source replication: per-producer watermarks (SOURCE lsn
+        # space) + pinned slots — the per-source replication-lag view
+        out["multisource"] = {
+            "slots": ms.get("slots"),
+            "sources": {
+                name: {"slot": rec.get("slot"), "lsn_hi": rec.get("lsn_hi")}
+                for name, rec in (ms.get("sources") or {}).items()
+            },
+        }
     layout = m.committed_layout() or {}
     out["layout"] = {
         k: layout.get(k)
