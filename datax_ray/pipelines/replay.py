@@ -68,16 +68,29 @@ class DirtyLimitExceeded(RuntimeError):
 MULTISOURCE_SLOTS = 64
 
 
-def _lsn_remap(slots: int, slot: int, watermark: int):
+def _lsn_remap(slots: int, slot: int, watermark: int,
+               source: str | None = None, metrics: bool = True):
     """Per-source ingest stage: drop already-committed events (source-lsn
     watermark, exact), then remap lsn → glsn. Vectorized, zero-copy in;
     multiply_checked makes a glsn overflow loud (source lsns must stay
-    below 2^63/slots — ~1.4e17 at the default 64)."""
+    below 2^63/slots — ~1.4e17 at the default 64). Per-SOURCE channel
+    statistics (rows delivered / rows deduped) mirror into the metrics
+    actor under stage "source:<name>" — the DataX channel-statistics
+    analog at producer granularity, committed with the epoch's manifest
+    like every other stage's counters."""
     import pyarrow.compute as _pc
 
+    actor = get_metrics_actor() if (metrics and source) else None
+
     def remap(t):
+        n_in = t.num_rows
         keep = _pc.fill_null(_pc.greater(t["lsn"], watermark), False)
         t = t.filter(keep)
+        if actor is not None:
+            actor.add.remote(
+                f"source:{source}",
+                {"rows_in": n_in, "rows_deduped": n_in - t.num_rows},
+            )
         idx = t.schema.get_field_index("lsn")
         glsn = _pc.add(
             _pc.multiply_checked(_pc.cast(t["lsn"], "int64"), slots), slot
@@ -288,6 +301,8 @@ def run_epoch(
                         slots,
                         int(srcmap[name]["slot"]),
                         int(srcmap[name]["lsn_hi"]),
+                        source=name,
+                        metrics=cfg.metrics,
                     ),
                     batch_format="pyarrow",
                     zero_copy_batch=True,

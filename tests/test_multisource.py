@@ -167,6 +167,29 @@ def test_multisource_add_producer_later(tmp_path):
     assert_tables_equal(final_table(lake), sequential_replay(merged))
 
 
+def test_multisource_per_source_channel_stats(tmp_path, ray_session):
+    """Per-producer channel statistics (rows delivered / deduped) land in
+    the committed manifest metrics under stage 'source:<name>'."""
+    ca = gen_changes(1200, 20, seed=9)
+    cb = gen_changes(800, 20, seed=10)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_segments(ca, a, seg_rows=600)
+    write_segments(cb, b, seg_rows=600)
+    lake = str(tmp_path / "lake")
+    replay(ReplayConfig(sources={"a": a, "b": b}, lake_dir=lake, num_partitions=4))
+    metrics = Manifest(lake).latest()["metrics"]
+    assert metrics["source:a"]["rows_in"] == 1200
+    assert metrics["source:b"]["rows_in"] == 800
+    assert metrics["source:a"]["rows_deduped"] == 0
+    # re-deliver b's log in new segment files: all rows dedup per-source
+    write_segments(cb, b, seg_rows=600, start_seg=50)
+    replay(ReplayConfig(sources={"a": a, "b": b}, lake_dir=lake, num_partitions=4))
+    metrics = Manifest(lake).latest()["metrics"]
+    assert "source:a" not in metrics  # nothing pending from a this epoch
+    assert metrics["source:b"]["rows_in"] == 800
+    assert metrics["source:b"]["rows_deduped"] == 800
+
+
 def test_multisource_guards(tmp_path):
     ca = gen_changes(500, 10, seed=3)
     a = str(tmp_path / "a")
