@@ -89,6 +89,22 @@ def main(argv=None):
                    "constraints); violating rows dead-letter and count "
                    "against errorLimit")
     r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--dry-run", action="store_true",
+                   help="print the epoch plan (pending segments + footer "
+                   "row estimates, per source) without writing anything — "
+                   "no Ray session needed")
+
+    df = sub.add_parser(
+        "diff",
+        help="epoch-to-epoch change summary: per-change-type row counts, "
+        "net live-row delta and event-time span of epochs (from, to] — "
+        "O(changed ranges) via the preimage feed, never O(lake)",
+    )
+    df.add_argument("--lake", required=True)
+    df.add_argument("--from-epoch", type=int, required=True)
+    df.add_argument("--to-epoch", type=int, default=None,
+                    help="default: the committed head")
+    df.add_argument("--num-cpus", type=int, default=None)
 
     b = sub.add_parser("bootstrap", help="full-load a transcripts snapshot into an empty lake (epoch 0)")
     b.add_argument("--src", default=None, help="transcripts parquet file/dir")
@@ -704,6 +720,64 @@ def main(argv=None):
             with_ddl=a.ddl,
         )
         print(json.dumps({"segments": len(paths), "out": a.out}))
+        return 0
+
+    if a.cmd == "replay" and a.dry_run:
+        # plan-only: manifest metadata + parquet footers, no Ray session
+        import pyarrow.parquet as _pq
+
+        from datax_ray.sources.changelog import plan_epochs, plan_epochs_multi
+        from datax_ray.state.manifest import Manifest
+
+        def _rows(paths):
+            n = 0
+            for p in paths:
+                if p.endswith(".parquet"):
+                    n += _pq.ParquetFile(p).metadata.num_rows
+            return n
+
+        m = Manifest(a.lake)
+        srcs = _parse_sources(a.source)
+        if srcs:
+            epochs = plan_epochs_multi(srcs, m, a.segments_per_epoch)
+            plan = [
+                {
+                    "epoch": m.committed_epoch() + 1 + i,
+                    "per_source": {
+                        name: {"segments": len(paths), "rows_est": _rows(paths)}
+                        for name, paths in ep.items()
+                    },
+                }
+                for i, ep in enumerate(epochs)
+            ]
+        else:
+            epochs = plan_epochs(a.changes, m, a.segments_per_epoch)
+            plan = [
+                {
+                    "epoch": m.committed_epoch() + 1 + i,
+                    "segments": len(segs),
+                    "rows_est": _rows(segs),
+                }
+                for i, segs in enumerate(epochs)
+            ]
+        print(json.dumps({
+            "lake": a.lake,
+            "committed_epoch": m.committed_epoch(),
+            "pending_epochs": len(plan),
+            "plan": plan,
+        }))
+        return 0
+
+    if a.cmd == "diff":
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.feed import change_feed_summary
+
+        print(json.dumps(change_feed_summary(
+            a.lake, a.from_epoch, a.to_epoch
+        )))
+        ray.shutdown()
         return 0
 
     if a.cmd == "replay":

@@ -441,3 +441,73 @@ def read_change_feed_preimages(
         batch_size=4,
         concurrency=min(8, len(plan)),
     )
+
+
+def change_feed_summary(
+    lake_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> dict:
+    """Epoch-to-epoch DIFF report — "what changed between epochs (from,
+    to]" as an operator-readable summary: per-change-type row counts,
+    distinct conversations touched, and the event-time span of the
+    changes. Runs on the preimage feed (O(changed ranges), never
+    O(lake)); the heavy reduction is a per-batch combiner + one tiny
+    driver fold, so the driver never sees row-level data."""
+    import pyarrow.compute as pc
+
+    from datax_ray.state.manifest import Manifest
+
+    m = Manifest(lake_dir)
+    committed = m.committed_epoch()
+    to_epoch = committed if to_epoch is None else to_epoch
+    out = {
+        "lake": lake_dir,
+        "from_epoch": from_epoch,
+        "to_epoch": to_epoch,
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"change": t[_CHANGE_COL], "conv_id": t["conv_id"]})
+            .group_by(["change"], use_threads=False)
+            .aggregate([("conv_id", "count_distinct"), ("change", "count")])
+        )
+        ts = t["ts"]
+        lo = pc.min(ts).as_py()
+        hi = pc.max(ts).as_py()
+        return pa.table(
+            {
+                "change": g["change"],
+                "rows": pc.cast(g["change_count"], pa.int64()),
+                "convs_ub": pc.cast(g["conv_id_count_distinct"], pa.int64()),
+                "ts_lo": pa.array([lo] * g.num_rows, pa.timestamp("us")),
+                "ts_hi": pa.array([hi] * g.num_rows, pa.timestamp("us")),
+            }
+        )
+
+    parts = [
+        b
+        for b in read_change_feed_preimages(lake_dir, from_epoch, to_epoch)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    if not parts or sum(p.num_rows for p in parts) == 0:
+        out.update(changes={}, rows=0, ts_lo=None, ts_hi=None)
+        return out
+    t = pa.concat_tables(parts)
+    folded = (
+        t.group_by(["change"], use_threads=False)
+        .aggregate([("rows", "sum")])
+        .rename_columns(["change", "rows"])
+    )
+    out["changes"] = dict(
+        zip(folded["change"].to_pylist(), folded["rows"].to_pylist())
+    )
+    out["rows"] = int(sum(out["changes"].values()))
+    los = [v for v in t["ts_lo"].to_pylist() if v is not None]
+    his = [v for v in t["ts_hi"].to_pylist() if v is not None]
+    out["ts_lo"] = min(los).isoformat() if los else None
+    out["ts_hi"] = max(his).isoformat() if his else None
+    # net live-row delta: inserts − deletes (update pre/post images cancel)
+    ch = out["changes"]
+    out["net_rows"] = int(ch.get("insert", 0) - ch.get("delete", 0))
+    return out

@@ -143,3 +143,25 @@ def test_preimage_feed_purge_and_stale_loser(tmp_path):
     c = m.committed_epoch()
     fe2 = read_change_feed_preimages(lake, b, c).to_pandas()
     assert len(fe2) == 0
+
+
+def test_change_feed_summary_matches_feed(tmp_path):
+    """The diff verb's summary equals a direct reduction of the preimage
+    feed, and net_rows equals the live-row delta between the two epochs."""
+    from datax_ray.pipelines.feed import change_feed_summary
+
+    _, _, lake = _build(tmp_path, "sum")
+    head = Manifest(lake).committed_epoch()
+    mid = head // 2
+
+    out = change_feed_summary(lake, mid, head)
+    feed = read_change_feed_preimages(lake, mid, head).to_pandas()
+    want = feed["_change_type"].value_counts().to_dict()
+    assert out["changes"] == want
+    assert out["rows"] == len(feed)
+    assert out["net_rows"] == (
+        len(_state(lake, head)) - len(_state(lake, mid))
+    )
+    # empty window
+    empty = change_feed_summary(lake, head, head)
+    assert empty["rows"] == 0 and empty["changes"] == {}
