@@ -214,3 +214,48 @@ def test_multisource_guards(tmp_path):
                             lake_dir=str(tmp_path / "l4")))
     with pytest.raises(ValueError, match="exactly one"):
         replay(ReplayConfig(lake_dir=str(tmp_path / "l5")))
+
+
+def test_multisource_ddl_from_one_source(tmp_path):
+    """A DDL event in ONE producer's log evolves the shared lake schema;
+    the other producer's rows (which never heard of the column) land
+    null-filled, exactly as in the single-log path."""
+    ca = gen_changes(2000, 30, seed=11, with_ddl=True)  # adds 'lang'
+    cb = gen_changes(1500, 30, seed=12)                 # no DDL
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_segments(ca, a, seg_rows=600)
+    write_segments(cb, b, seg_rows=600)
+    lake = str(tmp_path / "lake")
+    replay(ReplayConfig(sources={"a": a, "b": b}, lake_dir=lake, num_partitions=8))
+    out = final_table(lake)
+    assert "lang" in out.column_names
+    if "lang" not in cb.column_names:
+        cb = cb.append_column("lang", pa.nulls(cb.num_rows, pa.string()))
+    merged = pa.concat_tables(
+        [remap(ca, 0), remap(cb, 1)], promote_options="default"
+    )
+    assert_tables_equal(out, sequential_replay(merged))
+
+
+def test_multisource_after_bootstrap(tmp_path):
+    """Snapshot-then-multi-tail: bootstrap commits with lsn_hi = -1, so
+    multi-source replication may start on a bootstrapped lake; snapshot
+    rows lose to any change at the same key (bootstrap lsn = -1)."""
+    import pyarrow.parquet as pq
+
+    from datax_ray.fixtures.generator import gen_transcripts
+    from datax_ray.pipelines.bootstrap import bootstrap
+
+    snap = gen_transcripts(n_convs=40, seed=13)
+    snap_path = str(tmp_path / "snap.parquet")
+    pq.write_table(snap, snap_path)
+    lake = str(tmp_path / "lake")
+    bootstrap(snap_path, ReplayConfig(changes_dir="unused",
+                                      lake_dir=lake, num_partitions=8))
+    ca = gen_changes(2000, 40, seed=14)
+    a = str(tmp_path / "a")
+    write_segments(ca, a, seg_rows=800)
+    replay(ReplayConfig(sources={"a": a}, lake_dir=lake, num_partitions=8))
+    assert_tables_equal(
+        final_table(lake), sequential_replay(remap(ca, 0), base=snap)
+    )
