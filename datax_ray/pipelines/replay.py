@@ -71,16 +71,22 @@ MULTISOURCE_SLOTS = 64
 def _lsn_remap(slots: int, slot: int, watermark: int,
                source: str | None = None, metrics: bool = True):
     """Per-source ingest stage: drop already-committed events (source-lsn
-    watermark, exact), then remap lsn → glsn. Vectorized, zero-copy in;
-    multiply_checked makes a glsn overflow loud (source lsns must stay
-    below 2^63/slots — ~1.4e17 at the default 64). Per-SOURCE channel
-    statistics (rows delivered / rows deduped) mirror into the metrics
-    actor under stage "source:<name>" — the DataX channel-statistics
-    analog at producer granularity, committed with the epoch's manifest
-    like every other stage's counters."""
+    watermark, exact), then remap lsn → glsn. Vectorized, zero-copy in.
+    Remapped glsns must stay BELOW 2^62 — lsns at/above 2^62 are the
+    RESERVED synthetic space purge/backfill/retention tombstones use to
+    dominate real log positions (purge.py:_SYNTH_LSN_BASE); a glsn
+    wandering into it would let an ordinary change event tie-break past a
+    governance rewrite. Source lsns are therefore capped at 2^62/slots
+    (~7.2e16 at the default 64 — six orders beyond the 10^10-event
+    design point) and the cap is enforced LOUDLY per batch. Per-SOURCE
+    channel statistics (rows delivered / rows deduped) mirror into the
+    metrics actor under stage "source:<name>" — the DataX
+    channel-statistics analog at producer granularity, committed with
+    the epoch's manifest like every other stage's counters."""
     import pyarrow.compute as _pc
 
     actor = get_metrics_actor() if (metrics and source) else None
+    lsn_cap = ((1 << 62) - 1 - slot) // slots  # glsn stays < 2^62
 
     def remap(t):
         n_in = t.num_rows
@@ -91,6 +97,14 @@ def _lsn_remap(slots: int, slot: int, watermark: int,
                 f"source:{source}",
                 {"rows_in": n_in, "rows_deduped": n_in - t.num_rows},
             )
+        if t.num_rows:
+            hi = _pc.max(t["lsn"]).as_py()
+            if hi is not None and int(hi) > lsn_cap:
+                raise ValueError(
+                    f"source lsn {hi} exceeds the multi-source cap "
+                    f"{lsn_cap} (glsn must stay below the 2^62 synthetic "
+                    f"reserved space; see purge.py)"
+                )
         idx = t.schema.get_field_index("lsn")
         glsn = _pc.add(
             _pc.multiply_checked(_pc.cast(t["lsn"], "int64"), slots), slot
