@@ -534,6 +534,16 @@ def main(argv=None):
     tg.add_argument("--delete", action="store_true")
     tg.add_argument("--list", action="store_true")
 
+    rs = sub.add_parser(
+        "restore",
+        help="Delta-style RESTORE: rewind visible state to a retained "
+        "epoch (one data-free commit, zero data bytes moved); the ingest "
+        "watermark stays at head so discarded changes stay discarded",
+    )
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--to-epoch", type=int, default=None)
+    rs.add_argument("--to-tag", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="right-to-be-forgotten: tombstone all rows of conv_ids; "
@@ -1576,6 +1586,8 @@ def main(argv=None):
                 kind = "alter"
             elif "repartition" in metrics:
                 kind = "migration"
+            elif "restore" in metrics:
+                kind = "restore"
             elif "branch" in metrics:
                 kind = "branch-point"
             elif rec.get("segments"):
@@ -1633,6 +1645,13 @@ def main(argv=None):
             return 0
         epoch = m.set_tag(a.name, a.epoch)
         print(json.dumps({"name": a.name, "epoch": epoch}))
+        return 0
+
+    if a.cmd == "restore":
+        from datax_ray.pipelines.replay import restore_lake
+
+        print(json.dumps(restore_lake(a.lake, to_epoch=a.to_epoch,
+                                      to_tag=a.to_tag)))
         return 0
 
     if a.cmd == "alter":

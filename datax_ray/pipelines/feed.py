@@ -54,6 +54,23 @@ def _exact_records(m: Manifest, epochs: list[int]) -> dict[int, dict]:
     return out
 
 
+def _refuse_restore_in_window(rec: dict, e: int) -> None:
+    """A RESTORE epoch rewinds state by REFERENCE — it commits no new
+    fragments, so the fragment-delta feeds cannot express its (arbitrary,
+    possibly row-removing) state change. Silently skipping it (the
+    migration rule) would let downstream folds diverge from the lake, so
+    a feed window that CROSSES a restore epoch refuses loudly: restart
+    consumers at/after the restore epoch, or --rebuild fold-based views."""
+    if "restore" in (rec.get("metrics") or {}):
+        r = rec["metrics"]["restore"]
+        raise ValueError(
+            f"feed window crosses RESTORE epoch {e} (head rewound to epoch "
+            f"{r.get('to_epoch')}): a restore is not expressible as a "
+            "fragment delta — re-anchor this consumer at from_epoch >= "
+            f"{e} or rebuild the downstream view"
+        )
+
+
 def _frag_set(rec: dict | None) -> set[str]:
     if not rec:
         return set()
@@ -85,6 +102,7 @@ def plan_change_feed(
         # spanning a repartition would re-ship the whole lake as "changes".
         if "repartition" in (recs[e].get("metrics") or {}):
             continue
+        _refuse_restore_in_window(recs[e], e)
         prev = recs.get(e - 1)
         new_frags = sorted(_frag_set(recs[e]) - _frag_set(prev))
         plan.extend({"epoch": e, "file": f} for f in new_frags)
@@ -241,6 +259,7 @@ def plan_feed_preimages(
         rec = recs[e]
         if "repartition" in (rec.get("metrics") or {}):
             continue
+        _refuse_restore_in_window(rec, e)
         prev = recs.get(e - 1)
         new_by_rid: dict[int, list[str]] = {}
         prev_frags = _frag_set(prev)

@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 import ray
 import ray.data
 
-from datax_ray.schemas import LAKE_SCHEMA, schema_to_json
+from datax_ray.schemas import LAKE_SCHEMA, schema_from_json, schema_to_json
 from datax_ray.sources.changelog import (
     max_lsn,
     plan_epochs,
@@ -576,6 +576,85 @@ def alter_lake(
         properties=props,
     )
     return {"epoch": epoch, "properties": props}
+
+
+def restore_lake(
+    lake_dir: str,
+    to_epoch: int | None = None,
+    to_tag: str | None = None,
+) -> dict:
+    """Delta-style RESTORE: rewind the lake's VISIBLE STATE to a retained
+    committed epoch by committing one data-free epoch whose partitions /
+    ranges / layout / schema are the target record's, verbatim. Data files
+    are immutable and content-/epoch-addressed, so the old state is
+    reconstructed by reference — zero data bytes move, O(manifest) work,
+    no Ray session.
+
+    Contract (the CDC-specific part):
+    - The ingest WATERMARK (lsn_hi, and per-source watermarks in the
+      manifest properties) stays at HEAD: changes discarded by the restore
+      are discarded PERMANENTLY — already-committed segments never
+      re-apply, and future events land on the restored state exactly as
+      they would have (a genuinely newer event still wins under LWW).
+      This keeps single- and multi-source lakes consistent and makes
+      restore the honest "undo a bad backfill/purge/ingest window" verb.
+    - Table PROPERTIES (constraints, schema policy, source slot map) stay
+      at head too — restore rewinds data, not governance; use `alter` for
+      that.
+    - Feed-based incremental consumers (mvadd/mvhist/cmsmv/mvwindow,
+      feedout, named consumers) cannot express a restore as a fragment
+      delta, so feed windows CROSSING a restore epoch raise loudly
+      (plan_change_feed / plan_feed_preimages) — restart them from the
+      restore epoch or --rebuild. State-fingerprint consumers (SQL
+      mirror, incremental export, recompute MVs, indexes) handle restore
+      for free: changed ranges' fingerprints change, untouched ranges
+      still skip.
+    - The target epoch must be retained (its manifest record AND files
+      survive vacuum; tag it to pin). Restoring TO head is a no-op.
+    """
+    m = Manifest(lake_dir)
+    head = m.committed_epoch()
+    if head < 0:
+        raise ValueError("cannot restore an empty lake (no committed epoch)")
+    if (to_epoch is None) == (to_tag is None):
+        raise ValueError("restore needs exactly one of to_epoch / to_tag")
+    if to_tag is not None:
+        to_epoch = m.resolve_tag(to_tag)
+    if to_epoch > head:
+        raise ValueError(f"restore target {to_epoch} is beyond head {head}")
+    if to_epoch == head:
+        return {"epoch": None, "restored_to": to_epoch, "noop": True}
+    rec = m.at_epoch(to_epoch)
+    if rec is None or rec["epoch"] != to_epoch:
+        raise ValueError(
+            f"epoch {to_epoch} is not retained (never committed or dropped "
+            "by vacuum) — restore needs its exact manifest record; tag "
+            "epochs you may want to restore to"
+        )
+    # cheap existence sweep: every referenced file must still be on disk
+    refs = [p.get("base") for p in rec.get("partitions", {}).values() if p.get("base")]
+    for r in rec.get("ranges", {}).values():
+        refs.extend(r.get("frags", []))
+    missing = [f for f in refs if not os.path.exists(os.path.join(lake_dir, f))]
+    if missing:
+        raise ValueError(
+            f"epoch {to_epoch} is not restorable: {len(missing)} referenced "
+            f"file(s) missing (first: {missing[0]}) — dropped by vacuum?"
+        )
+    latest = m.latest()
+    epoch = head + 1
+    m.commit(
+        epoch,
+        segments=[],
+        lsn_hi=latest["lsn_hi"],  # watermark preserved — see docstring
+        schema=schema_from_json(rec["schema"]),
+        partitions={int(k): v for k, v in rec.get("partitions", {}).items()},
+        ranges={int(k): v for k, v in rec.get("ranges", {}).items()},
+        layout=rec.get("layout"),
+        lineage=[],
+        metrics={"restore": {"to_epoch": int(to_epoch), "from_epoch": head}},
+    )
+    return {"epoch": epoch, "restored_to": int(to_epoch), "noop": False}
 
 
 def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
