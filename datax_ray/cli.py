@@ -152,6 +152,12 @@ def main(argv=None):
                    help="size-tiered policy: compact ONLY ranges with at "
                    "least this many pending fragments (manifest-only "
                    "check — cold ranges pay nothing)")
+    c.add_argument("--cluster-ts", action="store_true",
+                   help="OPTIMIZE-ZORDER analog for the time dimension: "
+                   "rewrite EVERY base sorted by ts so min-ts reads skip "
+                   "row groups via parquet statistics (point lookups keep "
+                   "file-level Bloom pruning but lose conv_id row-group "
+                   "stats — pick the clustering dimension per workload)")
     c.add_argument("--num-cpus", type=int, default=None)
 
     e = sub.add_parser("export", help="materialize the lake to a parquet/orc/csv/jsonl sink")
@@ -701,6 +707,9 @@ def main(argv=None):
                     "(add_column + widen); later replays abort loudly on "
                     "forbidden DDL verbs before writing anything")
     al.add_argument("--clear-schema-policy", action="store_true")
+    al.add_argument("--clear-cluster-by", action="store_true",
+                    help="stop ts-clustering future compactions "
+                    "(set via `compact --cluster-ts`)")
 
     s = sub.add_parser("show", help="print the committed manifest summary")
     s.add_argument("--lake", required=True)
@@ -1021,7 +1030,8 @@ def main(argv=None):
                 if len(rec.get("frags", [])) >= a.min_frags
             }
         out = compact_lake(
-            ReplayConfig(changes_dir="", lake_dir=a.lake), only_rids=only
+            ReplayConfig(changes_dir="", lake_dir=a.lake), only_rids=only,
+            cluster_ts=a.cluster_ts,
         )
         print(json.dumps(out))
         ray.shutdown()
@@ -1588,6 +1598,8 @@ def main(argv=None):
                 kind = "migration"
             elif "restore" in metrics:
                 kind = "restore"
+            elif "cluster" in metrics:
+                kind = "cluster"
             elif "branch" in metrics:
                 kind = "branch-point"
             elif rec.get("segments"):
@@ -1665,6 +1677,7 @@ def main(argv=None):
             clear_expectations=a.clear_expectations,
             schema_policy=a.schema_policy,
             clear_schema_policy=a.clear_schema_policy,
+            clear_cluster_by=a.clear_cluster_by,
         )
         print(json.dumps(out))
         return 0

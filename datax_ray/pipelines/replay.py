@@ -292,6 +292,10 @@ def run_epoch(
                 epoch=epoch,
                 lake_schema_json=schema_json,
                 metrics=cfg.metrics,
+                # persisted clustering policy (compact --cluster-ts /
+                # alter): auto-compaction keeps the layout, so a clustered
+                # lake never silently reverts to key order
+                cluster_ts=props.get("cluster_by") == "ts",
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -527,6 +531,7 @@ def alter_lake(
     clear_expectations: bool = False,
     schema_policy: str | None = None,
     clear_schema_policy: bool = False,
+    clear_cluster_by: bool = False,
 ) -> dict:
     """Set / clear LAKE-LEVEL table properties: ingest expectations
     (Delta-style CHECK constraints) and/or a DDL-compatibility schema
@@ -552,6 +557,10 @@ def alter_lake(
         props["expectations"] = expectations
     if clear_schema_policy:
         props.pop("schema_policy", None)
+    if clear_cluster_by:
+        # stop clustering FUTURE compactions; existing clustered bases stay
+        # as written until their next rewrite (layout, not correctness)
+        props.pop("cluster_by", None)
     if schema_policy is not None:
         from datax_ray.state.schema_tracker import SCHEMA_POLICIES
 
@@ -657,16 +666,47 @@ def restore_lake(
     return {"epoch": epoch, "restored_to": int(to_epoch), "noop": False}
 
 
-def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
+def compact_lake(
+    cfg: ReplayConfig,
+    only_rids: set[int] | None = None,
+    cluster_ts: bool = False,
+) -> dict:
     """Force-compact every range with pending fragments into per-partition
     bases (same map-only Compactor the replay path uses), committing one
     epoch with no new segments. Useful before export or when tailing stops.
     `only_rids` restricts compaction to those ranges (purge's hard phase
-    compacts only the ranges that can hold the purged keys)."""
+    compacts only the ranges that can hold the purged keys).
+
+    `cluster_ts=True` is the Delta OPTIMIZE ZORDER analog for the
+    time-slice dimension: base rows are written sorted by (ts, conv_id,
+    turn_idx) instead of (conv_id, turn_idx), and EVERY range with a base
+    rewrites (not just frag-pending ones). The merge fold never assumes
+    input order (merge_states sorts), so correctness is untouched; the
+    payoff is that the bounded row groups acquire tight, monotone ts
+    statistics, and `read_lake(min_ts=)`'s pushed ts>=cutoff filter then
+    skips whole row groups before decompression — extending the D18
+    file-level pruning tier INSIDE compacted bases, where a cold lake's
+    bytes live. Trade-off (the ZORDER-dimension choice): clustered bases
+    lose conv_id row-group pruning for point lookups — file-level Bloom
+    pruning still applies — so cluster time-series lakes, not
+    point-lookup-heavy ones."""
     manifest = Manifest(cfg.lake_dir)
     committed = manifest.committed_epoch()
     if committed < 0:
         return {"compacted_ranges": 0, "epoch": None}
+    props = manifest.committed_properties()
+    # cluster_ts=True PERSISTS the policy (Delta clustering-columns
+    # semantics): later compactions — incl. the replay path's staggered
+    # auto-compaction — keep the layout. An already-persisted policy makes
+    # plain compactions cluster too.
+    set_policy = cluster_ts and props.get("cluster_by") != "ts"
+    if set_policy:
+        props["cluster_by"] = "ts"
+    # explicit cluster_ts=True rewrites EVERY base (the one-shot OPTIMIZE);
+    # a persisted policy only changes the LAYOUT of ranges being compacted
+    # anyway — routine frag compactions stay O(pending), never O(lake)
+    rewrite_all = cluster_ts
+    cluster_ts = cluster_ts or props.get("cluster_by") == "ts"
     layout = manifest.committed_layout() or {
         "num_partitions": cfg.num_partitions,
         "frag_ranges": min(cfg.frag_ranges, cfg.num_partitions),
@@ -679,31 +719,40 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
     schema_json = schema_to_json(schema)
     epoch = committed + 1
 
+    all_rids = set(ranges) | {pid // parts_per_range for pid in partitions}
     to_compact = sorted(
         rid
-        for rid, rec in ranges.items()
-        if rec.get("frags") and (only_rids is None or rid in only_rids)
+        for rid in all_rids
+        if (ranges.get(rid, {}).get("frags") or rewrite_all)
+        and (only_rids is None or rid in only_rids)
     )
     if not to_compact:
         return {"compacted_ranges": 0, "epoch": None}
     items = []
-    for rid in to_compact:
+    for rid in list(to_compact):
         pids = range(rid * parts_per_range, min((rid + 1) * parts_per_range, num_partitions))
         withbase = [(p, partitions[p]["base"]) for p in pids if partitions.get(p, {}).get("base")]
+        frag_files = list(ranges.get(rid, {}).get("frags", []))
+        if not withbase and not frag_files:
+            to_compact.remove(rid)
+            continue
         items.append(
             {
                 "range_id": rid,
                 "base_pids": [p for p, _ in withbase],
                 "base_files": [f for _, f in withbase],
-                "frag_files": list(ranges[rid]["frags"]),
+                "frag_files": frag_files,
             }
         )
+    if not items:
+        return {"compacted_ranges": 0, "epoch": None}
     lineage = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         Compactor(
             lake_dir=cfg.lake_dir,
             epoch=epoch,
             lake_schema_json=schema_json,
             metrics=cfg.metrics,
+            cluster_ts=cluster_ts,
         ),
         batch_format="pyarrow",
         batch_size=None,
@@ -718,7 +767,8 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
             "bloom": r.get("key_bloom"),
         }
     for rid in to_compact:
-        ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": int(ranges[rid]["lsn_hi"]), "epochs": []}
+        prev_hi = int(ranges.get(rid, {}).get("lsn_hi", -1))
+        ranges[rid] = {"frags": [], "rows": 0, "lsn_hi": prev_hi, "epochs": []}
     manifest.commit(
         epoch,
         segments=[],
@@ -728,7 +778,8 @@ def compact_lake(cfg: ReplayConfig, only_rids: set[int] | None = None) -> dict:
         ranges=ranges,
         layout=layout,
         lineage=[dict(r) for r in lineage],
-        metrics={},
+        metrics={"cluster": {"by": "ts"}} if cluster_ts else {},
+        properties=props if set_policy else None,
     )
     return {"compacted_ranges": len(to_compact), "epoch": epoch}
 

@@ -253,12 +253,19 @@ class Compactor:
     """Map-only range compactor: one call = one range descriptor row in
     (base files + fragment files), per-partition base lineage rows out."""
 
-    def __init__(self, lake_dir: str, epoch: int, lake_schema_json: list[list[str]], metrics: bool = True):
+    def __init__(self, lake_dir: str, epoch: int, lake_schema_json: list[list[str]],
+                 metrics: bool = True, cluster_ts: bool = False):
         self.__name__ = "Compactor"
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = schema_from_json(lake_schema_json)
         self._metrics = get_metrics_actor() if metrics else None
+        # cluster_ts: write bases sorted by (ts, conv_id, turn_idx) so row
+        # groups carry tight monotone ts stats — read_lake(min_ts=)'s
+        # pushed filter then skips row groups before decompression. The
+        # merge fold sorts its inputs itself, so order is a pure layout
+        # choice (see compact_lake docstring for the ZORDER trade-off).
+        self.cluster_ts = cluster_ts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -293,6 +300,11 @@ class Compactor:
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 pid = int(pid_sorted[lo])
                 piece = state.slice(lo, hi - lo).drop_columns(["part_id"])
+                if self.cluster_ts:
+                    piece = piece.take(pc.sort_indices(piece, sort_keys=[
+                        ("ts", "ascending"), ("conv_id", "ascending"),
+                        ("turn_idx", "ascending"),
+                    ]))
                 rel = os.path.join(f"p={pid:05d}", f"b={self.epoch:06d}.parquet")
                 nbytes = _atomic_write(piece, os.path.join(self.lake_dir, rel))
                 lsn_hi = pc.max(piece["_lsn"]).as_py()
