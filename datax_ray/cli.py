@@ -88,6 +88,11 @@ def main(argv=None):
                    help="JSON file with ingest expectations (CHECK "
                    "constraints); violating rows dead-letter and count "
                    "against errorLimit")
+    r.add_argument("--auto-ddl", action="store_true",
+                   help="automatic schema evolution: fold new/widened "
+                   "payload columns detected from parquet segment footers "
+                   "as synthetic add_column/widen DDL (gated by the lake's "
+                   "schema policy like stream DDL)")
     r.add_argument("--num-cpus", type=int, default=None)
     r.add_argument("--dry-run", action="store_true",
                    help="print the epoch plan (pending segments + footer "
@@ -822,6 +827,7 @@ def main(argv=None):
                 expectations=(
                     json.load(open(a.expectations)) if a.expectations else None
                 ),
+                auto_ddl=a.auto_ddl,
             )
         )
         for rep in reports:

@@ -40,6 +40,7 @@ from datax_ray.sources.changelog import (
     read_segments,
     scan_ddl,
     scan_ddl_ts,
+    scan_schema_drift,
 )
 from datax_ray.stages.delta import Compactor, DeltaWriter
 from datax_ray.stages.normalize import Normalizer
@@ -152,6 +153,13 @@ class ReplayConfig:
     # "expectation:<col>:<op>" and count against errorLimit. Spec grammar in
     # validation.compile_expectations. Job-level config like transformers.
     expectations: list[dict] | None = None
+    # AUTOMATIC schema evolution (Debezium/Fivetran "column just appears"):
+    # detect new/widened payload columns from parquet segment FOOTERS at
+    # epoch planning (zero data reads) and fold synthetic add_column/widen
+    # DDL — after explicit DDL events, gated by the lake's schema policy
+    # like any stream DDL. jsonl/csv segments (no typed footer) still need
+    # explicit DDL. See sources/changelog.py:scan_schema_drift.
+    auto_ddl: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -233,6 +241,17 @@ def run_epoch(
             tracker.apply_ddl(ddl)
     else:
         for _, ddl in scan_ddl(segments):
+            tracker.apply_ddl(ddl)
+    if cfg.auto_ddl:
+        # AUTOMATIC schema evolution: fold footer-detected drift (new /
+        # widened payload columns) AFTER explicit DDL, through the same
+        # tracker — so the pinned schema policy gates synthetic verbs too
+        # and stream-declared evolution always wins. Footer-only: O(this
+        # epoch's segments) driver-side, zero data pages.
+        paths = (
+            [p for ps in segments.values() for p in ps] if multi else segments
+        )
+        for ddl in scan_schema_drift(paths, tracker.schema):
             tracker.apply_ddl(ddl)
     lake_schema = tracker.schema
     schema_json = schema_to_json(lake_schema)

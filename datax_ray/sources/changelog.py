@@ -14,6 +14,7 @@ nothing even on wide segments.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pyarrow.compute as pc
@@ -212,6 +213,81 @@ def scan_ddl_ts(segment_paths: list[str]) -> list[tuple[int, int, str]]:
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("lsn", "ascending")]))
     ts_us = pc.cast(t["ts"], pa.int64()).to_pylist()
     return list(zip(ts_us, t["lsn"].to_pylist(), t["ddl"].to_pylist()))
+
+
+def scan_schema_drift(
+    segment_paths: list[str], lake_schema: "pa.Schema"
+) -> list[str]:
+    """AUTOMATIC schema evolution (the Debezium/Fivetran "new column just
+    appears in the source" story): detect payload columns the change
+    segments carry that the lake schema does not, and value-preserving
+    widenings, from parquet FOOTERS ONLY — O(segments) driver-side, zero
+    data pages read at any event scale. Returns synthetic DDL json
+    strings (same grammar as op='ddl' events) to fold into the
+    SchemaTracker; folded AFTER explicit DDL so stream-declared evolution
+    always wins and auto-DDL only covers what is still missing.
+
+    Rules:
+    - a segment column that is neither a change-control column (op/lsn/
+      ddl), nor a lake column, nor a historical name in the lake's rename
+      map → add_column (idempotent under the tracker);
+    - a lake column whose segment type is a _WIDEN_OK widening → widen;
+    - a lake column whose segment type mismatches in any OTHER way is NOT
+      a DDL matter — the normalize stage casts or dirty-routes per row;
+    - unmappable Arrow types (nested/list/struct) raise loudly: auto-DDL
+      must never silently guess a lossy mapping;
+    - non-parquet segments (jsonl/csv) have no typed footer and are
+      skipped — declare DDL explicitly for those logs.
+
+    Composes with the lake's pinned schema policy exactly like stream
+    DDL: the tracker gates every synthetic verb, so 'additive' forbids
+    auto-widen and aborts the replay before any write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_ray.schemas import CHANGES_SCHEMA, renames_of
+    from datax_ray.state.schema_tracker import _NAMED_TYPES, _WIDEN_OK
+
+    type_names = {t: n for n, t in _NAMED_TYPES.items() if n != "double"}
+    control = {"op", "lsn", "ddl"}
+    changes_types = {f.name: f.type for f in CHANGES_SCHEMA}
+    lake_types = {f.name: f.type for f in lake_schema}
+    historical = set(renames_of(lake_schema))
+    out: list[str] = []
+    seen: set[tuple] = set()
+    for path in segment_paths:
+        if not path.endswith(".parquet"):
+            continue
+        for f in pq.read_schema(path):
+            if f.name in control or f.name in historical:
+                continue
+            cur = lake_types.get(f.name)
+            if cur is None and f.name not in changes_types:
+                if pa.types.is_null(f.type):
+                    continue  # an all-null column carries no type claim
+                name = type_names.get(f.type)
+                if name is None:
+                    raise ValueError(
+                        f"auto-ddl: segment {os.path.basename(path)} column "
+                        f"{f.name!r} has unmappable type {f.type} — declare "
+                        "an explicit ddl event or drop the column upstream"
+                    )
+                key = ("add_column", f.name, name)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(json.dumps(
+                        {"action": "add_column", "name": f.name, "type": name}
+                    ))
+            elif cur is not None and f.type != cur and (cur, f.type) in _WIDEN_OK:
+                name = type_names.get(f.type)
+                if name is not None:
+                    key = ("widen", f.name, name)
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(json.dumps(
+                            {"action": "widen", "name": f.name, "type": name}
+                        ))
+    return out
 
 
 def _read_any(path: str, columns: list[str] | None = None):
