@@ -9174,6 +9174,146 @@ SELECT conv_id, turn_idx, change FROM d WHERE change <> 'unchanged'
 """
 
 
+def cdc_restore_rollback(sf_dir: str):
+    """RESTORE end to end (pipelines/replay.py:restore_lake — the Delta
+    rollback verb): replay the first half of the derived log, TAG the
+    head, replay the second half on top, then restore to the tag. The
+    final lake must equal the LWW fold of the FIRST tranche alone — the
+    rewind is exact, the discarded tranche leaves zero residue, and the
+    restore epoch reconstructed the old state purely by manifest
+    reference (no data bytes moved). Oracle: CDC_REPLAY_SQL at the same
+    lsn < COUNT/2 cut."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay, restore_lake
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+    from datax_ray.state.manifest import Manifest
+
+    n = parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    cut = n // 2
+    work = f"/tmp/datax_cdc_restore/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def derive_tranche(lo_incl: int | None, hi_excl: int | None) -> int:
+        mask_fn = (
+            (lambda t: t.filter(pc.less(t["event_id"], hi_excl)))
+            if hi_excl is not None
+            else (lambda t: t.filter(pc.greater_equal(t["event_id"], lo_incl)))
+        )
+        segs = (
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+            .map_batches(mask_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                ChangeDeriver(f"{work}/changes"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=4096,
+            )
+            .count()
+        )
+        return max(1, int(segs))
+
+    cfg_kw = dict(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake", num_partitions=16
+    )
+    n_segs = derive_tranche(None, cut)
+    spe = max(2, -(-n_segs // 3))
+    replay(ReplayConfig(segments_per_epoch=spe, **cfg_kw))
+    Manifest(f"{work}/lake").set_tag("pre-incident")
+    derive_tranche(cut, None)
+    replay(ReplayConfig(segments_per_epoch=spe, **cfg_kw))
+    restore_lake(f"{work}/lake", to_tag="pre-incident")
+    return final_table(f"{work}/lake")
+
+
+CDC_RESTORE_SQL = CDC_REPLAY_SQL.replace(
+    "FROM events",
+    "FROM events WHERE event_id < (SELECT COUNT(*) // 2 FROM events)",
+)
+
+
+def cdc_cluster_optimize(sf_dir: str):
+    """ts-clustering compaction through the full engine (compact
+    --cluster-ts, the OPTIMIZE-ZORDER analog): replay the derived log,
+    rewrite every base sorted by (ts, conv_id, turn_idx) — tight monotone
+    row-group ts statistics for min-ts row-group skipping — and read the
+    final state back through the clustered layout. Clustering is a pure
+    LAYOUT change, so the oracle is CDC_REPLAY_SQL verbatim: the driver
+    hash-verifies that the rewrite moved no values."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, compact_lake, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_cluster/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    compact_lake(
+        ReplayConfig(changes_dir="", lake_dir=f"{work}/lake"), cluster_ts=True
+    )
+    return final_table(f"{work}/lake")
+
+
+def cdc_autoddl_replay(sf_dir: str):
+    """AUTOMATIC schema evolution end to end (replay --auto-ddl): the
+    derived segments carry an UNDECLARED `sentiment` payload column —
+    no op='ddl' event anywhere — and the replay evolves the lake schema
+    from parquet footers alone (sources/changelog.py:scan_schema_drift),
+    then lands the column's values through the normal normalize → LWW
+    path. Oracle: the LWW fold plus sentiment computed by the same
+    derivation rule ('s' || event_id % 7)."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_autoddl/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work, extra_col_mod=7)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+            auto_ddl=True,
+        )
+    )
+    return final_table(f"{work}/lake")
+
+
+CDC_AUTODDL_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 's' || CAST(event_id % 7 AS VARCHAR) END AS sentiment
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, sentiment
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def assoc_rules_parts(sf_dir: str, k: int = 50, min_support: int = 2):
     """Market-basket association rules over order baskets: directed part
     pairs x→y ranked by integer confidence_milli = (1000 * c_xy) // c_x
@@ -11723,6 +11863,9 @@ QUERIES = {
     "pmi_bigrams": pmi_bigrams,
     "substring_dup_docs": substring_dup_docs,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_restore_rollback": cdc_restore_rollback,
+    "cdc_cluster_optimize": cdc_cluster_optimize,
+    "cdc_autoddl_replay": cdc_autoddl_replay,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
     "source_quota_sample_docs": source_quota_sample_docs,
@@ -11906,6 +12049,9 @@ ORACLE_SQL = {
     "events_ewma_alerts": EWMA_ALERTS_SQL,
     "substring_dup_docs": SUBSTRING_DUP_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
+    "cdc_restore_rollback": CDC_RESTORE_SQL,
+    "cdc_cluster_optimize": CDC_REPLAY_SQL,
+    "cdc_autoddl_replay": CDC_AUTODDL_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "source_quota_sample_docs": SOURCE_QUOTA_SQL,

@@ -62,6 +62,7 @@ def derive_changes(
     text_words: int | None = None,
     drop_mod: int | None = None,
     rename_mod: int | None = None,
+    extra_col_mod: int | None = None,
 ) -> pa.Table:
     """Pure derivation: events batch -> change-stream batch (CHANGES
     schema). Shared by ChangeDeriver (which also writes segments) and by
@@ -153,19 +154,30 @@ def derive_changes(
             pa.array(np.full(t.num_rows, _DDL_RENAME_ROLE, dtype=object), pa.string()),
             ddl,
         )
-    return pa.table(
-        {
-            "lsn": eid,
-            "ts": t["ts"],
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": pc.cast(pa.array(turn), pa.int32()),
-            "role": role,
-            "text": pc.if_else(is_del, nulls, text),
-            "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
-            "ddl": ddl,
-        }
-    )
+    cols = {
+        "lsn": eid,
+        "ts": t["ts"],
+        "op": op,
+        "conv_id": conv,
+        "turn_idx": pc.cast(pa.array(turn), pa.int32()),
+        "role": role,
+        "text": pc.if_else(is_del, nulls, text),
+        "tool": pc.if_else(is_del, nulls, pa.array(np.full(t.num_rows, "", dtype=object), pa.string())),
+        "ddl": ddl,
+    }
+    if extra_col_mod:
+        # extra_col_mod=N: an UNDECLARED payload column (sentiment =
+        # 's<event_id % N>', null on deletes) appears in every segment
+        # with NO op='ddl' event — the schema-drift stream the auto-DDL
+        # path (replay --auto-ddl) must evolve from footers alone.
+        cols["sentiment"] = pc.if_else(
+            is_del,
+            nulls,
+            pc.binary_join_element_wise(
+                "s", pc.cast(pa.array(e % extra_col_mod), pa.string()), ""
+            ),
+        )
+    return pa.table(cols)
 
 
 class ChangeDeriver:
@@ -186,6 +198,7 @@ class ChangeDeriver:
         text_words: int | None = None,
         drop_mod: int | None = None,
         rename_mod: int | None = None,
+        extra_col_mod: int | None = None,
     ):
         """corrupt_mod=N marks every event with event_id % N == 3 dirty
         (turn_idx = -1, which fails validation) — a deterministic,
@@ -202,12 +215,13 @@ class ChangeDeriver:
         self.text_words = text_words
         self.drop_mod = drop_mod
         self.rename_mod = rename_mod
+        self.extra_col_mod = extra_col_mod
 
     def derive(self, t: pa.Table) -> pa.Table:
         return derive_changes(
             t, self.conv_prefix, self.turn_mod, self.corrupt_mod, self.ddl_mod,
             self.text_mod, self.widen_mod, self.text_words, self.drop_mod,
-            self.rename_mod,
+            self.rename_mod, self.extra_col_mod,
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
