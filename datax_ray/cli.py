@@ -88,6 +88,11 @@ def main(argv=None):
                    help="JSON file with ingest expectations (CHECK "
                    "constraints); violating rows dead-letter and count "
                    "against errorLimit")
+    r.add_argument("--stage", action="store_true",
+                   help="write-audit-publish: land ALL pending segments as "
+                   "ONE STAGED epoch, invisible to committed readers until "
+                   "`publish` (audit it with verify --staged / lookup "
+                   "--staged); `publish --abort` drops it")
     r.add_argument("--auto-ddl", action="store_true",
                    help="automatic schema evolution: fold new/widened "
                    "payload columns detected from parquet segment footers "
@@ -140,7 +145,20 @@ def main(argv=None):
                    "(O(sample) memory) and the lake side point-reads their "
                    "ranges via manifest hash-routing — the scale-practical "
                    "audit of a huge lake, never an O(lake) read")
+    v.add_argument("--staged", action="store_true",
+                   help="audit the STAGED (write-audit-publish) state "
+                   "instead of the committed head — the WAP audit step "
+                   "before `publish`")
     v.add_argument("--num-cpus", type=int, default=None)
+
+    pub = sub.add_parser(
+        "publish",
+        help="write-audit-publish step 2: atomically promote the staged "
+        "epoch (replay --stage) into the committed chain, or --abort it "
+        "(fragments orphan, segments re-apply exactly-once later)",
+    )
+    pub.add_argument("--lake", required=True)
+    pub.add_argument("--abort", action="store_true")
 
     stt = sub.add_parser(
         "status",
@@ -493,6 +511,9 @@ def main(argv=None):
     lk.add_argument("--as-of-epoch", type=int, default=None)
     lk.add_argument("--as-of-tag", default=None,
                     help="read AS OF a named savepoint (see `tag`)")
+    lk.add_argument("--staged", action="store_true",
+                    help="read the STAGED (write-audit-publish) state — "
+                    "the audit view before `publish`")
     lk.add_argument(
         "--value-idx",
         default=None,
@@ -828,7 +849,8 @@ def main(argv=None):
                     json.load(open(a.expectations)) if a.expectations else None
                 ),
                 auto_ddl=a.auto_ddl,
-            )
+            ),
+            stage=a.stage,
         )
         for rep in reports:
             print(
@@ -841,6 +863,7 @@ def main(argv=None):
                         "dirty_rows": rep.dirty_rows,
                         "wall_s": round(rep.wall_s, 3),
                         "events_per_s": round(rep.events_in / max(rep.wall_s, 1e-9)),
+                        **({"staged": True} if a.stage else {}),
                     }
                 )
             )
@@ -1008,11 +1031,27 @@ def main(argv=None):
             ray.shutdown()
             return 0 if out["match"] else 1
         oracle = sequential_replay(changes, base=base)
-        ours = final_table(a.lake)
+        ours = final_table(a.lake, as_of_epoch="staged" if a.staged else None)
         ok = ours.schema.equals(oracle.schema) and ours.equals(oracle)
         print(json.dumps({"match": bool(ok), "rows": ours.num_rows, "oracle_rows": oracle.num_rows}))
         ray.shutdown()
         return 0 if ok else 1
+
+    if a.cmd == "publish":
+        from datax_ray.state.manifest import Manifest
+
+        m = Manifest(a.lake)
+        if a.abort:
+            rec = m.abort_staged()
+            print(json.dumps({
+                "aborted": rec is not None,
+                "epoch": rec["epoch"] if rec else None,
+            }))
+            return 0
+        rec = m.publish_staged()
+        print(json.dumps({"published_epoch": rec["epoch"],
+                          "segments": len(rec.get("segments", []))}))
+        return 0
 
     if a.cmd == "status":
         from datax_ray.pipelines.status import lake_status
@@ -1555,6 +1594,8 @@ def main(argv=None):
             from datax_ray.state.manifest import Manifest as _M
 
             a.as_of_epoch = _M(a.lake).resolve_tag(a.as_of_tag)
+        if a.staged:
+            a.as_of_epoch = "staged"
         if (a.conv is None and a.min_ts is None and a.where is None
                 and not a.explain):
             print(json.dumps({"error": "pass --conv, --min-ts and/or --where"}))

@@ -9262,6 +9262,36 @@ def cdc_cluster_optimize(sf_dir: str):
     return final_table(f"{work}/lake")
 
 
+def cdc_wap_publish(sf_dir: str):
+    """Write-audit-publish through the full engine (replay --stage →
+    audit → publish): the derived log lands as ONE STAGED epoch (invisible
+    to committed readers — asserted in-harness), the staged read point
+    audits it, and publish promotes it atomically. The published lake must
+    hash-equal the plain LWW fold — staging/publishing is commit-protocol
+    plumbing, not a data transform."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.state.manifest import Manifest
+
+    work = f"/tmp/datax_cdc_wap/{os.path.basename(os.path.normpath(sf_dir))}"
+    _derive_changes(sf_dir, work)
+    cfg = ReplayConfig(
+        changes_dir=f"{work}/changes",
+        lake_dir=f"{work}/lake",
+        num_partitions=16,
+    )
+    replay(cfg, stage=True)
+    m = Manifest(f"{work}/lake")
+    assert m.committed_epoch() == -1, "staged epoch leaked into the chain"
+    staged_rows = final_table(f"{work}/lake", as_of_epoch="staged").num_rows
+    m.publish_staged()
+    out = final_table(f"{work}/lake")
+    assert out.num_rows == staged_rows, "published state != audited state"
+    return out
+
+
 def cdc_autoddl_replay(sf_dir: str):
     """AUTOMATIC schema evolution end to end (replay --auto-ddl): the
     derived segments carry an UNDECLARED `sentiment` payload column —
@@ -11866,6 +11896,7 @@ QUERIES = {
     "cdc_restore_rollback": cdc_restore_rollback,
     "cdc_cluster_optimize": cdc_cluster_optimize,
     "cdc_autoddl_replay": cdc_autoddl_replay,
+    "cdc_wap_publish": cdc_wap_publish,
     "assoc_rules_parts": assoc_rules_parts,
     "weighted_sample_docs": weighted_sample_docs,
     "source_quota_sample_docs": source_quota_sample_docs,
@@ -12052,6 +12083,7 @@ ORACLE_SQL = {
     "cdc_restore_rollback": CDC_RESTORE_SQL,
     "cdc_cluster_optimize": CDC_REPLAY_SQL,
     "cdc_autoddl_replay": CDC_AUTODDL_SQL,
+    "cdc_wap_publish": CDC_REPLAY_SQL,
     "assoc_rules_parts": ASSOC_RULES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "source_quota_sample_docs": SOURCE_QUOTA_SQL,

@@ -178,6 +178,7 @@ def run_epoch(
     manifest: Manifest,
     segments: "list[str] | dict[str, list[str]]",
     epoch: int,
+    stage: bool = False,
 ) -> EpochReport:
     """One replay epoch. `segments` is a path list (single-source) or a
     {source_name: [paths]} dict (multi-source replication — see
@@ -521,7 +522,8 @@ def run_epoch(
     else:
         lsn_hi = max(watermark, max_lsn(segments))
         commit_segments = segments
-    manifest.commit(
+    publish = manifest.stage if stage else manifest.commit
+    publish(
         epoch,
         segments=commit_segments,
         lsn_hi=lsn_hi,
@@ -803,7 +805,9 @@ def compact_lake(
     return {"compacted_ranges": len(to_compact), "epoch": epoch}
 
 
-def replay(cfg: ReplayConfig, max_commit_retries: int = 3) -> list[EpochReport]:
+def replay(
+    cfg: ReplayConfig, max_commit_retries: int = 3, stage: bool = False
+) -> list[EpochReport]:
     """Replay all uncommitted segments (fresh run and resume alike).
 
     Concurrent-writer REBASE: the manifest's exclusive commit (os.link)
@@ -820,6 +824,29 @@ def replay(cfg: ReplayConfig, max_commit_retries: int = 3) -> list[EpochReport]:
     if not cfg.lake_dir:
         raise ValueError("ReplayConfig.lake_dir is required")
     manifest = Manifest(cfg.lake_dir)
+    if stage:
+        # write-audit-publish: land ALL pending segments as ONE staged
+        # epoch (the audit unit), invisible to committed readers until
+        # `publish_staged`. At most one staged epoch exists; a pending one
+        # must be published or aborted first (Manifest.stage enforces it,
+        # but check here so the pipeline never runs for nothing).
+        if manifest.staged_record() is not None:
+            raise ValueError(
+                "an epoch is already staged on this lake — publish or "
+                "abort it before staging another"
+            )
+        if cfg.sources:
+            epochs = plan_epochs_multi(cfg.sources, manifest, None)
+        else:
+            epochs = plan_epochs(cfg.changes_dir, manifest, None)
+        if not epochs:
+            return []
+        return [
+            run_epoch(
+                cfg, manifest, epochs[0], manifest.committed_epoch() + 1,
+                stage=True,
+            )
+        ]
     reports: list[EpochReport] = []
     retries = 0
     while True:

@@ -44,6 +44,16 @@ def lake_status(lake_dir: str) -> dict:
     m = Manifest(lake_dir)
     committed = m.committed_epoch()
     out: dict = {"lake": lake_dir, "committed_epoch": committed}
+    staged = m.staged_record()
+    if staged is not None:
+        # a pending write-audit-publish epoch: visible only to --staged
+        # audit reads until `publish` (or dropped by `publish --abort`) —
+        # reported even on a never-committed lake (a staged FIRST epoch)
+        out["staged_epoch"] = {
+            "epoch": staged["epoch"],
+            "segments": len(staged.get("segments", [])),
+            "publishable": staged["epoch"] == committed + 1,
+        }
     if committed < 0:
         return out
     out["lsn_hi"] = m.committed_lsn_hi()

@@ -61,12 +61,19 @@ class Manifest:
         with open(files[-1][1]) as f:
             return json.load(f)
 
-    def at_epoch(self, epoch: int | None) -> dict | None:
+    def at_epoch(self, epoch: int | str | None) -> dict | None:
         """The committed record AS OF `epoch` (largest committed epoch <=
         epoch) — the time-travel read point. Every epoch's manifest is
         retained (until `vacuum`), and data files are content-hash/epoch
         named and never overwritten, so any retained epoch reconstructs
-        that exact lake state. None = latest."""
+        that exact lake state. None = latest. The sentinel "staged" reads
+        the write-audit-publish record (`stage`) — the ONE read point that
+        sees unpublished state, for auditing before `publish_staged`."""
+        if epoch == "staged":
+            rec = self.staged_record()
+            if rec is None:
+                raise ValueError("no staged epoch on this lake")
+            return rec
         if epoch is None:
             return self.latest()
         files = [(e, p) for e, p in self._epoch_files() if e <= epoch]
@@ -233,9 +240,17 @@ class Manifest:
         )
         drop = [(e, p) for e, p in files if (e, p) not in set(keep)]
         referenced: set[str] = set()
+        recs = []
         for _, p in keep:
             with open(p) as f:
-                rec = json.load(f)
+                recs.append(json.load(f))
+        staged = self.staged_record()
+        if staged is not None:
+            # a staged (write-audit-publish) epoch's fresh fragments are
+            # referenced ONLY by the staged record — they must survive
+            # vacuum or publish would promote dangling references
+            recs.append(staged)
+        for rec in recs:
             for v in rec.get("partitions", {}).values():
                 if v.get("base"):
                     referenced.add(v["base"])
@@ -258,7 +273,7 @@ class Manifest:
 
     # -- write side --------------------------------------------------------
 
-    def commit(
+    def _build_record(
         self,
         epoch: int,
         *,
@@ -305,6 +320,10 @@ class Manifest:
             "lineage": lineage,
             "metrics": metrics,
         }
+        return rec
+
+    def commit(self, epoch: int, **kw) -> dict:
+        rec = self._build_record(epoch, **kw)
         final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
         # pid AND thread id: two driver THREADS racing the same epoch
         # (concurrent replays of one lake) share a pid — a shared tmp name
@@ -331,4 +350,83 @@ class Manifest:
                 f"writer is active on this lake"
             ) from exc
         os.remove(tmp)
+        return rec
+
+    # -- write-audit-publish (Iceberg WAP) ----------------------------------
+
+    def _staged_path(self) -> str:
+        return os.path.join(self.dir, "staged.json")
+
+    def staged_record(self) -> dict | None:
+        """The staged (written-but-unpublished) epoch record, or None. At
+        most one epoch can be staged at a time."""
+        p = self._staged_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def stage(self, epoch: int, **kw) -> dict:
+        """Write-audit-publish step 1: durably STAGE an epoch record
+        without publishing it. The record is a full manifest record (same
+        builder as commit), so the staged state is readable via
+        `at_epoch("staged")` for auditing, but no committed reader, feed
+        or artifact can see it. Exclusive like commit: a second stage
+        while one is pending raises (publish or abort first)."""
+        rec = self._build_record(epoch, **kw)
+        final = self._staged_path()
+        import threading
+
+        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"an epoch is already staged at {final} — publish or abort "
+                "it before staging another"
+            ) from exc
+        os.remove(tmp)
+        return rec
+
+    def publish_staged(self) -> dict:
+        """WAP step 2a: atomically promote the staged record into the
+        committed epoch chain. Refuses if nothing is staged, or if the
+        committed head MOVED since staging (another writer won the epoch —
+        the staged state was audited against a stale base; abort and
+        re-stage). The link is the same exclusive os.link commit point, so
+        even a publish racing a concurrent commit has exactly one winner."""
+        rec = self.staged_record()
+        if rec is None:
+            raise ValueError("nothing is staged on this lake")
+        epoch = int(rec["epoch"])
+        if epoch != self.committed_epoch() + 1:
+            raise ConcurrentCommitError(
+                f"staged epoch {epoch} no longer follows the committed head "
+                f"{self.committed_epoch()} — another writer committed since "
+                "staging; abort the stale staged epoch and re-stage"
+            )
+        final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
+        try:
+            os.link(self._staged_path(), final)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"epoch {epoch} already committed — abort the stale staged "
+                "epoch and re-stage"
+            ) from exc
+        os.remove(self._staged_path())
+        return rec
+
+    def abort_staged(self) -> dict | None:
+        """WAP step 2b: drop the staged record. Its fragments become
+        invisible orphans (content-hash named — a later re-stage rewrites
+        identical bytes; vacuum removes them otherwise) and its segments
+        stay uncommitted, so the next replay re-applies them exactly-once."""
+        rec = self.staged_record()
+        if rec is not None:
+            os.remove(self._staged_path())
         return rec
