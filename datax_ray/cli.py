@@ -337,6 +337,32 @@ def main(argv=None):
                     "the range plan)")
     bf.add_argument("--num-cpus", type=int, default=None)
 
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO: fold a keyed source snapshot (parquet) into the "
+        "lake — WHEN MATCHED update (source payload wins, stored "
+        "event-time kept, dominating synthetic lsn) or delete, WHEN NOT "
+        "MATCHED insert; per-clause [col, op, value] conditions; "
+        "value-unchanged rows skip, so re-running the same merge "
+        "converges to a no-op",
+    )
+    mg.add_argument("--lake", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet file/dir keyed on (conv_id, turn_idx); "
+                    "payload columns may be a subset; `ts` required for "
+                    "inserts")
+    mg.add_argument("--when-matched", default="update",
+                    choices=["update", "delete", "skip"])
+    mg.add_argument("--when-not-matched", default="insert",
+                    choices=["insert", "skip"])
+    mg.add_argument("--matched-cond", default=None,
+                    help='JSON AND-ed triples, e.g. \'[["turn_idx","<",5],'
+                    '["src_text","not_like","%%7"]]\' (bare col = target, '
+                    "src_<col> = source)")
+    mg.add_argument("--not-matched-cond", default=None,
+                    help="JSON AND-ed triples over the source row")
+    mg.add_argument("--num-cpus", type=int, default=None)
+
     ei = sub.add_parser(
         "envingest",
         help="consume a Debezium-style envelope stream (this engine's "
@@ -708,6 +734,20 @@ def main(argv=None):
     cl.add_argument("--as-of-epoch", type=int, default=None)
     cl.add_argument("--copy", action="store_true",
                     help="physical copy instead of hardlinks")
+
+    mbk = sub.add_parser(
+        "mergeback",
+        help="merge a cloned branch's divergence back into its parent: "
+        "branch winners for every key its post-branch-point feed touched "
+        "upsert as one dominating epoch; value-equal keys skip (re-runs "
+        "converge); keys changed on BOTH sides since the branch point "
+        "resolve per --on-conflict",
+    )
+    mbk.add_argument("--parent", required=True)
+    mbk.add_argument("--branch", required=True)
+    mbk.add_argument("--on-conflict", default="branch",
+                     choices=["branch", "parent", "abort"])
+    mbk.add_argument("--num-cpus", type=int, default=None)
 
     fk = sub.add_parser(
         "fsck",
@@ -1219,6 +1259,21 @@ def main(argv=None):
                                   conv_ids=a.conv)))
         return 0
 
+    if a.cmd == "merge":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mergeinto import merge_into
+
+        print(json.dumps(merge_into(
+            a.lake, a.source,
+            when_matched=a.when_matched,
+            when_not_matched=a.when_not_matched,
+            matched_cond=json.loads(a.matched_cond) if a.matched_cond else None,
+            not_matched_cond=(
+                json.loads(a.not_matched_cond) if a.not_matched_cond else None
+            ),
+        )))
+        return 0
+
     if a.cmd == "envingest":
         from datax_ray.sources.envelope import envelopes_to_segments
 
@@ -1438,6 +1493,15 @@ def main(argv=None):
 
         print(json.dumps(clone_lake(
             a.src, a.dst, as_of_epoch=a.as_of_epoch, copy=a.copy
+        )))
+        return 0
+
+    if a.cmd == "mergeback":
+        _ensure_ray(a.num_cpus)
+        from datax_ray.pipelines.mergeback import merge_back
+
+        print(json.dumps(merge_back(
+            a.parent, a.branch, on_conflict=a.on_conflict
         )))
         return 0
 

@@ -350,6 +350,187 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def cdc_merge_into(sf_dir: str):
+    """MERGE INTO through the full engine, driver-verified
+    (pipelines/mergeinto.py): replay the derived log, then fold a keyed
+    source snapshot — one 'editor' row per distinct user at turn 5
+    (matched where it survives the fold) and turn 27 (always fresh: the
+    derivation only emits turns 0–24) — with a matched condition on the
+    TARGET text and a not-matched condition restricting inserts to the
+    fresh turn band. Updates keep the stored event-time and dominate via
+    reserved synthetic lsns; a second identical merge must converge to a
+    no-op (asserted). The distinct-user source derives from a per-batch
+    unique combiner (O(users) driver rows, the count-distinct pattern)."""
+    from datax_ray.pipelines.mergeinto import merge_into
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_merge/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t["user_id"])})
+
+    partials = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(uniq, batch_format="pyarrow")
+        .take_all()
+    )
+    users = sorted({int(r["user_id"]) for r in partials})
+    ts0 = 1_893_456_000_000_000  # 2030-01-01T00:00:00Z in µs
+    src = pa.table(
+        {
+            "conv_id": pa.array(
+                [f"conv-{u}" for u in users] * 2, pa.string()
+            ),
+            "turn_idx": pa.array(
+                [5] * len(users) + [27] * len(users), pa.int32()
+            ),
+            "role": pa.array(["editor"] * (2 * len(users)), pa.string()),
+            "text": pa.array(
+                [f"merged-{u}-5" for u in users]
+                + [f"merged-{u}-27" for u in users],
+                pa.string(),
+            ),
+            "tool": pa.array([""] * (2 * len(users)), pa.string()),
+            "ts": pa.array([ts0] * (2 * len(users)), pa.timestamp("us")),
+        }
+    )
+    r = merge_into(
+        f"{work}/lake", src,
+        matched_cond=[["text", "not_like", "%3"]],
+        not_matched_cond=[["turn_idx", ">=", 25]],
+    )
+    assert r["inserted"] == len(users)
+    assert merge_into(
+        f"{work}/lake", src,
+        matched_cond=[["text", "not_like", "%3"]],
+        not_matched_cond=[["turn_idx", ">=", 25]],
+    )["epoch"] is None  # converged
+    return final_table(f"{work}/lake")
+
+
+CDC_MERGE_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM w
+  WHERE rn = 1 AND op <> 'delete'
+), u AS (SELECT DISTINCT user_id FROM events),
+src AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(5 AS INTEGER) AS turn_idx, 'editor' AS role,
+         'merged-' || CAST(user_id AS VARCHAR) || '-5' AS text,
+         '' AS tool, TIMESTAMP '2030-01-01 00:00:00' AS ts FROM u
+  UNION ALL
+  SELECT 'conv-' || CAST(user_id AS VARCHAR),
+         CAST(27 AS INTEGER), 'editor',
+         'merged-' || CAST(user_id AS VARCHAR) || '-27',
+         '', TIMESTAMP '2030-01-01 00:00:00' FROM u
+), upd AS (
+  SELECT f.conv_id, f.turn_idx,
+         CASE WHEN s.conv_id IS NOT NULL AND f.text NOT LIKE '%3'
+              THEN s.role ELSE f.role END AS role,
+         CASE WHEN s.conv_id IS NOT NULL AND f.text NOT LIKE '%3'
+              THEN s.text ELSE f.text END AS text,
+         CASE WHEN s.conv_id IS NOT NULL AND f.text NOT LIKE '%3'
+              THEN s.tool ELSE f.tool END AS tool,
+         f.ts
+  FROM final f
+  LEFT JOIN src s ON f.conv_id = s.conv_id AND f.turn_idx = s.turn_idx
+), ins AS (
+  SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts
+  FROM src s
+  LEFT JOIN final f ON f.conv_id = s.conv_id AND f.turn_idx = s.turn_idx
+  WHERE f.conv_id IS NULL AND s.turn_idx >= 25
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
+FROM upd
+UNION ALL
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
+FROM ins
+"""
+
+
+def cdc_branch_merge(sf_dir: str):
+    """Branch → diverge → MERGE-BACK, driver-verified
+    (pipelines/mergeback.py): replay the first half of the derived log
+    into the parent, `clone` it (O(metadata) hardlink branch), replay the
+    SECOND half into the branch only (the branch's cloned manifest
+    carries tranche 1's segments, so exactly-once applies just the new
+    ones), then merge the branch back. The merged parent must equal the
+    LWW fold of the WHOLE log — including event-times, because in the
+    conflict-free case every branch winner's (ts, lsn) dominates the
+    parent's stored row, so the merge writes the fold's own winners. A
+    second merge-back must converge to a no-op (asserted). Oracle:
+    CDC_REPLAY_SQL over all events."""
+    import shutil
+
+    from datax_ray.pipelines.clone import clone_lake
+    from datax_ray.pipelines.mergeback import merge_back
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.derive import ChangeDeriver
+
+    n = parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    cut = n // 2
+    work = f"/tmp/datax_cdc_brmerge/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def derive_tranche(lo_incl: int | None, hi_excl: int | None) -> int:
+        mask_fn = (
+            (lambda t: t.filter(pc.less(t["event_id"], hi_excl)))
+            if hi_excl is not None
+            else (lambda t: t.filter(pc.greater_equal(t["event_id"], lo_incl)))
+        )
+        segs = (
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+            .map_batches(mask_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                ChangeDeriver(f"{work}/changes"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=4096,
+            )
+            .count()
+        )
+        return max(1, int(segs))
+
+    n_segs = derive_tranche(None, cut)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/parent",
+        num_partitions=16, segments_per_epoch=max(2, -(-n_segs // 2)),
+    ))
+    clone_lake(f"{work}/parent", f"{work}/branch")
+    n_segs2 = derive_tranche(cut, None)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/branch",
+        num_partitions=16, segments_per_epoch=max(2, -(-n_segs2 // 2)),
+    ))
+    r = merge_back(f"{work}/parent", f"{work}/branch")
+    assert r["epoch"] is not None and r["conflicts"] == 0
+    assert merge_back(f"{work}/parent", f"{work}/branch")["epoch"] is None
+    return final_table(f"{work}/parent")
+
+
 def cdc_dup_texts(sf_dir: str):
     """Duplicate-content scan over the CDC lake, driver-verified
     (pipelines/dedupscan.py): derive a change log whose texts fold onto
@@ -11742,6 +11923,8 @@ QUERIES = {
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
+    "cdc_merge_into": cdc_merge_into,
+    "cdc_branch_merge": cdc_branch_merge,
     "cdc_session_mv": cdc_session_mv,
     "cdc_hopping_mv": cdc_hopping_mv,
     "cdc_join_mv": cdc_join_mv,
@@ -11950,6 +12133,8 @@ ORACLE_SQL = {
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,
+    "cdc_merge_into": CDC_MERGE_SQL,
+    "cdc_branch_merge": CDC_REPLAY_SQL,
     "cdc_session_mv": CDC_SESSION_MV_SQL,
     "cdc_hopping_mv": CDC_HOPPING_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
