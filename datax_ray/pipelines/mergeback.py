@@ -151,6 +151,7 @@ class MergeBackApplier:
         plan_bp_ref,
         branch_payload: list[str],
         on_conflict: str,
+        expectations: list[dict] | None = None,
     ):
         self.parent_dir = parent_dir
         self.epoch = epoch
@@ -161,6 +162,7 @@ class MergeBackApplier:
         self.plan_bp_ref = plan_bp_ref  # None => no conflict detection
         self.branch_payload = branch_payload
         self.on_conflict = on_conflict
+        self.expectations = expectations
 
     def __call__(self, src: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
@@ -310,6 +312,12 @@ class MergeBackApplier:
             frag = pa.table(
                 {f.name: pc.cast(cols[f.name], f.type) for f in out_schema}
             ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            if self.expectations:
+                from datax_ray.pipelines.mergeinto import enforce_expectations
+
+                # the PARENT's pinned CHECK constraints gate what merges
+                # in — a branch may have been curated under laxer rules
+                enforce_expectations(frag, self.expectations, "merge-back")
             frag = frag.append_column(
                 "part_id",
                 part_ids_for(
@@ -469,6 +477,7 @@ def merge_back(
                 plan_bp_ref=plan_bp_ref,
                 branch_payload=branch_payload,
                 on_conflict=on_conflict,
+                expectations=mp.committed_properties().get("expectations"),
             ).__call__,
             batch_format="pyarrow",
         )

@@ -104,6 +104,36 @@ def _null_safe_neq(a, b) -> pa.Array:
     return pc.invert(pc.or_(eq, both_null))
 
 
+def enforce_expectations(frag: pa.Table, specs: list[dict], verb: str) -> None:
+    """Lake-pinned CHECK constraints (alter --expectations) gate
+    state-edit verbs too — but ABORT instead of dead-lettering: a
+    snapshot merge is interactive, so the caller fixes the snapshot
+    rather than mining a DLQ. Tombstones are exempt (the same op=delete
+    rule the ingest path applies). Raises before anything commits."""
+    from datax_ray.validation import compile_expectations
+
+    view = frag.append_column(
+        "op",
+        pc.if_else(
+            pc.fill_null(frag[DELETED_COL], False),
+            pa.scalar("delete", pa.string()),
+            pa.scalar("insert", pa.string()),
+        ),
+    )
+    mask, reason = compile_expectations(specs)(view)
+    bad = pc.invert(mask)
+    n_bad = int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
+    if n_bad:
+        ex = view.filter(bad)
+        first = reason.filter(bad)[0].as_py()
+        raise ValueError(
+            f"{verb} violates {n_bad} lake expectation(s) "
+            f"(first: {first!r} at key ({ex['conv_id'][0].as_py()!r}, "
+            f"{ex['turn_idx'][0].as_py()})) — fix the source or relax "
+            f"`alter --expectations`; nothing was committed"
+        )
+
+
 class MergeApplier:
     """map_groups task over one range's source rows: point-read the
     range's current winners for the group's conv_ids, classify each
@@ -125,6 +155,7 @@ class MergeApplier:
         not_matched_cond: list | None,
         src_payload: list[str],
         src_has_ts: bool,
+        expectations: list[dict] | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -138,6 +169,7 @@ class MergeApplier:
         self.not_matched_cond = not_matched_cond
         self.src_payload = src_payload
         self.src_has_ts = src_has_ts
+        self.expectations = expectations
 
     def __call__(self, src: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
@@ -323,6 +355,8 @@ class MergeApplier:
             )
             for p in pieces
         ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        if self.expectations:
+            enforce_expectations(frag, self.expectations, "merge")
         frag = frag.append_column(
             "part_id",
             part_ids_for(
@@ -449,6 +483,7 @@ def merge_into(
                 not_matched_cond=not_matched_cond,
                 src_payload=src_payload,
                 src_has_ts=src_has_ts,
+                expectations=m.committed_properties().get("expectations"),
             ).__call__,
             batch_format="pyarrow",
         )

@@ -205,6 +205,26 @@ def test_provenance_and_schema_refusals(forked, tmp_path):
         merge_back(parent, branch)
 
 
+def test_parent_expectations_gate_mergeback(forked):
+    """The PARENT's pinned CHECK constraints veto a merge-back whose
+    branch rows violate them — abort before commit."""
+    from datax_ray.pipelines.replay import alter_lake
+    from datax_ray.state.manifest import Manifest
+
+    changes, chg, parent, branch = forked
+    replay(ReplayConfig(changes_dir=chg, lake_dir=branch, num_partitions=8,
+                        segments_per_epoch=1))
+    alter_lake(parent, expectations=[
+        {"column": "text", "op": "max_len", "value": 3},
+    ])
+    head = Manifest(parent).committed_epoch()
+    before = _final(parent)
+    with pytest.raises(Exception, match="expectation"):
+        merge_back(parent, branch)
+    assert Manifest(parent).committed_epoch() == head
+    assert _final(parent).equals(before)
+
+
 def test_layout_mismatch_routes_correctly(forked, tmp_path):
     from datax_ray.pipelines.repartition import repartition_lake
 

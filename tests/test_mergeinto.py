@@ -227,6 +227,28 @@ def test_merge_refusals(lake):
         merge_into(lk, src, when_matched="upsert")
 
 
+def test_merge_respects_lake_expectations(lake):
+    """Lake-pinned CHECK constraints gate merged rows: a violating
+    snapshot aborts before commit; relaxing the rule lets it through."""
+    from datax_ray.pipelines.replay import alter_lake
+    from datax_ray.state.manifest import Manifest
+
+    chg, lk = lake
+    before = _final(lk)
+    alter_lake(lk, expectations=[
+        {"column": "turn_idx", "op": "between", "lo": 0, "hi": 30},
+    ])
+    head = Manifest(lk).committed_epoch()
+    src = _source_for(before, fresh_turn=40)  # violates hi=30
+    with pytest.raises(Exception, match="expectation"):
+        merge_into(lk, src)
+    assert Manifest(lk).committed_epoch() == head  # nothing committed
+    assert _final(lk).equals(before)
+
+    alter_lake(lk, clear_expectations=True)
+    assert merge_into(lk, src)["epoch"] is not None
+
+
 def test_merge_insert_over_tombstone_dominates_future_still_wins(lake):
     chg, lk = lake
     before = _final(lk)
