@@ -747,6 +747,9 @@ def main(argv=None):
     mbk.add_argument("--branch", required=True)
     mbk.add_argument("--on-conflict", default="branch",
                      choices=["branch", "parent", "abort"])
+    mbk.add_argument("--dry-run", action="store_true",
+                     help="full plan incl. conflict detection, no writes: "
+                     "`applied` reports what WOULD merge")
     mbk.add_argument("--num-cpus", type=int, default=None)
 
     fk = sub.add_parser(
@@ -1501,7 +1504,7 @@ def main(argv=None):
         from datax_ray.pipelines.mergeback import merge_back
 
         print(json.dumps(merge_back(
-            a.parent, a.branch, on_conflict=a.on_conflict
+            a.parent, a.branch, on_conflict=a.on_conflict, dry_run=a.dry_run
         )))
         return 0
 

@@ -152,6 +152,7 @@ class MergeBackApplier:
         branch_payload: list[str],
         on_conflict: str,
         expectations: list[dict] | None = None,
+        dry_run: bool = False,
     ):
         self.parent_dir = parent_dir
         self.epoch = epoch
@@ -163,6 +164,7 @@ class MergeBackApplier:
         self.branch_payload = branch_payload
         self.on_conflict = on_conflict
         self.expectations = expectations
+        self.dry_run = dry_run
 
     def __call__(self, src: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
@@ -325,9 +327,10 @@ class MergeBackApplier:
                     self.num_partitions, self.salt_turn_width,
                 ),
             )
-            row = write_fragment(frag, self.parent_dir, rid, self.epoch)
-            out = pa.Table.from_pylist([row], schema=FRAG_LINEAGE_SCHEMA)
             n_applied = frag.num_rows
+            if not self.dry_run:
+                row = write_fragment(frag, self.parent_dir, rid, self.epoch)
+                out = pa.Table.from_pylist([row], schema=FRAG_LINEAGE_SCHEMA)
         out = out.append_column(
             "n_applied", pa.array([n_applied] * out.num_rows, pa.int64())
         )
@@ -342,13 +345,17 @@ class MergeBackApplier:
 
 
 def merge_back(
-    parent_dir: str, branch_dir: str, on_conflict: str = "branch"
+    parent_dir: str, branch_dir: str, on_conflict: str = "branch",
+    dry_run: bool = False,
 ) -> dict:
     """Merge a branch's post-branch-point divergence into its parent.
     Returns {"applied", "conflicts", "ranges_touched", "epoch",
     "branch_point"} — epoch None when the branch carries no effective
     divergence (or it all lost to value-equality), conflicts None when
-    undetectable (parent vacuumed the branch-point record)."""
+    undetectable (parent vacuumed the branch-point record). `dry_run`
+    runs the full two-stage plan — conflict detection, value-equality,
+    expectation checks (which still raise) — but writes no fragment and
+    commits nothing: the pre-merge audit (`applied` = would-apply)."""
     from datax_ray.pipelines.feed import read_change_feed
     from datax_ray.sinks.lake import _range_plan
 
@@ -478,6 +485,7 @@ def merge_back(
                 branch_payload=branch_payload,
                 on_conflict=on_conflict,
                 expectations=mp.committed_properties().get("expectations"),
+                dry_run=dry_run,
             ).__call__,
             batch_format="pyarrow",
         )
@@ -497,7 +505,7 @@ def merge_back(
         if r.get("file")
     ]
     result["ranges_touched"] = len(lineage)
-    if not lineage:
+    if not lineage or dry_run:
         return result
 
     partitions = mp.current_partitions()

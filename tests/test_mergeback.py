@@ -205,6 +205,23 @@ def test_provenance_and_schema_refusals(forked, tmp_path):
         merge_back(parent, branch)
 
 
+def test_dry_run_audits_without_writing(forked):
+    from datax_ray.state.manifest import Manifest
+
+    changes, chg, parent, branch = forked
+    replay(ReplayConfig(changes_dir=chg, lake_dir=branch, num_partitions=8,
+                        segments_per_epoch=1))
+    head = Manifest(parent).committed_epoch()
+    before = _final(parent)
+    dry = merge_back(parent, branch, dry_run=True)
+    assert dry["applied"] > 0 and dry["epoch"] is None
+    assert Manifest(parent).committed_epoch() == head
+    assert _final(parent).equals(before)
+    # the real merge applies exactly what the audit promised
+    real = merge_back(parent, branch)
+    assert real["applied"] == dry["applied"] and real["epoch"] is not None
+
+
 def test_parent_expectations_gate_mergeback(forked):
     """The PARENT's pinned CHECK constraints veto a merge-back whose
     branch rows violate them — abort before commit."""
