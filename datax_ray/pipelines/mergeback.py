@@ -33,14 +33,24 @@ Merge semantics (the backfill/purge reasoning, applied across lakes):
   * Value-equal keys are skipped, so re-running a merge converges to a
     no-op epoch=None, and merging a branch with no effective divergence
     commits nothing.
-  * CONFLICTS — keys the parent ALSO changed since the branch point
-    (detected by comparing the parent's current winner with its winner
-    AS OF the branch point, a time-travel read of the same ranges):
-    `on_conflict="branch"` (default) lets the branch win, "parent" keeps
-    the parent's row, "abort" raises before any commit. If the parent no
-    longer retains the exact branch-point record (vacuum) and has
-    advanced, conflicts are undetectable: "parent"/"abort" refuse
-    loudly, "branch" proceeds with conflicts=None.
+  * CONFLICTS — keys changed on BOTH sides to DIFFERENT values since the
+    MERGE BASE (git semantics: identical edits merge clean, and each
+    successful sync advances the base, so an earlier merge of this very
+    branch is never reported as a parent-side change). Detection is a
+    time-travel read of the parent's merge-base record; masks are only
+    computed AFTER every join — pyarrow joins reorder rows, so a mask
+    built pre-join would silently misalign (a bug the incremental-cursor
+    oracle test caught). `on_conflict="branch"` (default) lets the
+    branch win, "parent" keeps the parent's row, "abort" raises before
+    any commit. If the parent no longer retains the exact merge-base
+    record (vacuum) and has advanced, conflicts are undetectable:
+    "parent"/"abort" refuse loudly, "branch" proceeds with
+    conflicts=None.
+  * INCREMENTAL: each successful sync records a cursor (+ the new merge
+    base) in the parent's properties, so repeated syncs read only the
+    branch's NEW epochs — O(new delta). A re-created branch at the same
+    path (different branch point) resets the cursor. `dry_run` audits
+    the pending sync without writing.
 
 Loud refusals: the branch's earliest record must name this parent
 (clone's metrics.branch provenance), branch payload columns must be a
@@ -204,6 +214,17 @@ class MergeBackApplier:
         )
         j = src.join(tgt, keys=list(_KEYS), join_type="left outer").combine_chunks()
 
+        # the conflict-baseline join must happen BEFORE any row mask is
+        # computed: pyarrow joins reorder rows, so a mask built on the
+        # pre-join table would silently misalign (caught by the
+        # incremental-cursor oracle test)
+        if self.plan_bp_ref is not None:
+            old = read_state(ray.get(self.plan_bp_ref))
+            old = old.select([*_KEYS, "ts", LSN_COL]).rename_columns(
+                [*_KEYS, "_old_ts", "_old_lsn"]
+            )
+            j = j.join(old, keys=list(_KEYS), join_type="left outer").combine_chunks()
+
         tgt_live = pc.and_(
             pc.is_valid(j["_tgt_lsn"]),
             pc.invert(pc.fill_null(j["_tgt_deleted"], False)),
@@ -225,11 +246,6 @@ class MergeBackApplier:
         conflicts = None
         conflict_mask = pa.array(np.zeros(j.num_rows, dtype=bool))
         if self.plan_bp_ref is not None:
-            old = read_state(ray.get(self.plan_bp_ref))
-            old = old.select([*_KEYS, "ts", LSN_COL]).rename_columns(
-                [*_KEYS, "_old_ts", "_old_lsn"]
-            )
-            j = j.join(old, keys=list(_KEYS), join_type="left outer").combine_chunks()
             # parent changed the key since the branch point iff its winner
             # identity (ts, lsn) moved — including appear/disappear. Keys
             # where both sides converged to the SAME value (e.g. an
@@ -380,11 +396,32 @@ def merge_back(
             f"names {prov.get('from')!r}) — merge-back needs clone provenance"
         )
     head_b = mb.committed_epoch()
+    # incremental sync cursor: a previous merge-back of THIS branch (same
+    # branch point — a re-created branch at the same path resets it)
+    # recorded how far it merged, so repeated syncs read only the
+    # branch's NEW epochs: O(new delta), not O(all post-branch-point
+    # delta). Conflict detection keeps the branch POINT as its baseline
+    # regardless — the cursor narrows the key set, never the semantics.
+    props = mp.committed_properties()
+    cursors = dict(props.get("mergeback_cursors") or {})
+    bkey = os.path.abspath(branch_dir)
+    cur = cursors.get(bkey) or {}
+    cursor_valid = int(cur.get("branch_point", bp)) == bp
+    feed_from = max(bp, int(cur.get("epoch", bp))) if cursor_valid else bp
+    # conflict baseline = the MERGE-BASE, git-style: a successful sync
+    # resolves all divergence up to its point, so later syncs compare
+    # against the parent AS OF that merge, not the original branch point
+    # — our own earlier merge is never reported as a parent-side change
+    base_epoch = (
+        int(cur["parent_epoch"])
+        if cursor_valid and cur.get("parent_epoch") is not None
+        else bp
+    )
     result = {
         "applied": 0, "conflicts": None, "ranges_touched": 0,
-        "epoch": None, "branch_point": bp,
+        "epoch": None, "branch_point": bp, "feed_from": feed_from,
     }
-    if head_b <= bp:
+    if head_b <= feed_from:
         return result
 
     p_schema = mp.committed_schema()
@@ -406,19 +443,19 @@ def merge_back(
 
     p_head = mp.committed_epoch()
     plan_bp_ref = None
-    if p_head > bp:
-        rec_bp = mp.at_epoch(bp)
-        if rec_bp is None or int(rec_bp.get("epoch", -1)) != bp:
+    if p_head > base_epoch:
+        rec_bp = mp.at_epoch(base_epoch)
+        if rec_bp is None or int(rec_bp.get("epoch", -1)) != base_epoch:
             if on_conflict != "branch":
                 raise ValueError(
-                    f"parent advanced past branch point {bp} but no longer "
-                    f"retains that record (vacuum) — conflicts are "
+                    f"parent advanced past merge base {base_epoch} but no "
+                    f"longer retains that record (vacuum) — conflicts are "
                     f"undetectable; only on_conflict='branch' can proceed"
                 )
         else:
             plan_bp = {
                 int(it["range_id"]): list(it["files"])
-                for it in _range_plan(parent_dir, mp, as_of_epoch=bp)
+                for it in _range_plan(parent_dir, mp, as_of_epoch=base_epoch)
             }
             plan_bp_ref = ray.put(plan_bp)
 
@@ -460,7 +497,7 @@ def merge_back(
         return t.append_column("_prid", pa.array(rid))
 
     lineage_t = (
-        read_change_feed(branch_dir, bp)
+        read_change_feed(branch_dir, feed_from)
         .map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_rid")
         .map_groups(
@@ -497,7 +534,7 @@ def merge_back(
         result["conflicts"] = sum(
             max(0, int(r["n_conflicts"])) for r in lineage_t
         )
-    elif p_head == bp:
+    elif p_head == base_epoch:
         result["conflicts"] = 0
     lineage = [
         {k: v for k, v in r.items() if not k.startswith("n_")}
@@ -540,6 +577,14 @@ def merge_back(
         partitions=partitions,
         ranges=ranges,
         layout=p_layout,
+        properties={
+            **props,
+            "mergeback_cursors": {
+                **cursors,
+                bkey: {"epoch": head_b, "branch_point": bp,
+                       "parent_epoch": epoch},
+            },
+        },
         lineage=lineage,
         metrics={"mergeback": {
             "branch": os.path.abspath(branch_dir),

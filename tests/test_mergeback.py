@@ -205,6 +205,36 @@ def test_provenance_and_schema_refusals(forked, tmp_path):
         merge_back(parent, branch)
 
 
+def test_incremental_cursor_narrows_repeat_syncs(forked, tmp_path):
+    """A second sync reads only the branch's NEW epochs (cursor in the
+    parent's properties), and still lands the exact fold."""
+    changes, chg, parent, branch = forked
+    replay(ReplayConfig(changes_dir=chg, lake_dir=branch, num_partitions=8,
+                        segments_per_epoch=1))
+    r1 = merge_back(parent, branch)
+    assert r1["epoch"] is not None
+
+    # more divergence on the branch only
+    bchg = str(tmp_path / "bchg_inc")
+    more = gen_changes(1200, 50, seed=78, p_delete=0.1)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"], 2_000_000))
+    write_segments(more, bchg, seg_rows=600, start_seg=70)
+    replay(ReplayConfig(changes_dir=bchg, lake_dir=branch, num_partitions=8))
+
+    r2 = merge_back(parent, branch)
+    assert r2["epoch"] is not None
+    # the second sync's feed window starts where the first one ended
+    assert r2["feed_from"] > r1["feed_from"]
+
+    oracle_lk = str(tmp_path / "oracle_inc")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=oracle_lk,
+                        num_partitions=8, segments_per_epoch=2))
+    replay(ReplayConfig(changes_dir=bchg, lake_dir=oracle_lk,
+                        num_partitions=8))
+    assert _final(parent).equals(_final(oracle_lk))
+    assert merge_back(parent, branch)["epoch"] is None  # converged
+
+
 def test_dry_run_audits_without_writing(forked):
     from datax_ray.state.manifest import Manifest
 
