@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "cdc_hopping_mv",
     "cdc_envelope_roundtrip",
     "cdc_backfill_scrub",
+    "cdc_merge_into",
+    "cdc_branch_merge",
 ]
 
 
