@@ -74,6 +74,23 @@ def lake_status(lake_dir: str) -> dict:
         for k in ("num_partitions", "frag_ranges", "salt_turn_width")
     }
 
+    cursors = m.committed_properties().get("mergeback_cursors") or {}
+    if cursors:
+        # branch-sync view: how far each merged branch has advanced past
+        # its last sync (lag in epochs; null when the branch is gone)
+        branches = {}
+        for bdir, cur in cursors.items():
+            rec = {"synced_through": cur.get("epoch"),
+                   "branch_point": cur.get("branch_point")}
+            try:
+                head = Manifest(bdir).committed_epoch()
+                rec["branch_head"] = head
+                rec["behind"] = max(0, head - int(cur.get("epoch", -1)))
+            except Exception:
+                rec["branch_head"] = None
+            branches[bdir] = rec
+        out["merged_branches"] = branches
+
     ranges = m.current_ranges()
     frag_counts = [len(rec.get("frags", [])) for rec in ranges.values()]
     out["ranges"] = {
