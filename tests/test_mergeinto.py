@@ -320,6 +320,41 @@ def test_merge_insert_over_tombstone_dominates_future_still_wins(lake):
     assert row["text"][0].as_py() == "the future wins"
 
 
+def test_merge_rows_flow_through_change_feed(lake):
+    """A merge epoch is an ordinary change record: reconstructing the
+    final state from the change feed alone must include the merge's
+    updates, inserts and their event-times."""
+    from datax_ray.pipelines.feed import read_change_feed
+    from datax_ray.schemas import DELETED_COL, LSN_COL
+
+    chg, lk = lake
+    before = _final(lk)
+    src = _source_for(before)
+    assert merge_into(lk, src)["epoch"] is not None
+    after = _final(lk)
+
+    feed = read_change_feed(lk, -1).take_all()
+    # LWW-fold the feed rows per key (driver-side: test fixture scale)
+    best = {}
+    for r in feed:
+        k = (r["conv_id"], r["turn_idx"])
+        o = (r["ts"], r[LSN_COL])
+        if k not in best or o > (best[k]["ts"], best[k][LSN_COL]):
+            best[k] = r
+    live = sorted(
+        (k for k, r in best.items() if not r[DELETED_COL]),
+    )
+    got = sorted(zip(after["conv_id"].to_pylist(),
+                     after["turn_idx"].to_pylist()))
+    assert live == got
+    for k in live:
+        row = best[k]
+        m = after.filter(pc.and_(pc.equal(after["conv_id"], k[0]),
+                                 pc.equal(after["turn_idx"], k[1])))
+        assert m["text"][0].as_py() == row["text"]
+        assert m["ts"][0].as_py() == row["ts"]
+
+
 def test_merge_salted_layout_routes_correctly(tmp_path, ray_session):
     changes = gen_changes(3000, 20, seed=92, p_delete=0.1, hot_key_zipf_s=1.2)
     chg = str(tmp_path / "chg")
