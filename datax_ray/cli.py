@@ -347,10 +347,20 @@ def main(argv=None):
         "converges to a no-op",
     )
     mg.add_argument("--lake", required=True)
-    mg.add_argument("--source", required=True,
+    mg.add_argument("--source", default=None,
                     help="parquet file/dir keyed on (conv_id, turn_idx); "
                     "payload columns may be a subset; `ts` required for "
                     "inserts")
+    mg.add_argument("--sql", default=None,
+                    help="read the source from a SQL DB instead (sqlite "
+                    "path; splitPk-range parallel read)")
+    mg.add_argument("--table", default="transcripts",
+                    help="SQL table name (with --sql)")
+    mg.add_argument("--split-pk", default="rowid",
+                    help="splitPk column for range planning (with --sql)")
+    mg.add_argument("--columns", default=None,
+                    help="comma-separated column list (with --sql; "
+                    "default: all columns of the table)")
     mg.add_argument("--when-matched", default="update",
                     choices=["update", "delete", "skip"])
     mg.add_argument("--when-not-matched", default="insert",
@@ -1263,11 +1273,36 @@ def main(argv=None):
         return 0
 
     if a.cmd == "merge":
+        if bool(a.source) == bool(a.sql):
+            raise SystemExit("merge needs exactly one of --source / --sql")
         _ensure_ray(a.num_cpus)
         from datax_ray.pipelines.mergeinto import merge_into
 
+        source = a.source
+        if a.sql:
+            import functools
+            import sqlite3
+
+            from datax_ray.sources.sqlsource import read_sql_table
+
+            factory = functools.partial(
+                sqlite3.connect, a.sql, 30.0, check_same_thread=False
+            )
+            if a.columns:
+                cols = [c.strip() for c in a.columns.split(",")]
+            else:
+                conn = factory()
+                try:
+                    cur = conn.execute(f"SELECT * FROM {a.table} LIMIT 0")
+                    cols = [d[0] for d in cur.description]
+                finally:
+                    conn.close()
+            source = read_sql_table(
+                factory, a.table, columns=cols, split_pk=a.split_pk
+            )
+
         print(json.dumps(merge_into(
-            a.lake, a.source,
+            a.lake, source,
             when_matched=a.when_matched,
             when_not_matched=a.when_not_matched,
             matched_cond=json.loads(a.matched_cond) if a.matched_cond else None,

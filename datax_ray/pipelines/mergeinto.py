@@ -411,6 +411,12 @@ def merge_into(
     if isinstance(source, pa.Table):
         ds = ray.data.from_arrow(source)
         src_names = source.column_names
+    elif isinstance(source, ray.data.Dataset):
+        # any Dataset works as a source — e.g. a splitPk-range SQL read
+        # (sources/sqlsource.read_sql_table), a lake read, another
+        # pipeline's output. schema() is metadata-only for typed sources.
+        ds = source
+        src_names = list(ds.schema().names)
     else:
         import pyarrow.parquet as pq
 

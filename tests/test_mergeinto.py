@@ -320,6 +320,45 @@ def test_merge_insert_over_tombstone_dominates_future_still_wins(lake):
     assert row["text"][0].as_py() == "the future wins"
 
 
+def test_merge_from_sql_dataset_source(lake, tmp_path):
+    """Any Dataset works as a merge source — here a splitPk-range SQL
+    read (the DataX rdbmsreader contract feeding MERGE)."""
+    import functools
+    import sqlite3
+
+    from datax_ray.sources.sqlsource import read_sql_table
+
+    chg, lk = lake
+    before = _final(lk)
+    db = str(tmp_path / "snap.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE fixes (pk INTEGER PRIMARY KEY, conv_id TEXT, "
+        "turn_idx INTEGER, text TEXT, ts INTEGER)"
+    )
+    keys = list(zip(before["conv_id"].to_pylist()[:12],
+                    before["turn_idx"].to_pylist()[:12]))
+    conn.executemany(
+        "INSERT INTO fixes (pk, conv_id, turn_idx, text, ts) VALUES (?,?,?,?,?)",
+        [(i, c, t, f"sqlfix-{i}", TS0) for i, (c, t) in enumerate(keys)],
+    )
+    conn.commit()
+    conn.close()
+    factory = functools.partial(sqlite3.connect, db, 30.0,
+                                check_same_thread=False)
+    src = read_sql_table(
+        factory, "fixes", columns=["conv_id", "turn_idx", "text", "ts"],
+        split_pk="pk", num_splits=4,
+    )
+    r = merge_into(lk, src, when_not_matched="skip")
+    assert r["updated"] == 12
+    after = _final(lk)
+    for i, (c, t) in enumerate(keys):
+        m = after.filter(pc.and_(pc.equal(after["conv_id"], c),
+                                 pc.equal(after["turn_idx"], t)))
+        assert m["text"][0].as_py() == f"sqlfix-{i}"
+
+
 def test_merge_rows_flow_through_change_feed(lake):
     """A merge epoch is an ordinary change record: reconstructing the
     final state from the change feed alone must include the merge's
