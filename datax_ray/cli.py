@@ -1751,6 +1751,12 @@ def main(argv=None):
                 kind = "cluster"
             elif "branch" in metrics:
                 kind = "branch-point"
+            elif "merge" in metrics:
+                kind = "merge"
+            elif "mergeback" in metrics:
+                kind = "merge-back"
+            elif "backfill" in metrics:
+                kind = "backfill"
             elif rec.get("segments"):
                 kind = "replay"
             else:
