@@ -760,6 +760,8 @@ def main(argv=None):
     mbk.add_argument("--dry-run", action="store_true",
                      help="full plan incl. conflict detection, no writes: "
                      "`applied` reports what WOULD merge")
+    mbk.add_argument("--list-conflicts", type=int, default=0, metavar="N",
+                     help="include up to N conflicting keys in the result")
     mbk.add_argument("--num-cpus", type=int, default=None)
 
     fk = sub.add_parser(
@@ -1539,7 +1541,8 @@ def main(argv=None):
         from datax_ray.pipelines.mergeback import merge_back
 
         print(json.dumps(merge_back(
-            a.parent, a.branch, on_conflict=a.on_conflict, dry_run=a.dry_run
+            a.parent, a.branch, on_conflict=a.on_conflict, dry_run=a.dry_run,
+            list_conflicts=a.list_conflicts,
         )))
         return 0
 

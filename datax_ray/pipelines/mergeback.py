@@ -163,6 +163,7 @@ class MergeBackApplier:
         on_conflict: str,
         expectations: list[dict] | None = None,
         dry_run: bool = False,
+        list_conflicts: int = 0,
     ):
         self.parent_dir = parent_dir
         self.epoch = epoch
@@ -175,6 +176,7 @@ class MergeBackApplier:
         self.on_conflict = on_conflict
         self.expectations = expectations
         self.dry_run = dry_run
+        self.list_conflicts = list_conflicts
 
     def __call__(self, src: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
@@ -357,12 +359,23 @@ class MergeBackApplier:
                 pa.int64(),
             ),
         )
+        sample = ""
+        if self.list_conflicts and conflicts:
+            ex = j.filter(conflict_mask).slice(0, self.list_conflicts)
+            sample = json.dumps([
+                {"conv_id": c, "turn_idx": int(t)}
+                for c, t in zip(ex["conv_id"].to_pylist(),
+                                ex["turn_idx"].to_pylist())
+            ])
+        out = out.append_column(
+            "conflict_sample", pa.array([sample] * out.num_rows, pa.string())
+        )
         return out
 
 
 def merge_back(
     parent_dir: str, branch_dir: str, on_conflict: str = "branch",
-    dry_run: bool = False,
+    dry_run: bool = False, list_conflicts: int = 0,
 ) -> dict:
     """Merge a branch's post-branch-point divergence into its parent.
     Returns {"applied", "conflicts", "ranges_touched", "epoch",
@@ -523,6 +536,7 @@ def merge_back(
                 on_conflict=on_conflict,
                 expectations=mp.committed_properties().get("expectations"),
                 dry_run=dry_run,
+                list_conflicts=list_conflicts,
             ).__call__,
             batch_format="pyarrow",
         )
@@ -536,8 +550,17 @@ def merge_back(
         )
     elif p_head == base_epoch:
         result["conflicts"] = 0
+    if list_conflicts:
+        keys = []
+        for r in lineage_t:
+            if r.get("conflict_sample"):
+                keys.extend(json.loads(r["conflict_sample"]))
+            if len(keys) >= list_conflicts:
+                break
+        result["conflict_keys"] = keys[:list_conflicts]
     lineage = [
-        {k: v for k, v in r.items() if not k.startswith("n_")}
+        {k: v for k, v in r.items()
+         if not k.startswith("n_") and k != "conflict_sample"}
         for r in lineage_t
         if r.get("file")
     ]

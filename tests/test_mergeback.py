@@ -147,7 +147,8 @@ def test_conflict_policies(forked, tmp_path, policy):
         assert _final(parent).equals(head)  # nothing committed
         return
 
-    r = merge_back(parent, branch, on_conflict=policy)
+    r = merge_back(parent, branch, on_conflict=policy, list_conflicts=5)
+    assert {"conv_id": k_c, "turn_idx": k_t} in r["conflict_keys"]
     after = _final(parent)
     got = after.filter(pc.and_(pc.equal(after["conv_id"], k_c),
                                pc.equal(after["turn_idx"], k_t)))
@@ -250,6 +251,36 @@ def test_dry_run_audits_without_writing(forked):
     # the real merge applies exactly what the audit promised
     real = merge_back(parent, branch)
     assert real["applied"] == dry["applied"] and real["epoch"] is not None
+
+
+def test_branch_chain_merges_compose(forked, tmp_path):
+    """Branch-of-branch: curate on a grandchild, merge up the chain
+    (child ← grandchild, then parent ← child) — provenance binds each
+    merge to the immediate parent, and the root ends at the full fold."""
+    changes, chg, parent, branch = forked
+    replay(ReplayConfig(changes_dir=chg, lake_dir=branch, num_partitions=8,
+                        segments_per_epoch=1))
+    grand = str(tmp_path / "grand")
+    clone_lake(branch, grand)
+    gchg = str(tmp_path / "gchg")
+    more = gen_changes(800, 50, seed=79, p_delete=0.1)
+    more = more.set_column(0, "lsn", pc.add(more["lsn"], 3_000_000))
+    write_segments(more, gchg, seg_rows=400, start_seg=80)
+    replay(ReplayConfig(changes_dir=gchg, lake_dir=grand, num_partitions=8))
+
+    # merging the grandchild straight into the ROOT refuses (provenance)
+    with pytest.raises(ValueError, match="not a branch"):
+        merge_back(parent, grand)
+
+    assert merge_back(branch, grand)["epoch"] is not None
+    assert merge_back(parent, branch)["epoch"] is not None
+
+    oracle_lk = str(tmp_path / "oracle_chain")
+    replay(ReplayConfig(changes_dir=chg, lake_dir=oracle_lk,
+                        num_partitions=8, segments_per_epoch=2))
+    replay(ReplayConfig(changes_dir=gchg, lake_dir=oracle_lk,
+                        num_partitions=8))
+    assert _final(parent).equals(_final(oracle_lk))
 
 
 def test_parent_expectations_gate_mergeback(forked):
