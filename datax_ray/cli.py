@@ -371,6 +371,9 @@ def main(argv=None):
                     "src_<col> = source)")
     mg.add_argument("--not-matched-cond", default=None,
                     help="JSON AND-ed triples over the source row")
+    mg.add_argument("--dry-run", action="store_true",
+                    help="full plan incl. conditions and expectation "
+                    "checks, no writes: counts report what WOULD change")
     mg.add_argument("--num-cpus", type=int, default=None)
 
     ei = sub.add_parser(
@@ -1311,6 +1314,7 @@ def main(argv=None):
             not_matched_cond=(
                 json.loads(a.not_matched_cond) if a.not_matched_cond else None
             ),
+            dry_run=a.dry_run,
         )))
         return 0
 

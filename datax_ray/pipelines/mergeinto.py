@@ -156,6 +156,7 @@ class MergeApplier:
         src_payload: list[str],
         src_has_ts: bool,
         expectations: list[dict] | None = None,
+        dry_run: bool = False,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -170,6 +171,7 @@ class MergeApplier:
         self.src_payload = src_payload
         self.src_has_ts = src_has_ts
         self.expectations = expectations
+        self.dry_run = dry_run
 
     def __call__(self, src: pa.Table) -> pa.Table:
         from datax_ray.sinks.lake import _merge_read_range
@@ -357,16 +359,25 @@ class MergeApplier:
         ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
         if self.expectations:
             enforce_expectations(frag, self.expectations, "merge")
-        frag = frag.append_column(
-            "part_id",
-            part_ids_for(
-                frag["conv_id"],
-                frag["turn_idx"],
-                self.num_partitions,
-                self.salt_turn_width,
-            ),
-        )
-        row = write_fragment(frag, self.lake_dir, rid, self.epoch)
+        if self.dry_run:
+            row = {
+                "range_id": rid, "epoch": self.epoch, "kind": "frag",
+                "file": None, "rows": frag.num_rows,
+                "events_applied": 0, "lsn_hi": -1, "bytes": 0,
+                "ts_lo": None, "ts_hi": None, "turn_lo": None,
+                "turn_hi": None, "key_bloom": None,
+            }
+        else:
+            frag = frag.append_column(
+                "part_id",
+                part_ids_for(
+                    frag["conv_id"],
+                    frag["turn_idx"],
+                    self.num_partitions,
+                    self.salt_turn_width,
+                ),
+            )
+            row = write_fragment(frag, self.lake_dir, rid, self.epoch)
         out = pa.Table.from_pylist([row], schema=FRAG_LINEAGE_SCHEMA)
         for k in ("updated", "deleted", "inserted"):
             out = out.append_column(
@@ -382,6 +393,7 @@ def merge_into(
     when_not_matched: str = "insert",
     matched_cond: list | None = None,
     not_matched_cond: list | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Fold a keyed source snapshot (parquet path/dir or pyarrow.Table)
     into the lake. Returns {"updated", "deleted", "inserted",
@@ -490,6 +502,7 @@ def merge_into(
                 src_payload=src_payload,
                 src_has_ts=src_has_ts,
                 expectations=m.committed_properties().get("expectations"),
+                dry_run=dry_run,
             ).__call__,
             batch_format="pyarrow",
         )
@@ -503,7 +516,7 @@ def merge_into(
         "ranges_touched": len(lineage_t),
         "epoch": None,
     }
-    if not lineage_t:
+    if not lineage_t or dry_run:
         return result
     lineage = [
         {k: v for k, v in r.items() if not k.startswith("n_")} for r in lineage_t

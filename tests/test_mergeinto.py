@@ -320,6 +320,23 @@ def test_merge_insert_over_tombstone_dominates_future_still_wins(lake):
     assert row["text"][0].as_py() == "the future wins"
 
 
+def test_merge_dry_run_promises_exactly(lake):
+    from datax_ray.state.manifest import Manifest
+
+    chg, lk = lake
+    before = _final(lk)
+    src = _source_for(before)
+    head = Manifest(lk).committed_epoch()
+    dry = merge_into(lk, src, dry_run=True)
+    assert dry["epoch"] is None and dry["updated"] == 20
+    assert Manifest(lk).committed_epoch() == head
+    assert _final(lk).equals(before)
+    real = merge_into(lk, src)
+    assert (real["updated"], real["deleted"], real["inserted"]) == (
+        dry["updated"], dry["deleted"], dry["inserted"])
+    assert real["epoch"] is not None
+
+
 def test_merge_from_sql_dataset_source(lake, tmp_path):
     """Any Dataset works as a merge source — here a splitPk-range SQL
     read (the DataX rdbmsreader contract feeding MERGE)."""
