@@ -470,6 +470,78 @@ FROM ins
 """
 
 
+def cdc_merge_delete(sf_dir: str):
+    """MERGE's DELETE clause, driver-verified: the same distinct-user
+    snapshot keys (turn 5), but WHEN MATCHED AND role='assistant' THEN
+    DELETE, NOT MATCHED skip — conditional tombstoning driven by a keyed
+    snapshot. A second identical merge must converge (the deleted keys
+    are no longer matched and the skip clause leaves them dead)."""
+    from datax_ray.pipelines.mergeinto import merge_into
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_mergedel/{os.path.basename(os.path.normpath(sf_dir))}"
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t["user_id"])})
+
+    partials = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(uniq, batch_format="pyarrow")
+        .take_all()
+    )
+    users = sorted({int(r["user_id"]) for r in partials})
+    src = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{u}" for u in users], pa.string()),
+            "turn_idx": pa.array([5] * len(users), pa.int32()),
+        }
+    )
+    kw = dict(when_matched="delete", when_not_matched="skip",
+              matched_cond=[["role", "=", "assistant"]])
+    r = merge_into(f"{work}/lake", src, **kw)
+    assert r["inserted"] == 0 and r["updated"] == 0
+    assert merge_into(f"{work}/lake", src, **kw)["epoch"] is None
+    return final_table(f"{work}/lake")
+
+
+CDC_MERGE_DELETE_SQL = """
+WITH c AS (
+  SELECT event_id AS lsn, ts,
+         CASE WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 2 = 0 THEN 'insert' ELSE 'update' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'payload-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE '' END AS tool
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM c
+), final AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM w
+  WHERE rn = 1 AND op <> 'delete'
+), u AS (SELECT DISTINCT user_id FROM events),
+del AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(5 AS INTEGER) AS turn_idx FROM u
+)
+SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts
+FROM final f
+LEFT JOIN del d ON f.conv_id = d.conv_id AND f.turn_idx = d.turn_idx
+WHERE d.conv_id IS NULL OR f.role <> 'assistant'
+"""
+
+
 def cdc_branch_merge(sf_dir: str):
     """Branch → diverge → MERGE-BACK, driver-verified
     (pipelines/mergeback.py): replay the first half of the derived log
@@ -11925,6 +11997,7 @@ QUERIES = {
     "cdc_backfill_scrub": cdc_backfill_scrub,
     "cdc_merge_into": cdc_merge_into,
     "cdc_branch_merge": cdc_branch_merge,
+    "cdc_merge_delete": cdc_merge_delete,
     "cdc_session_mv": cdc_session_mv,
     "cdc_hopping_mv": cdc_hopping_mv,
     "cdc_join_mv": cdc_join_mv,
@@ -12135,6 +12208,7 @@ ORACLE_SQL = {
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,
     "cdc_merge_into": CDC_MERGE_SQL,
     "cdc_branch_merge": CDC_REPLAY_SQL,
+    "cdc_merge_delete": CDC_MERGE_DELETE_SQL,
     "cdc_session_mv": CDC_SESSION_MV_SQL,
     "cdc_hopping_mv": CDC_HOPPING_MV_SQL,
     "cdc_join_mv": CDC_JOIN_MV_SQL,
