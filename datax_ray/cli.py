@@ -1288,8 +1288,9 @@ def main(argv=None):
             import functools
             import sqlite3
 
-            from datax_ray.sources.sqlsource import read_sql_table
+            from datax_ray.sources.sqlsource import check_identifier, read_sql_table
 
+            check_identifier(a.table, "table name")
             factory = functools.partial(
                 sqlite3.connect, a.sql, 30.0, check_same_thread=False
             )

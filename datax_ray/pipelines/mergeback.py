@@ -235,15 +235,25 @@ class MergeBackApplier:
 
         # value-equal keys skip: same liveness and (if live) same branch
         # payload (parent-only columns keep their stored values on merge,
-        # so they never make a key unequal)
+        # so they never make a key unequal). A live row is only a true
+        # no-op when the parent's ts floor would not move either
+        # (parent ts >= branch winner ts): skipping an identical-payload
+        # row with a LATER branch ts would leave the parent's older
+        # (ts, lsn) standing, letting a subsequent intermediate-ts parent
+        # event win LWW that would have lost against the merged log.
         same_payload = pa.array(np.ones(j.num_rows, dtype=bool))
         for c in self.branch_payload:
             same_payload = pc.and_(same_payload, _null_safe_eq(j[c], j[f"_tgt_{c}"]))
-        equal = pc.or_(
-            pc.and_(pc.invert(pc.fill_null(bdel, True)),
-                    pc.and_(tgt_live, same_payload)),
-            pc.and_(pc.fill_null(bdel, True), pc.invert(tgt_live)),
+        ts_noop = pc.fill_null(pc.greater_equal(j["_tgt_ts"], j["ts"]), False)
+        live_same_payload = pc.and_(
+            pc.invert(pc.fill_null(bdel, True)), pc.and_(tgt_live, same_payload)
         )
+        dead_both = pc.and_(pc.fill_null(bdel, True), pc.invert(tgt_live))
+        # conflict detection stays payload-based ("identical edits merge
+        # clean" regardless of event time); the write-skip additionally
+        # requires the ts floor not to move
+        payload_equal = pc.or_(live_same_payload, dead_both)
+        equal = pc.or_(pc.and_(live_same_payload, ts_noop), dead_both)
 
         conflicts = None
         conflict_mask = pa.array(np.zeros(j.num_rows, dtype=bool))
@@ -262,7 +272,7 @@ class MergeBackApplier:
                 pc.is_null(j["_tgt_lsn"]), pc.is_null(j["_old_lsn"])
             )
             conflict_mask = pc.and_(
-                pc.invert(pc.or_(same, both_absent)), pc.invert(equal)
+                pc.invert(pc.or_(same, both_absent)), pc.invert(payload_equal)
             )
             conflicts = int(pc.sum(pc.cast(conflict_mask, pa.int64())).as_py() or 0)
             if conflicts and self.on_conflict == "abort":

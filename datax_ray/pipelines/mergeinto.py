@@ -438,7 +438,19 @@ def merge_into(
             if os.path.isdir(source)
             else [source]
         )
-        src_names = pq.read_schema(paths[0]).names
+        # refuse heterogeneous directories up front: a first-file-only
+        # schema would silently drop columns present in later files (or
+        # KeyError mid-pipeline on columns later files lack)
+        schemas = {p: pq.read_schema(p) for p in paths}
+        names0 = schemas[paths[0]].names
+        for p, s in schemas.items():
+            if s.names != names0:
+                raise ValueError(
+                    f"merge source directory has disagreeing schemas: "
+                    f"{paths[0]} has columns {names0} but {p} has "
+                    f"{s.names} — make the source files schema-uniform"
+                )
+        src_names = names0
 
     known = {f.name for f in schema}
     unknown = [c for c in src_names if c not in known]

@@ -26,6 +26,21 @@ import ray.data
 # Arrow types we map DB-API values into when the caller declares a schema.
 _DEFAULT_BATCH_ROWS = 65536
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def check_identifier(name: str, what: str = "identifier") -> str:
+    """Refuse table/column names that are not plain SQL identifiers BEFORE
+    they are interpolated into generated SQL text. DB-API has no parameter
+    binding for identifiers, so interpolation is unavoidable; a name with
+    spaces/quotes/reserved characters would otherwise break the probe
+    query with a raw driver error — or execute unintended SQL."""
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(
+            f"invalid SQL {what} {name!r}: must match [A-Za-z_][A-Za-z0-9_]*"
+        )
+    return name
+
 
 def plan_pk_splits(
     connection_factory: Callable,
@@ -136,6 +151,10 @@ def read_sql_table(
     """Parallel range-split SQL read as a streaming Dataset. The split plan
     is O(1) driver work (one MIN/MAX query); each range fetches in its own
     task. Size num_splits so one range fits a worker (DataX channel rule)."""
+    check_identifier(table, "table name")
+    check_identifier(split_pk, "splitPk column")
+    for c in columns:
+        check_identifier(c, "column name")
     splits = plan_pk_splits(connection_factory, table, split_pk, num_splits, where)
     if schema is None and splits:
         # Infer a pinned schema from ONE probe row on the driver: without
@@ -206,6 +225,9 @@ def write_sql_table(
     columns: list[str],
     mode: str = "insert",
 ) -> int:
+    check_identifier(table, "table name")
+    for c in columns:
+        check_identifier(c, "column name")
     parts = ds.map_batches(
         SqlBatchWriter(connection_factory, table, columns, mode=mode),
         batch_format="pyarrow",

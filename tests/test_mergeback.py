@@ -317,3 +317,53 @@ def test_layout_mismatch_routes_correctly(forked, tmp_path):
     replay(ReplayConfig(changes_dir=chg, lake_dir=oracle_lk,
                         num_partitions=8, segments_per_epoch=2))
     assert _final(parent).equals(_final(oracle_lk))
+
+
+def test_identical_payload_later_ts_bumps_floor(tmp_path, ray_session):
+    """ADVICE r3: a branch winner with the SAME payload but a LATER ts than
+    the parent's live row must still rewrite (ts-floor bump) — otherwise a
+    subsequent parent event with an intermediate ts wins LWW even though it
+    loses against the fold of the union of both logs."""
+    import datetime as dt
+
+    def t(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    chg = str(tmp_path / "chg")
+    parent = str(tmp_path / "parent")
+    branch = str(tmp_path / "branch")
+    write_segments(
+        _event(1, t(10), "insert", "c1", 0, role="user", text="same", tool=""),
+        chg, seg_rows=10,
+    )
+    replay(ReplayConfig(changes_dir=chg, lake_dir=parent, num_partitions=4))
+    clone_lake(parent, branch)
+
+    # branch: identical payload, later event-time
+    bchg = str(tmp_path / "bchg")
+    write_segments(
+        _event(2, t(30), "update", "c1", 0, role="user", text="same", tool=""),
+        bchg, seg_rows=10, start_seg=1,
+    )
+    replay(ReplayConfig(changes_dir=bchg, lake_dir=branch, num_partitions=4))
+
+    r = merge_back(parent, branch)
+    assert r["applied"] == 1  # NOT value-equal-skipped: the ts floor moved
+    merged = _final(parent)
+    assert merged["ts"][0].as_py() == t(30)
+
+    # idempotent: re-merge is now a visible no-op
+    r2 = merge_back(parent, branch)
+    assert r2["applied"] == 0 and r2["epoch"] is None
+
+    # an intermediate-ts parent event must LOSE against the merged floor
+    write_segments(
+        _event(3, t(20), "update", "c1", 0, role="user",
+               text="intermediate", tool=""),
+        chg, seg_rows=10, start_seg=1,
+    )
+    replay(ReplayConfig(changes_dir=chg, lake_dir=parent, num_partitions=4))
+    fin = _final(parent)
+    assert fin.num_rows == 1
+    assert fin["text"][0].as_py() == "same"
+    assert fin["ts"][0].as_py() == t(30)

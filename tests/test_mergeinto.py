@@ -425,3 +425,23 @@ def test_merge_salted_layout_routes_correctly(tmp_path, ray_session):
     after = _final(lk)
     want = _expect_update_insert(before, src)
     assert after.select(want.column_names).equals(want)
+
+
+def test_merge_refuses_heterogeneous_source_dir(lake, tmp_path):
+    """ADVICE r3: a parquet-directory source whose files disagree on
+    schema must refuse loudly up front, not silently drop the extra
+    columns of later files (or KeyError mid-pipeline)."""
+    import pyarrow.parquet as pq
+
+    chg, lk = lake
+    d = tmp_path / "srcdir"
+    d.mkdir()
+    base = {
+        "conv_id": pa.array(["x"]), "turn_idx": pa.array([0], pa.int32()),
+        "ts": pa.array([TS0], pa.timestamp("us")), "text": pa.array(["a"]),
+    }
+    pq.write_table(pa.table(base), str(d / "a.parquet"))
+    pq.write_table(pa.table({**base, "role": pa.array(["user"])}),
+                   str(d / "b.parquet"))
+    with pytest.raises(ValueError, match="disagreeing schemas"):
+        merge_into(lk, str(d))

@@ -286,3 +286,23 @@ def test_sql_tail_without_op_column(tmp_path, ray_session):
     )
     got = final_table(lake).to_pandas().to_dict("records")
     assert got == sequential_replay(upserts).to_pandas().to_dict("records")
+
+
+def test_identifier_validation_refuses_injection():
+    """ADVICE r3: table/column names are interpolated into generated SQL
+    (DB-API has no identifier binding) — non-identifier names must refuse
+    with a clear error before any SQL runs."""
+    import pytest
+
+    from datax_ray.sources.sqlsource import check_identifier, read_sql_table
+
+    for bad in ("t; DROP TABLE x", 'a"b', "has space", "", "1start"):
+        with pytest.raises(ValueError, match="invalid SQL"):
+            check_identifier(bad)
+    check_identifier("good_Name2")
+    with pytest.raises(ValueError, match="invalid SQL"):
+        read_sql_table(lambda: None, "bad name", ["c"], "pk")
+    with pytest.raises(ValueError, match="invalid SQL"):
+        read_sql_table(lambda: None, "t", ["bad col"], "pk")
+    with pytest.raises(ValueError, match="invalid SQL"):
+        read_sql_table(lambda: None, "t", ["c"], "bad pk")
