@@ -33,6 +33,7 @@ import pyarrow as pa
 
 import ray.data
 
+from datax_ray.state.fs import fs_for
 from datax_ray.state.manifest import Manifest
 
 _EPOCH_COL = "_epoch"
@@ -49,8 +50,9 @@ def _exact_records(m: Manifest, epochs: list[int]) -> dict[int, dict]:
         )
     out = {}
     for e in epochs:
-        with open(by_epoch[e]) as f:
-            out[e] = json.load(f)
+        from datax_ray.state.fs import read_json
+
+        out[e] = read_json(by_epoch[e])
     return out
 
 
@@ -136,7 +138,11 @@ class _FeedReader:
         out = []
         for row in t.to_pylist():
             tbl = self._tracker.unify(
-                pq.read_table(os.path.join(self._lake_dir, row["file"]))
+                pq.read_table(
+                    fs_for(self._lake_dir).open_input(
+                        os.path.join(self._lake_dir, row["file"])
+                    )
+                )
             )
             out.append(
                 tbl.append_column(
@@ -182,13 +188,12 @@ def _consumer_path(lake_dir: str, name: str) -> str:
 def consumer_offset(lake_dir: str, name: str) -> int:
     """The last epoch this named consumer has acknowledged (-1 = never
     consumed: next read delivers since the beginning)."""
-    import json
+    from datax_ray.state.fs import fs_for as _ff, read_json
 
     p = _consumer_path(lake_dir, name)
-    if not os.path.exists(p):
+    if not _ff(p).exists(p):
         return -1
-    with open(p) as f:
-        return int(json.load(f)["epoch"])
+    return int(read_json(p)["epoch"])
 
 
 def commit_consumer(lake_dir: str, name: str, epoch: int) -> None:
@@ -196,18 +201,10 @@ def commit_consumer(lake_dir: str, name: str, epoch: int) -> None:
     file replace). The at-least-once contract: acknowledge AFTER your
     downstream effect is durable — a crash in between re-delivers the
     same rows, and CDC rows fold idempotently under LWW."""
-    import json
+    from datax_ray.state.fs import fs_for as _ff, json_bytes
 
     p = _consumer_path(lake_dir, name)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    import threading
-
-    tmp = p + f".tmp.{os.getpid()}.{threading.get_ident()}"
-    with open(tmp, "w") as f:
-        json.dump({"epoch": int(epoch)}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
+    _ff(p).put(p, json_bytes({"epoch": int(epoch)}))
 
 
 def read_change_feed_consumer(
@@ -351,7 +348,11 @@ class _PreimageReader:
                 pa.concat_tables(
                     [
                         self._tracker.unify(
-                            pq.read_table(os.path.join(self._lake_dir, f))
+                            pq.read_table(
+                                fs_for(self._lake_dir).open_input(
+                                    os.path.join(self._lake_dir, f)
+                                )
+                            )
                         )
                         for f in new_files
                     ]

@@ -38,6 +38,9 @@ from datax_ray.state.manifest import Manifest
 
 
 def fsck(lake_dir: str, deep: bool = False) -> dict:
+    from datax_ray.state.fs import fs_for
+
+    fs = fs_for(lake_dir)
     m = Manifest(lake_dir)
     files = m._epoch_files()
     report: dict = {
@@ -55,8 +58,7 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
     referenced: set[str] = set()
     for e, p in files:
         try:
-            with open(p) as f:
-                rec = json.load(f)
+            rec = json.loads(fs.get(p))
         except (OSError, json.JSONDecodeError) as exc:
             report["errors"].append(f"epoch {e}: unreadable manifest ({exc})")
             continue
@@ -85,14 +87,15 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
 
     # 2. every referenced file exists
     for rel in sorted(referenced):
-        if not os.path.exists(os.path.join(lake_dir, rel)):
+        if not fs.exists(os.path.join(lake_dir, rel)):
             report["errors"].append(f"missing referenced file: {rel}")
 
     # 3. orphans (vacuum candidates, not errors)
     on_disk = {
         os.path.relpath(p, lake_dir)
-        for pat in ("p=*", "r=*")
-        for p in glob.glob(os.path.join(lake_dir, pat, "*.parquet"))
+        for p in fs.list_prefix(lake_dir)
+        if p.endswith(".parquet")
+        and os.path.relpath(p, lake_dir).split(os.sep, 1)[0][:2] in ("p=", "r=")
     }
     report["orphan_files"] = sorted(on_disk - referenced)
 
@@ -100,10 +103,10 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
     latest = m.latest() or {}
     for pid, v in latest.get("partitions", {}).items():
         rel = v.get("base")
-        if not rel or not os.path.exists(os.path.join(lake_dir, rel)):
+        if not rel or not fs.exists(os.path.join(lake_dir, rel)):
             continue
         try:
-            n = pq.read_metadata(os.path.join(lake_dir, rel)).num_rows
+            n = pq.read_metadata(fs.open_input(os.path.join(lake_dir, rel))).num_rows
         except Exception as exc:  # noqa: BLE001 — corrupt footer IS the finding
             report["errors"].append(f"unreadable parquet footer: {rel} ({exc})")
             continue
@@ -117,11 +120,11 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
         ok = True
         for rel in v.get("frags", []):
             path = os.path.join(lake_dir, rel)
-            if not os.path.exists(path):
+            if not fs.exists(path):
                 ok = False
                 continue
             try:
-                total += pq.read_metadata(path).num_rows
+                total += pq.read_metadata(fs.open_input(path)).num_rows
             except Exception as exc:  # noqa: BLE001
                 report["errors"].append(
                     f"unreadable parquet footer: {rel} ({exc})"
@@ -146,12 +149,13 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
 
         def check(batch: pa.Table) -> pa.Table:
             rels, oks = [], []
+            from datax_ray.state.fs import fs_for as _ff
+
             for rel in batch["rel"].to_pylist():
                 path = os.path.join(lake_dir, rel)
-                if not os.path.exists(path):
+                if not _ff(path).exists(path):
                     continue  # already reported as missing in step 2
-                with open(path, "rb") as f:
-                    digest = hashlib.sha1(f.read()).hexdigest()[:16]
+                digest = hashlib.sha1(_ff(path).get(path)).hexdigest()[:16]
                 want = os.path.basename(rel).split("-", 1)[1].split(".")[0]
                 rels.append(rel)
                 oks.append(digest == want)

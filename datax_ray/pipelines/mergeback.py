@@ -409,11 +409,12 @@ def merge_back(
     eb = mb._epoch_files()
     if not eb:
         raise ValueError(f"no committed lake at {branch_dir}")
+    from datax_ray.state.fs import canon_path, read_json
+
     bp, first_path = eb[0]
-    with open(first_path) as f:
-        first = json.load(f)
+    first = read_json(first_path)
     prov = (first.get("metrics") or {}).get("branch") or {}
-    if os.path.abspath(prov.get("from", "")) != os.path.abspath(parent_dir):
+    if canon_path(prov.get("from", "")) != canon_path(parent_dir):
         raise ValueError(
             f"{branch_dir} is not a branch of {parent_dir} (earliest record "
             f"names {prov.get('from')!r}) — merge-back needs clone provenance"

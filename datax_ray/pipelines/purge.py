@@ -188,12 +188,14 @@ def _scrub_deadletter(lake_dir: str, conv_ids: list[str]) -> int:
     parquet file. Returns the number of rows scrubbed. Distributed: one
     map task per file, keyset broadcast once via ray.put; files without a
     hit are left untouched (idempotent — already-null rows don't count)."""
-    import glob as _glob
+    from datax_ray.state.fs import fs_for
 
-    files = sorted(
-        _glob.glob(os.path.join(lake_dir, "_deadletter", "**", "*.parquet"),
-                   recursive=True)
-    )
+    files = [
+        p for p in fs_for(lake_dir).list_prefix(
+            os.path.join(lake_dir, "_deadletter")
+        )
+        if p.endswith(".parquet")
+    ]
     if not files or not conv_ids:
         return 0
     keys_ref = ray.put(sorted(set(conv_ids)))
@@ -201,8 +203,10 @@ def _scrub_deadletter(lake_dir: str, conv_ids: list[str]) -> int:
     def scrub(batch: pa.Table) -> pa.Table:
         keyset = pa.array(ray.get(keys_ref))
         scrubbed = []
+        from datax_ray.state.fs import fs_for as _ff
+
         for path in batch["path"].to_pylist():
-            t = pq.read_table(path)
+            t = pq.read_table(_ff(path).open_input(path))
             mask = pc.is_in(t["conv_id"], value_set=keyset)
             payload_cols = [c for c in t.column_names if c not in _DL_KEEP]
             dirty = pc.and_(
@@ -224,9 +228,9 @@ def _scrub_deadletter(lake_dir: str, conv_ids: list[str]) -> int:
                 t = t.set_column(
                     i, c, pc.if_else(mask, pa.nulls(t.num_rows, t[c].type), t[c])
                 )
-            tmp = path + f".tmp.{os.getpid()}"
-            pq.write_table(t, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, path)
+            sink = pa.BufferOutputStream()
+            pq.write_table(t, sink, compression="zstd", compression_level=1)
+            _ff(path).put(path, sink.getvalue())
             scrubbed.append(n)
         return pa.table({"scrubbed": pa.array(scrubbed, pa.int64())})
 

@@ -68,10 +68,16 @@ def _dl_token(path: str) -> str:
 
 def pending_deadletters(lake_dir: str, manifest: Manifest) -> list[str]:
     """Dead-letter files not yet consumed by a committed redrive epoch."""
+    from datax_ray.state.fs import fs_for
+
     committed = manifest.committed_segments()
-    paths = sorted(
-        glob.glob(os.path.join(lake_dir, "_deadletter", "epoch=*", "dl-*.parquet"))
-    )
+    paths = [
+        p for p in fs_for(lake_dir).list_prefix(
+            os.path.join(lake_dir, "_deadletter")
+        )
+        if os.path.basename(p).startswith("dl-") and p.endswith(".parquet")
+        and os.path.basename(os.path.dirname(p)).startswith("epoch=")
+    ]
     return [p for p in paths if _dl_token(p) not in committed]
 
 
@@ -119,7 +125,27 @@ def redrive(cfg: ReplayConfig, fix_transformers: list[dict] | None = None) -> di
                 cols[name] = t[name]
         return pa.table(cols)
 
-    ds = ray.data.read_parquet(pending).map_batches(
+    from datax_ray.state.fs import fs_for, is_remote
+
+    if is_remote(cfg.lake_dir):
+        # object-store lake: dl files are objects — read them inside map
+        # tasks via the storage contract (ray.data.read_parquet wants
+        # registered filesystems; one file per task matches dl sizing)
+        import pyarrow.parquet as _pq
+
+        def _read_dl(t: pa.Table) -> pa.Table:
+            tabs = [
+                _pq.read_table(fs_for(p).open_input(p))
+                for p in t["path"].to_pylist()
+            ]
+            return pa.concat_tables(tabs, promote_options="permissive")
+
+        ds = ray.data.from_items(
+            [{"path": p} for p in pending], override_num_blocks=len(pending)
+        ).map_batches(_read_dl, batch_format="pyarrow")
+    else:
+        ds = ray.data.read_parquet(pending)
+    ds = ds.map_batches(
         align, batch_format="pyarrow", zero_copy_batch=True
     )
     if fix_transformers:

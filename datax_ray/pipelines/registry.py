@@ -50,22 +50,20 @@ def _reg_path(lake_dir: str) -> str:
 
 
 def _load(lake_dir: str) -> dict:
+    from datax_ray.state.fs import fs_for
+
+    path = _reg_path(lake_dir)
     try:
-        with open(_reg_path(lake_dir)) as f:
-            return json.load(f)
+        return json.loads(fs_for(path).get(path))
     except FileNotFoundError:
         return {"artifacts": {}}
 
 
 def _save(lake_dir: str, reg: dict) -> None:
+    from datax_ray.state.fs import fs_for
+
     path = _reg_path(lake_dir)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}.{__import__('threading').get_ident()}"
-    with open(tmp, "w") as f:
-        json.dump(reg, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    fs_for(path).put(path, json.dumps(reg, indent=1).encode())
 
 
 def _dispatch(kind: str):

@@ -665,7 +665,11 @@ def restore_lake(
     refs = [p.get("base") for p in rec.get("partitions", {}).values() if p.get("base")]
     for r in rec.get("ranges", {}).values():
         refs.extend(r.get("frags", []))
-    missing = [f for f in refs if not os.path.exists(os.path.join(lake_dir, f))]
+    from datax_ray.state.fs import fs_for as _ff
+
+    missing = [
+        f for f in refs if not _ff(lake_dir).exists(os.path.join(lake_dir, f))
+    ]
     if missing:
         raise ValueError(
             f"epoch {to_epoch} is not restorable: {len(missing)} referenced "

@@ -51,6 +51,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from datax_ray.state.fs import fs_for
 from datax_ray.schemas import (
     DELETED_COL,
     INTERNAL_COLS,
@@ -139,7 +140,11 @@ class _SegmentConverter:
         for item in t.to_pylist():
             epoch, rel = int(item["epoch"]), item["file"]
             frag = self.tracker.unify(
-                pq.read_table(os.path.join(self.src_lake, rel))
+                pq.read_table(
+                    fs_for(self.src_lake).open_input(
+                        os.path.join(self.src_lake, rel)
+                    )
+                )
             )
             deleted = pc.fill_null(frag[DELETED_COL], False)
             cols: dict = {
@@ -161,11 +166,7 @@ class _SegmentConverter:
             path = os.path.join(self.out_dir, name)
             sink = pa.BufferOutputStream()
             pq.write_table(seg, sink, compression="zstd", compression_level=1)
-            buf = sink.getvalue()
-            tmp = path + f".tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(buf)  # pa.Buffer via buffer protocol: no extra copy
-            os.replace(tmp, path)
+            fs_for(path).put(path, sink.getvalue())
             rows.append({"epoch": epoch, "segment": name, "rows": seg.num_rows})
         return pa.Table.from_pylist(
             rows,
@@ -199,9 +200,9 @@ def _write_ddl_segment(
     )
     name = f"seg-rep{epoch:06d}-a-ddl.parquet"
     path = os.path.join(out_dir, name)
-    tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(seg, tmp, compression="zstd", compression_level=1)
-    os.replace(tmp, path)
+    sink = pa.BufferOutputStream()
+    pq.write_table(seg, sink, compression="zstd", compression_level=1)
+    fs_for(path).put(path, sink.getvalue())
     return name
 
 
@@ -245,7 +246,17 @@ def replicate(
         # bookkeeping stays authoritative).
         last = max(last, int(from_epoch))
     out_dir = segments_dir or os.path.join(dst_lake, "_incoming")
-    os.makedirs(out_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote
+
+    if not is_remote(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+    else:
+        raise ValueError(
+            "replicate: segment staging dir must be local-path-readable for "
+            "the replay engine (ray.data.read_parquet) — pass segments_dir= "
+            "pointing at shared POSIX/NFS storage when the destination lake "
+            "is on an object store"
+        )
 
     replay_kwargs = dict(
         num_partitions=num_partitions,

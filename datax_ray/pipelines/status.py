@@ -101,10 +101,7 @@ def lake_status(lake_dir: str) -> dict:
     }
 
     # retained history (time-travel window) from the manifest dir alone
-    epochs = sorted(
-        int(os.path.basename(p).split("=")[1].split(".")[0])
-        for p in _glob.glob(os.path.join(lake_dir, "_manifest", "epoch=*.json"))
-    )
+    epochs = [e for e, _ in m._epoch_files()]
     out["retained_epochs"] = {
         "oldest": epochs[0] if epochs else None,
         "count": len(epochs),
@@ -152,11 +149,14 @@ def lake_status(lake_dir: str) -> dict:
         arts[name] = rec
     out["artifacts"] = arts
 
+    from datax_ray.state.fs import fs_for as _ff
+
     consumers = {}
-    for p in _glob.glob(os.path.join(lake_dir, "_manifest", "consumers",
-                                     "*.json")):
-        with open(p) as f:
-            st = json.load(f)
+    _cdir = os.path.join(lake_dir, "_manifest", "consumers")
+    for p in _ff(lake_dir).list_prefix(_cdir):
+        if not p.endswith(".json"):
+            continue
+        st = json.loads(_ff(p).get(p))
         name = os.path.basename(p)[:-5]
         acked = int(st.get("epoch", -1))
         consumers[name] = {"acked_epoch": acked,

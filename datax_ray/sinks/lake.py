@@ -19,6 +19,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from datax_ray.schemas import DELETED_COL, INTERNAL_COLS, LAKE_SCHEMA
+from datax_ray.state.fs import fs_for
 from datax_ray.state.manifest import Manifest
 from datax_ray.state.schema_tracker import SchemaTracker
 
@@ -215,9 +216,10 @@ def _merge_read_range(
     if min_ts_us is not None:
         ts_ok = pads.field("ts") >= pa.scalar(min_ts_us, pa.timestamp("us"))
         flt = ts_ok if flt is None else (flt & ts_ok)
+    fs = fs_for(lake_dir)
     tables = []
     for f in files:
-        t = pq.read_table(os.path.join(lake_dir, f), filters=flt)
+        t = pq.read_table(fs.open_input(os.path.join(lake_dir, f)), filters=flt)
         tables.append(tracker.unify(t))
     state = merge_states(tables, target)
     if not keep_tombstones:
@@ -334,10 +336,11 @@ class LakeDatasource(ray.data.Datasource):
         return sum(self._disk_bytes(p["files"]) for p in self._parts) or None
 
     def _disk_bytes(self, files: list[str]) -> int:
+        fs = fs_for(self._lake_dir)
         total = 0
         for f in files:
             try:
-                total += os.path.getsize(os.path.join(self._lake_dir, f))
+                total += fs.size(os.path.join(self._lake_dir, f))
             except OSError:
                 pass
         return total

@@ -42,6 +42,7 @@ import pyarrow.parquet as pq
 
 from datax_ray.schemas import schema_from_json
 from datax_ray.stages.merge import apply_events, merge_states
+from datax_ray.state.fs import fs_for
 from datax_ray.state.metrics import get_metrics_actor
 
 FRAG_LINEAGE_SCHEMA = pa.schema(
@@ -120,12 +121,14 @@ def write_fragment(
     """Write one fragment parquet with the engine's atomicity/naming
     discipline — zstd-1 bytes, CONTENT-HASH filename (sha1[:16] of the
     exact file bytes, so a retried task rewrites the identical file and
-    `fsck --deep` can re-verify it), tmp + os.replace publish — and
-    return its FRAG_LINEAGE_SCHEMA row (events_applied left equal to
-    rows; callers that track it separately overwrite it). ALL fragment
-    writers (DeltaWriter, PurgeTombstoner, RepartitionWriter) must go
-    through here: exactly-once and deep fsck depend on every fragment
-    sharing one digest/compression scheme."""
+    `fsck --deep` can re-verify it), atomic full-object put (state/fs.py:
+    tmp+replace on POSIX, conditional-free PUT on an object store — the
+    content-hash name makes overwrite idempotent) — and return its
+    FRAG_LINEAGE_SCHEMA row (events_applied left equal to rows; callers
+    that track it separately overwrite it). ALL fragment writers
+    (DeltaWriter, PurgeTombstoner, RepartitionWriter) must go through
+    here: exactly-once and deep fsck depend on every fragment sharing one
+    digest/compression scheme."""
     sink = pa.BufferOutputStream()
     pq.write_table(
         piece, sink, compression="zstd", compression_level=1,
@@ -137,12 +140,7 @@ def write_fragment(
     # cost when the lake write path is memory-bandwidth-bound.
     digest = hashlib.sha1(buf).hexdigest()[:16]
     rel = os.path.join(f"r={rid:04d}", f"e={epoch:06d}-{digest}.parquet")
-    path = os.path.join(lake_dir, rel)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(buf)
-    os.replace(tmp, path)
+    fs_for(lake_dir).put(os.path.join(lake_dir, rel), buf)
     lsn_hi = pc.max(piece["_lsn"]).as_py()
     ts_lo, ts_hi = _ts_bounds(piece)
     turn_lo, turn_hi = _turn_bounds(piece)
@@ -171,14 +169,14 @@ ROW_GROUP_ROWS = 65536
 
 
 def _atomic_write(table: pa.Table, path: str) -> int:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
+    sink = pa.BufferOutputStream()
     pq.write_table(
-        table, tmp, compression="zstd", compression_level=1,
+        table, sink, compression="zstd", compression_level=1,
         row_group_size=ROW_GROUP_ROWS,
     )
-    os.replace(tmp, path)
-    return os.path.getsize(path)
+    buf = sink.getvalue()
+    fs_for(path).put(path, buf)
+    return len(buf)
 
 
 class DeltaWriter:
@@ -276,15 +274,18 @@ class Compactor:
                 metadata=self.schema.metadata,  # keep the rename map —
                 # pre-rename fragments/bases remap instead of null-filling
             )
+            fs = fs_for(self.lake_dir)
             tables = []
             for rel, pid in zip(item["base_files"], item["base_pids"]):
-                t = pq.read_table(os.path.join(self.lake_dir, rel))
+                t = pq.read_table(fs.open_input(os.path.join(self.lake_dir, rel)))
                 t = t.append_column(
                     "part_id", pa.array(np.full(t.num_rows, pid, dtype=np.int32))
                 )
                 tables.append(t)
             for rel in item["frag_files"]:
-                tables.append(pq.read_table(os.path.join(self.lake_dir, rel)))
+                tables.append(
+                    pq.read_table(fs.open_input(os.path.join(self.lake_dir, rel)))
+                )
             # part_id leads the merge sort keys: output arrives grouped by
             # partition, sorted by (conv_id, turn_idx) within each.
             state = merge_states(

@@ -76,17 +76,16 @@ class Normalizer:
         dirty = dirty.append_column("reason", validity)
         import pyarrow.parquet as pq
 
-        os.makedirs(self.deadletter_dir, exist_ok=True)
-        # Content-hash name => idempotent under task retry.
+        from datax_ray.state.fs import fs_for
+
+        # Content-hash name => idempotent under task retry; atomic
+        # full-object put (object-store-safe, state/fs.py).
         sink = pa.BufferOutputStream()
         pq.write_table(dirty, sink, compression="zstd", compression_level=1)
         buf = sink.getvalue()
         name = hashlib.sha1(buf).hexdigest()[:16]
         path = os.path.join(self.deadletter_dir, f"dl-{name}.parquet")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(buf)  # pa.Buffer via buffer protocol: no extra copy
-        os.replace(tmp, path)
+        fs_for(path).put(path, buf)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows_in = batch.num_rows

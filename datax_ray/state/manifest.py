@@ -7,8 +7,15 @@ watermark, consumed segments, the evolved schema, lineage rows and metrics.
 
 Commit is two-phase: stage files are written first with deterministic names
 (idempotent under Ray's at-least-once task retries), then the manifest JSON
-is written to a temp file and os.rename'd into place — rename is atomic on
-POSIX, so readers see either the old or the new epoch, never a torn one.
+is published with the storage layer's ATOMIC CONDITIONAL CREATE
+(state/fs.py `put_if_absent`): the epoch object either appears whole or the
+commit loses to a concurrent writer with a loud ConcurrentCommitError —
+never a torn or silently clobbered record. On POSIX that primitive is
+tmp + os.link; on an object store it is the conditional PUT
+(S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`) — no rename, no link,
+no append anywhere in this protocol, so the lake deploys unchanged on
+shared object storage (the round-3 review's top gap).
+
 Files not referenced by a committed manifest are orphans from failed epochs
 and are ignored (and later overwritten byte-identically on re-run).
 
@@ -18,7 +25,6 @@ channel-statistics/lineage reporting (SURVEY.md §2A rows 7, 16).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import re
@@ -26,6 +32,7 @@ import re
 import pyarrow as pa
 
 from datax_ray.schemas import schema_from_json, schema_to_json
+from datax_ray.state.fs import fs_for, json_bytes, read_json
 
 _EPOCH_RE = re.compile(r"epoch=(\d{6})\.json$")
 
@@ -39,14 +46,15 @@ class Manifest:
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
         self.dir = os.path.join(lake_dir, "_manifest")
+        self.fs = fs_for(lake_dir)
 
     # -- read side ---------------------------------------------------------
 
     def _epoch_files(self) -> list[tuple[int, str]]:
         out = []
-        for p in glob.glob(os.path.join(self.dir, "epoch=*.json")):
-            m = _EPOCH_RE.search(p)
-            if m:
+        for p in self.fs.list_prefix(self.dir):
+            m = _EPOCH_RE.search(os.path.basename(p))
+            if m and os.path.dirname(p) == self.dir:
                 out.append((int(m.group(1)), p))
         return sorted(out)
 
@@ -56,10 +64,7 @@ class Manifest:
 
     def latest(self) -> dict | None:
         files = self._epoch_files()
-        if not files:
-            return None
-        with open(files[-1][1]) as f:
-            return json.load(f)
+        return read_json(files[-1][1]) if files else None
 
     def at_epoch(self, epoch: int | str | None) -> dict | None:
         """The committed record AS OF `epoch` (largest committed epoch <=
@@ -77,16 +82,12 @@ class Manifest:
         if epoch is None:
             return self.latest()
         files = [(e, p) for e, p in self._epoch_files() if e <= epoch]
-        if not files:
-            return None
-        with open(files[-1][1]) as f:
-            return json.load(f)
+        return read_json(files[-1][1]) if files else None
 
     def committed_segments(self) -> set[str]:
         segs: set[str] = set()
         for _, p in self._epoch_files():
-            with open(p) as f:
-                segs.update(json.load(f)["segments"])
+            segs.update(read_json(p)["segments"])
         return segs
 
     def committed_lsn_hi(self) -> int:
@@ -154,21 +155,14 @@ class Manifest:
         """{name: epoch} named savepoints. Metadata only — creating or
         deleting a tag commits no epoch."""
         p = self._tags_path()
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return {}
-        with open(p) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
+        return {k: int(v) for k, v in read_json(p).items()}
 
     def _write_tags(self, tags: dict[str, int]) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        import threading
-
-        tmp = self._tags_path() + f".tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as f:
-            json.dump(tags, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._tags_path())
+        # atomic PUT (last-writer-wins, same semantics as the old
+        # os.replace) — tags are advisory metadata, not the commit chain
+        self.fs.put(self._tags_path(), json_bytes(tags))
 
     def set_tag(self, name: str, epoch: int | None = None) -> int:
         """Tag a committed epoch (default: the latest) with a stable name.
@@ -218,8 +212,7 @@ class Manifest:
             cutoff = _time.time() - older_than_s
             keep = []
             for e, p in files:
-                with open(p) as f:
-                    at = json.load(f).get("committed_at")
+                at = read_json(p).get("committed_at")
                 if at is not None and at >= cutoff:
                     keep.append((e, p))
             if files and (not keep or keep[-1] != files[-1]):
@@ -240,10 +233,7 @@ class Manifest:
         )
         drop = [(e, p) for e, p in files if (e, p) not in set(keep)]
         referenced: set[str] = set()
-        recs = []
-        for _, p in keep:
-            with open(p) as f:
-                recs.append(json.load(f))
+        recs = [read_json(p) for _, p in keep]
         staged = self.staged_record()
         if staged is not None:
             # a staged (write-audit-publish) epoch's fresh fragments are
@@ -257,14 +247,18 @@ class Manifest:
             for v in rec.get("ranges", {}).values():
                 referenced.update(v.get("frags", []))
         removed = 0
-        for pattern in ("p=*", "r=*"):
-            for path in glob.glob(os.path.join(self.lake_dir, pattern, "*.parquet")):
-                rel = os.path.relpath(path, self.lake_dir)
-                if rel not in referenced:
-                    os.remove(path)
-                    removed += 1
+        for path in self.fs.list_prefix(self.lake_dir):
+            rel = os.path.relpath(path, self.lake_dir)
+            top = rel.split(os.sep, 1)[0]
+            if not (top.startswith("p=") or top.startswith("r=")):
+                continue
+            if not rel.endswith(".parquet"):
+                continue
+            if rel not in referenced:
+                self.fs.delete(path)
+                removed += 1
         for _, p in drop:
-            os.remove(p)
+            self.fs.delete(p)
         return {
             "manifests_removed": len(drop),
             "files_removed": removed,
@@ -287,7 +281,6 @@ class Manifest:
         metrics: dict,
         properties: dict | None = None,
     ) -> dict:
-        os.makedirs(self.dir, exist_ok=True)
         # Fold global turn_idx bounds: previous record's bounds + this
         # epoch's lineage rows (every fragment/base writer records
         # per-file turn_lo/turn_hi via stages/delta.py). Monotone-widening
@@ -325,31 +318,19 @@ class Manifest:
     def commit(self, epoch: int, **kw) -> dict:
         rec = self._build_record(epoch, **kw)
         final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
-        # pid AND thread id: two driver THREADS racing the same epoch
-        # (concurrent replays of one lake) share a pid — a shared tmp name
-        # would let one thread unlink the other's staged file mid-commit
-        import threading
-
-        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        # Atomic AND exclusive commit point: os.link fails with EEXIST if
-        # the epoch is already committed, so two drivers racing the same
-        # lake get one winner and one loud ConcurrentCommitError — never a
-        # silently overwritten record (the loser's fragments are orphaned
-        # content-hash files; its segments stay uncommitted and re-apply
-        # idempotently on the next replay).
-        try:
-            os.link(tmp, final)
-        except FileExistsError as exc:
-            os.remove(tmp)
+        # Atomic AND exclusive commit point: the storage layer's
+        # conditional create (POSIX: tmp+link; object store: conditional
+        # PUT) fails if the epoch is already committed, so two drivers
+        # racing the same lake get one winner and one loud
+        # ConcurrentCommitError — never a silently overwritten record
+        # (the loser's fragments are orphaned content-hash files; its
+        # segments stay uncommitted and re-apply idempotently on the
+        # next replay).
+        if not self.fs.put_if_absent(final, json_bytes(rec)):
             raise ConcurrentCommitError(
                 f"epoch {epoch} already committed at {final} — another "
                 f"writer is active on this lake"
-            ) from exc
-        os.remove(tmp)
+            )
         return rec
 
     # -- write-audit-publish (Iceberg WAP) ----------------------------------
@@ -361,10 +342,7 @@ class Manifest:
         """The staged (written-but-unpublished) epoch record, or None. At
         most one epoch can be staged at a time."""
         p = self._staged_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return read_json(p) if self.fs.exists(p) else None
 
     def stage(self, epoch: int, **kw) -> dict:
         """Write-audit-publish step 1: durably STAGE an epoch record
@@ -375,22 +353,11 @@ class Manifest:
         while one is pending raises (publish or abort first)."""
         rec = self._build_record(epoch, **kw)
         final = self._staged_path()
-        import threading
-
-        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError as exc:
-            os.remove(tmp)
+        if not self.fs.put_if_absent(final, json_bytes(rec)):
             raise ConcurrentCommitError(
                 f"an epoch is already staged at {final} — publish or abort "
                 "it before staging another"
-            ) from exc
-        os.remove(tmp)
+            )
         return rec
 
     def publish_staged(self) -> dict:
@@ -398,8 +365,12 @@ class Manifest:
         committed epoch chain. Refuses if nothing is staged, or if the
         committed head MOVED since staging (another writer won the epoch —
         the staged state was audited against a stale base; abort and
-        re-stage). The link is the same exclusive os.link commit point, so
-        even a publish racing a concurrent commit has exactly one winner."""
+        re-stage). Promotion is the same conditional-create commit point,
+        so even a publish racing a concurrent commit has exactly one
+        winner. A crash between promote and the staged-record cleanup
+        leaves a stale staged.json whose epoch no longer follows the head
+        — the next publish refuses and abort_staged clears it, exactly as
+        before."""
         rec = self.staged_record()
         if rec is None:
             raise ValueError("nothing is staged on this lake")
@@ -411,14 +382,12 @@ class Manifest:
                 "staging; abort the stale staged epoch and re-stage"
             )
         final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
-        try:
-            os.link(self._staged_path(), final)
-        except FileExistsError as exc:
+        if not self.fs.put_if_absent(final, json_bytes(rec)):
             raise ConcurrentCommitError(
                 f"epoch {epoch} already committed — abort the stale staged "
                 "epoch and re-stage"
-            ) from exc
-        os.remove(self._staged_path())
+            )
+        self.fs.delete(self._staged_path())
         return rec
 
     def abort_staged(self) -> dict | None:
@@ -428,5 +397,5 @@ class Manifest:
         stay uncommitted, so the next replay re-applies them exactly-once."""
         rec = self.staged_record()
         if rec is not None:
-            os.remove(self._staged_path())
+            self.fs.delete(self._staged_path())
         return rec
