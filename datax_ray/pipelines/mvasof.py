@@ -330,9 +330,13 @@ def refresh_mv_asof(
     keys_ds = keys_parts[0] if len(keys_parts) == 1 else keys_parts[0].union(
         keys_parts[1]
     )
-    key_rows = keys_ds.take_all()  # id-only, O(changed convs)
-    changed = sorted({r["conv_id"] for r in key_rows})
-    if not changed:
+    # Changed keys stay a Dataset; collect driver-side only under the
+    # max_point_keys bound (sum of per-batch distinct counts) — the
+    # full-scan path routes keys to buckets via the groupby instead
+    # (r3 review: no driver key-universe materialization).
+    keys_ds = keys_ds.materialize()
+    n_bound = keys_ds.count()
+    if n_bound == 0:
         _save_state(mv_dir, {**state, "applied_left": head_l,
                              "applied_right": head_r})
         return {
@@ -341,16 +345,19 @@ def refresh_mv_asof(
             "buckets_touched": 0,
             "rows": int(state.get("rows", 0)),
         }
-    point = len(changed) <= max_point_keys
-    l_ds = read_lake(
-        left_lake, as_of_epoch=head_l, conv_ids=changed if point else None
-    )
-    r_ds = read_lake(
-        right_lake, as_of_epoch=head_r, conv_ids=changed if point else None
-    )
-    key_tbl = pa.table({"conv_id": pa.array(changed, pa.string())})
+    point = n_bound <= max_point_keys
+    if point:
+        changed = sorted({r["conv_id"] for r in keys_ds.take_all()})
+        l_ds = read_lake(left_lake, as_of_epoch=head_l, conv_ids=changed)
+        r_ds = read_lake(right_lake, as_of_epoch=head_r, conv_ids=changed)
+        key_tbl = pa.table({"conv_id": pa.array(changed, pa.string())})
+        key_src = ray.data.from_arrow(_tag(0)(key_tbl))
+    else:
+        l_ds = read_lake(left_lake, as_of_epoch=head_l)
+        r_ds = read_lake(right_lake, as_of_epoch=head_r)
+        key_src = keys_ds.map_batches(_tag(0), batch_format="pyarrow")
     stream = (
-        ray.data.from_arrow(_tag(0)(key_tbl))
+        key_src
         .union(l_ds.map_batches(_tag(1), batch_format="pyarrow"))
         .union(r_ds.map_batches(_tag(2), batch_format="pyarrow"))
     )

@@ -272,12 +272,17 @@ def refresh_mv_join(
         keys_parts[1]
     )
 
-    # Point-read plan: the changed-key list (id-only) decides which lake
-    # ranges open at all. Driver memory is O(changed keys); past
-    # max_point_keys fall back to one streaming scan per side.
-    key_rows = keys_ds.take_all()
-    changed = sorted({r["conv_id"] for r in key_rows})
-    if not changed:
+    # Point-read plan: changed keys stay a DATASET (tiny id-only blocks,
+    # materialized distributed — never the driver). The sum of per-batch
+    # distinct counts upper-bounds true distinct, so a bound under
+    # max_point_keys certifies the pruned point-read path and only THEN
+    # do the (bounded) ids collect to feed conv_ids=. Past the bound the
+    # keys route to buckets through the same groupby the data takes and
+    # each side falls back to one streaming scan — an epoch touching most
+    # keys never materializes the key universe driver-side (r3 review).
+    keys_ds = keys_ds.materialize()
+    n_bound = keys_ds.count()
+    if n_bound == 0:
         _save_state(
             mv_dir,
             {
@@ -292,18 +297,24 @@ def refresh_mv_join(
             "buckets_touched": 0,
             "rows": int(state.get("rows", 0)),
         }
-    point = len(changed) <= max_point_keys
-    l_ds = read_lake(
-        left_lake, as_of_epoch=head_l, conv_ids=changed if point else None
-    )
-    r_ds = read_lake(
-        right_lake, as_of_epoch=head_r, conv_ids=changed if point else None
-    )
-    key_tbl = pa.table({"conv_id": pa.array(changed, pa.string())})
-    stream = (
-        ray.data.from_arrow(
+    point = n_bound <= max_point_keys
+    if point:
+        changed = sorted({r["conv_id"] for r in keys_ds.take_all()})
+        l_ds = read_lake(left_lake, as_of_epoch=head_l, conv_ids=changed)
+        r_ds = read_lake(right_lake, as_of_epoch=head_r, conv_ids=changed)
+        key_tbl = pa.table({"conv_id": pa.array(changed, pa.string())})
+        key_src = ray.data.from_arrow(
             _tagged(key_tbl, 0, view, {"conv_id": "conv_id"})
         )
+    else:
+        l_ds = read_lake(left_lake, as_of_epoch=head_l)
+        r_ds = read_lake(right_lake, as_of_epoch=head_r)
+        key_src = keys_ds.map_batches(
+            lambda t: _tagged(t, 0, view, {"conv_id": "conv_id"}),
+            batch_format="pyarrow",
+        )
+    stream = (
+        key_src
         .union(_make_tagged_reader(view_json, 1, "left", left_cols)(l_ds))
         .union(_make_tagged_reader(view_json, 2, "right", right_cols)(r_ds))
     )

@@ -177,3 +177,26 @@ def test_fallback_pinning_rebuild(lake, tmp_path):
     r = refresh_mv_session(lk, mv_a, gap_s=GAP_S * 7, rebuild=True)
     assert r["applied_to"] >= 0
     assert _view(mv_a).equals(_direct(lk, GAP_S * 7))
+
+
+def test_full_scan_never_ships_driver_key_list(lake, tmp_path, monkeypatch):
+    """r3 review item 2: with changed convs above max_point_keys the
+    refresh must not collect the key set on the driver — every lake read
+    is an unpruned streaming scan (conv_ids=None) and keys route to
+    buckets through the same groupby the data takes."""
+    import datax_ray.sinks.lake as lakemod
+
+    chg, lk = lake
+    calls = []
+    real = lakemod.read_lake
+
+    def spy(lake_dir, **kw):
+        calls.append(kw.get("conv_ids"))
+        return real(lake_dir, **kw)
+
+    monkeypatch.setattr(lakemod, "read_lake", spy)
+    mv = str(tmp_path / "mv_scan")
+    r = refresh_mv_session(lk, mv, gap_s=GAP_S, max_point_keys=0)
+    assert r["changed_convs"] > 0
+    assert calls and all(c is None for c in calls)
+    assert _view(mv).equals(_direct(lk, GAP_S))
