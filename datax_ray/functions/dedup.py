@@ -34,32 +34,40 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets:
     sizes the coarse shuffle of per-batch survivors — scale with input via
     functions._buckets.coarse_buckets."""
 
+    def _min_per_hash(t: pa.Table) -> pa.Table:
+        # min-id survivor per content hash, Arrow-native: sort by id, then
+        # an order-preserving (single-thread) group_by takes min(id) and
+        # FIRST(text) — first-in-sorted-order == the min-id row's text
+        s = t.sort_by([(id_col, "ascending")])
+        g = s.group_by("_h", use_threads=False).aggregate(
+            [(id_col, "min"), (text_col, "first")]
+        )
+        return pa.table({
+            id_col: g[f"{id_col}_min"],
+            text_col: g[f"{text_col}_first"],
+            "_h": g["_h"],
+        })
+
     def partial(t: pa.Table) -> pa.Table:
         # within-batch combiner: keep min-id row per content hash
         h = content_hash64(t[text_col].to_pylist())
         t = t.append_column("_h", pa.array(h, pa.uint64()))
-        df = t.select([id_col, text_col, "_h"]).to_pandas()
-        df = df.sort_values(id_col, kind="stable").drop_duplicates("_h", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _min_per_hash(t.select([id_col, text_col, "_h"]))
 
-    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
-        # one COARSE bucket holds many content hashes: a single vectorized
-        # sort + drop_duplicates picks the min-id survivor per hash.
-        return (
-            g.sort_values(id_col, kind="stable")
-            .drop_duplicates("_h", keep="first")
-            .drop(columns=["_grp"])
-        )
+    def add_grp(t: pa.Table) -> pa.Table:
+        grp = (t["_h"].to_numpy() % num_buckets).astype(np.int32)
+        return t.append_column("_grp", pa.array(grp))
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df["_grp"] = (df["_h"].to_numpy() % num_buckets).astype("int32")
-        return df
+    def pick_min(g: pa.Table) -> pa.Table:
+        # one COARSE bucket holds many content hashes: a single sort +
+        # order-preserving group_by picks the min-id survivor per hash.
+        return _min_per_hash(g.drop_columns(["_grp"]))
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_grp, batch_format="pandas")
+        .map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(pick_min, batch_format="pandas")
+        .map_groups(pick_min, batch_format="pyarrow")
     )
     return out.drop_columns(["_h"])
 
@@ -69,24 +77,33 @@ def _unique_pairs(pairs, score_col: str | None, num_buckets: int = 64):
     one vectorized drop_duplicates per bucket. score_col=None dedups bare
     ID pairs."""
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["doc_a"].to_numpy().astype(np.int64)
-        b = df["doc_b"].to_numpy().astype(np.int64)
-        df["_pg"] = ((a * 1000003 + b) % num_buckets).astype("int32")
-        return df
+    def add_grp(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        grp = ((a * 1000003 + b) % num_buckets).astype(np.int32)
+        return t.append_column("_pg", pa.array(grp))
 
-    def uniq(df: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = ["doc_a", "doc_b"] + ([score_col] if score_col else [])
-        return (
-            df.sort_values(sort_cols, kind="stable")
-            .drop_duplicates(["doc_a", "doc_b"], keep="first")
-            .drop(columns=["_pg"])
+    def uniq(t: pa.Table) -> pa.Table:
+        # keep-first-of-sorted per key pair: sort, then order-preserving
+        # group_by with FIRST on every carried column (Arrow-native)
+        t = t.drop_columns(["_pg"])
+        sort_cols = [("doc_a", "ascending"), ("doc_b", "ascending")] + (
+            [(score_col, "ascending")] if score_col else []
         )
+        srt = t.sort_by(sort_cols)
+        extras = [c for c in t.column_names if c not in ("doc_a", "doc_b")]
+        g = srt.group_by(["doc_a", "doc_b"], use_threads=False).aggregate(
+            [(c, "first") for c in extras]
+        )
+        return pa.table(
+            {"doc_a": g["doc_a"], "doc_b": g["doc_b"],
+             **{c: g[f"{c}_first"] for c in extras}}
+        ).select(t.column_names)
 
     return (
-        pairs.map_batches(add_grp, batch_format="pandas")
+        pairs.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_pg")
-        .map_groups(uniq, batch_format="pandas")
+        .map_groups(uniq, batch_format="pyarrow")
     )
 
 

@@ -1027,23 +1027,34 @@ def cdc_feed_additive_stats(sf_dir: str):
 
     feed = read_change_feed_preimages(f"{work}/lake", -1)
 
-    def deltas(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["_change_type"].map(
-            {"insert": 1, "delete": -1}
-        ).fillna(0).astype("int64")
-        out = df.assign(delta=d)[["conv_id", "delta"]]
-        return out[out["delta"] != 0]
+    def deltas(t: pa.Table) -> pa.Table:
+        ct = t["_change_type"]
+        d = pc.fill_null(
+            pc.subtract(
+                pc.cast(pc.equal(ct, "insert"), pa.int64()),
+                pc.cast(pc.equal(ct, "delete"), pa.int64()),
+            ),
+            0,
+        )
+        out = pa.table({"conv_id": t["conv_id"], "delta": d})
+        return out.filter(pc.not_equal(out["delta"], 0))
 
     folded = partial_agg(
-        feed.map_batches(deltas, batch_format="pandas"),
+        feed.map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True),
         keys=["conv_id"],
         sums={"delta": "n_turns"},
     )
 
-    def live_only(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["n_turns"] > 0].astype({"n_turns": "int64"})
+    def live_only(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("n_turns"), "n_turns",
+            pc.cast(t["n_turns"], pa.int64()),
+        )
+        return t.filter(pc.greater(t["n_turns"], 0))
 
-    return folded.map_batches(live_only, batch_format="pandas")
+    return folded.map_batches(
+        live_only, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 CDC_ADDITIVE_SQL = CDC_REPLAY_SQL.replace(
@@ -2445,9 +2456,9 @@ def count_distinct_users_daily(sf_dir: str):
     unique combiner, a coarse hash shuffle of the SURVIVORS (one row per
     distinct pair per batch, never raw events), one per-bucket exact dedup
     + count, then a tiny per-day fold. The daily-active-users shape; at
-    100 TB the shuffle payload is bounded by distinct pairs, not events."""
-    import pandas as pd
-
+    100 TB the shuffle payload is bounded by distinct pairs, not events.
+    Arrow end-to-end: per-batch group_by dedup, int-key bucketing, no
+    pandas round-trips (r3 review item 3)."""
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
     num_buckets = _buckets_for(sf_dir, "events")
 
@@ -2460,29 +2471,33 @@ def count_distinct_users_daily(sf_dir: str):
             pa.timestamp("us"),
         )
         both = pa.table({"day": day, "user_id": t["user_id"]})
-        df = both.to_pandas().drop_duplicates(["day", "user_id"])
-        grp = pd.util.hash_pandas_object(
-            df["user_id"], index=False
-        ).to_numpy()  # bucket by user so a pair dedups exactly once
-        df["_grp"] = (grp % num_buckets).astype("int32")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        uniq = both.group_by(["day", "user_id"], use_threads=False).aggregate([])
+        # bucket by user so a pair dedups exactly once (user_id is int64)
+        grp = (uniq["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return uniq.append_column("_grp", pa.array(grp))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["day", "user_id"])
-        return df.groupby("day", as_index=False).agg(n_users=("user_id", "count"))
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uniq = t.group_by(["day", "user_id"], use_threads=False).aggregate([])
+        out = uniq.group_by("day", use_threads=False).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table({"day": out["day"], "n_users": out["user_id_count"]})
 
     partials = (
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("day", as_index=False)["n_users"].sum()
-        return out.astype({"n_users": "int64"})
+    def fold(t: pa.Table) -> pa.Table:
+        out = t.group_by("day", use_threads=False).aggregate([("n_users", "sum")])
+        return pa.table({
+            "day": out["day"],
+            "n_users": pc.cast(out["n_users_sum"], pa.int64()),
+        })
 
     return partials.repartition(1).map_batches(
-        fold, batch_format="pandas", batch_size=None
+        fold, batch_format="pyarrow", batch_size=None
     )
 
 
