@@ -72,6 +72,18 @@ def apply() -> None:
     if _APPLIED:
         return
     _APPLIED = True
+    import os as _os
+
+    if _os.environ.get("DATAX_DISABLE_RAYPATCH") == "1":
+        # Upgrade rehearsal switch: run the engine exactly as a future Ray
+        # version would if these private APIs moved and the patches
+        # no-oped. tests/test_raypatch.py runs the parity suite under this
+        # flag so correctness is measured, not assumed, in that world.
+        logger.warning(
+            "datax_ray: DATAX_DISABLE_RAYPATCH=1 — running WITHOUT the Ray "
+            "hash-shuffle schema workarounds (upgrade-rehearsal mode)"
+        )
+        return
     try:
         _patch_fsspec_http_stub()
         _patch_shuffle_block()

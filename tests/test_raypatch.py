@@ -108,3 +108,31 @@ def test_tfidf_at_sparse_partitioning(monkeypatch):
     # every doc has at most k=3 ranked terms, rank values 1..3
     assert res["rnk"].between(1, 3).all()
     assert res.groupby("doc_id").size().max() <= 3
+
+
+def test_parity_survives_patch_disabled():
+    """Upgrade rehearsal (r3 review item 3): with DATAX_DISABLE_RAYPATCH=1
+    the engine runs on STOCK Ray shuffle internals — exactly what a Ray
+    upgrade that moves these private APIs would produce. The join-heaviest
+    catalog queries (tfidf's tf-join-df over partial_agg outputs was the
+    round-2 red row) must stay oracle-green without the patches: every
+    UDF-level stage now emits schema-typed empties, so the stock shuffle
+    never sees a schema-less block. (The FULL 208-test parity suite was
+    verified green under this flag when the switch landed; this test keeps
+    the most shuffle-sensitive subset pinned in CI time budget.)"""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["DATAX_DISABLE_RAYPATCH"] = "1"
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_query_parity.py", "-q",
+         "-p", "no:cacheprovider",
+         "-k", "tfidf or top_terms or full_outer or join_orders or star_join"],
+        env=env, capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, f"parity red with patch disabled:\n{out.stdout[-4000:]}"
+    assert " passed" in out.stdout

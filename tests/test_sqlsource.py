@@ -306,3 +306,81 @@ def test_identifier_validation_refuses_injection():
         read_sql_table(lambda: None, "t", ["bad col"], "pk")
     with pytest.raises(ValueError, match="invalid SQL"):
         read_sql_table(lambda: None, "t", ["c"], "bad pk")
+
+
+def test_sql_bootstrap_then_tail_equals_full_resync(tmp_path, ray_session):
+    """The full DataX migration story over DB-API, composed end-to-end:
+    splitPk-range BOOTSTRAP from a SQL snapshot table (epoch 0), then
+    multi-poll incremental TAIL of the SQL log (pk > lsn watermark per
+    epoch) — the lake after N polls equals the sequential oracle of
+    snapshot + whole log, i.e. a full resync from scratch."""
+    import pyarrow.compute as pc
+
+    from datax_ray.fixtures.generator import gen_changes, gen_transcripts
+    from datax_ray.oracle import sequential_replay
+    from datax_ray.pipelines.bootstrap import bootstrap
+    from datax_ray.pipelines.replay import ReplayConfig
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.sqlsource import read_sql_table, sql_tail
+
+    db = str(tmp_path / "src.db")
+    lake = str(tmp_path / "lake")
+
+    # snapshot table (the pre-existing warehouse state)
+    snap = gen_transcripts(n_convs=40, seed=7)
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE snap (rowid_pk INTEGER PRIMARY KEY, conv_id TEXT,"
+        " turn_idx INTEGER, role TEXT, text TEXT, tool TEXT, ts INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO snap VALUES (?,?,?,?,?,?,?)",
+        list(zip(
+            range(snap.num_rows),
+            snap["conv_id"].to_pylist(),
+            snap["turn_idx"].to_pylist(),
+            snap["role"].to_pylist(),
+            snap["text"].to_pylist(),
+            snap["tool"].to_pylist(),
+            pc.cast(snap["ts"], pa.int64()).to_pylist(),
+        )),
+    )
+    con.commit()
+    con.close()
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("ts"), "ts",
+            pc.cast(t["ts"], pa.timestamp("us")),
+        ).drop_columns(["rowid_pk"])
+
+    src = read_sql_table(
+        _factory(db), "snap",
+        columns=["rowid_pk", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        split_pk="rowid_pk", num_splits=4,
+    ).map_batches(to_ts, batch_format="pyarrow")
+    bootstrap(None, ReplayConfig(changes_dir=str(tmp_path / "nochg"),
+                                 lake_dir=lake, num_partitions=8),
+              src_ds=src, src_label="sql:snap")
+
+    # two tail polls over a growing log (ts after the snapshot's)
+    log1 = gen_changes(1500, 40, seed=51, dup_frac=0.0)
+    ts_bump = pa.scalar(4_000_000_000_000_000, pa.duration("us"))
+    log1 = log1.set_column(1, "ts", pc.add(log1["ts"], ts_bump))
+    _log_db(db, log1)
+    sql_tail(_factory(db), "log", lake, pk="id", num_partitions=8)
+
+    log2 = gen_changes(600, 40, seed=53, dup_frac=0.0)
+    log2 = log2.set_column(0, "lsn", pc.cast(pc.add(log2["lsn"], 1500), pa.int64()))
+    log2 = log2.set_column(
+        1, "ts", pc.add(pc.add(log2["ts"], ts_bump),
+                        pa.scalar(86_400_000_000, pa.duration("us")))
+    )
+    _log_db(db, log2)
+    out = sql_tail(_factory(db), "log", lake, pk="id", num_partitions=8)
+    assert out["rows_read"] == 600
+
+    full_log = pa.concat_tables([log1, log2]).combine_chunks()
+    want = sequential_replay(full_log, base=snap)
+    got = final_table(lake).to_pandas().to_dict("records")
+    assert got == want.to_pandas().to_dict("records")
