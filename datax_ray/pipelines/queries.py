@@ -11984,6 +11984,273 @@ FROM events GROUP BY 1
 
 # ---------------------------------------------------------------- registry --
 
+
+# --------------------------------------------------- check-twin queries --
+# Driver-checkable oracles for the approximate family (round-4; r3 review
+# item 8). Each emits only values the DuckDB oracle reproduces EXACTLY,
+# while the approximate structure is verified INSIDE the pipeline: a
+# violated sketch/packing/recall bound flips a boolean (or raises), so the
+# driver's value-hash compare turns red. This upgrades the family from
+# pytest-only floors to rows the per-round driver sample can land on.
+
+
+def heavy_hitters_exact_check(sf_dir: str, k: int = 4096):
+    """Exact heavy hitters (count*k > N) computed distributed, emitted as
+    the oracle-comparable result — with the Misra-Gries sketch's coverage
+    guarantee (every true heavy hitter surfaces) ASSERTED in-pipeline
+    against the same input. A guarantee violation raises, turning the
+    driver row red; the emitted rows themselves are exact. k=4096 keeps
+    the threshold N/k below the near-uniform fixture's per-user counts at
+    every sf (the emitted set stays <= k-1 rows by pigeonhole, so the
+    driver fold is bounded at any input size)."""
+    from datax_ray.functions.relational import partial_agg
+    from datax_ray.functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n_total = ds.count()  # parquet metadata, no scan
+    counts = partial_agg(ds, keys=["user_id"], counts="cnt")
+
+    def only_heavy(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(pc.cast(t["cnt"], pa.int64()), k), n_total
+        )
+        return t.filter(keep)
+
+    heavy = counts.map_batches(only_heavy, batch_format="pyarrow").take_all()
+    # <= k rows by the frequent-items bound — driver-safe at any scale
+    surfaced = {
+        r["user_id"]
+        for r in heavy_hitters(ds, "user_id", k=k).take_all()
+    }
+    missing = [r["user_id"] for r in heavy if r["user_id"] not in surfaced]
+    if missing:
+        raise AssertionError(
+            f"Misra-Gries coverage violated: true heavy hitters absent "
+            f"from the sketch output: {missing[:5]}"
+        )
+    heavy = sorted(heavy, key=lambda r: r["user_id"])
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in heavy], pa.int64()),
+            "cnt": pa.array([int(r["cnt"]) for r in heavy], pa.int64()),
+        }
+    )
+
+
+HEAVY_EXACT_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt
+FROM c WHERE cnt * 4096 > (SELECT COUNT(*) FROM events)
+"""
+
+
+def approx_distinct_check(sf_dir: str):
+    """HLL estimate vs the exact distributed distinct count: emits the
+    EXACT count (oracle-comparable) plus a boolean asserting the sketch
+    landed within 5% — the error bound the driver can see."""
+    from datax_ray.functions.relational import partial_agg
+    from datax_ray.functions.sketch import hll_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_count_distinct(ds, "user_id")["approx_distinct"][0].as_py()
+    exact = partial_agg(ds, keys=["user_id"], counts="c").count()
+    ok = abs(int(est) - exact) <= max(1, int(0.05 * exact))
+    return pa.table(
+        {
+            "exact_n": pa.array([exact], pa.int64()),
+            "hll_ok": pa.array([bool(ok)]),
+        }
+    )
+
+
+APPROX_DISTINCT_CHECK_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n, TRUE AS hll_ok
+FROM events
+"""
+
+
+def pack_docs_invariants(sf_dir: str):
+    """Sequence packing's SQL-checkable invariants: every doc packed
+    exactly once (n_docs) and the token mass conserved (total_tokens) —
+    both reproducible by the oracle from `documents` alone — plus a
+    distributed bins_ok sweep (no multi-doc bin over budget, no doc
+    duplicated). Bin ASSIGNMENT stays order-dependent and rows-only
+    (pack_docs_sequences); this twin makes its conservation laws a
+    driver-red-able row."""
+    from datax_ray.functions.packing import pack_sequences
+    from datax_ray.functions.relational import partial_agg
+    from datax_ray.functions.text import add_token_count
+
+    budget = 256
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_counts = docs.map_batches(
+        lambda t: add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    packed = pack_sequences(with_counts, budget=budget).materialize()
+    n_docs = packed.count()
+
+    dup_docs = (
+        partial_agg(packed.select_columns(["doc_id"]), keys=["doc_id"], counts="c")
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["c"], 1)), batch_format="pyarrow"
+        )
+        .count()
+    )
+    bins = partial_agg(
+        packed, keys=["bin_id"], sums={"n_tokens": "fill"}, counts="n"
+    )
+
+    def over_budget(t: pa.Table) -> pa.Table:
+        bad = pc.and_(
+            pc.greater(t["fill"], budget), pc.greater(t["n"], 1)
+        )
+        return t.filter(bad)
+
+    n_bad_bins = bins.map_batches(over_budget, batch_format="pyarrow").count()
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": pa.array([pc.sum(t["n_tokens"]).as_py() or 0], pa.int64())}
+        )
+
+    # O(batches) one-int rows reach the driver — a fold, not the data
+    total = sum(
+        r["s"]
+        for r in packed.map_batches(
+            tok_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens": pa.array([int(total)], pa.int64()),
+            "bins_ok": pa.array([dup_docs == 0 and n_bad_bins == 0]),
+        }
+    )
+
+
+PACK_INVARIANTS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+            AS BIGINT) AS total_tokens,
+       TRUE AS bins_ok
+FROM documents
+"""
+
+
+def lang_id_accuracy(sf_dir: str):
+    """Language-ID discrimination floor as a driver row: accuracy over
+    the four languages the n-gram heuristic models (en/fr/de/es) must
+    beat 0.30 — comfortably above the 0.25 four-way chance floor on this
+    synthetic corpus (measured 0.42-0.47 at sf0.001-0.01), while the
+    per-doc predictions stay rows-only (lang_id_docs)."""
+    from datax_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["lang"], value_set=pa.array(["en", "fr", "de", "es"]))
+        s = t.filter(m)
+        hit = pc.sum(
+            pc.cast(pc.equal(s["lang"], s["lang_pred"]), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n": pa.array([s.num_rows], pa.int64()),
+                "hit": pa.array([int(hit)], pa.int64()),
+            }
+        )
+
+    parts = out.map_batches(score, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    hit = sum(r["hit"] for r in parts)
+    ok = n > 0 and hit / n >= 0.30
+    return pa.table(
+        {
+            "n_docs_scored": pa.array([n], pa.int64()),
+            "acc_ok": pa.array([bool(ok)]),
+        }
+    )
+
+
+LANG_ID_ACC_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_scored, TRUE AS acc_ok
+FROM documents WHERE lang IN ('en', 'fr', 'de', 'es')
+"""
+
+
+def ann_ivf_recall_check(sf_dir: str):
+    """IVF ANN recall vs the exact brute-force top-10 for the same query,
+    as a driver row: probing ALL lists makes IVF exhaustive, so recall
+    must be >= 0.9 (1.0 modulo cosine ties at the k boundary). n_hits is
+    the exact result size the oracle reproduces."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from datax_ray.functions.similarity import knn_brute
+    from datax_ray.pipelines.vecindex import (
+        refresh_vector_index,
+        search_vector_index,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        "/tmp/datax_vecidx",
+        hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12],
+    )
+    refresh_vector_index(src, idx_dir, n_lists=16, sample_size=2048)
+    emb0 = pq.read_table(src, filters=[("vec_id", "=", 0)])
+    q = np.stack(
+        emb0["embedding"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    ivf = search_vector_index(idx_dir, q, k=10, nprobe=16).take_all()
+    exact = knn_brute(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), q, k=10
+    ).take_all()
+    got = {r["vec_id"] for r in ivf}
+    want = {r["vec_id"] for r in exact}
+    recall = len(got & want) / max(1, len(want))
+    return pa.table(
+        {
+            "n_hits": pa.array([len(want)], pa.int64()),
+            "recall_ok": pa.array([recall >= 0.9]),
+        }
+    )
+
+
+ANN_IVF_CHECK_SQL = """
+SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_hits, TRUE AS recall_ok
+FROM embeddings
+"""
+
+
+def kmeans_inertia_check(sf_dir: str):
+    """Lloyd's monotonicity as a driver row: the distributed k-means'
+    inertia history must be non-increasing (the algorithm's defining
+    invariant), emitted with the exact input size the oracle reproduces."""
+    from datax_ray.functions.similarity import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_vecs = ds.count()
+    _, hist = kmeans_fit(ds, k=8, iters=4)
+    mono = all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+    return pa.table(
+        {
+            "n_vecs": pa.array([n_vecs], pa.int64()),
+            "inertia_monotone_ok": pa.array([bool(mono)]),
+        }
+    )
+
+
+KMEANS_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS inertia_monotone_ok
+FROM embeddings
+"""
+
+
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
@@ -12095,6 +12362,12 @@ QUERIES = {
     "top_terms_global": top_terms_global,
     "union_distinct_orderkeys": union_distinct_orderkeys,
     "approx_distinct_users": approx_distinct_users,
+    "heavy_hitters_exact_check": heavy_hitters_exact_check,
+    "approx_distinct_check": approx_distinct_check,
+    "pack_docs_invariants": pack_docs_invariants,
+    "lang_id_accuracy": lang_id_accuracy,
+    "ann_ivf_recall_check": ann_ivf_recall_check,
+    "kmeans_inertia_check": kmeans_inertia_check,
     "top_bigrams_global": top_bigrams_global,
     "docs_length_histogram": docs_length_histogram,
     "star_join_order_region": star_join_order_region,
@@ -12195,6 +12468,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "heavy_hitters_exact_check": HEAVY_EXACT_SQL,
+    "approx_distinct_check": APPROX_DISTINCT_CHECK_SQL,
+    "pack_docs_invariants": PACK_INVARIANTS_SQL,
+    "lang_id_accuracy": LANG_ID_ACC_SQL,
+    "ann_ivf_recall_check": ANN_IVF_CHECK_SQL,
+    "kmeans_inertia_check": KMEANS_CHECK_SQL,
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_multisource_replay": CDC_REPLAY_SQL,
