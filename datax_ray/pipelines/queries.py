@@ -278,6 +278,54 @@ def cdc_envelope_roundtrip(sf_dir: str):
     return final_table(f"{work}/lake_rt")
 
 
+def cdc_stream_roundtrip(sf_dir: str):
+    """The envelope interop loop over a NETWORK transport, driver-verified:
+    replay into lake A -> export envelopes -> serve every record over a
+    localhost TCP socket through the resume-handshake broker protocol
+    (sources/stream.py) WITH mid-stream disconnects and at-least-once
+    redelivery injected -> consumer spools, converts and replays into a
+    brand-new lake B -> B's final state must equal the same LWW oracle as
+    the file-based round-trip. Proves the streaming consumer adds no
+    loss, duplication or reordering on top of the envelope contract."""
+    import glob as _glob
+    import json as _json
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.feedout import export_change_feed_envelopes
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.stream import EnvelopeStreamServer, stream_ingest
+
+    work = f"/tmp/datax_cdc_streamrt/{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+    export_change_feed_envelopes(f"{work}/lake", f"{work}/env", fmt="jsonl")
+
+    def window_key(p):
+        name = os.path.basename(p)
+        return (name.split("-e")[-1], name)
+
+    records = []
+    for p in sorted(_glob.glob(os.path.join(f"{work}/env", "env-*.jsonl")),
+                    key=window_key):
+        with open(p) as f:
+            records.extend(_json.loads(line) for line in f if line.strip())
+    cfg = ReplayConfig(
+        changes_dir=f"{work}/changes_rt", lake_dir=f"{work}/lake_rt",
+        num_partitions=8, segments_per_epoch=10**9,
+    )
+    with EnvelopeStreamServer(records, drop_every=max(500, len(records) // 5),
+                              redeliver=40) as srv:
+        stream_ingest(srv.addr, f"{work}/spool", f"{work}/changes_rt",
+                      replay_cfg=cfg, batch_records=1000)
+    return final_table(f"{work}/lake_rt")
+
+
 CDC_ENVELOPE_RT_SQL = """
 WITH c AS (
   SELECT event_id AS lsn, ts,
@@ -12276,6 +12324,7 @@ QUERIES = {
     "cdc_cms_mv": cdc_cms_mv,
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+    "cdc_stream_roundtrip": cdc_stream_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
     "cdc_merge_into": cdc_merge_into,
     "cdc_branch_merge": cdc_branch_merge,
@@ -12499,6 +12548,7 @@ ORACLE_SQL = {
     "cdc_cms_mv": CDC_CMS_MV_SQL,
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
+    "cdc_stream_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,
     "cdc_merge_into": CDC_MERGE_SQL,
     "cdc_branch_merge": CDC_REPLAY_SQL,
