@@ -1211,6 +1211,39 @@ def cdc_sql_mirror(sf_dir: str):
     return out
 
 
+def cdc_kv_mirror(sf_dir: str):
+    """DataX's hbase/otswriter as an EXTERNAL store, driver-verified:
+    derive → replay → change-feed consumer → per-record conditional
+    versioned Put/Delete into a keyed DB-API store (sinks/kvsink.py;
+    sqlite plays the KV endpoint) → read the store's LIVE rows back.
+    Must equal the same LWW fold as the lake itself — proving the
+    row-level op stream + tombstones reconstruct the table in an
+    external keyed system (the mirror's range-swap cousin)."""
+    import functools
+    import shutil
+    import sqlite3
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.kvsink import mirror_to_kv, read_kv_table
+
+    work = f"/tmp/datax_cdc_kv/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work)
+    replay(
+        ReplayConfig(
+            changes_dir=f"{work}/changes",
+            lake_dir=f"{work}/lake",
+            num_partitions=16,
+            segments_per_epoch=spe,
+        )
+    )
+    db = f"{work}/kv.db"
+    factory = functools.partial(sqlite3.connect, db, 30.0,
+                                check_same_thread=False)
+    mirror_to_kv(f"{work}/lake", factory, "kv_store")
+    return read_kv_table(factory, "kv_store", ["role", "text", "tool"])
+
+
 CDC_MIRROR_SQL = CDC_REPLAY_SQL
 
 
@@ -12316,6 +12349,7 @@ QUERIES = {
     "cdc_neardup_texts": cdc_neardup_texts,
     "cdc_feed_additive_stats": cdc_feed_additive_stats,
     "cdc_sql_mirror": cdc_sql_mirror,
+    "cdc_kv_mirror": cdc_kv_mirror,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
@@ -12540,6 +12574,7 @@ ORACLE_SQL = {
     "cdc_neardup_texts": _neardup_sql(_NEARDUP_MOD),
     "cdc_feed_additive_stats": CDC_ADDITIVE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
+    "cdc_kv_mirror": CDC_MIRROR_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
