@@ -203,6 +203,16 @@ def main(argv=None):
                    "itself is untouched). With --incremental the chain spec "
                    "folds into the range fingerprints, so changing it "
                    "rewrites the whole sync")
+    e.add_argument("--partition-spec", action="append", default=None,
+                   help="k=v (repeatable): odpswriter partition-spec load — "
+                   "write ONLY the matching rows into exactly that Hive "
+                   "partition, truncating it first unless --append")
+    e.add_argument("--append", action="store_true",
+                   help="with --partition-spec: writeMode=append (keep "
+                   "existing part files) instead of truncate")
+    e.add_argument("--overwrite", default="all", choices=["all", "dynamic"],
+                   help="with --partition-by: 'dynamic' truncates only the "
+                   "partitions that receive rows this run")
     e.add_argument("--num-cpus", type=int, default=None)
 
     tl = sub.add_parser("tail", help="continuously poll the change dir and replay new segments")
@@ -1160,12 +1170,21 @@ def main(argv=None):
             print(json.dumps(out))
             ray.shutdown()
             return 0
-        rows = export_lake(a.lake, a.out, fmt=a.format, as_of_epoch=a.as_of_epoch,
-                           partition_by=a.partition_by,
-                           transformers=(
-                               json.load(open(a.transformers))
-                               if a.transformers else None
-                           ))
+        xf = json.load(open(a.transformers)) if a.transformers else None
+        if a.partition_spec:
+            from datax_ray.sinks.export import export_partition
+
+            spec = dict(kv.split("=", 1) for kv in a.partition_spec)
+            rows = export_partition(
+                a.lake, a.out, spec, fmt=a.format,
+                as_of_epoch=a.as_of_epoch, truncate=not a.append,
+                transformers=xf,
+            )
+        else:
+            rows = export_lake(a.lake, a.out, fmt=a.format,
+                               as_of_epoch=a.as_of_epoch,
+                               partition_by=a.partition_by,
+                               transformers=xf, overwrite=a.overwrite)
         print(json.dumps({"rows": rows, "out": a.out, "format": a.format,
                           "partition_by": a.partition_by}))
         ray.shutdown()

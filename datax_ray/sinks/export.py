@@ -66,6 +66,7 @@ def export_lake(
     as_of_epoch: int | None = None,
     partition_by: list[str] | None = None,
     transformers: list[dict] | None = None,
+    overwrite: str = "all",
 ) -> int:
     """Write the lake's live rows to `out_dir` in `fmt`; returns row count.
     `as_of_epoch` exports a past committed state (time travel);
@@ -77,20 +78,61 @@ def export_lake(
     fuses into the per-range write task.
 
     Files carry content-hash names (one or more per range task; a retried
-    task rewrites identical bytes). Re-running is a TRUE full overwrite:
-    `out_dir` is cleared first, so a reader never sees a stale part file
-    from a previous export of a since-changed lake alongside the new
-    ones."""
+    task rewrites identical bytes). `overwrite` picks the reload scope —
+    the ads/odpswriter partition-load semantics [SURVEY §2A row 8]:
+
+      * "all" (default): TRUE full overwrite — `out_dir` cleared first,
+        so a reader never sees a stale part file from a previous export
+        of a since-changed lake alongside the new ones.
+      * "dynamic" (requires partition_by): Spark-style dynamic partition
+        overwrite — only the partitions that RECEIVE rows this run are
+        truncated first; untouched partitions keep their files. The
+        affected-partition set is computed distributed (per-batch
+        distinct combos — O(partitions), never the rows) and cleared
+        once on the driver before any write task runs."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
+    if overwrite not in ("all", "dynamic"):
+        raise ValueError("overwrite must be 'all' or 'dynamic'")
+    if overwrite == "dynamic" and not partition_by:
+        raise ValueError("overwrite='dynamic' requires partition_by")
     xform = None
     if transformers:
         from datax_ray.functions.transformers import compile_transformers
 
         xform = compile_transformers(transformers)
     ds = read_lake(lake_dir, as_of_epoch=as_of_epoch)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
+    if overwrite == "all":
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+    else:
+        # dynamic: truncate exactly the partitions this run will load.
+        # The export view is the source of the combo set, so a transformer
+        # that rewrites partition columns is applied first, same as the
+        # write path will.
+        def combos(t: pa.Table) -> pa.Table:
+            if xform is not None:
+                t = xform(t)
+            return (
+                t.select(partition_by)
+                .group_by(partition_by, use_threads=False)
+                .aggregate([])
+            )
+
+        touched = (
+            ds.map_batches(combos, batch_format="pyarrow")
+            .take_all()
+        )  # O(distinct partition combos) tiny rows
+        seen = set()
+        for r in touched:
+            parts = []
+            for c in partition_by:
+                v = r[c]
+                sval = _HIVE_NULL if v is None else str(v)
+                parts.append(f"{c}={sval}")
+            seen.add(os.path.join(*parts))
+        for rel in sorted(seen):
+            shutil.rmtree(os.path.join(out_dir, rel), ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
@@ -122,6 +164,68 @@ def export_lake(
     parts = ds.map_batches(
         write_batch, batch_format="pyarrow", batch_size=None
     ).take_all()  # O(tasks) stat rows only
+    return sum(int(r["rows"]) for r in parts)
+
+
+def export_partition(
+    lake_dir: str,
+    out_dir: str,
+    partition_spec: dict,
+    fmt: str = "parquet",
+    as_of_epoch: int | None = None,
+    truncate: bool = True,
+    transformers: list[dict] | None = None,
+) -> int:
+    """odpswriter's partition-spec load, 1:1 (SURVEY §2A row 8): load the
+    lake's live rows matching `partition_spec` (e.g. {"role": "user"})
+    into EXACTLY that Hive partition directory —
+    `out/<col>=<val>/...` — truncating ONLY that partition first when
+    `truncate=True` (DataX writeMode=truncate scoped to the partition;
+    every other partition's files are untouched), appending new
+    content-hash part files when False (writeMode=append). The row
+    filter pushes into the merge-read (`read_lake(where=...)`), so only
+    the partition's rows ever leave the lake tasks. Returns rows
+    written."""
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}")
+    if not partition_spec:
+        raise ValueError("partition_spec must name at least one column=value")
+    xform = None
+    if transformers:
+        from datax_ray.functions.transformers import compile_transformers
+
+        xform = compile_transformers(transformers)
+    cols = list(partition_spec)
+    rel = os.path.join(*(f"{c}={partition_spec[c]}" for c in cols))
+    part_dir = os.path.join(out_dir, rel)
+    if truncate:
+        shutil.rmtree(part_dir, ignore_errors=True)
+    os.makedirs(part_dir, exist_ok=True)
+
+    ds = read_lake(lake_dir, as_of_epoch=as_of_epoch, where=dict(partition_spec))
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        if xform is not None:
+            t = xform(t)
+        import hashlib
+
+        from datax_ray.sinks.datasink import serialize_table
+
+        t = t.drop_columns(cols)
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        blob, ext = serialize_table(t, fmt)
+        name = hashlib.sha1(blob).hexdigest()[:16]
+        path = os.path.join(part_dir, f"part-{name}.{ext}")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=None
+    ).take_all()
     return sum(int(r["rows"]) for r in parts)
 
 

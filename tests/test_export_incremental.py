@@ -194,3 +194,83 @@ def test_ddl_epoch_reexports_every_range_no_mixed_schema(tmp_path, ray_session):
         for name in rec["files"]:
             s = pq.read_schema(os.path.join(out, f"r={int(rid):05d}", name))
             assert "tool_name" in s.names and "tool" not in s.names
+
+
+def test_partition_spec_truncate_load(tmp_path, ray_session):
+    """odpswriter partition-spec semantics: export_partition loads one
+    Hive partition, truncate clears ONLY that partition, append adds
+    files; other partitions' bytes are never touched."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.export import export_lake, export_partition
+    from datax_ray.sinks.lake import final_table
+
+    changes = gen_changes(3000, 40, seed=97)
+    chg = str(tmp_path / "chg")
+    lk = str(tmp_path / "lake")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8))
+
+    out = str(tmp_path / "wh")
+    export_lake(lk, out, partition_by=["role"])
+    other_files = set(glob.glob(os.path.join(out, "role=assistant", "*")))
+    assert other_files
+
+    # truncate-load the user partition twice: second run replaces the
+    # first's files, assistant partition untouched byte-for-byte
+    n1 = export_partition(lk, out, {"role": "user"}, truncate=True)
+    files_a = set(glob.glob(os.path.join(out, "role=user", "*")))
+    n2 = export_partition(lk, out, {"role": "user"}, truncate=True)
+    files_b = set(glob.glob(os.path.join(out, "role=user", "*")))
+    assert n1 == n2 and files_a == files_b  # content-hash deterministic
+    assert set(glob.glob(os.path.join(out, "role=assistant", "*"))) == other_files
+
+    # the loaded partition equals the lake's matching live rows
+    live = final_table(lk)
+    want = live.filter(pc.equal(live["role"], "user"))
+    got = pads.dataset(out, partitioning="hive", format="parquet").to_table()
+    got_u = got.filter(pc.equal(got["role"], "user"))
+    assert got_u.num_rows == want.num_rows == n1
+
+    # append mode adds files instead of replacing
+    export_partition(lk, out, {"role": "user"}, truncate=False)
+    assert set(glob.glob(os.path.join(out, "role=user", "*"))) == files_b
+    # (identical bytes -> identical content-hash names; now change the
+    # view via a transformer so append genuinely adds)
+    export_partition(lk, out, {"role": "user"}, truncate=False,
+                     transformers=[{"name": "dx_replace", "column": "text",
+                                    "pattern": "a", "replacement": "b"}])
+    assert len(glob.glob(os.path.join(out, "role=user", "*"))) > len(files_b)
+
+
+def test_dynamic_partition_overwrite(tmp_path, ray_session):
+    """overwrite='dynamic': only partitions receiving rows are truncated;
+    a partition absent from the new export keeps its old files."""
+    import glob
+
+    from datax_ray.fixtures.generator import gen_changes, write_segments
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.export import export_lake
+
+    changes = gen_changes(3000, 40, seed=99)
+    chg = str(tmp_path / "chg")
+    lk = str(tmp_path / "lake")
+    write_segments(changes, chg, seg_rows=1000)
+    replay(ReplayConfig(changes_dir=chg, lake_dir=lk, num_partitions=8))
+
+    out = str(tmp_path / "wh")
+    export_lake(lk, out, partition_by=["role"])
+    old_assistant = set(glob.glob(os.path.join(out, "role=assistant", "*")))
+
+    # dynamic reload that REWRITES every role to 'user': only role=user
+    # (the receiving partition) truncates; role=assistant keeps its files
+    export_lake(lk, out, partition_by=["role"], overwrite="dynamic",
+                transformers=[{"name": "dx_replace", "column": "role",
+                               "pattern": "assistant",
+                               "replacement": "user"}])
+    assert set(glob.glob(os.path.join(out, "role=assistant", "*"))) == old_assistant
+    assert glob.glob(os.path.join(out, "role=user", "*"))
