@@ -457,6 +457,16 @@ def run_scaling(sf: float, sf_dir: str, events: int | None = None,
     }))
 
 
+def _loopback_bytes() -> int:
+    """rx_bytes of the loopback interface — on a single box, the channel
+    every inter-raylet gRPC/plasma transfer rides."""
+    try:
+        with open("/sys/class/net/lo/statistics/rx_bytes") as f:
+            return int(f.read())
+    except OSError:
+        return 0
+
+
 def _steal_snapshot() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
     try:
@@ -611,7 +621,9 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
                 env.pop("RAY_ADDRESS", None)
                 run_cmd = (["taskset", "-c", pin] + cmd) if shutil.which("taskset") else cmd
                 s0 = _steal_snapshot()
+                lo0 = _loopback_bytes()
                 out = subprocess.run(run_cmd, capture_output=True, text=True, env=env)
+                lo_gib = round((_loopback_bytes() - lo0) / (1 << 30), 2)
                 frac = _steal_fraction(s0)
                 steals.append(round(frac, 4))
                 if out.returncode != 0:
@@ -619,6 +631,14 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 r["steal_frac"] = frac
+                # ROOT-CAUSE instrumentation: inter-raylet object traffic
+                # rides gRPC over loopback on this box, so the lo-interface
+                # byte delta upper-bounds the plasma transfer between
+                # "nodes" (plus small control chatter). The engine's
+                # storage-shuffle design predicts ~zero: fragments go to
+                # storage, lineage rows are tiny. GBs here would indict
+                # the normalize→DeltaWriter handoff; MBs acquit it.
+                r["loopback_gib"] = lo_gib
                 if best is None or r["sustained_sec"] < best["sustained_sec"]:
                     best = r
                 # stop once we hold two attempts OR one clean fast leg
@@ -642,6 +662,7 @@ def run_scaling_nodes(sf: float, sf_dir: str, events: int | None = None) -> None
         "events_per_sec_1node": round(tp1, 1),
         "events_per_sec_4node": round(tp4, 1),
         "steal_fracs": {str(n): results[n].get("steal_fracs") for n in (1, 4)},
+        "loopback_gib": {str(n): results[n].get("loopback_gib") for n in (1, 4)},
         "steal_contaminated": any(
             results[n].get("steal_frac", 0) > 0.01 for n in (1, 4)
         ),
