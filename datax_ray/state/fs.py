@@ -268,6 +268,9 @@ class FsspecFS:
         return pa.PythonFile(self._fs.open(path, "rb"), mode="r")
 
     def put(self, path: str, data) -> None:
+        # object stores have no directories (makedirs is a no-op there);
+        # fsspec's local backend needs the parent created first
+        self._fs.makedirs(self._fs._parent(path), exist_ok=True)
         with self._fs.open(path, "wb") as f:
             f.write(bytes(data))
 
