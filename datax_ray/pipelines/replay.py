@@ -130,8 +130,17 @@ class ReplayConfig:
     salt_turn_width: int | None = None
     frag_ranges: int = 32  # partition ranges = unit of fragment files/compaction
     compact_every: int = 8  # compact a range when it holds >= this many frags
-    batch_size: int | None = 65536
-    frag_batch_size: int | None = 262144  # bigger batches => fewer fragments
+    # None (default): one batch per fused-decode input file — the decode→
+    # normalize→DeltaWriter chain fuses into ONE task-pool operator, so
+    # decoded rows never enter the object store between stages and the
+    # per-task unit is the segment file (seg_rows at generation time is
+    # the real batch knob). Setting a row count here forces the bundler
+    # to accumulate that many INPUT rows per fused task — with 1-row
+    # path items that collapses parallelism (measured 34 s vs 5.4 s
+    # sustained at sf0.1/32 cpus) — so only set it together with
+    # fuse_decode=False reads.
+    batch_size: int | None = None
+    frag_batch_size: int | None = None
     max_events_per_sec: float | None = None  # DataX job.setting.speed analog
     error_limit_rows: int | None = None  # abort epoch if dirty rows exceed
     error_limit_pct: float | None = None  # ... or this fraction of rows_in

@@ -35,9 +35,23 @@ def list_segments(changes_dir: str) -> list[str]:
     return sorted(out)
 
 
-def read_segments(segments: list[str]):
+def read_segments(segments: list[str], fuse_decode: bool = True):
     """A Dataset over segments of any supported format, normalized to the
-    CHANGES arrow schema (casts happen in the normalize stage)."""
+    CHANGES arrow schema (casts happen in the normalize stage).
+
+    fuse_decode=True (default) decodes INSIDE the map chain: the Dataset
+    is `from_items(paths) → map_batches(decode)`, which Ray's operator
+    fusion merges with the downstream normalize→DeltaWriter maps into ONE
+    task per file — decoded rows never enter the object store between
+    stages. Measured on the 4-raylet node-mode bench: Ray 2.49 never
+    fuses a Read operator with downstream maps, so the `read_parquet`
+    plan shipped the ENTIRE decoded change log (8.5 GiB at sf0.1) across
+    raylets between ReadParquet and the map stage; with fused decode the
+    only inter-node objects are file-path strings and tiny lineage rows —
+    the read moves bytes from (shared) storage instead of plasma, the
+    same storage-shuffle principle the lake merge uses (stages/delta.py).
+    fuse_decode=False keeps the `ray.data.read_parquet` plan (row-group
+    level splitting) for single-node/debug use."""
     import ray.data
 
     import pyarrow as pa
@@ -65,6 +79,78 @@ def read_segments(segments: list[str]):
             if name not in cols:
                 cols[name] = t[name]
         return pa.table(cols)
+
+    if fuse_decode:
+        def decode(t: pa.Table) -> pa.Table:
+            from pyarrow import json as pa_json
+            import pyarrow.csv as pacsv
+            import pyarrow.parquet as pq
+
+            paths = [
+                p for group in t["path"].to_pylist()
+                for p in group.split("\n")
+            ]
+            out = []
+            for path in paths:
+                ext = path.rsplit(".", 1)[-1]
+                if ext == "parquet":
+                    out.append(canon(pq.read_table(path)))
+                elif ext == "jsonl":
+                    out.append(canon(pa_json.read_json(path)))
+                elif ext == "csv":
+                    convert = pacsv.ConvertOptions(
+                        column_types=canon_types,
+                        null_values=["\\N"],
+                        strings_can_be_null=True,
+                    )
+                    out.append(canon(pacsv.read_csv(
+                        path, convert_options=convert
+                    )))
+                else:  # pragma: no cover - planner only lists known exts
+                    raise ValueError(f"unsupported segment format: {path}")
+            return pa.concat_tables(out, promote_options="permissive")
+
+        # Group tiny files per decode task, but never below cluster
+        # parallelism: a feed of many small segments (replicate's
+        # per-fragment files) must not pay per-task overhead per file,
+        # AND an epoch must still fan out to every core (a fixed 32 MB
+        # target measured 10 tasks for a 64-segment epoch — 22 of 32
+        # cores idle, scaling efficiency 0.27). Target = whichever is
+        # smaller of 32 MB and total/(2*cluster cpus), floored at 1 MB;
+        # a group never splits a file.
+        sizes = {}
+        total = 0
+        for s in segments:
+            try:
+                sizes[s] = os.path.getsize(s)
+            except OSError:
+                sizes[s] = 32 << 20
+            total += sizes[s]
+        try:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if (
+                _ray.is_initialized()
+            ) else 8
+        except Exception:  # pragma: no cover
+            cpus = 8
+        target = max(1 << 20, min(32 << 20, total // max(1, cpus * 2)))
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for s in sorted(segments):
+            sz = sizes[s]
+            if cur and cur_bytes + sz > target:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(s)
+            cur_bytes += sz
+        if cur:
+            groups.append(cur)
+        return ray.data.from_items(
+            [{"path": "\n".join(g)} for g in groups],
+            override_num_blocks=len(groups),
+        ).map_batches(decode, batch_format="pyarrow", batch_size=None)
 
     by_ext: dict[str, list[str]] = {}
     for s in segments:
