@@ -167,12 +167,21 @@ def read_change_feed(
     feed_schema = schema.append(pa.field(_EPOCH_COL, pa.int32()))
     if not plan:
         return ray.data.from_arrow(feed_schema.empty_table())
-    return ray.data.from_items(plan, override_num_blocks=len(plan)).map_batches(
+    # Bound the OUTPUT block count, not just read parallelism: a large
+    # feed window (first MV refresh over a whole sf1 lake = thousands of
+    # small change files) must not become thousands of small blocks —
+    # Ray 2.49's hash-shuffle groupby degrades superlinearly with input
+    # block count (measured: the same 6M rows take 4 s / 0.5 GiB driver
+    # at 64 blocks but 419 s / 13.5 GiB at 2048), which is exactly what
+    # every feed-consuming keyed refresh feeds into. 128 blocks keeps
+    # 8-actor parallelism saturated while capping that cost.
+    n_blocks = min(len(plan), 128)
+    return ray.data.from_items(plan, override_num_blocks=n_blocks).map_batches(
         _FeedReader,
         fn_constructor_args=(lake_dir, schema_to_json(schema)),
         batch_format="pyarrow",
-        batch_size=4,
-        concurrency=min(8, len(plan)),
+        batch_size=None,
+        concurrency=min(8, n_blocks),
     )
 
 
@@ -454,12 +463,16 @@ def read_change_feed_preimages(
     )
     if not plan:
         return ray.data.from_arrow(out_schema.empty_table())
-    return ray.data.from_items(plan, override_num_blocks=len(plan)).map_batches(
+    # same bounded-block-count rule as read_change_feed (hash-shuffle
+    # block-count pathology) — one (epoch, range) item stays one read
+    # call; the items just share blocks
+    n_blocks = min(len(plan), 128)
+    return ray.data.from_items(plan, override_num_blocks=n_blocks).map_batches(
         _PreimageReader,
         fn_constructor_args=(lake_dir, schema_to_json(schema)),
         batch_format="pyarrow",
-        batch_size=4,
-        concurrency=min(8, len(plan)),
+        batch_size=None,
+        concurrency=min(8, n_blocks),
     )
 
 

@@ -195,7 +195,7 @@ def _changed_keys(lake_dir: str, frm: int, to: int) -> ray.data.Dataset:
         return pa.table({"conv_id": pc.cast(ids, pa.string())})
 
     return read_change_feed(lake_dir, frm, to).map_batches(
-        uniq, batch_format="pyarrow"
+        uniq, batch_format="pyarrow", batch_size=None
     )
 
 

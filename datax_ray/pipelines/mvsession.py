@@ -298,7 +298,7 @@ def refresh_mv_session(
     # universe on the driver (round-3 review item 2).
     changed_ds = (
         read_change_feed(lake_dir, applied, committed)
-        .map_batches(uniq, batch_format="pyarrow")
+        .map_batches(uniq, batch_format="pyarrow", batch_size=None)
         .materialize()
     )  # id-only blocks, O(changed convs) distributed
     n_bound = changed_ds.count()
