@@ -48,9 +48,13 @@ def plan_pk_splits(
     split_pk: str,
     num_splits: int,
     where: str | None = None,
+    dialect="ansi",
 ) -> list[tuple[int, int]]:
     """DataX splitPk planning: one MIN/MAX query, then half-open integer
     ranges [lo, hi) covering [min, max+1). Returns [] for an empty table."""
+    from datax_ray.sources.dialects import get_dialect
+
+    d = get_dialect(dialect)
     conn = connection_factory()
     try:
         cond = f" WHERE {where}" if where else ""
@@ -58,7 +62,8 @@ def plan_pk_splits(
         # connection.execute is a convenience other drivers lack.
         cur = conn.cursor()
         cur.execute(
-            f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {table}{cond}"
+            f"SELECT MIN({d.quote(split_pk)}), MAX({d.quote(split_pk)}) "
+            f"FROM {d.quote(table)}{cond}"
         )
         lo, hi = cur.fetchone()
     finally:
@@ -87,6 +92,7 @@ class SqlRangeReader:
         split_pk: str,
         where: str | None = None,
         schema: pa.Schema | None = None,
+        dialect="ansi",
     ):
         self.__name__ = "SqlRangeReader"
         self.factory = connection_factory
@@ -94,18 +100,24 @@ class SqlRangeReader:
         self.columns = columns
         self.split_pk = split_pk
         self.where = where
+        self.dialect = dialect
         self.schema_json = (
             [[f.name, str(f.type)] for f in schema] if schema is not None else None
         )
         self._conn = None
 
     def _sql(self, lo: int, hi: int) -> str:
-        cols = ", ".join(self.columns)
-        cond = f"{self.split_pk} >= {lo} AND {self.split_pk} < {hi}"
+        from datax_ray.sources.dialects import get_dialect
+
+        d = get_dialect(self.dialect)
+        cols = ", ".join(d.quote(c) for c in self.columns)
+        pk = d.quote(self.split_pk)
+        cond = f"{pk} >= {lo} AND {pk} < {hi}"
         if self.where:
             cond = f"({self.where}) AND {cond}"
         return (
-            f"SELECT {cols} FROM {self.table} WHERE {cond} ORDER BY {self.split_pk}"
+            f"SELECT {cols} FROM {d.quote(self.table)} WHERE {cond} "
+            f"ORDER BY {pk}"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -147,15 +159,21 @@ def read_sql_table(
     num_splits: int = 16,
     where: str | None = None,
     schema: pa.Schema | None = None,
+    dialect="ansi",
 ) -> ray.data.Dataset:
     """Parallel range-split SQL read as a streaming Dataset. The split plan
     is O(1) driver work (one MIN/MAX query); each range fetches in its own
     task. Size num_splits so one range fits a worker (DataX channel rule)."""
+    from datax_ray.sources.dialects import get_dialect
+
+    d = get_dialect(dialect)
     check_identifier(table, "table name")
     check_identifier(split_pk, "splitPk column")
     for c in columns:
         check_identifier(c, "column name")
-    splits = plan_pk_splits(connection_factory, table, split_pk, num_splits, where)
+    splits = plan_pk_splits(
+        connection_factory, table, split_pk, num_splits, where, dialect=d
+    )
     if schema is None and splits:
         # Infer a pinned schema from ONE probe row on the driver: without
         # it, empty split ranges (sparse pk spaces) emit null-typed blocks
@@ -163,9 +181,9 @@ def read_sql_table(
         conn = connection_factory()
         try:
             cur = conn.cursor()
-            cur.execute(
-                f"SELECT {', '.join(columns)} FROM {table} LIMIT 1"
-            )
+            cur.execute(d.probe_one(
+                ", ".join(d.quote(c) for c in columns), d.quote(table)
+            ))
             probe = cur.fetchone()
         finally:
             conn.close()
@@ -179,7 +197,8 @@ def read_sql_table(
     items = [{"lo": lo, "hi": hi} for lo, hi in splits]
     return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         SqlRangeReader(
-            connection_factory, table, columns, split_pk, where=where, schema=schema
+            connection_factory, table, columns, split_pk, where=where,
+            schema=schema, dialect=dialect,
         ),
         batch_format="pyarrow",
         batch_size=None,
@@ -187,8 +206,11 @@ def read_sql_table(
 
 
 class SqlBatchWriter:
-    """map_batches sink stage: INSERT (or INSERT OR REPLACE — DataX's
-    insert/replace writeMode) one batch per executemany. Each task owns its
+    """map_batches sink stage: one batch per executemany, statement text
+    from the dialect — DataX's writeMode matrix: `insert` (plain),
+    `replace` (full-row overwrite: INSERT OR REPLACE / mysql REPLACE
+    INTO), `upsert` (keep-and-update: ON CONFLICT DO UPDATE / ON
+    DUPLICATE KEY UPDATE / MERGE; needs key_cols). Each task owns its
     connection and commits per batch; emits one (rows) lineage row."""
 
     def __init__(
@@ -197,23 +219,41 @@ class SqlBatchWriter:
         table: str,
         columns: list[str],
         mode: str = "insert",
+        key_cols: list[str] | None = None,
+        dialect="ansi",
     ):
+        from datax_ray.sources.dialects import get_dialect
+
         self.__name__ = "SqlBatchWriter"
-        assert mode in ("insert", "replace")
+        if mode not in ("insert", "replace", "upsert"):
+            raise ValueError("mode must be insert|replace|upsert")
+        if mode == "upsert" and not key_cols:
+            raise ValueError("mode='upsert' needs key_cols")
         self.factory = connection_factory
         self.table = table
         self.columns = columns
         self.mode = mode
+        self.key_cols = list(key_cols or [])
+        self.dialect = dialect
+        # build (and therefore validate) the statement up front so an
+        # unsupported mode/dialect pair refuses on the DRIVER, not in a
+        # retried task
+        self.sql = self._statement(get_dialect(dialect))
         self._conn = None
+
+    def _statement(self, d) -> str:
+        tq = d.quote(self.table)
+        if self.mode == "insert":
+            return d.insert(tq, self.columns)
+        if self.mode == "replace":
+            return d.replace(tq, self.columns)
+        return d.upsert(tq, self.columns, self.key_cols)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self._conn is None:
             self._conn = self.factory()
-        verb = "INSERT OR REPLACE" if self.mode == "replace" else "INSERT"
-        ph = ", ".join(["?"] * len(self.columns))
-        sql = f"{verb} INTO {self.table} ({', '.join(self.columns)}) VALUES ({ph})"
         data = list(zip(*[t[c].to_pylist() for c in self.columns]))
-        self._conn.cursor().executemany(sql, data)
+        self._conn.cursor().executemany(self.sql, data)
         self._conn.commit()
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
@@ -224,12 +264,15 @@ def write_sql_table(
     table: str,
     columns: list[str],
     mode: str = "insert",
+    key_cols: list[str] | None = None,
+    dialect="ansi",
 ) -> int:
     check_identifier(table, "table name")
     for c in columns:
         check_identifier(c, "column name")
     parts = ds.map_batches(
-        SqlBatchWriter(connection_factory, table, columns, mode=mode),
+        SqlBatchWriter(connection_factory, table, columns, mode=mode,
+                       key_cols=key_cols, dialect=dialect),
         batch_format="pyarrow",
         batch_size=_DEFAULT_BATCH_ROWS,
     ).take_all()
