@@ -61,21 +61,19 @@ _VIEW_SCHEMA = pa.schema(
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    # atomic full-object put (state/fs.py): artifacts share the lake's
+    # object-store-safe storage contract
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def _bucket_of(conv: pa.Array) -> pa.Array:
@@ -159,7 +157,11 @@ class _SessionBucketFolder:
             )
             old_rel = self.old_files.get(str(b))
             if old_rel:
-                old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+                from datax_ray.state.fs import open_parquet
+
+                old = pq.read_table(
+                    open_parquet(os.path.join(self.mv_dir, old_rel))
+                )
                 old = old.filter(
                     pc.invert(pc.is_in(old["conv_id"], value_set=keys))
                 )
@@ -185,9 +187,10 @@ class _SessionBucketFolder:
                 }
             )
         rel = f"b={b:04d}-e={self.to_epoch:06d}.parquet"
-        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        from datax_ray.state.fs import put_parquet
+
+        put_parquet(merged, os.path.join(self.mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -248,7 +251,10 @@ def refresh_mv_session(
     if gap_s is None:
         gap_s = 1800.0
     applied = int(state.get("applied_epoch", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
     gap_us = int(gap_s * 1_000_000)
 
     if not rebuild:
@@ -363,10 +369,13 @@ def _publish(
             "rows": total,
         },
     )
+    from datax_ray.state.fs import fs_for as _ff
+
     live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-        if p not in live:
-            os.remove(p)
+    for p in _ff(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if name.startswith("b=") and name.endswith(".parquet") and p not in live:
+            _ff(mv_dir).delete(p)
     return {
         "applied_from": applied,
         "applied_to": committed,
@@ -378,6 +387,8 @@ def _publish(
 
 def read_mv_session(mv_dir: str) -> ray.data.Dataset:
     """The session view as a Dataset — buckets are disjoint and final."""
+    from datax_ray.state.fs import is_remote, open_parquet
+
     state = _load_state(mv_dir)
     files = [
         os.path.join(mv_dir, f)
@@ -385,4 +396,16 @@ def read_mv_session(mv_dir: str) -> ray.data.Dataset:
     ]
     if not files:
         return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    if not is_remote(mv_dir):
+        return ray.data.read_parquet(files)
+
+    def rd(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        return pa.concat_tables(
+            [pq.read_table(open_parquet(p)) for p in t["path"].to_pylist()]
+        )
+
+    return ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    ).map_batches(rd, batch_format="pyarrow", batch_size=None)

@@ -343,3 +343,20 @@ def put_json(path: str, obj) -> bytes:
 
 def json_bytes(obj) -> bytes:
     return json.dumps(obj, indent=1, sort_keys=True).encode()
+
+
+def put_parquet(table, path: str, **write_kw) -> int:
+    """Serialize + atomic-put one parquet object; returns byte size.
+    The artifact-file analog of stages/delta.py's fragment write."""
+    import pyarrow.parquet as pq
+
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, **write_kw)
+    buf = sink.getvalue()
+    fs_for(path).put(path, buf)
+    return len(buf)
+
+
+def open_parquet(path: str):
+    """pq.read_table-able handle through the storage contract."""
+    return fs_for(path).open_input(path)

@@ -294,3 +294,38 @@ def test_fsspec_backend_lifecycle(tmp_path, ray_session):
     replay(ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
                         segments_per_epoch=2, compact_every=2))
     assert Manifest(lake).committed_epoch() == before
+
+
+def test_mv_artifact_on_objstore(obj_lake, tmp_path):
+    """Artifacts share the storage contract (mvsession = the family's
+    exemplar): a session MV maintained entirely on obj:// — state file,
+    bucket generations, stale-generation cleanup, reads — equals the
+    local-FS view of the same lake. Artifacts are rebuildable derived
+    state, so the remaining artifact kinds may stay on local/POSIX paths;
+    this pins the pattern any of them follows to move."""
+    from datax_ray.pipelines.mvsession import read_mv_session, refresh_mv_session
+
+    changes, chg, lake, cfg = obj_lake
+    mv_obj = _obj(tmp_path, "mvs")
+    mv_loc = str(tmp_path / "mvs_local")
+    r1 = refresh_mv_session(lake, mv_obj, gap_s=2.0)
+    r2 = refresh_mv_session(lake, mv_loc, gap_s=2.0)
+    assert r1["rows"] == r2["rows"] > 0
+    a = read_mv_session(mv_obj).take_all()
+    b = read_mv_session(mv_loc).take_all()
+    key = lambda r: (r["conv_id"], r["session_idx"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    # incremental refresh with new epochs stays obj-native
+    extra = gen_changes(3000, 80, seed=59)
+    extra = extra.set_column(
+        extra.column_names.index("lsn"), "lsn",
+        pc.add(extra["lsn"], 20_000_000),
+    )
+    write_segments(extra, chg, seg_rows=1500, start_seg=30)
+    replay(cfg)
+    r3 = refresh_mv_session(lake, mv_obj, gap_s=2.0)
+    refresh_mv_session(lake, mv_loc, gap_s=2.0)
+    assert r3["applied_to"] > r1["applied_to"]
+    a2 = read_mv_session(mv_obj).take_all()
+    b2 = read_mv_session(mv_loc).take_all()
+    assert sorted(a2, key=key) == sorted(b2, key=key)
