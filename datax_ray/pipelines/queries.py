@@ -1244,6 +1244,31 @@ def cdc_kv_mirror(sf_dir: str):
     return read_kv_table(factory, "kv_store", ["role", "text", "tool"])
 
 
+def cdc_objstore_replay(sf_dir: str):
+    """The round-4 object-store lake, driver-verified: the standard
+    derive → replay → compact pipeline run on an `obj://` lake, where the
+    storage layer exposes ONLY the eight-op object contract (state/fs.py:
+    atomic put, conditional create, list/delete/copy — no rename, no
+    link). The final state must hash-equal the same LWW oracle as the
+    POSIX lake — the S3-deployability proof as a catalog row."""
+    import shutil
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.lake import final_table
+
+    work = f"/tmp/datax_cdc_obj/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes",
+        lake_dir=f"obj://{work}/lake",
+        num_partitions=16,
+        segments_per_epoch=spe,
+        compact_every=2,
+    ))
+    return final_table(f"obj://{work}/lake")
+
+
 CDC_MIRROR_SQL = CDC_REPLAY_SQL
 
 
@@ -12350,6 +12375,7 @@ QUERIES = {
     "cdc_feed_additive_stats": cdc_feed_additive_stats,
     "cdc_sql_mirror": cdc_sql_mirror,
     "cdc_kv_mirror": cdc_kv_mirror,
+    "cdc_objstore_replay": cdc_objstore_replay,
     "cdc_change_feed_rebuild": cdc_change_feed_rebuild,
     "cdc_replay_ddl": cdc_replay_ddl,
     "cdc_mv_conv_stats": cdc_mv_conv_stats,
@@ -12575,6 +12601,7 @@ ORACLE_SQL = {
     "cdc_feed_additive_stats": CDC_ADDITIVE_SQL,
     "cdc_sql_mirror": CDC_MIRROR_SQL,
     "cdc_kv_mirror": CDC_MIRROR_SQL,
+    "cdc_objstore_replay": CDC_REPLAY_SQL,
     "cdc_change_feed_rebuild": CDC_FEED_SQL,
     "cdc_replay_ddl": CDC_DDL_SQL,
     "cdc_mv_conv_stats": CDC_MV_SQL,
