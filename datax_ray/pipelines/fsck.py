@@ -26,7 +26,6 @@ MANIFEST is driver-sized (it must be: commit is a driver step).
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os

@@ -35,8 +35,6 @@ pass.
 
 from __future__ import annotations
 
-import glob as _glob
-import json
 import os
 
 import numpy as np

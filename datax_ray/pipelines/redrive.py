@@ -41,7 +41,6 @@ tail of ingest. Never calls ray.init (driver contract).
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 

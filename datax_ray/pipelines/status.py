@@ -13,7 +13,6 @@ sees the manifest directory.
 
 from __future__ import annotations
 
-import glob as _glob
 import json
 import os
 

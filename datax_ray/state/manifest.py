@@ -25,7 +25,6 @@ channel-statistics/lineage reporting (SURVEY.md §2A rows 7, 16).
 
 from __future__ import annotations
 
-import json
 import os
 import re
 
