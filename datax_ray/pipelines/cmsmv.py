@@ -49,21 +49,17 @@ _STATE = "_cmsmv_state.json"
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def _conv_ordinals(conv: "pa.Array | pa.ChunkedArray") -> np.ndarray:
@@ -138,9 +134,10 @@ def _fold_and_publish(
     import pyarrow.parquet as pq
 
     rel = f"cms-e={committed:06d}.parquet"
-    tmp = os.path.join(mv_dir, rel + f".tmp.{os.getpid()}")
-    pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-    os.replace(tmp, os.path.join(mv_dir, rel))
+    from datax_ray.state.fs import put_parquet
+
+    put_parquet(merged, os.path.join(mv_dir, rel),
+                compression="zstd", compression_level=1)
     _save_state(
         mv_dir,
         {
@@ -151,9 +148,13 @@ def _fold_and_publish(
             "cells": merged.num_rows,
         },
     )
-    for p in _glob.glob(os.path.join(mv_dir, "cms-e=*.parquet")):
-        if os.path.basename(p) != rel:
-            os.remove(p)
+    from datax_ray.state.fs import fs_for as _ffc
+
+    for p in _ffc(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (name.startswith("cms-e=") and name.endswith(".parquet")
+                and name != rel):
+            _ffc(mv_dir).delete(p)
     return {
         "applied_from": applied_from,
         "applied_to": committed,
@@ -194,7 +195,9 @@ def _stored_cells(mv_dir: str, state: dict) -> pa.Table:
     rel = state.get("registers")
     if not rel:
         return empty
-    return pq.read_table(os.path.join(mv_dir, rel))
+    from datax_ray.state.fs import open_parquet
+
+    return pq.read_table(open_parquet(os.path.join(mv_dir, rel)))
 
 
 def refresh_cms_mv(
@@ -216,7 +219,10 @@ def refresh_cms_mv(
     state = _load_state(mv_dir)
     depth, width = _resolve_params(state, depth, width)
     applied = int(state.get("applied_epoch", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
 
     if rebuild:
         return _rebuild(lake_dir, mv_dir, committed, depth, width)

@@ -74,13 +74,11 @@ class _RangeHasher:
                 }
             ).cast(DUP_POSTINGS_SCHEMA)
             postings = postings.take(pc.sort_indices(postings["h"]))
-            path = os.path.join(self.idx_dir, f"r={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(
-                postings, tmp, compression="zstd", compression_level=1,
-                row_group_size=16384,
-            )
-            os.replace(tmp, path)
+            from datax_ray.state.fs import put_parquet
+
+            put_parquet(postings, os.path.join(self.idx_dir, f"r={rid:05d}.parquet"),
+                        compression="zstd", compression_level=1,
+                        row_group_size=16384)
             out_rows.append((int(rid), postings.num_rows))
         return pa.table(
             {
@@ -94,8 +92,6 @@ def refresh_dedup_index(lake_dir: str, idx_dir: str) -> dict:
     """Bring the duplicate-content index up to the lake's committed state;
     only changed ranges are re-hashed. Returns {"refreshed", "skipped",
     "removed"}."""
-    import glob
-
     from datax_ray.schemas import schema_to_json
     from datax_ray.sinks.lake import _range_plan, lake_schema
     from datax_ray.state.manifest import Manifest
@@ -103,7 +99,10 @@ def refresh_dedup_index(lake_dir: str, idx_dir: str) -> dict:
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
     state = _load_state(idx_dir)
-    os.makedirs(idx_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(idx_dir):
+        os.makedirs(idx_dir, exist_ok=True)
 
     todo, skipped = [], 0
     new_state: dict[str, str] = {}
@@ -111,7 +110,9 @@ def refresh_dedup_index(lake_dir: str, idx_dir: str) -> dict:
         rid = int(p["range_id"])
         fp = _fingerprint(p["files"])
         new_state[str(rid)] = fp
-        if state.get(str(rid)) == fp and os.path.exists(
+        from datax_ray.state.fs import fs_for as _ffe
+
+        if state.get(str(rid)) == fp and _ffe(idx_dir).exists(
             os.path.join(idx_dir, f"r={rid:05d}.parquet")
         ):
             skipped += 1
@@ -120,10 +121,15 @@ def refresh_dedup_index(lake_dir: str, idx_dir: str) -> dict:
 
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    for path in glob.glob(os.path.join(idx_dir, "r=*.parquet")):
-        rid = int(os.path.basename(path)[2:-8])
+    from datax_ray.state.fs import fs_for as _ffc
+
+    for path in _ffc(idx_dir).list_prefix(idx_dir):
+        name = os.path.basename(path)
+        if not (name.startswith("r=") and name.endswith(".parquet")):
+            continue
+        rid = int(name[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            _ffc(idx_dir).delete(path)
             removed += 1
 
     if todo:
@@ -144,9 +150,12 @@ def duplicate_groups(
     others: (conv_id, turn_idx, grp_size). One id-only coarse-bucket
     shuffle; the per-bucket group-size fold is a vectorized sorted-run
     count (all rows of a hash co-locate by construction)."""
-    import glob
+    from datax_ray.state.fs import fs_for as _ffl
 
-    files = sorted(glob.glob(os.path.join(idx_dir, "r=*.parquet")))
+    files = sorted(
+        p for p in _ffl(idx_dir).list_prefix(idx_dir)
+        if os.path.basename(p).startswith("r=") and p.endswith(".parquet")
+    )
     out_schema = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("grp_size", pa.int64())]
     )
@@ -178,8 +187,10 @@ def duplicate_groups(
             }
         ).cast(out_schema)
 
+    from datax_ray.state.fs import read_parquet_dataset
+
     return (
-        ray.data.read_parquet(files)
+        read_parquet_dataset(files, out_schema)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
         .map_groups(fold, batch_format="pyarrow")
@@ -247,10 +258,11 @@ class _RangeShingler:
                 }
             ).cast(NEAR_POSTINGS_SCHEMA)
             postings = postings.take(pc.sort_indices(postings["g"]))
-            path = os.path.join(self.idx_dir, f"n={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(postings, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, path)
+            from datax_ray.state.fs import put_parquet
+
+            put_parquet(postings,
+                        os.path.join(self.idx_dir, f"n={rid:05d}.parquet"),
+                        compression="zstd", compression_level=1)
             out_rows.append((int(rid), postings.num_rows))
         return pa.table(
             {
@@ -263,8 +275,6 @@ class _RangeShingler:
 def refresh_neardup_index(lake_dir: str, idx_dir: str, shingle_k: int = 3) -> dict:
     """Bring the NEAR-duplicate shingle index up to the lake's committed
     state (manifest-fingerprint skip, like the exact-hash index)."""
-    import glob
-
     from datax_ray.schemas import schema_to_json
     from datax_ray.sinks.lake import _range_plan, lake_schema
     from datax_ray.state.manifest import Manifest
@@ -272,7 +282,10 @@ def refresh_neardup_index(lake_dir: str, idx_dir: str, shingle_k: int = 3) -> di
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
     state = _load_state(idx_dir)
-    os.makedirs(idx_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(idx_dir):
+        os.makedirs(idx_dir, exist_ok=True)
 
     todo, skipped = [], 0
     new_state: dict[str, str] = {}
@@ -280,7 +293,9 @@ def refresh_neardup_index(lake_dir: str, idx_dir: str, shingle_k: int = 3) -> di
         rid = int(p["range_id"])
         fp = _fingerprint(p["files"]) + f":k={shingle_k}"
         new_state[str(rid)] = fp
-        if state.get(str(rid)) == fp and os.path.exists(
+        from datax_ray.state.fs import fs_for as _ffe
+
+        if state.get(str(rid)) == fp and _ffe(idx_dir).exists(
             os.path.join(idx_dir, f"n={rid:05d}.parquet")
         ):
             skipped += 1
@@ -289,10 +304,15 @@ def refresh_neardup_index(lake_dir: str, idx_dir: str, shingle_k: int = 3) -> di
 
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    for path in glob.glob(os.path.join(idx_dir, "n=*.parquet")):
-        rid = int(os.path.basename(path)[2:-8])
+    from datax_ray.state.fs import fs_for as _ffc
+
+    for path in _ffc(idx_dir).list_prefix(idx_dir):
+        name = os.path.basename(path)
+        if not (name.startswith("n=") and name.endswith(".parquet")):
+            continue
+        rid = int(name[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            _ffc(idx_dir).delete(path)
             removed += 1
 
     if todo:
@@ -318,8 +338,6 @@ def near_duplicate_pairs(
     df-skewed corpora need the LSH operator path — this index's contract
     is exactness over the LIVE lake (tombstoned/purged turns drop on
     refresh)."""
-    import glob
-
     out_schema = pa.schema(
         [
             ("conv_a", pa.string()), ("turn_a", pa.int32()),
@@ -327,7 +345,12 @@ def near_duplicate_pairs(
             ("jacc_milli", pa.int64()),
         ]
     )
-    files = sorted(glob.glob(os.path.join(idx_dir, "n=*.parquet")))
+    from datax_ray.state.fs import fs_for as _ffl
+
+    files = sorted(
+        p for p in _ffl(idx_dir).list_prefix(idx_dir)
+        if os.path.basename(p).startswith("n=") and p.endswith(".parquet")
+    )
     if not files:
         return ray.data.from_arrow(out_schema.empty_table())
 
@@ -416,8 +439,10 @@ def near_duplicate_pairs(
             preserve_index=False,
         ).cast(out_schema)
 
+    from datax_ray.state.fs import read_parquet_dataset
+
     return (
-        ray.data.read_parquet(files)
+        read_parquet_dataset(files, out_schema)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_grp")
         .map_groups(emit_pairs, batch_format="pyarrow")

@@ -42,19 +42,17 @@ def _fingerprint(files: list[str]) -> str:
 
 
 def _load_state(mv_dir: str) -> dict:
-    try:
-        with open(os.path.join(mv_dir, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(mv_dir, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(mv_dir: str, state: dict) -> None:
-    os.makedirs(mv_dir, exist_ok=True)
-    tmp = os.path.join(mv_dir, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, os.path.join(mv_dir, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(mv_dir, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 class _RangeRefresher:
@@ -92,10 +90,10 @@ class _RangeRefresher:
                     "last_ts": pc.cast(g["ts_max"], pa.timestamp("us")),
                 }
             )
-            path = os.path.join(self.mv_dir, f"r={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(agg, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, path)
+            from datax_ray.state.fs import put_parquet
+
+            put_parquet(agg, os.path.join(self.mv_dir, f"r={rid:05d}.parquet"),
+                        compression="zstd", compression_level=1)
             out_rows.append((int(rid), agg.num_rows))
         return pa.table(
             {
@@ -115,7 +113,10 @@ def refresh_mv(lake_dir: str, mv_dir: str) -> dict:
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
     state = _load_state(mv_dir)
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
 
     todo, skipped = [], 0
     new_state: dict[str, str] = {}
@@ -123,7 +124,9 @@ def refresh_mv(lake_dir: str, mv_dir: str) -> dict:
         rid = int(p["range_id"])
         fp = _fingerprint(p["files"])
         new_state[str(rid)] = fp
-        if state.get(str(rid)) == fp and os.path.exists(
+        from datax_ray.state.fs import fs_for as _ffe
+
+        if state.get(str(rid)) == fp and _ffe(mv_dir).exists(
             os.path.join(mv_dir, f"r={rid:05d}.parquet")
         ):
             skipped += 1
@@ -134,14 +137,17 @@ def refresh_mv(lake_dir: str, mv_dir: str) -> dict:
     # DISK, not the saved state: a crashed refresh can leave a partial that
     # was never recorded in state, and read_mv globs the disk, so a stale
     # orphan would otherwise resurrect rows (incl. purged convs) forever.
+    from datax_ray.state.fs import fs_for as _ff
+
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    import glob as _glob
-
-    for path in _glob.glob(os.path.join(mv_dir, "r=*.parquet")):
-        rid = int(os.path.basename(path)[2:-8])
+    for path in _ff(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(path)
+        if not (name.startswith("r=") and name.endswith(".parquet")):
+            continue
+        rid = int(name[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            _ff(mv_dir).delete(path)
             removed += 1
 
     if todo:
@@ -160,11 +166,13 @@ def read_mv(mv_dir: str) -> ray.data.Dataset:
     """The MV as a Dataset: fold the per-range partials (sum counts, max
     ts per conv). One row per conv out; the fold input is one row per
     (conv, range) — never turn-level rows."""
-    import glob
-
     from datax_ray.functions.relational import partial_agg
+    from datax_ray.state.fs import fs_for as _ffr
 
-    files = sorted(glob.glob(os.path.join(mv_dir, "r=*.parquet")))
+    files = sorted(
+        p for p in _ffr(mv_dir).list_prefix(mv_dir)
+        if os.path.basename(p).startswith("r=") and p.endswith(".parquet")
+    )
     if not files:
         return ray.data.from_arrow(
             pa.schema(
@@ -175,7 +183,9 @@ def read_mv(mv_dir: str) -> ray.data.Dataset:
                 ]
             ).empty_table()
         )
-    parts = ray.data.read_parquet(files)
+    from datax_ray.state.fs import read_parquet_dataset
+
+    parts = read_parquet_dataset(files, pa.schema([]))
     return partial_agg(
         parts,
         keys=["conv_id"],

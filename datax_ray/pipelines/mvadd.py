@@ -48,21 +48,17 @@ N_BUCKETS = 64
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 _VIEW_SCHEMA = pa.schema(
@@ -133,7 +129,7 @@ class _BucketFolder:
         b = int(g["_b"][0].as_py())
         old_rel = self.old_files.get(str(b))
         if old_rel:
-            old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+            old = pq.read_table(__import__('datax_ray.state.fs', fromlist=['open_parquet']).open_parquet(os.path.join(self.mv_dir, old_rel)))
         else:
             old = _VIEW_SCHEMA.empty_table()
         merged = (
@@ -157,9 +153,10 @@ class _BucketFolder:
             "conv_id"
         )
         rel = f"b={b:04d}-e={self.to_epoch:06d}.parquet"
-        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        from datax_ray.state.fs import put_parquet
+
+        put_parquet(merged, os.path.join(self.mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -183,7 +180,10 @@ def refresh_mv_additive(
         raise ValueError(f"no committed lake at {lake_dir}")
     state = _load_state(mv_dir)
     applied = int(state.get("applied_epoch", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
 
     if rebuild:
         return _rebuild(lake_dir, mv_dir, committed)
@@ -238,9 +238,13 @@ def refresh_mv_additive(
     )
     # old bucket generations are unreferenced now
     live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-        if p not in live:
-            os.remove(p)
+    from datax_ray.state.fs import fs_for as _ff
+
+    for p in _ff(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (name.startswith("b=") and name.endswith(".parquet")
+                and p not in live):
+            _ff(mv_dir).delete(p)
     return {
         "applied_from": applied,
         "applied_to": committed,
@@ -270,8 +274,12 @@ def _rebuild(lake_dir: str, mv_dir: str, committed: int) -> dict:
         )
         return g.append_column("_b", _bucket_of(g["conv_id"].combine_chunks()))
 
-    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-        os.remove(p)
+    from datax_ray.state.fs import fs_for as _ff2
+
+    for p in _ff2(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if name.startswith("b=") and name.endswith(".parquet"):
+            _ff2(mv_dir).delete(p)
     lineage = (
         read_lake(lake_dir)
         .map_batches(partial, batch_format="pyarrow")
@@ -307,6 +315,6 @@ def read_mv_additive(mv_dir: str) -> ray.data.Dataset:
     files = [
         os.path.join(mv_dir, f) for f in sorted(state.get("buckets", {}).values())
     ]
-    if not files:
-        return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    from datax_ray.state.fs import read_parquet_dataset
+
+    return read_parquet_dataset(files, _VIEW_SCHEMA)

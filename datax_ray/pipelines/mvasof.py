@@ -59,21 +59,17 @@ _VIEW_SCHEMA = pa.schema(
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def _bucket_of(conv: pa.Array) -> pa.Array:
@@ -179,7 +175,7 @@ class _AsofBucketFolder:
             )
             old_rel = self.old_files.get(str(b))
             if old_rel:
-                old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+                old = pq.read_table(__import__('datax_ray.state.fs', fromlist=['open_parquet']).open_parquet(os.path.join(self.mv_dir, old_rel)))
                 old = old.filter(
                     pc.invert(pc.is_in(old["conv_id"], value_set=keys))
                 )
@@ -216,9 +212,10 @@ class _AsofBucketFolder:
                 }
             )
         rel = f"b={b:04d}-{self.suffix}.parquet"
-        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        from datax_ray.state.fs import put_parquet
+
+        put_parquet(merged, os.path.join(self.mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -284,7 +281,10 @@ def refresh_mv_asof(
     state = _load_state(mv_dir)
     applied_l = int(state.get("applied_left", -1))
     applied_r = int(state.get("applied_right", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
     suffix = f"l{head_l:06d}-r{head_r:06d}"
 
     if rebuild:
@@ -400,9 +400,13 @@ def _publish(
         },
     )
     live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-        if p not in live:
-            os.remove(p)
+    from datax_ray.state.fs import fs_for as _ff
+
+    for p in _ff(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (name.startswith("b=") and name.endswith(".parquet")
+                and p not in live):
+            _ff(mv_dir).delete(p)
     return {
         "applied_left": head_l,
         "applied_right": head_r,
@@ -418,6 +422,6 @@ def read_mv_asof(mv_dir: str) -> ray.data.Dataset:
         os.path.join(mv_dir, f)
         for f in sorted(state.get("buckets", {}).values())
     ]
-    if not files:
-        return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    from datax_ray.state.fs import read_parquet_dataset
+
+    return read_parquet_dataset(files, _VIEW_SCHEMA)

@@ -64,21 +64,17 @@ VIEW_SCHEMA = pa.schema(
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def _shard_of(group_val: pa.Array, bucket: pa.Array) -> pa.Array:
@@ -146,7 +142,7 @@ class _ShardFolder:
         shard = int(g["_shard"][0].as_py())
         old_rel = self.old_files.get(str(shard))
         if old_rel:
-            old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+            old = pq.read_table(__import__('datax_ray.state.fs', fromlist=['open_parquet']).open_parquet(os.path.join(self.mv_dir, old_rel)))
         else:
             old = VIEW_SCHEMA.empty_table()
         merged = (
@@ -171,9 +167,10 @@ class _ShardFolder:
             [("group_val", "ascending"), ("bucket", "ascending")]
         )
         rel = f"h={shard:04d}-e={self.to_epoch:06d}.parquet"
-        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        from datax_ray.state.fs import put_parquet
+
+        put_parquet(merged, os.path.join(self.mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),
@@ -229,7 +226,10 @@ def refresh_mv_hist(
     state = _load_state(mv_dir)
     gcol, width = _resolve_params(state, group_col, bucket_width)
     applied = int(state.get("applied_epoch", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
 
     if rebuild:
         return _rebuild(lake_dir, mv_dir, committed, gcol, width)
@@ -284,9 +284,13 @@ def _publish(
         },
     )
     live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "h=*.parquet")):
-        if p not in live:
-            os.remove(p)
+    from datax_ray.state.fs import fs_for as _ffc
+
+    for p in _ffc(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (name.startswith("h=") and name.endswith(".parquet")
+                and p not in live):
+            _ffc(mv_dir).delete(p)
     return {
         "applied_from": applied_from,
         "applied_to": committed,
@@ -302,8 +306,12 @@ def _rebuild(
     bootstrap), re-anchoring the watermark."""
     from datax_ray.sinks.lake import read_lake
 
-    for p in _glob.glob(os.path.join(mv_dir, "h=*.parquet")):
-        os.remove(p)
+    from datax_ray.state.fs import fs_for as _ffr
+
+    for p in _ffr(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if name.startswith("h=") and name.endswith(".parquet"):
+            _ffr(mv_dir).delete(p)
     lineage = (
         read_lake(lake_dir)
         .map_batches(
@@ -325,9 +333,9 @@ def read_mv_hist(mv_dir: str) -> ray.data.Dataset:
     files = [
         os.path.join(mv_dir, f) for f in sorted(state.get("shards", {}).values())
     ]
-    if not files:
-        return ray.data.from_arrow(VIEW_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    from datax_ray.state.fs import read_parquet_dataset
+
+    return read_parquet_dataset(files, VIEW_SCHEMA)
 
 
 def hist_quantiles(mv_dir: str, qs: list[float]) -> pa.Table:

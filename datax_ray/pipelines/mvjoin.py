@@ -56,21 +56,17 @@ DEFAULT_RIGHT_COLS = ("text",)
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def _view_schema(
@@ -147,7 +143,7 @@ class _JoinBucketFolder:
             )
             old_rel = self.old_files.get(str(b))
             if old_rel:
-                old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+                old = pq.read_table(__import__('datax_ray.state.fs', fromlist=['open_parquet']).open_parquet(os.path.join(self.mv_dir, old_rel)))
                 old = old.filter(
                     pc.invert(pc.is_in(old["conv_id"], value_set=keys))
                 )
@@ -173,9 +169,10 @@ class _JoinBucketFolder:
                 }
             )
         rel = f"b={b:04d}-{self.suffix}.parquet"
-        tmp = os.path.join(self.mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(self.mv_dir, rel))
+        from datax_ray.state.fs import put_parquet
+
+        put_parquet(merged, os.path.join(self.mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -224,12 +221,19 @@ def refresh_mv_join(
     state = _load_state(mv_dir)
     applied_l = int(state.get("applied_left", -1))
     applied_r = int(state.get("applied_right", -1))
-    os.makedirs(mv_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(mv_dir):
+        os.makedirs(mv_dir, exist_ok=True)
     suffix = f"l{head_l:06d}-r{head_r:06d}"
 
     if rebuild:
-        for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-            os.remove(p)
+        from datax_ray.state.fs import fs_for as _ffr
+
+        for p in _ffr(mv_dir).list_prefix(mv_dir):
+            name = os.path.basename(p)
+            if name.startswith("b=") and name.endswith(".parquet"):
+                _ffr(mv_dir).delete(p)
         parts = [
             _make_tagged_reader(view_json, 1, "left", left_cols)(
                 read_lake(left_lake, as_of_epoch=head_l)
@@ -376,9 +380,13 @@ def _publish(
         },
     )
     live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "b=*.parquet")):
-        if p not in live:
-            os.remove(p)
+    from datax_ray.state.fs import fs_for as _ff
+
+    for p in _ff(mv_dir).list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (name.startswith("b=") and name.endswith(".parquet")
+                and p not in live):
+            _ff(mv_dir).delete(p)
     return {
         "applied_left": head_l,
         "applied_right": head_r,
@@ -396,4 +404,6 @@ def read_mv_join(mv_dir: str) -> ray.data.Dataset:
     ]
     if not files:
         return ray.data.from_items([])
-    return ray.data.read_parquet(files)
+    from datax_ray.state.fs import read_parquet_dataset
+
+    return read_parquet_dataset(files, pa.schema([]))

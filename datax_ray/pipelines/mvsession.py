@@ -385,25 +385,11 @@ def _publish(
 
 def read_mv_session(mv_dir: str) -> ray.data.Dataset:
     """The session view as a Dataset — buckets are disjoint and final."""
-    from datax_ray.state.fs import is_remote, open_parquet
+    from datax_ray.state.fs import read_parquet_dataset
 
     state = _load_state(mv_dir)
     files = [
         os.path.join(mv_dir, f)
         for f in sorted(state.get("buckets", {}).values())
     ]
-    if not files:
-        return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
-    if not is_remote(mv_dir):
-        return ray.data.read_parquet(files)
-
-    def rd(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        return pa.concat_tables(
-            [pq.read_table(open_parquet(p)) for p in t["path"].to_pylist()]
-        )
-
-    return ray.data.from_items(
-        [{"path": f} for f in files], override_num_blocks=len(files)
-    ).map_batches(rd, batch_format="pyarrow", batch_size=None)
+    return read_parquet_dataset(files, _VIEW_SCHEMA)

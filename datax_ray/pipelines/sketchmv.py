@@ -45,19 +45,17 @@ def _fingerprint(files: list[str]) -> str:
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, os.path.join(d, _STATE))
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
 
 
 def conv_registers(conv: pa.Array, p: int = 9) -> pa.Table:
@@ -123,10 +121,10 @@ class _RangeSketcher:
             files = json.loads(files_json)
             live = _merge_read_range(self.lake_dir, files, self.schema_json, False)
             regs = conv_registers(live["conv_id"], p=self.p)
-            path = os.path.join(self.sketch_dir, f"r={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(regs, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, path)
+            from datax_ray.state.fs import put_parquet
+
+            put_parquet(regs, os.path.join(self.sketch_dir, f"r={rid:05d}.parquet"),
+                        compression="zstd", compression_level=1)
             out.append((int(rid), regs.num_rows))
         return pa.table(
             {
@@ -160,7 +158,10 @@ def refresh_sketch(lake_dir: str, sketch_dir: str,
                 "register sizes)"
             )
         p = int(state.get("_p", 9))
-    os.makedirs(sketch_dir, exist_ok=True)
+    from datax_ray.state.fs import is_remote as _is_remote
+
+    if not _is_remote(sketch_dir):
+        os.makedirs(sketch_dir, exist_ok=True)
 
     todo, skipped = [], 0
     new_state: dict[str, str | int] = {"_p": p}
@@ -168,19 +169,26 @@ def refresh_sketch(lake_dir: str, sketch_dir: str,
         rid = int(part["range_id"])
         fp = _fingerprint(part["files"]) + f":p={p}"
         new_state[str(rid)] = fp
-        if state.get(str(rid)) == fp and os.path.exists(
+        from datax_ray.state.fs import fs_for as _ffe
+
+        if state.get(str(rid)) == fp and _ffe(sketch_dir).exists(
             os.path.join(sketch_dir, f"r={rid:05d}.parquet")
         ):
             skipped += 1
         else:
             todo.append({"range_id": rid, "files": json.dumps(part["files"])})
 
+    from datax_ray.state.fs import fs_for as _ff
+
     removed = 0
     live_rids = {int(part["range_id"]) for part in parts}
-    for path in _glob.glob(os.path.join(sketch_dir, "r=*.parquet")):
-        rid = int(os.path.basename(path)[2:-8])
+    for path in _ff(sketch_dir).list_prefix(sketch_dir):
+        name = os.path.basename(path)
+        if not (name.startswith("r=") and name.endswith(".parquet")):
+            continue
+        rid = int(name[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            _ff(sketch_dir).delete(path)
             removed += 1
 
     if todo:
@@ -199,14 +207,20 @@ def read_sketch(sketch_dir: str) -> ray.data.Dataset:
     """Folded registers as a Dataset: per-range partials union by MAX."""
     from datax_ray.functions.relational import partial_agg
 
-    files = sorted(_glob.glob(os.path.join(sketch_dir, "r=*.parquet")))
+    from datax_ray.state.fs import fs_for as _ffr, read_parquet_dataset
+
+    files = sorted(
+        p for p in _ffr(sketch_dir).list_prefix(sketch_dir)
+        if os.path.basename(p).startswith("r=")
+        and p.endswith(".parquet")
+    )
     if not files:
         return ray.data.from_arrow(
             pa.table(
                 {"bucket": pa.array([], pa.int64()), "max_rho": pa.array([], pa.int64())}
             )
         )
-    ds = ray.data.read_parquet(files)
+    ds = read_parquet_dataset(files, pa.schema([]))
     return partial_agg(
         ds.map_batches(
             lambda t: t.rename_columns(["bucket", "rho"]), batch_format="pyarrow"

@@ -360,3 +360,28 @@ def put_parquet(table, path: str, **write_kw) -> int:
 def open_parquet(path: str):
     """pq.read_table-able handle through the storage contract."""
     return fs_for(path).open_input(path)
+
+
+def read_parquet_dataset(files: list[str], empty_schema: "pa.Schema"):
+    """A Dataset over parquet artifact files through the storage contract:
+    ray.data.read_parquet on local paths (row-group splitting), a
+    from_items→fs-read map chain on remote schemes."""
+    import ray.data
+
+    if not files:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    if not is_remote(files[0]):
+        return ray.data.read_parquet(files)
+
+    def rd(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        return pa.concat_tables(
+            [pq.read_table(fs_for(p).open_input(p))
+             for p in t["path"].to_pylist()],
+            promote_options="permissive",
+        )
+
+    return ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    ).map_batches(rd, batch_format="pyarrow", batch_size=None)

@@ -329,3 +329,32 @@ def test_mv_artifact_on_objstore(obj_lake, tmp_path):
     a2 = read_mv_session(mv_obj).take_all()
     b2 = read_mv_session(mv_loc).take_all()
     assert sorted(a2, key=key) == sorted(b2, key=key)
+
+
+def test_mv_family_artifacts_on_objstore(obj_lake, tmp_path):
+    """The converted artifact family (recompute MV, additive MV, dup-hash
+    index, HLL sketch) each maintain + read their artifacts entirely on
+    obj:// and agree with the local-FS artifact of the same lake."""
+    from datax_ray.pipelines.dedupscan import duplicate_groups, refresh_dedup_index
+    from datax_ray.pipelines.mv import read_mv, refresh_mv
+    from datax_ray.pipelines.mvadd import read_mv_additive, refresh_mv_additive
+    from datax_ray.pipelines.sketchmv import read_sketch, refresh_sketch
+
+    changes, chg, lake, cfg = obj_lake
+    for refresh, reader, name in (
+        (refresh_mv, read_mv, "mv"),
+        (refresh_mv_additive, read_mv_additive, "mvadd"),
+        (refresh_dedup_index, lambda d: duplicate_groups(d), "dupidx"),
+        (refresh_sketch, read_sketch, "sketch"),
+    ):
+        obj_dir = _obj(tmp_path, f"a_{name}")
+        loc_dir = str(tmp_path / f"a_{name}_loc")
+        refresh(lake, obj_dir)
+        refresh(lake, loc_dir)
+        a = sorted(map(tuple, (r.values() for r in reader(obj_dir).take_all())))
+        b = sorted(map(tuple, (r.values() for r in reader(loc_dir).take_all())))
+        assert a == b, name
+        # incrementality: second refresh skips everything
+        r2 = refresh(lake, obj_dir)
+        assert r2.get("refreshed", 0) == 0 or r2.get("buckets_touched", 1) == 0, (
+            name, r2)
