@@ -574,6 +574,13 @@ def main(argv=None):
                     help="print the read PLAN only — per-tier pruning "
                     "counts (hash routing / Bloom / ts stats / value "
                     "index), files and estimated rows — no data reads")
+    lk.add_argument(
+        "--limit", type=int, default=1000,
+        help="max rows printed (default 1000; the JSON carries the TRUE "
+        "total row count). A broad predicate on a big lake would "
+        "otherwise materialize the whole result on the driver; pass "
+        "--limit 0 to explicitly dump everything",
+    )
     lk.add_argument("--num-cpus", type=int, default=None)
 
     ci = sub.add_parser(
@@ -1745,17 +1752,27 @@ def main(argv=None):
             print(json.dumps(src._explain, indent=1))
             ray.shutdown()
             return 0
-        rows = []
+        rows, total = [], 0
         if src._parts:
-            t = read_lake(
+            ds = read_lake(
                 a.lake, as_of_epoch=a.as_of_epoch, conv_ids=a.conv, min_ts=a.min_ts,
                 where=where, where_index_dir=a.value_idx,
-            ).sort(["conv_id", "turn_idx"]).take_all()
+            ).sort(["conv_id", "turn_idx"])
+            # bounded driver materialization: only --limit rows cross to
+            # the driver (--limit 0 = explicit full dump); the true total
+            # is a distributed count
+            if a.limit and a.limit > 0:
+                total = ds.count()
+                t = ds.limit(a.limit).take_all()
+            else:
+                t = ds.take_all()
+                total = len(t)
             rows = [
                 {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.items()}
                 for r in t
             ]
-        print(json.dumps({"ranges_read": len(src._parts), "rows": rows}))
+        print(json.dumps({"ranges_read": len(src._parts), "rows": rows,
+                          "total_rows": total, "shown": len(rows)}))
         ray.shutdown()
         return 0
 

@@ -22,11 +22,12 @@ make the files data-sized — use the text inverted index for those.
 
 Seventh member of the incremental-artifact family (stats MV, text index,
 IVF vectors, dup-hash index, HLL register MV, near-dup shingle index).
+Storage goes through the state/fs.py contract, so the index directory may
+live on an object store (obj://, s3://) alongside the lake.
 """
 
 from __future__ import annotations
 
-import glob as _glob
 import json
 import os
 
@@ -52,9 +53,8 @@ class _RangeValueIndexer:
         self.schema_json = schema_json
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         from datax_ray.sinks.lake import _merge_read_range
+        from datax_ray.state.fs import put_parquet
 
         out_rows = []
         for rid, files_json in zip(
@@ -64,10 +64,10 @@ class _RangeValueIndexer:
             live = _merge_read_range(self.lake_dir, files, self.schema_json, False)
             vals = pc.unique(live[self.column].combine_chunks())
             out = pa.table({"value": vals.sort()})
-            path = os.path.join(self.idx_dir, f"r={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(out, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, path)
+            put_parquet(
+                out, os.path.join(self.idx_dir, f"r={rid:05d}.parquet"),
+                compression="zstd", compression_level=1,
+            )
             out_rows.append((int(rid), out.num_rows))
         return pa.table(
             {
@@ -99,7 +99,9 @@ def refresh_value_index(lake_dir: str, idx_dir: str, column: str) -> dict:
         )
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
-    os.makedirs(idx_dir, exist_ok=True)
+    from datax_ray.state.fs import fs_for
+
+    fs = fs_for(idx_dir)
 
     fps = state.get("ranges", {})
     todo, skipped = [], 0
@@ -108,7 +110,7 @@ def refresh_value_index(lake_dir: str, idx_dir: str, column: str) -> dict:
         rid = int(p["range_id"])
         fp = _fingerprint(p["files"])
         new_fps[str(rid)] = fp
-        if fps.get(str(rid)) == fp and os.path.exists(
+        if fps.get(str(rid)) == fp and fs.exists(
             os.path.join(idx_dir, f"r={rid:05d}.parquet")
         ):
             skipped += 1
@@ -127,14 +129,17 @@ def refresh_value_index(lake_dir: str, idx_dir: str, column: str) -> dict:
             batch_size=None,
         ).materialize()
 
-    # drop value files for ranges no longer in the live plan (disk scan,
+    # drop value files for ranges no longer in the live plan (store scan,
     # not state — a crashed refresh can leave unrecorded partials)
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    for path in _glob.glob(os.path.join(idx_dir, "r=*.parquet")):
-        rid = int(os.path.basename(path)[2:-8])
+    for path in fs.list_prefix(idx_dir):
+        name = os.path.basename(path)
+        if not (name.startswith("r=") and name.endswith(".parquet")):
+            continue
+        rid = int(name[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            fs.delete(path)
             removed += 1
 
     _save_state(idx_dir, {"column": column, "ranges": new_fps})
@@ -157,22 +162,25 @@ def value_index_rids(
     degrades to no-pruning, never to wrong results."""
     import pyarrow.parquet as pq
 
+    from datax_ray.state.fs import fs_for, open_parquet
+
     state = _load_state(idx_dir)
     column = state.get("column")
     if column is None or column not in where:
         return None
     want = where[column]
     fps = state.get("ranges", {})
+    fs = fs_for(idx_dir)
     keep: set[int] = set()
     for p in parts:
         rid = int(p["range_id"])
         path = os.path.join(idx_dir, f"r={rid:05d}.parquet")
-        if fps.get(str(rid)) != _fingerprint(p["files"]) or not os.path.exists(
+        if fps.get(str(rid)) != _fingerprint(p["files"]) or not fs.exists(
             path
         ):
             keep.add(rid)  # stale or unindexed: never prune
             continue
-        vals = pq.read_table(path)["value"]
+        vals = pq.read_table(open_parquet(path))["value"]
         if want is None:
             if vals.null_count > 0:
                 keep.add(rid)

@@ -19,9 +19,12 @@ at two levels before touching data:
 
 This is the engine's "shared index" capability expressed WITHOUT a shared
 mutable actor: the index is just more range-partitioned parquet + the
-manifest fingerprint, so it inherits atomicity (tmp+rename per range),
-idempotent retries, and crash-resume for free — the same reasons the lake
-itself needs no coordination service.
+manifest fingerprint, so it inherits atomicity (atomic full-object put per
+range through the state/fs.py storage contract), idempotent retries, and
+crash-resume for free — the same reasons the lake itself needs no
+coordination service. Like the lake and the MV family, the index directory
+may live on an object store (`obj://...`, `s3://...`): every read/write/
+list/delete below goes through `state/fs.py`, never raw POSIX.
 """
 
 from __future__ import annotations
@@ -58,9 +61,8 @@ class _RangeIndexer:
         self.schema_json = schema_json
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         from datax_ray.sinks.lake import _merge_read_range
+        from datax_ray.state.fs import put_parquet
 
         out_rows = []
         for rid, files_json in zip(
@@ -97,13 +99,12 @@ class _RangeIndexer:
                           ("turn_idx", "ascending")])
                 .cast(POSTINGS_SCHEMA)
             )
-            path = os.path.join(self.idx_dir, f"r={rid:05d}.parquet")
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(
-                postings, tmp, compression="zstd", compression_level=1,
+            put_parquet(
+                postings,
+                os.path.join(self.idx_dir, f"r={rid:05d}.parquet"),
+                compression="zstd", compression_level=1,
                 row_group_size=16384,
             )
-            os.replace(tmp, path)
             out_rows.append((int(rid), postings.num_rows))
         return pa.table(
             {
@@ -119,12 +120,13 @@ def refresh_index(lake_dir: str, idx_dir: str) -> dict:
     {"refreshed": n, "skipped": n, "removed": n}."""
     from datax_ray.schemas import schema_to_json
     from datax_ray.sinks.lake import _range_plan, lake_schema
+    from datax_ray.state.fs import fs_for
     from datax_ray.state.manifest import Manifest
 
     m = Manifest(lake_dir)
     parts = _range_plan(lake_dir, m)
     state = _load_state(idx_dir)
-    os.makedirs(idx_dir, exist_ok=True)
+    fs = fs_for(idx_dir)
 
     todo, skipped = [], 0
     new_state: dict[str, str] = {}
@@ -132,24 +134,22 @@ def refresh_index(lake_dir: str, idx_dir: str) -> dict:
         rid = int(p["range_id"])
         fp = _fingerprint(p["files"])
         new_state[str(rid)] = fp
-        if state.get(str(rid)) == fp and os.path.exists(
+        if state.get(str(rid)) == fp and fs.exists(
             os.path.join(idx_dir, f"r={rid:05d}.parquet")
         ):
             skipped += 1
         else:
             todo.append({"range_id": rid, "files": json.dumps(p["files"])})
 
-    # Disk-scan cleanup (not state-dict): a crashed refresh can leave a
-    # postings file never recorded in state; search globs the disk, so a
+    # Store-scan cleanup (not state-dict): a crashed refresh can leave a
+    # postings file never recorded in state; search lists the store, so a
     # stale orphan would keep serving purged/vanished rows forever.
     removed = 0
     live_rids = {int(p["range_id"]) for p in parts}
-    import glob as _glob
-
-    for path in _glob.glob(os.path.join(idx_dir, "r=*.parquet")):
+    for path in _postings_files(idx_dir):
         rid = int(os.path.basename(path)[2:-8])
         if rid not in live_rids:
-            os.remove(path)
+            fs.delete(path)
             removed += 1
 
     if todo:
@@ -163,6 +163,16 @@ def refresh_index(lake_dir: str, idx_dir: str) -> dict:
     return {"refreshed": len(todo), "skipped": skipped, "removed": removed}
 
 
+def _postings_files(idx_dir: str) -> list[str]:
+    """Live postings paths via the storage contract (works on obj://)."""
+    from datax_ray.state.fs import fs_for
+
+    return [
+        p for p in fs_for(idx_dir).list_prefix(idx_dir)
+        if os.path.basename(p).startswith("r=") and p.endswith(".parquet")
+    ]
+
+
 def search_index(
     idx_dir: str, terms: list[str], mode: str = "any"
 ) -> ray.data.Dataset:
@@ -170,11 +180,13 @@ def search_index(
     (term, conv_id, turn_idx) for any query term. mode="all": turns
     containing ALL query terms (conv_id, turn_idx only) — the AND fold
     is a distinct-term count per turn, shuffled by coarse key hash,
-    never the corpus. Row-group statistics on the term-sorted postings
-    files prune non-matching row groups before decompression."""
-    import glob
+    never the corpus. On local paths, row-group statistics on the
+    term-sorted postings files prune non-matching row groups before
+    decompression (filter pushdown); on remote schemes the filter runs
+    per batch after the contract read (still one task per range file)."""
+    from datax_ray.state.fs import is_remote, read_parquet_dataset
 
-    files = sorted(glob.glob(os.path.join(idx_dir, "r=*.parquet")))
+    files = _postings_files(idx_dir)
     if not files:
         if mode == "any":
             return ray.data.from_arrow(POSTINGS_SCHEMA.empty_table())
@@ -183,9 +195,16 @@ def search_index(
                 [("conv_id", pa.string()), ("turn_idx", pa.int32())]
             ).empty_table()
         )
-    hits = ray.data.read_parquet(
-        files, filter=pc.field("term").isin(list(terms))
-    )
+    if is_remote(files[0]):
+        term_set = pa.array(sorted(set(terms)), pa.string())
+        hits = read_parquet_dataset(files, POSTINGS_SCHEMA).map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], value_set=term_set)),
+            batch_format="pyarrow",
+        )
+    else:
+        hits = ray.data.read_parquet(
+            files, filter=pc.field("term").isin(list(terms))
+        )
     if mode == "any":
         return hits
 

@@ -36,9 +36,10 @@ Storage/publish protocol is mvadd's: window-bucket files
 contiguous windows spread round-robin) + late files
 `late-b=NNNN-e=EEEEEE.parquet`, all named by the TARGET epoch and derived
 deterministically from (old file content + order-independent delta sums),
-so a crashed refresh retries to identical bytes; ONE atomic
-`_mvwindow_state.json` replace publishes. Untouched buckets keep their old
-generation file — zero reads, zero writes.
+so a crashed refresh retries to identical bytes; ONE atomic full-object
+put of `_mvwindow_state.json` publishes (state/fs.py storage contract —
+the view directory may live on an object store). Untouched buckets keep
+their old generation file — zero reads, zero writes.
 
 Availability is bounded by manifest retention like any feed consumer; past
 it, `rebuild=True` recomputes the view from one streaming pass of the live
@@ -49,8 +50,6 @@ from a snapshot, which is the honest Delta/Hudi behavior too).
 
 from __future__ import annotations
 
-import glob as _glob
-import json
 import os
 
 import numpy as np
@@ -88,21 +87,36 @@ _LATE_SCHEMA = pa.schema(
 
 
 def _load_state(d: str) -> dict:
-    try:
-        with open(os.path.join(d, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(d, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(d: str, state: dict) -> None:
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, _STATE))
+    # ONE atomic full-object put is the publish point (state/fs.py
+    # storage contract — the view directory may live on an object store)
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(d, _STATE)
+    fs_for(p).put(p, json_bytes(state))
+
+
+def _sweep_stale(mv_dir: str, live_rels: set[str]) -> None:
+    """Drop generation / side-output files the published state no longer
+    references — store scan through the contract, delete is idempotent."""
+    from datax_ray.state.fs import fs_for
+
+    fs = fs_for(mv_dir)
+    live = {os.path.join(mv_dir, f) for f in live_rels}
+    for p in fs.list_prefix(mv_dir):
+        name = os.path.basename(p)
+        if (
+            (name.startswith("w=") or name.startswith("late-"))
+            and name.endswith(".parquet")
+            and p not in live
+        ):
+            fs.delete(p)
 
 
 def _role_col(t: pa.Table) -> pa.ChunkedArray | pa.Array:
@@ -276,11 +290,15 @@ class _WindowBucketFolder:
         on = g.filter(pc.invert(late_mask))
         late = g.filter(late_mask)
 
+        from datax_ray.state.fs import open_parquet, put_parquet
+
         view_rel = ""
         if on.num_rows:
             old_rel = self.old_files.get(str(b))
             if old_rel:
-                old = pq.read_table(os.path.join(self.mv_dir, old_rel))
+                old = pq.read_table(
+                    open_parquet(os.path.join(self.mv_dir, old_rel))
+                )
             else:
                 old = _VIEW_SCHEMA.empty_table()
             merged = (
@@ -310,9 +328,8 @@ class _WindowBucketFolder:
                 )
             ).sort_by([("window_start", "ascending"), ("role", "ascending")])
             view_rel = f"w={b:04d}-e={self.to_epoch:06d}{self.suffix}.parquet"
-            tmp = os.path.join(self.mv_dir, view_rel + f".tmp.{os.getpid()}")
-            pq.write_table(merged, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, os.path.join(self.mv_dir, view_rel))
+            put_parquet(merged, os.path.join(self.mv_dir, view_rel),
+                        compression="zstd", compression_level=1)
             n_view = merged.num_rows
         else:
             n_view = -1  # bucket untouched: keep old generation
@@ -341,9 +358,8 @@ class _WindowBucketFolder:
             ).sort_by([("_lsn", "ascending"), ("_change_type", "ascending")])
             # chars column stores |dchars| (sign folded out) for readability
             late_rel = f"late-b={b:04d}-e={self.to_epoch:06d}{self.suffix}.parquet"
-            tmp = os.path.join(self.mv_dir, late_rel + f".tmp.{os.getpid()}")
-            pq.write_table(lt, tmp, compression="zstd", compression_level=1)
-            os.replace(tmp, os.path.join(self.mv_dir, late_rel))
+            put_parquet(lt, os.path.join(self.mv_dir, late_rel),
+                        compression="zstd", compression_level=1)
 
         return pa.table(
             {
@@ -433,7 +449,6 @@ def refresh_mv_window(
             f"({hop_s})"
         )
     applied = int(state.get("applied_epoch", -1))
-    os.makedirs(mv_dir, exist_ok=True)
 
     if rebuild:
         return _rebuild(lake_dir, mv_dir, committed, window_s, lateness_s,
@@ -523,13 +538,7 @@ def refresh_mv_window(
             "late_rows": int(state.get("late_rows", 0)) + new_late,
         },
     )
-    live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    live |= {os.path.join(mv_dir, f) for f in late_files}
-    for p in _glob.glob(os.path.join(mv_dir, "w=*.parquet")) + _glob.glob(
-        os.path.join(mv_dir, "late-*.parquet")
-    ):
-        if p not in live:
-            os.remove(p)
+    _sweep_stale(mv_dir, set(new_files.values()) | set(late_files))
     return {
         "applied_from": applied,
         "applied_to": committed,
@@ -629,12 +638,11 @@ def _rebuild(
                 "sum_chars": merged["sum_chars"],
             }
         ).sort_by([("window_start", "ascending"), ("role", "ascending")])
-        import pyarrow.parquet as pq
+        from datax_ray.state.fs import put_parquet
 
         rel = f"w={b:04d}-e={committed:06d}.parquet"
-        tmp = os.path.join(mv_dir, rel + f".tmp.{os.getpid()}")
-        pq.write_table(out, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, os.path.join(mv_dir, rel))
+        put_parquet(out, os.path.join(mv_dir, rel),
+                    compression="zstd", compression_level=1)
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -681,12 +689,7 @@ def _rebuild(
             "late_rows": 0,
         },
     )
-    live = {os.path.join(mv_dir, f) for f in files.values()}
-    for p in _glob.glob(os.path.join(mv_dir, "w=*.parquet")) + _glob.glob(
-        os.path.join(mv_dir, "late-*.parquet")
-    ):
-        if p not in live:
-            os.remove(p)
+    _sweep_stale(mv_dir, set(files.values()))
     return {
         "applied_from": -1,
         "applied_to": committed,
@@ -785,9 +788,13 @@ def admit_late_events(mv_dir: str) -> dict:
         )
         return pa.concat_tables([out_on, out_u])
 
+    from datax_ray.state.fs import read_parquet_dataset
+
     old_files = dict(state.get("buckets", {}))
     lineage = (
-        ray.data.read_parquet([os.path.join(mv_dir, f) for f in late_files])
+        read_parquet_dataset(
+            [os.path.join(mv_dir, f) for f in late_files], _LATE_SCHEMA
+        )
         .map_batches(to_partials, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(
@@ -821,30 +828,24 @@ def admit_late_events(mv_dir: str) -> dict:
             "late_rows": residual,
         },
     )
-    live = {os.path.join(mv_dir, f) for f in new_files.values()}
-    live |= {os.path.join(mv_dir, f) for f in residual_files}
-    for p in _glob.glob(os.path.join(mv_dir, "w=*.parquet")) + _glob.glob(
-        os.path.join(mv_dir, "late-*.parquet")
-    ):
-        if p not in live:
-            os.remove(p)
+    _sweep_stale(mv_dir, set(new_files.values()) | set(residual_files))
     return {"admitted": admitted, "cells": cells, "late_rows": residual}
 
 
 def read_mv_window(mv_dir: str) -> ray.data.Dataset:
     """The published view as a Dataset (window_start, role, n_turns,
     sum_chars) — reads only the state-referenced generation files."""
+    from datax_ray.state.fs import read_parquet_dataset
+
     state = _load_state(mv_dir)
     files = [os.path.join(mv_dir, f) for f in state.get("buckets", {}).values()]
-    if not files:
-        return ray.data.from_arrow(_VIEW_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    return read_parquet_dataset(files, _VIEW_SCHEMA)
 
 
 def read_mv_window_late(mv_dir: str) -> ray.data.Dataset:
     """The late-event side output (every delta the watermark froze out)."""
+    from datax_ray.state.fs import read_parquet_dataset
+
     state = _load_state(mv_dir)
     files = [os.path.join(mv_dir, f) for f in state.get("late_files", [])]
-    if not files:
-        return ray.data.from_arrow(_LATE_SCHEMA.empty_table())
-    return ray.data.read_parquet(files)
+    return read_parquet_dataset(files, _LATE_SCHEMA)

@@ -16,10 +16,13 @@ Layout under <idx_dir>:
   _vecindex_state.json       — fragment fingerprint -> refresh bookkeeping.
 
 Refresh rule (same shape as pipelines/index.py:refresh_index): a fragment
-is re-assigned ONLY when its fingerprint (file size, mtime, row-group id)
-changed; unchanged fragments cost zero reads. Each fragment task reads just
-its own row group and writes tmp+rename, so retries are idempotent and a
-crashed refresh resumes where it stopped.
+is re-assigned ONLY when its fingerprint (file size, mtime, row-group id;
+size+rows on remote stores, which expose no stable mtime) changed;
+unchanged fragments cost zero reads. Each fragment task reads just its own
+row group and atomically puts one object through the state/fs.py storage
+contract, so retries are idempotent, a crashed refresh resumes where it
+stopped, and both the index dir and the source may live on an object store
+(obj://, s3://).
 
 At 100 TB this is the path that keeps ANN usable: the quantizer is O(lists ×
 dim), the per-fragment posting files refresh independently (embarrassingly
@@ -42,49 +45,84 @@ import ray.data
 
 _STATE = "_vecindex_state.json"
 
+_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("list_id", pa.int32()),
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float64())),
+    ]
+)
+
+
+def _posting_files(idx_dir: str) -> list[str]:
+    """Live posting-file paths via the storage contract (obj://-safe)."""
+    from datax_ray.state.fs import fs_for
+
+    return [
+        p for p in fs_for(idx_dir).list_prefix(idx_dir)
+        if os.path.basename(p).startswith("g=") and p.endswith(".parquet")
+    ]
+
 
 def _load_state(idx_dir: str) -> dict:
-    try:
-        with open(os.path.join(idx_dir, _STATE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    from datax_ray.state.fs import fs_for, read_json
+
+    p = os.path.join(idx_dir, _STATE)
+    return read_json(p) if fs_for(p).exists(p) else {}
 
 
 def _save_state(idx_dir: str, state: dict) -> None:
-    os.makedirs(idx_dir, exist_ok=True)
-    tmp = os.path.join(idx_dir, f"{_STATE}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, os.path.join(idx_dir, _STATE))
+    # atomic full-object put (state/fs.py storage contract)
+    from datax_ray.state.fs import fs_for, json_bytes
+
+    p = os.path.join(idx_dir, _STATE)
+    fs_for(p).put(p, json_bytes(state))
+
+
+def _source_paths(src: str) -> list[str]:
+    """Parquet file paths of the source (file or directory of files),
+    through the storage contract on remote schemes."""
+    from datax_ray.state.fs import canon_path, fs_for, is_remote
+
+    if not is_remote(src) and not os.path.isdir(src):
+        return [canon_path(src)]
+    if is_remote(src) and src.endswith(".parquet"):
+        return [src]
+    return sorted(
+        canon_path(p)
+        for p in fs_for(src).list_prefix(src)
+        if p.endswith(".parquet")
+    )
 
 
 def _source_fragments(src: str) -> list[dict]:
     """One fragment per parquet ROW GROUP of the source (file or directory
-    of files): the refresh / retry / resume unit."""
-    import glob
-
+    of files): the refresh / retry / resume unit. Local fingerprints carry
+    mtime; remote stores expose no stable mtime, so size + per-row-group
+    row count stands in (an in-place same-size rewrite is not an expected
+    object-store mutation — objects are immutable there)."""
     import pyarrow.parquet as pq
 
-    paths = (
-        sorted(glob.glob(os.path.join(src, "*.parquet")))
-        if os.path.isdir(src)
-        else [src]
-    )
+    from datax_ray.state.fs import fs_for, is_remote
+
     frags = []
-    for path in paths:
-        st = os.stat(path)
-        meta = pq.ParquetFile(path).metadata
+    for path in _source_paths(src):
+        if is_remote(path):
+            size = fs_for(path).size(path)
+            stamp = f"{size}"
+            meta = pq.ParquetFile(fs_for(path).open_input(path)).metadata
+        else:
+            st = os.stat(path)
+            stamp = f"{st.st_size}:{st.st_mtime_ns}"
+            meta = pq.ParquetFile(path).metadata
         for rg in range(meta.num_row_groups):
-            key = hashlib.md5(
-                f"{os.path.abspath(path)}:{rg}".encode()
-            ).hexdigest()[:16]
+            key = hashlib.md5(f"{path}:{rg}".encode()).hexdigest()[:16]
             frags.append(
                 {
                     "frag": key,
-                    "path": os.path.abspath(path),
+                    "path": path,
                     "rg": rg,
-                    "fp": f"{st.st_size}:{st.st_mtime_ns}:{rg}:{meta.row_group(rg).num_rows}",
+                    "fp": f"{stamp}:{rg}:{meta.row_group(rg).num_rows}",
                 }
             )
     return frags
@@ -105,13 +143,15 @@ class _FragIndexer:
         import pyarrow.parquet as pq
 
         from datax_ray.functions.similarity import IVFIndex, _as_matrix
+        from datax_ray.state.fs import fs_for, is_remote, put_parquet
 
         index = IVFIndex(ray.get(self.centroids_ref))
         out_f, out_r = [], []
         for frag, path, rg in zip(
             t["frag"].to_pylist(), t["path"].to_pylist(), t["rg"].to_pylist()
         ):
-            part = pq.ParquetFile(path).read_row_group(
+            handle = fs_for(path).open_input(path) if is_remote(path) else path
+            part = pq.ParquetFile(handle).read_row_group(
                 rg, columns=[self.id_col, self.vec_col]
             )
             mat = _as_matrix(part[self.vec_col]).astype(np.float64)
@@ -126,13 +166,11 @@ class _FragIndexer:
                     "embedding": pa.array(list(mat[order])),
                 }
             )
-            dest = os.path.join(self.idx_dir, f"g={frag}.parquet")
-            tmp = f"{dest}.tmp.{os.getpid()}"
-            pq.write_table(
-                postings, tmp, compression="zstd", compression_level=1,
+            put_parquet(
+                postings, os.path.join(self.idx_dir, f"g={frag}.parquet"),
+                compression="zstd", compression_level=1,
                 row_group_size=4096,
             )
-            os.replace(tmp, dest)
             out_f.append(frag)
             out_r.append(postings.num_rows)
         return pa.table(
@@ -143,11 +181,39 @@ class _FragIndexer:
 def _load_centroids(idx_dir: str) -> np.ndarray | None:
     import pyarrow.parquet as pq
 
+    from datax_ray.state.fs import fs_for, open_parquet
+
     path = os.path.join(idx_dir, "centroids.parquet")
-    if not os.path.exists(path):
+    if not fs_for(path).exists(path):
         return None
-    t = pq.read_table(path)
+    t = pq.read_table(open_parquet(path))
     return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)
+
+
+def _source_dataset(src: str, columns: list[str]) -> ray.data.Dataset:
+    """The source as a Dataset with column pruning: ray.data.read_parquet
+    on local paths; a contract-read map chain (one task per file) on
+    remote schemes."""
+    from datax_ray.state.fs import fs_for, is_remote
+
+    if not is_remote(src):
+        return ray.data.read_parquet(src, columns=columns)
+    paths = _source_paths(src)
+
+    def rd(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        return pa.concat_tables(
+            [
+                pq.read_table(fs_for(p).open_input(p), columns=columns)
+                for p in t["path"].to_pylist()
+            ],
+            promote_options="permissive",
+        )
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    ).map_batches(rd, batch_format="pyarrow", batch_size=None)
 
 
 def refresh_vector_index(
@@ -161,43 +227,39 @@ def refresh_vector_index(
     """Bring the IVF index up to the source's state; only fragments whose
     fingerprint changed are re-assigned. Returns {"refreshed", "skipped",
     "removed", "fitted"}."""
-    import glob
-
-    import pyarrow.parquet as pq
+    from datax_ray.state.fs import fs_for, put_parquet
 
     frags = _source_fragments(src)
     state = _load_state(idx_dir)
-    os.makedirs(idx_dir, exist_ok=True)
+    fs = fs_for(idx_dir)
 
     centroids = _load_centroids(idx_dir)
     fitted = False
     if centroids is None:
         from datax_ray.functions.similarity import ivf_fit
 
-        ds = ray.data.read_parquet(src, columns=[id_col, vec_col])
+        ds = _source_dataset(src, [id_col, vec_col])
         index = ivf_fit(
             ds, n_lists=n_lists, sample_size=sample_size,
             vec_col=vec_col, id_col=id_col,
         )
         centroids = index.centroids
-        tmp = os.path.join(idx_dir, f"centroids.parquet.tmp.{os.getpid()}")
-        pq.write_table(
+        put_parquet(
             pa.table(
                 {
                     "list_id": pa.array(range(len(centroids)), pa.int32()),
                     "centroid": pa.array(list(centroids)),
                 }
             ),
-            tmp,
+            os.path.join(idx_dir, "centroids.parquet"),
         )
-        os.replace(tmp, os.path.join(idx_dir, "centroids.parquet"))
         fitted = True
 
     todo, skipped = [], 0
     new_state: dict[str, str] = {}
     for f in frags:
         new_state[f["frag"]] = f["fp"]
-        if state.get(f["frag"]) == f["fp"] and os.path.exists(
+        if state.get(f["frag"]) == f["fp"] and fs.exists(
             os.path.join(idx_dir, f"g={f['frag']}.parquet")
         ):
             skipped += 1
@@ -206,10 +268,10 @@ def refresh_vector_index(
 
     removed = 0
     live = {f["frag"] for f in frags}
-    for path in glob.glob(os.path.join(idx_dir, "g=*.parquet")):
+    for path in _posting_files(idx_dir):
         frag = os.path.basename(path)[2:-8]
         if frag not in live:
-            os.remove(path)
+            fs.delete(path)
             removed += 1
 
     if todo:
@@ -236,17 +298,17 @@ def search_vector_index(
 ) -> ray.data.Dataset:
     """Approximate cosine top-k against the persisted index: probe each
     query's nprobe nearest lists, stream ONLY postings rows whose list_id
-    survives the pushed-down isin filter (row groups are list_id-sorted, so
-    pruning happens at parquet statistics level), partial top-k per batch,
-    one tiny final reduce."""
-    import glob
-
+    survives the isin filter (pushed down to parquet statistics on local
+    paths — row groups are list_id-sorted; applied per batch after the
+    contract read on remote schemes), partial top-k per batch, one tiny
+    final reduce."""
     from datax_ray.functions.similarity import (
         IVFIndex,
         _as_matrix,
         _topk_reduce,
         _unit,
     )
+    from datax_ray.state.fs import is_remote, read_parquet_dataset
 
     index = IVFIndex(_load_centroids(idx_dir))
     qunit = _unit(np.asarray(queries, dtype=np.float64))
@@ -255,16 +317,23 @@ def search_vector_index(
     probe_sets = [set(int(li) for li in row) for row in probes]
     q_ref = ray.put((qunit, probe_sets))
 
-    files = sorted(glob.glob(os.path.join(idx_dir, "g=*.parquet")))
+    files = _posting_files(idx_dir)
     out_schema = pa.schema(
         [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
     )
     if not files:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    hits = ray.data.read_parquet(
-        files, filter=pc.field("list_id").isin(wanted_lists)
-    )
+    if is_remote(files[0]):
+        want = pa.array(wanted_lists, pa.int32())
+        hits = read_parquet_dataset(files, _POSTINGS_SCHEMA).map_batches(
+            lambda t: t.filter(pc.is_in(t["list_id"], value_set=want)),
+            batch_format="pyarrow",
+        )
+    else:
+        hits = ray.data.read_parquet(
+            files, filter=pc.field("list_id").isin(wanted_lists)
+        )
 
     def partial_topk(t: pa.Table) -> pa.Table:
         q, psets = ray.get(q_ref)

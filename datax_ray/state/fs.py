@@ -42,10 +42,12 @@ Three backends, chosen by path scheme:
                        the client-visible API is the eight ops above.
   * <scheme>://     -> FsspecFS: deployment shim routing any other URL
                        (s3://, gcs://, hdfs://...) through fsspec when
-                       installed. `put_if_absent` is exists-then-put —
-                       real deployments must back it with the store's
-                       conditional-put header (subclass point, documented
-                       on the method).
+                       installed. `put_if_absent` is fsspec's ATOMIC
+                       `pipe_file(mode="create")` — s3fs backs it with
+                       S3 `If-None-Match: *`, gcsfs with
+                       `ifGenerationMatch=0`; only backends predating
+                       the `mode` parameter fall back to exists-then-put
+                       (documented on the method).
 
 All functions are module-level and stateless so they ship into Ray tasks
 as plain code — no filesystem handles cross process boundaries.
@@ -275,13 +277,28 @@ class FsspecFS:
             f.write(bytes(data))
 
     def put_if_absent(self, path: str, data) -> bool:
-        # NOT atomic here: real deployments must override with the
-        # store's conditional put (S3 `If-None-Match: *`,
-        # GCS `ifGenerationMatch=0`) — fsspec exposes no portable API
-        if self._fs.exists(path):
+        """ATOMIC conditional create via fsspec's portable API:
+        `pipe_file(path, value, mode="create")` raises FileExistsError
+        when the object already exists. Object-store backends implement
+        it with the store's native conditional-write header — s3fs sends
+        S3 `If-None-Match: *`, gcsfs sends `ifGenerationMatch=0` — so
+        the lake's exclusivity primitive is a single server-side
+        compare-and-create, never exists-then-put. Only a backend that
+        predates the `mode` parameter (TypeError below) degrades to the
+        racy exists-then-put fallback, and such a store should not host
+        a multi-writer lake."""
+        self._fs.makedirs(self._fs._parent(path), exist_ok=True)
+        try:
+            self._fs.pipe_file(path, bytes(data), mode="create")
+            return True
+        except FileExistsError:
             return False
-        self.put(path, data)
-        return True
+        except TypeError:
+            # pre-`mode` backend: documented non-atomic fallback
+            if self._fs.exists(path):
+                return False
+            self.put(path, data)
+            return True
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(path)

@@ -220,6 +220,9 @@ def test_lake_core_has_no_posix_primitives():
         "sinks/lake.py", "pipelines/clone.py", "pipelines/feed.py",
         "pipelines/fsck.py", "pipelines/purge.py", "pipelines/redrive.py",
         "pipelines/registry.py", "pipelines/status.py",
+        # round-5: the last four artifact kinds joined the contract
+        "pipelines/index.py", "pipelines/colindex.py",
+        "pipelines/vecindex.py", "pipelines/mvwindow.py",
     ]
     banned = ("os.rename(", "os.replace(", "os.link(", "glob.glob(",
               "_glob.glob(")
@@ -358,3 +361,251 @@ def test_mv_family_artifacts_on_objstore(obj_lake, tmp_path):
         r2 = refresh(lake, obj_dir)
         assert r2.get("refreshed", 0) == 0 or r2.get("buckets_touched", 1) == 0, (
             name, r2)
+
+
+def test_round5_artifacts_on_objstore(obj_lake, tmp_path):
+    """Round-5 contract completion: the text inverted index, value index
+    and windowed MV (the streaming surface) maintain + read entirely on
+    obj:// — state file, generation/posting publishes, stale-file sweeps —
+    and equal the local-FS artifact of the same lake, with fingerprint
+    incrementality intact."""
+    changes, chg, lake, cfg = obj_lake
+
+    # text inverted index
+    from datax_ray.pipelines.index import refresh_index, search_index
+
+    tio, til = _obj(tmp_path, "tidx"), str(tmp_path / "tidx_loc")
+    r1 = refresh_index(lake, tio)
+    refresh_index(lake, til)
+    assert r1["refreshed"] > 0
+    terms = ["quick", "lazy"]
+    for mode in ("any", "all"):
+        a = sorted(
+            tuple(r.values()) for r in search_index(tio, terms, mode).take_all()
+        )
+        b = sorted(
+            tuple(r.values()) for r in search_index(til, terms, mode).take_all()
+        )
+        assert a == b, mode
+    assert refresh_index(lake, tio)["refreshed"] == 0  # incremental
+
+    # value index: same pruning decision as the local index
+    from datax_ray.pipelines.colindex import (
+        refresh_value_index,
+        value_index_rids,
+    )
+    from datax_ray.sinks.lake import _range_plan
+
+    vio, vil = _obj(tmp_path, "vidx"), str(tmp_path / "vidx_loc")
+    refresh_value_index(lake, vio, "role")
+    refresh_value_index(lake, vil, "role")
+    parts = _range_plan(lake, Manifest(lake))
+    full = final_table(lake)
+    val = next(v for v in pc.unique(full["role"]).to_pylist() if v)
+    ko = value_index_rids(vio, parts, {"role": val})
+    kl = value_index_rids(vil, parts, {"role": val})
+    assert ko is not None and ko == kl
+    assert refresh_value_index(lake, vio, "role")["refreshed"] == 0
+
+    # windowed MV with a finite watermark (late side output lives on the
+    # store too)
+    from datax_ray.pipelines.mvwindow import (
+        read_mv_window,
+        read_mv_window_late,
+        refresh_mv_window,
+    )
+
+    wo, wl = _obj(tmp_path, "wmv"), str(tmp_path / "wmv_loc")
+    refresh_mv_window(lake, wo, window_s=2, lateness_s=1.0)
+    refresh_mv_window(lake, wl, window_s=2, lateness_s=1.0)
+    a = sorted(tuple(r.values()) for r in read_mv_window(wo).take_all())
+    b = sorted(tuple(r.values()) for r in read_mv_window(wl).take_all())
+    assert a == b and a
+    assert read_mv_window_late(wo).count() == read_mv_window_late(wl).count()
+    assert refresh_mv_window(lake, wo)["buckets_touched"] == 0
+
+    # incremental refresh across NEW epochs stays obj-native for all three
+    extra = gen_changes(3000, 80, seed=61)
+    extra = extra.set_column(
+        extra.column_names.index("lsn"), "lsn",
+        pc.add(extra["lsn"], 30_000_000),
+    )
+    write_segments(extra, chg, seg_rows=1500, start_seg=40)
+    replay(cfg)
+    assert refresh_index(lake, tio)["refreshed"] > 0
+    assert refresh_value_index(lake, vio, "role")["refreshed"] > 0
+    # the extra batch overlaps the already-watermarked time span, so its
+    # deltas may ALL freeze out as late rows — either way the refresh
+    # advances and the store holds the new generation/side-output objects
+    before_late = read_mv_window_late(wo).count()
+    rw = refresh_mv_window(lake, wo)
+    assert rw["applied_to"] > rw["applied_from"]
+    assert rw["buckets_touched"] > 0 or rw["late_rows"] > before_late
+    refresh_index(lake, til)
+    a = sorted(
+        tuple(r.values()) for r in search_index(tio, terms, "any").take_all()
+    )
+    b = sorted(
+        tuple(r.values()) for r in search_index(til, terms, "any").take_all()
+    )
+    assert a == b
+
+
+def test_vecindex_on_objstore(tmp_path, ray_session):
+    """IVF vector index with BOTH the source table and the index on
+    obj://: search equality vs the local-FS index of the same bytes, plus
+    fingerprint incrementality (remote fingerprints are size+rows-based)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from datax_ray.pipelines.vecindex import (
+        refresh_vector_index,
+        search_vector_index,
+    )
+    from datax_ray.state.fs import fs_for
+
+    src_loc = str(tmp_path / "emb.parquet")
+    import shutil
+
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", src_loc)
+    src_obj = _obj(tmp_path, "emb") + "/embeddings.parquet"
+    with open(src_loc, "rb") as f:
+        fs_for(src_obj).put(src_obj, f.read())
+
+    vio, vil = _obj(tmp_path, "vec"), str(tmp_path / "vec_loc")
+    r1 = refresh_vector_index(src_obj, vio, n_lists=8, sample_size=512)
+    refresh_vector_index(src_loc, vil, n_lists=8, sample_size=512)
+    assert r1["fitted"] and r1["refreshed"] >= 1
+
+    q = np.asarray(
+        pq.read_table(src_loc)["embedding"].to_pylist()[:3], dtype=np.float64
+    )
+    a = search_vector_index(vio, q, k=10, nprobe=4).take_all()
+    b = search_vector_index(vil, q, k=10, nprobe=4).take_all()
+    assert sorted(map(tuple, (r.values() for r in a))) == sorted(
+        map(tuple, (r.values() for r in b))
+    )
+    assert len(a) > 0
+
+    second = refresh_vector_index(src_obj, vio, n_lists=8, sample_size=512)
+    assert second["refreshed"] == 0 and not second["fitted"]
+
+
+class _CondStore(dict):
+    """Shared object map with an ATOMIC conditional create — stands in for
+    the store's server-side `If-None-Match: *` handling."""
+
+    def __init__(self):
+        import threading
+
+        super().__init__()
+        self.lock = threading.Lock()
+        self.exists_calls = 0
+
+    def create(self, key, value) -> None:
+        with self.lock:
+            if key in self:
+                raise FileExistsError(key)
+            self[key] = value
+
+
+def _make_racefs(store):
+    """A minimal fsspec filesystem whose ONLY safe exclusivity primitive
+    is pipe_file(mode="create"); its exists() is deliberately stale (lies
+    `False` once), modeling S3 list/HEAD eventual consistency — an
+    exists-then-put implementation WILL double-commit through it."""
+    from fsspec.spec import AbstractFileSystem
+
+    class RaceFS(AbstractFileSystem):
+        protocol = "racefs"
+
+        def pipe_file(self, path, value, mode="overwrite", **kw):
+            if mode == "create":
+                store.create(path, bytes(value))
+            else:
+                store[path] = bytes(value)
+
+        def exists(self, path, **kw):
+            store.exists_calls += 1
+            return False  # stale metadata: object may exist anyway
+
+        def cat_file(self, path, **kw):
+            return store[path]
+
+        def makedirs(self, path, exist_ok=False):
+            pass
+
+    return RaceFS()
+
+
+def test_fsspec_put_if_absent_is_atomic_conditional_create(monkeypatch):
+    """VERDICT r4 #2: FsspecFS.put_if_absent must be the store's atomic
+    conditional create (fsspec pipe_file(mode="create") → S3
+    `If-None-Match: *` / GCS `ifGenerationMatch=0`), NOT exists-then-put.
+    A racing second writer — or a stale exists() — must leave exactly one
+    winner and never overwrite the first commit."""
+    from datax_ray.state import fs as fsmod
+
+    store = _CondStore()
+    monkeypatch.setitem(fsmod._fsspec_cache, "racefs", None)
+    shim = fsmod.FsspecFS.__new__(fsmod.FsspecFS)
+    shim._fs = _make_racefs(store)
+    monkeypatch.setitem(fsmod._fsspec_cache, "racefs", shim)
+
+    path = "racefs://lake/_manifest/epoch-000007.json"
+    assert fsmod.fs_for(path) is shim
+
+    # race: N writers, one object, exactly one winner
+    import concurrent.futures as cf
+
+    payloads = [f'{{"writer": {i}}}'.encode() for i in range(8)]
+    with cf.ThreadPoolExecutor(8) as ex:
+        wins = list(ex.map(lambda p: shim.put_if_absent(path, p), payloads))
+    assert sum(wins) == 1
+    winner = payloads[wins.index(True)]
+    assert store[path] == winner
+
+    # stale-exists scenario: object present but exists() lies False —
+    # exists-then-put would return True and OVERWRITE; the conditional
+    # create loses correctly and the winning bytes survive
+    assert shim.put_if_absent(path, b"usurper") is False
+    assert store[path] == winner
+    # and the atomic path never consulted exists() at all
+    assert store.exists_calls == 0
+
+
+def test_fsspec_put_if_absent_legacy_fallback(monkeypatch):
+    """A backend predating pipe_file's `mode` parameter (TypeError) drops
+    to the documented exists-then-put fallback instead of failing."""
+    from datax_ray.state import fs as fsmod
+
+    objs = {}
+
+    class LegacyFS:
+        def pipe_file(self, path, value):  # no mode kwarg
+            objs[path] = bytes(value)
+
+        def exists(self, path):
+            return path in objs
+
+        def makedirs(self, path, exist_ok=False):
+            pass
+
+        def _parent(self, path):
+            return path.rsplit("/", 1)[0]
+
+        def open(self, path, mode):
+            import io
+
+            class W(io.BytesIO):
+                def __exit__(s, *a):
+                    objs[path] = s.getvalue()
+                    return False
+
+            return W()
+
+    shim = fsmod.FsspecFS.__new__(fsmod.FsspecFS)
+    shim._fs = LegacyFS()
+    assert shim.put_if_absent("legacy://a/b", b"x") is True
+    assert shim.put_if_absent("legacy://a/b", b"y") is False
+    assert objs["legacy://a/b"] == b"x"
