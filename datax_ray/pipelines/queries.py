@@ -348,6 +348,77 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM w WHERE rn = 1 AND op <> 'de
 """
 
 
+def cdc_broker_roundtrip(sf_dir: str):
+    """The envelope interop loop over the SECOND transport behind the
+    Consumer seam (sources/stream.py:FileBrokerConsumer): replay into
+    lake A -> export envelopes -> publish into a file-backed 2-PARTITION
+    topic keyed by conv_id (Kafka's per-key-order contract) -> one
+    consumer per partition spools through the SAME stream_consume loop
+    as the socket transport -> each partition replays as its own source
+    via multi-source replication -> the merged lake must equal the same
+    LWW oracle as the socket round-trip. Proves the consumer protocol is
+    transport-agnostic AND that key-partitioned consumption preserves
+    the per-key order LWW needs."""
+    import glob as _glob
+    import json as _json
+
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.feedout import export_change_feed_envelopes
+    from datax_ray.sinks.lake import final_table
+    from datax_ray.sources.envelope import envelopes_to_segments
+    from datax_ray.sources.stream import (
+        FileBroker,
+        FileBrokerConsumer,
+        stream_consume,
+    )
+
+    work = f"/tmp/datax_cdc_brokerrt/{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
+    spe = _derive_changes(sf_dir, work)
+    replay(ReplayConfig(
+        changes_dir=f"{work}/changes", lake_dir=f"{work}/lake",
+        num_partitions=16, segments_per_epoch=spe,
+    ))
+    export_change_feed_envelopes(f"{work}/lake", f"{work}/env", fmt="jsonl")
+
+    def window_key(p):
+        name = os.path.basename(p)
+        return (name.split("-e")[-1], name)
+
+    records = []
+    for p in sorted(_glob.glob(os.path.join(f"{work}/env", "env-*.jsonl")),
+                    key=window_key):
+        with open(p) as f:
+            records.extend(_json.loads(line) for line in f if line.strip())
+
+    def key(rec):
+        for side in ("after", "before"):
+            img = rec.get(side)
+            if isinstance(img, dict) and img.get("conv_id"):
+                return img["conv_id"]
+        return rec.get("conv_id", "")
+
+    broker = FileBroker(f"{work}/broker", partitions=2)
+    broker.publish(records, key=key)
+    broker.seal()
+
+    sources = {}
+    for p in range(2):
+        stream_consume(
+            FileBrokerConsumer(f"{work}/broker", partition=p),
+            f"{work}/spool{p}", batch_records=4000,
+        )
+        envelopes_to_segments(f"{work}/spool{p}", f"{work}/changes_p{p}")
+        sources[f"p{p}"] = f"{work}/changes_p{p}"
+    replay(ReplayConfig(
+        sources=sources, lake_dir=f"{work}/lake_rt", num_partitions=8,
+        segments_per_epoch=10**9,
+    ))
+    return final_table(f"{work}/lake_rt")
+
+
 def cdc_backfill_scrub(sf_dir: str):
     """Bulk UPDATE through the full engine, driver-verified
     (pipelines/backfill.py): replay the derived log, then retroactively
@@ -12385,6 +12456,7 @@ QUERIES = {
     "cdc_window_mv": cdc_window_mv,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_stream_roundtrip": cdc_stream_roundtrip,
+    "cdc_broker_roundtrip": cdc_broker_roundtrip,
     "cdc_backfill_scrub": cdc_backfill_scrub,
     "cdc_merge_into": cdc_merge_into,
     "cdc_branch_merge": cdc_branch_merge,
@@ -12611,6 +12683,7 @@ ORACLE_SQL = {
     "cdc_window_mv": CDC_WINDOW_MV_SQL,
     "cdc_envelope_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_stream_roundtrip": CDC_ENVELOPE_RT_SQL,
+    "cdc_broker_roundtrip": CDC_ENVELOPE_RT_SQL,
     "cdc_backfill_scrub": CDC_BACKFILL_SQL,
     "cdc_merge_into": CDC_MERGE_SQL,
     "cdc_branch_merge": CDC_REPLAY_SQL,

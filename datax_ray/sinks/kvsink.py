@@ -162,10 +162,19 @@ def mirror_to_kv(
     connection_factory: Callable,
     table: str,
     consumer: str | None = None,
+    concurrency: int = 1,
 ) -> dict:
     """Incremental exactly-once sync of the committed lake into a keyed
     store. Returns {"applied", "from_epoch", "to_epoch"}; a second call
-    with no new epochs applies nothing."""
+    with no new epochs applies nothing.
+
+    `concurrency` sizes the applier actor pool — the store's ingest
+    width. Any value is CORRECT regardless of how feed rows land on
+    appliers: every write is a conditional versioned upsert, so two
+    appliers racing the same key converge to the (ts, lsn) winner, the
+    same LWW the lake uses. Default 1 suits single-writer stores
+    (sqlite's default journal); a real KV store (or WAL-mode sqlite with
+    a busy timeout) raises this to its batch-RPC width."""
     from datax_ray.pipelines.feed import (
         commit_consumer,
         read_change_feed_consumer,
@@ -197,8 +206,7 @@ def mirror_to_kv(
         _KvApplier(connection_factory, table, [c for c, _ in payload]),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=1,  # sqlite is single-writer; a real KV store's batch
-        # RPC raises this to the store's ingest width
+        concurrency=max(1, int(concurrency)),
     ).take_all()
     applied = sum(int(r["applied"]) for r in counts)
     # ack AFTER the effects are durable: at-least-once + conditional

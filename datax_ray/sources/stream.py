@@ -34,6 +34,21 @@ reference `EnvelopeStreamServer` (a ~60-line threading TCP server with
 the same handshake) — tests drive the consumer against it over localhost
 including mid-stream disconnects; a real Kafka/Debezium bridge replaces
 the server, not the consumer.
+
+THE CONSUMER SEAM (round-4 review #8): the spool loop is written against
+a minimal Kafka-shaped `Consumer` protocol — seek(offset) / poll(max) /
+ack(offset) / close(), plus an `eof` flag for bounded streams — not
+against the socket. Two in-repo implementations prove the seam:
+
+  * `SocketConsumer` — the TCP resume-handshake transport above;
+  * `FileBrokerConsumer` — a file-backed partitioned topic
+    (`FileBroker`), one consumer per partition, offsets =
+    partition-local positions, exactly a Kafka topic on shared storage.
+
+A real Kafka client maps 1:1 (seek → Consumer.seek, poll → poll(),
+ack → commitSync, eof → end-offset watermark) and drops in without
+touching the spool/convert/replay chain. Both implementations run the
+full envelope round-trip in tests/test_stream.py.
 """
 
 from __future__ import annotations
@@ -61,18 +76,105 @@ def _spooled_next_seq(spool_dir: str) -> int:
     return hi + 1
 
 
+class SocketConsumer:
+    """The TCP resume-handshake transport behind the Consumer protocol.
+    poll() retries dropped connections internally (bounded budget) and
+    returns [] only at a bounded stream's end or when the budget is
+    spent; redelivered records pass through — the spool loop dedups by
+    expected seq. ack() is a no-op: the spool LISTING is the progress
+    truth (module docstring), the same reason a Kafka client would
+    commitSync here purely as an optimization."""
+
+    def __init__(self, addr: tuple[str, int], *, max_reconnects: int = 5,
+                 idle_timeout_s: float = 10.0):
+        self.addr = addr
+        self.eof = False
+        self._pos = 0
+        self._budget = max_reconnects
+        self._attempts = 0
+        self._timeout = idle_timeout_s
+        self._sock = None
+        self._reader = None
+
+    def seek(self, offset: int) -> None:
+        self._pos = offset
+        self._disconnect()
+
+    def ack(self, offset: int) -> None:
+        pass  # progress truth is the durable spool listing
+
+    def close(self) -> None:
+        self._disconnect()
+
+    def _disconnect(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        self._sock = None
+        self._reader = None
+
+    def _connect(self) -> None:
+        self._sock = socket.create_connection(self.addr, timeout=self._timeout)
+        self._sock.sendall(
+            (json.dumps({"resume_from": self._pos}) + "\n").encode()
+        )
+        self._reader = self._sock.makefile("r", encoding="utf-8")
+
+    def poll(self, max_records: int) -> list[tuple[int, dict]]:
+        out: list[tuple[int, dict]] = []
+        while not out and not self.eof and self._budget >= 0:
+            try:
+                if self._reader is None:
+                    self._connect()
+                for line in self._reader:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("eof"):
+                        self.eof = True
+                        break
+                    seq = int(rec.pop("_seq"))
+                    if seq >= self._pos:
+                        self._pos = seq + 1
+                    out.append((seq, rec))
+                    if len(out) >= max_records:
+                        return out
+                if not self.eof:  # server closed without eof: bounded retry
+                    self._disconnect()
+                    self._budget -= 1
+                    self._attempts += 1
+                    time.sleep(min(0.1 * self._attempts, 1.0))
+            except (ConnectionError, socket.timeout, OSError):
+                self._disconnect()
+                self._budget -= 1
+                self._attempts += 1
+                time.sleep(min(0.1 * self._attempts, 1.0))
+        return out
+
+
 def stream_consume(
-    addr: tuple[str, int],
+    source,
     spool_dir: str,
     *,
     batch_records: int = 2000,
     max_reconnects: int = 5,
     idle_timeout_s: float = 10.0,
 ) -> dict:
-    """Consume the envelope stream at `addr` into spooled window files
-    until the server signals eof (or closes with no more to say within
-    the reconnect budget). Returns {"records", "windows", "next_seq"}.
-    Safe to re-run any time: resumes after the last durable window."""
+    """Consume an envelope stream into spooled window files until the
+    source signals eof (or runs dry within its retry budget). `source` is
+    a `(host, port)` tuple (wrapped in a SocketConsumer) or any object
+    speaking the Consumer protocol (seek/poll/ack/close + `eof`).
+    Returns {"records", "windows", "next_seq"}. Safe to re-run any time:
+    resumes after the last durable window."""
+    own = isinstance(source, tuple)
+    consumer = (
+        SocketConsumer(source, max_reconnects=max_reconnects,
+                       idle_timeout_s=idle_timeout_s)
+        if own else source
+    )
     next_seq = _spooled_next_seq(spool_dir)
     buf: list[str] = []
     buf_lo = next_seq
@@ -93,59 +195,49 @@ def stream_consume(
         buf = []
         buf_lo = next_seq
 
-    eof = False
-    reconnects = 0
-    while not eof and reconnects <= max_reconnects:
-        try:
-            with socket.create_connection(addr, timeout=idle_timeout_s) as s:
-                s.sendall((json.dumps({"resume_from": next_seq + len(buf)})
-                           + "\n").encode())
-                f = s.makefile("r", encoding="utf-8")
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    if rec.get("eof"):
-                        eof = True
-                        break
-                    seq = int(rec.pop("_seq"))
-                    if seq < next_seq + len(buf):
-                        continue  # at-least-once redelivery: drop
-                    if seq > next_seq + len(buf):
-                        raise RuntimeError(
-                            f"stream gap: expected seq {next_seq + len(buf)}, "
-                            f"got {seq} — server must deliver contiguously "
-                            "from resume_from"
-                        )
-                    buf.append(json.dumps(rec, sort_keys=True))
-                    records += 1
-                    if len(buf) >= batch_records:
-                        flush()
-        except (ConnectionError, socket.timeout, OSError):
-            reconnects += 1
-            time.sleep(min(0.1 * reconnects, 1.0))
-            continue
-        if not eof:
-            reconnects += 1  # server closed without eof: bounded retry
-    flush()
+    try:
+        consumer.seek(next_seq)
+        while not consumer.eof:
+            polled = consumer.poll(batch_records)
+            if not polled:
+                break  # bounded stream end / retry budget spent
+            for seq, rec in polled:
+                expected = next_seq + len(buf)
+                if seq < expected:
+                    continue  # at-least-once redelivery: drop
+                if seq > expected:
+                    raise RuntimeError(
+                        f"stream gap: expected seq {expected}, got {seq} — "
+                        "the consumer must deliver contiguously from seek()"
+                    )
+                buf.append(json.dumps(rec, sort_keys=True))
+                records += 1
+                if len(buf) >= batch_records:
+                    flush()
+                    consumer.ack(next_seq)
+        flush()
+        consumer.ack(next_seq)
+    finally:
+        if own:
+            consumer.close()
     return {"records": records, "windows": windows, "next_seq": next_seq}
 
 
 def stream_ingest(
-    addr: tuple[str, int],
+    source,
     spool_dir: str,
     changes_dir: str,
     replay_cfg=None,
     **consume_kw,
 ) -> dict:
-    """One poll of the full chain: socket → spooled windows → change-log
-    segments → (optionally) replay into the lake. Each stage is
+    """One poll of the full chain: consumer → spooled windows → change-log
+    segments → (optionally) replay into the lake. `source` is a
+    `(host, port)` tuple or any Consumer-protocol object. Each stage is
     independently idempotent, so this composes into a polling loop the
     same way `tail` does."""
     from datax_ray.sources.envelope import envelopes_to_segments
 
-    got = stream_consume(addr, spool_dir, **consume_kw)
+    got = stream_consume(source, spool_dir, **consume_kw)
     conv = envelopes_to_segments(spool_dir, changes_dir)
     out = {**got, "converted_files": conv.get("converted_files"),
            "converted_rows": conv.get("rows")}
@@ -215,3 +307,139 @@ class EnvelopeStreamServer:
                     conn.sendall(b'{"eof": true}\n')
             except (ConnectionError, BrokenPipeError, ValueError, OSError):
                 continue
+
+
+class FileBroker:
+    """File-backed partitioned topic — the in-repo second transport
+    behind the Consumer seam (a Kafka topic on shared storage). Layout
+    under <broker_dir>, all I/O through the state/fs.py contract so the
+    topic may live on an object store next to the lake:
+
+        p=NNN/log-<lo>-<hi>.jsonl   append-only publish batches; a
+                                    record's offset is its partition-
+                                    local position (line order within
+                                    name-ordered log objects)
+        p=NNN/_end.json             bounded-topic end marker (seal())
+
+    publish() routes each record to hash(key)%partitions when a key
+    function is given (per-key order preserved — Kafka's contract),
+    else round-robin. Appends are new immutable objects, never
+    in-place mutation."""
+
+    def __init__(self, broker_dir: str, partitions: int = 1):
+        self.dir = broker_dir
+        self.partitions = int(partitions)
+        self._fs = fs_for(broker_dir)
+
+    def _pdir(self, p: int) -> str:
+        return os.path.join(self.dir, f"p={p:03d}")
+
+    def _log_files(self, p: int) -> list[str]:
+        return [
+            f for f in self._fs.list_prefix(self._pdir(p))
+            if os.path.basename(f).startswith("log-")
+            and f.endswith(".jsonl")
+        ]
+
+    def end_offset(self, p: int) -> int:
+        """Records published so far to partition p (next offset)."""
+        hi = 0
+        for f in self._log_files(p):
+            name = os.path.basename(f)
+            hi = max(hi, int(name[:-6].split("-")[2]) + 1)
+        return hi
+
+    def publish(self, records: list[dict], key=None) -> dict:
+        """Append `records` across partitions; returns per-partition
+        counts. Routing is stable in record order per partition."""
+        routed: dict[int, list[dict]] = {}
+        for i, rec in enumerate(records):
+            p = (
+                hash_key(str(key(rec))) % self.partitions
+                if key is not None else i % self.partitions
+            )
+            routed.setdefault(p, []).append(rec)
+        out = {}
+        for p, recs in sorted(routed.items()):
+            lo = self.end_offset(p)
+            hi = lo + len(recs) - 1
+            body = "\n".join(
+                json.dumps(r, sort_keys=True) for r in recs
+            ) + "\n"
+            self._fs.put(
+                os.path.join(self._pdir(p), f"log-{lo:012d}-{hi:012d}.jsonl"),
+                body.encode(),
+            )
+            out[p] = len(recs)
+        return out
+
+    def seal(self) -> None:
+        """Mark the topic bounded: consumers see eof at the end offset."""
+        for p in range(self.partitions):
+            self._fs.put(
+                os.path.join(self._pdir(p), "_end.json"),
+                json.dumps({"end": self.end_offset(p)}).encode(),
+            )
+
+
+def hash_key(s: str) -> int:
+    """Stable cross-process key hash (builtin hash() is salted)."""
+    import zlib
+
+    return zlib.crc32(s.encode())
+
+
+class FileBrokerConsumer:
+    """One partition's consumer over a FileBroker — the second Consumer
+    implementation proving the seam. Offsets are partition-local; poll()
+    reads name-ordered log objects from the current position; eof flips
+    when a sealed topic's end marker is reached. ack() is a no-op for
+    the same reason as SocketConsumer's (spool listing = progress)."""
+
+    def __init__(self, broker_dir: str, partition: int = 0):
+        self._broker = FileBroker(broker_dir)
+        self._p = int(partition)
+        self._pos = 0
+        self.eof = False
+
+    def seek(self, offset: int) -> None:
+        self._pos = int(offset)
+        self.eof = False
+
+    def ack(self, offset: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def _sealed_end(self) -> int | None:
+        path = os.path.join(self._broker._pdir(self._p), "_end.json")
+        fs = self._broker._fs
+        if not fs.exists(path):
+            return None
+        return int(json.loads(fs.get(path))["end"])
+
+    def poll(self, max_records: int) -> list[tuple[int, dict]]:
+        out: list[tuple[int, dict]] = []
+        off = 0
+        for f in self._broker._log_files(self._p):
+            name = os.path.basename(f)
+            lo, hi = (int(x) for x in name[:-6].split("-")[1:3])
+            if hi < self._pos:
+                off = hi + 1
+                continue
+            for line in self._broker._fs.get(f).decode().splitlines():
+                if not line.strip():
+                    continue
+                if lo >= self._pos and len(out) < max_records:
+                    out.append((lo, json.loads(line)))
+                lo += 1
+            off = lo
+            if len(out) >= max_records:
+                break
+        if out:
+            self._pos = out[-1][0] + 1
+        end = self._sealed_end()
+        if end is not None and self._pos >= end and len(out) < max_records:
+            self.eof = True
+        return out

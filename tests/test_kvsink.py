@@ -148,3 +148,24 @@ def test_kv_schema_evolution_adds_column(lake, tmp_path):
         ["conv_id", "turn_idx", "role", "text", "tool", "lang", "ts"]
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.equals(live.select(got.column_names))
+
+
+def test_kv_mirror_parallel_appliers(lake, tmp_path):
+    """concurrency=4 (VERDICT r4 #5): a parallel applier pool over a
+    WAL-mode sqlite converges to the exact LWW live state — conditional
+    versioned upserts make row order across appliers irrelevant — and the
+    consumer offset still advances exactly once."""
+    changes, chg, lk = lake
+    db = str(tmp_path / "kvp.db")
+    prime = sqlite3.connect(db)
+    prime.execute("PRAGMA journal_mode=WAL")  # persistent, db-level
+    prime.close()
+
+    out = mirror_to_kv(lk, _factory(db), "kv_store", concurrency=4)
+    assert out["applied"] > 0
+    got = read_kv_table(_factory(db), "kv_store", PAYLOAD)
+    assert got.equals(_live(lk).select(got.column_names))
+
+    out2 = mirror_to_kv(lk, _factory(db), "kv_store", concurrency=4)
+    assert out2["applied"] == 0
+    assert out2["from_epoch"] == out["to_epoch"]

@@ -109,3 +109,82 @@ def test_repoll_idempotent_and_incremental(envelope_records, tmp_path):
         out3 = stream_ingest(srv.addr, spool, chg, replay_cfg=cfg)
     assert out3["records"] == 0 and out3["windows"] == 0
     assert _core(final_table(lake)).equals(_core(final_table(src)))
+
+
+def test_filebroker_roundtrip_through_consumer_seam(envelope_records, tmp_path):
+    """The SECOND Consumer implementation (file-backed topic) through the
+    SAME spool loop: publish → consume → convert → replay equals the
+    source lake, and an incremental publish delivers only the delta —
+    proving stream_consume is transport-agnostic (VERDICT r4 #8)."""
+    from datax_ray.sources.stream import FileBroker, FileBrokerConsumer
+
+    records, src = envelope_records
+    broker = str(tmp_path / "broker")
+    spool = str(tmp_path / "fb_spool")
+    chg = str(tmp_path / "fb_chg")
+    lake = str(tmp_path / "fb_lake")
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8)
+
+    b = FileBroker(broker, partitions=1)
+    half = len(records) // 2
+    b.publish(records[:half])
+    out1 = stream_ingest(FileBrokerConsumer(broker), spool, chg,
+                         replay_cfg=cfg, batch_records=500)
+    assert out1["records"] == half
+
+    b.publish(records[half:])
+    b.seal()
+    out2 = stream_ingest(FileBrokerConsumer(broker), spool, chg,
+                         replay_cfg=cfg, batch_records=500)
+    assert out2["records"] == len(records) - half
+    assert out2["next_seq"] == len(records)
+    assert _core(final_table(lake)).equals(_core(final_table(src)))
+
+    # sealed + drained: a re-poll moves nothing
+    out3 = stream_ingest(FileBrokerConsumer(broker), spool, chg,
+                         replay_cfg=cfg)
+    assert out3["records"] == 0 and out3["windows"] == 0
+
+
+def test_filebroker_partitioned_multisource(envelope_records, tmp_path):
+    """A 2-partition topic keyed by conv_id (Kafka's per-key order
+    contract), one consumer per partition, each partition replayed as its
+    own SOURCE via multi-source replication — the merged lake equals the
+    single-stream source lake."""
+    from datax_ray.sources.stream import FileBroker, FileBrokerConsumer
+
+    records, src = envelope_records
+    broker = str(tmp_path / "broker2")
+    b = FileBroker(broker, partitions=2)
+    def key(rec):
+        # delete envelopes carry after=None — route by whichever image
+        # holds the conv_id
+        for side in ("after", "before"):
+            img = rec.get(side)
+            if isinstance(img, dict) and img.get("conv_id"):
+                return img["conv_id"]
+        return rec.get("conv_id", "")
+
+    b.publish(records, key=key)
+    b.seal()
+
+    from datax_ray.sources.envelope import envelopes_to_segments
+
+    sources = {}
+    total = 0
+    for p in range(2):
+        spool = str(tmp_path / f"mp_spool{p}")
+        chg = str(tmp_path / f"mp_chg{p}")
+        got = __import__("datax_ray.sources.stream", fromlist=["x"]
+                         ).stream_consume(
+            FileBrokerConsumer(broker, partition=p), spool,
+            batch_records=500,
+        )
+        total += got["records"]
+        envelopes_to_segments(spool, chg)
+        sources[f"p{p}"] = chg
+    assert total == len(records)
+
+    lake = str(tmp_path / "mp_lake")
+    replay(ReplayConfig(sources=sources, lake_dir=lake, num_partitions=8))
+    assert _core(final_table(lake)).equals(_core(final_table(src)))
