@@ -216,11 +216,34 @@ def run_replay(changes: str, lake: str, num_cpus: int) -> dict:
     )
     total = time.perf_counter() - t0
     tail = reports[1:] or reports
+
+    # Bytes actually written to the lake (from the manifest's per-epoch
+    # fragment/base lineage — the engine's own exactly-once bookkeeping):
+    # the per-event write amplification the scaling analysis showed is the
+    # DRAM-bound resource (VERDICT r4 #7). frag = ingest writes; base =
+    # compaction rewrites amortized into the steady state.
+    from datax_ray.state.fs import read_json
+    from datax_ray.state.manifest import Manifest
+
+    frag_bytes = base_bytes = 0
+    m = Manifest(lake)
+    for _e, path in m._epoch_files():
+        for row in read_json(path).get("lineage") or []:
+            if row.get("kind") == "frag":
+                frag_bytes += int(row.get("bytes", 0))
+            elif row.get("kind") == "base":
+                base_bytes += int(row.get("bytes", 0))
+    events_total = sum(r.events_in for r in reports)
     return {
         "total_sec": total,
         "epochs": len(reports),
         "sustained_sec": sum(r.wall_s for r in tail),
         "sustained_events": sum(r.events_in for r in tail),
+        "frag_bytes_written": frag_bytes,
+        "base_bytes_written": base_bytes,
+        "bytes_written_per_event": round(
+            (frag_bytes + base_bytes) / max(1, events_total), 2
+        ),
     }
 
 
@@ -242,6 +265,215 @@ def _cleanup_shm_lakes() -> None:
         shutil.rmtree(LAKE_ROOT, ignore_errors=True)
 
 
+class _PacedEnvelopeServer:
+    """EnvelopeStreamServer sibling for the latency bench: serves the
+    record list over the same resume handshake but PACED at a fixed
+    records/sec, stamping each record's actual send wall-time — the t0 of
+    the event→committed-visible latency clock. Stamps land AFTER sendall
+    returns, so a consumer that lags (full TCP buffer) back-pressures the
+    producer and the clock stays honest."""
+
+    def __init__(self, records: list, rate: float, chunk: int = 500):
+        import socket as _socket
+        import threading as _threading
+
+        self._records = records
+        self._rate = float(rate)
+        self._chunk = chunk
+        self.send_t = [0.0] * len(records)
+        self._srv = _socket.create_server(("127.0.0.1", 0))
+        self.addr = self._srv.getsockname()
+        self._stop = _threading.Event()
+        self._thread = _threading.Thread(target=self._serve, daemon=True)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=10)
+
+    def _serve(self):
+        import socket as _socket
+
+        self._srv.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except _socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                with conn:
+                    f = conn.makefile("r", encoding="utf-8")
+                    start = int(json.loads(f.readline())["resume_from"])
+                    t0 = time.perf_counter()
+                    i = start
+                    while i < len(self._records):
+                        j = min(i + self._chunk, len(self._records))
+                        target = t0 + (i - start) / self._rate
+                        now = time.perf_counter()
+                        if target > now:
+                            time.sleep(target - now)
+                        payload = "".join(
+                            json.dumps({**self._records[s], "_seq": s})
+                            + "\n"
+                            for s in range(i, j)
+                        )
+                        conn.sendall(payload.encode())
+                        stamp = time.perf_counter()
+                        for s in range(i, j):
+                            self.send_t[s] = stamp
+                        i = j
+                    conn.sendall(b'{"eof": true}\n')
+                    return
+            except (ConnectionError, BrokenPipeError, ValueError, OSError):
+                continue
+
+
+def _latency_records(total_events: int) -> list:
+    """Deterministic envelope records for the latency stream, derived
+    through the engine itself (gen → replay → envelope export) so image
+    shapes match the converter contract exactly. The export emits the
+    per-epoch NET change per key, so the record count is below the raw
+    event count; replaying the source in several epochs keeps the stream
+    close to event-sized."""
+    import glob as _glob
+
+    from datax_ray.fixtures.generator import gen_changes_dir
+    from datax_ray.pipelines.replay import ReplayConfig, replay
+    from datax_ray.sinks.feedout import export_change_feed_envelopes
+
+    work = os.path.join(BENCH_ROOT, "latency_src")
+    shutil.rmtree(work, ignore_errors=True)
+    seg_rows = max(10_000, total_events // 16)
+    gen_changes_dir(
+        os.path.join(work, "changes"), n_events=total_events,
+        n_convs=max(200, int(total_events * N_CONVS_FRAC)), seed=GEN_SEED,
+        seg_rows=seg_rows,
+    )
+    replay(ReplayConfig(changes_dir=os.path.join(work, "changes"),
+                        lake_dir=os.path.join(work, "lake"),
+                        num_partitions=16, segments_per_epoch=2))
+    export_change_feed_envelopes(os.path.join(work, "lake"),
+                                 os.path.join(work, "env"), fmt="jsonl")
+
+    def window_key(p):
+        name = os.path.basename(p)
+        return (name.split("-e")[-1], name)
+
+    records = []
+    for p in sorted(_glob.glob(os.path.join(work, "env", "env-*.jsonl")),
+                    key=window_key):
+        with open(p) as f:
+            records.extend(json.loads(line) for line in f if line.strip())
+    return records
+
+
+def run_latency(sf: float, epoch_sweep: list[int], rate: float,
+                total_events: int, num_cpus: int) -> None:
+    """End-to-end CDC latency under continuous tailing (VERDICT r4 #3):
+    a paced socket producer streams envelope records at `rate` rec/s; the
+    consumer accumulates `epoch_events` records per poll, spools the
+    window, converts and replays ONE epoch, and every record's latency is
+    (commit-visible wall time − its actual socket send time). Reports
+    p50/p99/mean per epoch size — the latency/throughput trade-off of the
+    ONE knob (--epoch-events): small epochs commit sooner but pay the
+    per-epoch commit overhead more often; large epochs amortize it and
+    push latency toward epoch_events/rate + replay time."""
+    import numpy as np
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             namespace="datax", log_to_driver=False)
+    import logging as _logging
+
+    import ray.data as _rd  # noqa: F401
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
+    try:
+        records = _latency_records(total_events)
+        from datax_ray.pipelines.replay import ReplayConfig, replay
+        from datax_ray.sources.envelope import envelopes_to_segments
+        from datax_ray.sources.stream import SocketConsumer
+        from datax_ray.state.fs import fs_for
+
+        sweep = {}
+        for epoch_events in epoch_sweep:
+            work = os.path.join(BENCH_ROOT, f"latency_e{epoch_events}")
+            shutil.rmtree(work, ignore_errors=True)
+            spool = os.path.join(work, "spool")
+            chg = os.path.join(work, "changes")
+            cfg = ReplayConfig(
+                changes_dir=chg,
+                lake_dir=os.path.join(LAKE_ROOT, f"latency_e{epoch_events}"),
+                num_partitions=16, segments_per_epoch=10**9,
+            )
+            shutil.rmtree(cfg.lake_dir, ignore_errors=True)
+            fs = fs_for(spool)
+            lats: list[float] = []
+            epochs = 0
+            next_seq = 0
+            with _PacedEnvelopeServer(records, rate) as srv:
+                consumer = SocketConsumer(srv.addr, idle_timeout_s=60.0)
+                consumer.seek(0)
+                t_start = time.perf_counter()
+                while True:
+                    polled = consumer.poll(epoch_events)
+                    if not polled:
+                        break
+                    hi = polled[-1][0]
+                    body = "\n".join(
+                        json.dumps(rec, sort_keys=True) for _, rec in polled
+                    )
+                    fs.put(
+                        os.path.join(
+                            spool,
+                            f"env-stream-e{next_seq:012d}-{hi:012d}.jsonl",
+                        ),
+                        (body + "\n").encode(),
+                    )
+                    next_seq = hi + 1
+                    envelopes_to_segments(spool, chg)
+                    replay(cfg)
+                    t_commit = time.perf_counter()
+                    lats.extend(t_commit - srv.send_t[s] for s, _ in polled)
+                    epochs += 1
+                consumer.close()
+                wall = time.perf_counter() - t_start
+            arr = np.asarray(lats)
+            sweep[str(epoch_events)] = {
+                "p50_ms": round(float(np.percentile(arr, 50)) * 1e3, 1),
+                "p99_ms": round(float(np.percentile(arr, 99)) * 1e3, 1),
+                "mean_ms": round(float(arr.mean()) * 1e3, 1),
+                "max_ms": round(float(arr.max()) * 1e3, 1),
+                "epochs": epochs,
+                "records": len(lats),
+                "achieved_records_per_sec": round(len(lats) / wall, 1),
+            }
+        print(json.dumps({
+            "metric": "cdc_event_to_commit_latency_ms",
+            "unit": "ms",
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "input_rate_records_per_sec": rate,
+            "stream_records": len(records),
+            "sweep": sweep,
+            "host_memcpy_gibs_1proc": host_fingerprint(),
+        }))
+    finally:
+        ray.shutdown()
+        _cleanup_shm_lakes()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -249,6 +481,17 @@ def main() -> None:
                     help="cpu widths for --scaling, e.g. 8,16 for the "
                     "adjacent-doubling sample")
     ap.add_argument("--scaling-nodes", action="store_true")
+    ap.add_argument("--latency", action="store_true",
+                    help="event→committed-visible latency under continuous "
+                    "socket tailing at a fixed input rate, swept over "
+                    "--epoch-events")
+    ap.add_argument("--epoch-events", default="10000,40000,160000",
+                    help="comma list of records accumulated per commit "
+                    "epoch for --latency (the latency/throughput knob)")
+    ap.add_argument("--rate", type=float, default=50_000.0,
+                    help="paced input rate (records/sec) for --latency")
+    ap.add_argument("--latency-events", type=int, default=200_000,
+                    help="stream length per sweep point for --latency")
     ap.add_argument("--membw", action="store_true")
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
@@ -267,6 +510,10 @@ def main() -> None:
         return
     if args.scaling_nodes:
         run_scaling_nodes(sf, args.sf_dir, args.events)
+        return
+    if args.latency:
+        run_latency(sf, [int(x) for x in args.epoch_events.split(",")],
+                    args.rate, args.latency_events, num_cpus)
         return
     if args.membw:
         run_membw()
@@ -345,6 +592,9 @@ def main() -> None:
             "total_events": n_events,
             "total_sec": round(rep["total_sec"], 3),
             "epochs": rep["epochs"],
+            "frag_bytes_written": rep["frag_bytes_written"],
+            "base_bytes_written": rep["base_bytes_written"],
+            "bytes_written_per_event": rep["bytes_written_per_event"],
             # methodology self-description: cross-round comparisons are
             # only apples-to-apples at the same lake medium + warm mode
             "lake_root": LAKE_ROOT,
