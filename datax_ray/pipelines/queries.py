@@ -12428,6 +12428,197 @@ FROM embeddings
 """
 
 
+def _planted_dup_setup(sf_dir: str, suffix: str | None):
+    """Shared planting for the approx-dedup check twins: odd doc_ids < 400
+    take the text of doc_id-1 (optionally with `suffix` appended — a small
+    token edit for a known-high Jaccard instead of exact equality). The
+    donor slice is ≤200 rows (BOUNDED constant at any sf — broadcast via
+    ray.put, never a join), so the corpus stays distributed. Returns
+    (planted_corpus_ds, planted_pair_set)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def low_slice(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], 400))
+
+    low = {
+        int(r["doc_id"]): r["text"]
+        for r in ds.map_batches(low_slice, batch_format="pyarrow").take_all()
+    }  # ≤400 rows by construction
+    donors = {i: tx for i, tx in low.items() if i % 2 == 0}
+    planted = {
+        (i - 1, i) for i in low if i % 2 == 1 and (i - 1) in donors
+    }
+    ref = ray.put(donors)
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for i, tx in zip(ids, texts):
+            if i % 2 == 1 and i < 400 and (i - 1) in d:
+                base = d[i - 1]
+                out.append(base if suffix is None else base + suffix)
+            else:
+                out.append(tx)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow"), planted
+
+
+def _pair_recall(pairs_ds, planted: set) -> float:
+    """Fraction of planted (a, b) pairs present in the pair stream —
+    counted distributed (per-batch membership fold, O(batches) driver
+    rows), never by collecting the pair set."""
+    ref = ray.put(frozenset(planted))
+
+    def matched(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        n = sum(
+            1
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
+            if (a, b) in want
+        )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    hits = sum(
+        int(r["n"])
+        for r in pairs_ds.map_batches(matched, batch_format="pyarrow").take_all()
+    )
+    return hits / max(1, len(planted))
+
+
+def simhash_pigeonhole_check(sf_dir: str):
+    """SimHash band-pigeonhole guarantee as a driver row: planted EXACT
+    duplicates have hamming 0 ≤ max_hamming, and splitting the 64-bit
+    hash into max_hamming+1 bands guarantees at least one identical band
+    per qualifying pair — so the banded scan must propose and verify ALL
+    planted pairs (recall exactly 1.0, not a floor). n_planted is
+    SQL-derivable from the same mod rule."""
+    from datax_ray.functions.dedup import simhash_pairs
+
+    corpus, planted = _planted_dup_setup(sf_dir, suffix=None)
+    pairs = simhash_pairs(
+        corpus, max_hamming=3, num_buckets=_buckets_for(sf_dir, "documents")
+    )
+    recall = _pair_recall(pairs, planted)
+    return pa.table(
+        {
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "recall_ok": pa.array([recall >= 1.0]),
+        }
+    )
+
+
+def minhash_recall_check(sf_dir: str):
+    """MinHash-LSH recall floor as a driver row: planted near-duplicates
+    (donor text + a two-token suffix → shingle Jaccard far above the 0.6
+    threshold) must be recovered at ≥0.9 — at J≈0.95 each 4-row band
+    collides with p≈0.81, so 16 bands miss a pair with p≈2e-12; the floor
+    leaves margin for short-document quantization."""
+    from datax_ray.functions.dedup import minhash_lsh_pairs
+
+    corpus, planted = _planted_dup_setup(sf_dir, suffix=" zzalpha zzbeta")
+    pairs = minhash_lsh_pairs(
+        corpus,
+        threshold=0.6,
+        shingle_k=3,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+        est_rows=parquet_rows(os.path.join(sf_dir, "documents.parquet")),
+    )
+    recall = _pair_recall(pairs, planted)
+    return pa.table(
+        {
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "recall_ok": pa.array([recall >= 0.9]),
+        }
+    )
+
+
+PLANTED_DUP_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1
+WHERE a.doc_id % 2 = 1 AND a.doc_id < 400
+"""
+
+
+def scene_cut_recall_check(sf_dir: str):
+    """Shot-boundary recall AND precision as a driver row: synthesize
+    videos with HARD planted cuts (frames 3 and 6 jump to an independent
+    random image; all other frames repeat exactly, so the frame delta is
+    0 off-cut and ~333 milli at cuts — clear margin around the 200
+    threshold). The detector must find exactly the planted set. Video
+    count anchors to the documents table so the oracle is SQL-derivable."""
+    from datax_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        SceneCutDetector,
+        encode_ppmv,
+    )
+
+    n = min(256, parquet_rows(os.path.join(sf_dir, "documents.parquet")))
+    plant_frames = (3, 6)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for mid in t["media_id"].to_pylist():
+            rng = np.random.default_rng(1000 + mid)
+            h = w = 24
+            cur = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            frames = []
+            for j in range(8):
+                if j in plant_frames:
+                    cur = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                frames.append(cur)
+            ids.append(mid)
+            payloads.append(encode_ppmv(np.stack(frames), 100))
+        k = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["video"] * k, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([24] * k, pa.int32()),
+                "height": pa.array([24] * k, pa.int32()),
+                "duration_ms": pa.array([800] * k, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    cuts = (
+        ray.data.from_items([{"media_id": i} for i in range(n)])
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(
+            SceneCutDetector,
+            fn_constructor_kwargs=dict(threshold_milli=200),
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .take_all()
+    )  # ≤ 2n bounded rows
+    planted = {(i, f) for i in range(n) for f in plant_frames}
+    found = {(int(r["media_id"]), int(r["cut_frame"])) for r in cuts}
+    return pa.table(
+        {
+            "n_videos": pa.array([n], pa.int64()),
+            "planted_cuts": pa.array([len(planted)], pa.int64()),
+            "recall_ok": pa.array([planted <= found]),
+            "precision_ok": pa.array([found <= planted]),
+        }
+    )
+
+
+SCENE_CUT_CHECK_SQL = """
+SELECT CAST(LEAST(256, COUNT(*)) AS BIGINT) AS n_videos,
+       CAST(LEAST(256, COUNT(*)) * 2 AS BIGINT) AS planted_cuts,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM documents
+"""
+
+
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
@@ -12549,6 +12740,9 @@ QUERIES = {
     "lang_id_accuracy": lang_id_accuracy,
     "ann_ivf_recall_check": ann_ivf_recall_check,
     "kmeans_inertia_check": kmeans_inertia_check,
+    "simhash_pigeonhole_check": simhash_pigeonhole_check,
+    "minhash_recall_check": minhash_recall_check,
+    "scene_cut_recall_check": scene_cut_recall_check,
     "top_bigrams_global": top_bigrams_global,
     "docs_length_histogram": docs_length_histogram,
     "star_join_order_region": star_join_order_region,
@@ -12655,6 +12849,9 @@ ORACLE_SQL = {
     "lang_id_accuracy": LANG_ID_ACC_SQL,
     "ann_ivf_recall_check": ANN_IVF_CHECK_SQL,
     "kmeans_inertia_check": KMEANS_CHECK_SQL,
+    "simhash_pigeonhole_check": PLANTED_DUP_CHECK_SQL,
+    "minhash_recall_check": PLANTED_DUP_CHECK_SQL,
+    "scene_cut_recall_check": SCENE_CUT_CHECK_SQL,
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_multisource_replay": CDC_REPLAY_SQL,
