@@ -12619,6 +12619,78 @@ FROM documents
 """
 
 
+def embedding_neardup_recall_check(sf_dir: str):
+    """Embedding-LSH near-dup recall as a driver row: odd vec_ids < 200
+    take an EXACT COPY of vec_id-1's embedding (cosine 1.0 — every
+    hyperplane agrees, so the pair collides in every LSH bucket and must
+    be emitted: recall exactly 1.0, not a floor). Donor slice is ≤200
+    vectors, broadcast — the table stays distributed."""
+    from datax_ray.functions.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def low_slice(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], 200))
+
+    low = {
+        int(r["vec_id"]): r["embedding"]
+        for r in ds.map_batches(low_slice, batch_format="pyarrow").take_all()
+    }
+    donors = {i: v for i, v in low.items() if i % 2 == 0}
+    planted = {(i - 1, i) for i in low if i % 2 == 1 and (i - 1) in donors}
+    ref = ray.put(donors)
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        out = [
+            list(d[i - 1]) if (i % 2 == 1 and i < 200 and (i - 1) in d)
+            else v
+            for i, v in zip(ids, vecs)
+        ]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.array(out)}
+        )
+
+    pairs = embedding_dup_pairs(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=0.9,
+        num_planes=8,
+        num_buckets=_buckets_for(sf_dir, "embeddings"),
+    )
+
+    ref_p = ray.put(frozenset(planted))
+
+    def matched(t: pa.Table) -> pa.Table:
+        want = ray.get(ref_p)
+        n = sum(
+            1
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
+            if (a, b) in want
+        )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    hits = sum(
+        int(r["n"])
+        for r in pairs.map_batches(matched, batch_format="pyarrow").take_all()
+    )
+    recall = hits / max(1, len(planted))
+    return pa.table(
+        {
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "recall_ok": pa.array([recall >= 1.0]),
+        }
+    )
+
+
+EMB_NEARDUP_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id + 1
+WHERE a.vec_id % 2 = 1 AND a.vec_id < 200
+"""
+
+
 QUERIES = {
     "cdc_lww_upsert": cdc_lww_upsert,
     "cdc_replay_final": cdc_replay_final,
@@ -12743,6 +12815,7 @@ QUERIES = {
     "simhash_pigeonhole_check": simhash_pigeonhole_check,
     "minhash_recall_check": minhash_recall_check,
     "scene_cut_recall_check": scene_cut_recall_check,
+    "embedding_neardup_recall_check": embedding_neardup_recall_check,
     "top_bigrams_global": top_bigrams_global,
     "docs_length_histogram": docs_length_histogram,
     "star_join_order_region": star_join_order_region,
@@ -12852,6 +12925,7 @@ ORACLE_SQL = {
     "simhash_pigeonhole_check": PLANTED_DUP_CHECK_SQL,
     "minhash_recall_check": PLANTED_DUP_CHECK_SQL,
     "scene_cut_recall_check": SCENE_CUT_CHECK_SQL,
+    "embedding_neardup_recall_check": EMB_NEARDUP_CHECK_SQL,
     "cdc_lww_upsert": CDC_LWW_SQL,
     "cdc_replay_final": CDC_REPLAY_SQL,
     "cdc_multisource_replay": CDC_REPLAY_SQL,
