@@ -377,7 +377,8 @@ def _latency_records(total_events: int) -> list:
 
 
 def run_latency(sf: float, epoch_sweep: list[int], rate: float,
-                total_events: int, num_cpus: int) -> None:
+                total_events: int, num_cpus: int,
+                pipelined: bool = False) -> None:
     """End-to-end CDC latency under continuous tailing (VERDICT r4 #3):
     a paced socket producer streams envelope records at `rate` rec/s; the
     consumer accumulates `epoch_events` records per poll, spools the
@@ -423,31 +424,73 @@ def run_latency(sf: float, epoch_sweep: list[int], rate: float,
             epochs = 0
             next_seq = 0
             with _PacedEnvelopeServer(records, rate) as srv:
-                consumer = SocketConsumer(srv.addr, idle_timeout_s=60.0)
-                consumer.seek(0)
                 t_start = time.perf_counter()
-                while True:
-                    polled = consumer.poll(epoch_events)
-                    if not polled:
-                        break
-                    hi = polled[-1][0]
-                    body = "\n".join(
-                        json.dumps(rec, sort_keys=True) for _, rec in polled
+                if pipelined:
+                    # background spooler keeps draining the socket while
+                    # the foreground converts+replays (stream_tail): the
+                    # producer is never back-pressured by commit time
+                    import re as _re
+
+                    from datax_ray.sources.envelope import (
+                        _load_state as _env_state,
                     )
-                    fs.put(
-                        os.path.join(
-                            spool,
-                            f"env-stream-e{next_seq:012d}-{hi:012d}.jsonl",
-                        ),
-                        (body + "\n").encode(),
+                    from datax_ray.sources.stream import stream_tail
+
+                    win_re = _re.compile(
+                        r"^env-stream-e(\d{12})-(\d{12})\.jsonl$"
                     )
-                    next_seq = hi + 1
-                    envelopes_to_segments(spool, chg)
-                    replay(cfg)
-                    t_commit = time.perf_counter()
-                    lats.extend(t_commit - srv.send_t[s] for s, _ in polled)
-                    epochs += 1
-                consumer.close()
+                    committed_hi = -1
+
+                    def on_epoch(reports, spooled_hi):
+                        nonlocal committed_hi, epochs
+                        t_commit = time.perf_counter()
+                        hi = -1
+                        for name in _env_state(chg).get("converted", []):
+                            m = win_re.match(os.path.basename(name))
+                            if m:
+                                hi = max(hi, int(m.group(2)))
+                        lats.extend(
+                            t_commit - srv.send_t[s]
+                            for s in range(committed_hi + 1, hi + 1)
+                        )
+                        committed_hi = hi
+                        epochs += len(reports)
+
+                    stream_tail(
+                        SocketConsumer(srv.addr, idle_timeout_s=60.0),
+                        spool, chg, cfg,
+                        batch_records=min(2000, epoch_events),
+                        epoch_records=epoch_events,
+                        on_epoch=on_epoch,
+                    )
+                else:
+                    consumer = SocketConsumer(srv.addr, idle_timeout_s=60.0)
+                    consumer.seek(0)
+                    while True:
+                        polled = consumer.poll(epoch_events)
+                        if not polled:
+                            break
+                        hi = polled[-1][0]
+                        body = "\n".join(
+                            json.dumps(rec, sort_keys=True)
+                            for _, rec in polled
+                        )
+                        fs.put(
+                            os.path.join(
+                                spool,
+                                f"env-stream-e{next_seq:012d}-{hi:012d}.jsonl",
+                            ),
+                            (body + "\n").encode(),
+                        )
+                        next_seq = hi + 1
+                        envelopes_to_segments(spool, chg)
+                        replay(cfg)
+                        t_commit = time.perf_counter()
+                        lats.extend(
+                            t_commit - srv.send_t[s] for s, _ in polled
+                        )
+                        epochs += 1
+                    consumer.close()
                 wall = time.perf_counter() - t_start
             arr = np.asarray(lats)
             sweep[str(epoch_events)] = {
@@ -465,6 +508,7 @@ def run_latency(sf: float, epoch_sweep: list[int], rate: float,
             "sf": sf,
             "num_cpus": num_cpus,
             "input_rate_records_per_sec": rate,
+            "pipelined": pipelined,
             "stream_records": len(records),
             "sweep": sweep,
             "host_memcpy_gibs_1proc": host_fingerprint(),
@@ -492,6 +536,10 @@ def main() -> None:
                     help="paced input rate (records/sec) for --latency")
     ap.add_argument("--latency-events", type=int, default=200_000,
                     help="stream length per sweep point for --latency")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="--latency variant: background spooler thread "
+                    "(stream_tail) so the transport is drained during "
+                    "replay instead of between replays")
     ap.add_argument("--membw", action="store_true")
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
@@ -513,7 +561,8 @@ def main() -> None:
         return
     if args.latency:
         run_latency(sf, [int(x) for x in args.epoch_events.split(",")],
-                    args.rate, args.latency_events, num_cpus)
+                    args.rate, args.latency_events, num_cpus,
+                    pipelined=args.pipelined)
         return
     if args.membw:
         run_membw()

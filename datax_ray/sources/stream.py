@@ -249,6 +249,90 @@ def stream_ingest(
     return out
 
 
+def stream_tail(
+    source,
+    spool_dir: str,
+    changes_dir: str,
+    replay_cfg,
+    *,
+    batch_records: int = 2000,
+    epoch_records: int | None = None,
+    on_epoch=None,
+    max_epochs: int | None = None,
+) -> dict:
+    """PIPELINED continuous tailing: a background spooler thread keeps
+    draining the consumer into durable window files while the foreground
+    loop converts + replays whatever has landed — so the socket/broker is
+    read DURING replay instead of between replays (the synchronous
+    stream_ingest loop leaves the transport idle for the whole commit,
+    which caps its throughput at the commit rate and back-pressures the
+    producer; measured in bench.py --latency).
+
+    `epoch_records` bounds how many records the foreground waits to
+    accumulate before committing an epoch (None = commit whatever is
+    pending each iteration — lowest latency). Crash-safety is unchanged:
+    the spool listing stays the progress truth, windows are atomic puts,
+    and convert/replay keep their own exactly-once bookkeeping; killing
+    this loop anywhere resumes exactly (the same contract as
+    stream_consume, just concurrent).
+
+    Runs until the consumer signals eof and everything spooled is
+    committed (or `max_epochs` epochs landed). `on_epoch(reports,
+    spooled_hi)` fires after each commit — the latency bench's hook.
+    Returns {"records", "windows", "epochs"}."""
+    from datax_ray.pipelines.replay import replay
+    from datax_ray.sources.envelope import envelopes_to_segments
+
+    result: dict = {}
+    err: list = []
+    done = threading.Event()
+
+    def spooler():
+        try:
+            result.update(
+                stream_consume(source, spool_dir, batch_records=batch_records)
+            )
+        except BaseException as e:  # surfaced to the foreground loop
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=spooler, daemon=True)
+    t.start()
+    epochs = 0
+    unreplayed = 0
+    try:
+        while True:
+            if err:
+                raise err[0]
+            # read the finished flag BEFORE converting: if it was already
+            # set, this convert sees every window the spooler wrote
+            finished = done.is_set()
+            conv = envelopes_to_segments(spool_dir, changes_dir)
+            unreplayed += int(conv.get("rows") or 0)
+            if unreplayed and (
+                finished
+                or epoch_records is None
+                or unreplayed >= epoch_records
+            ):
+                reports = replay(replay_cfg)
+                if reports:
+                    epochs += len(reports)
+                    if on_epoch:
+                        on_epoch(reports, _spooled_next_seq(spool_dir))
+                unreplayed = 0
+                if max_epochs is not None and epochs >= max_epochs:
+                    break
+            elif finished:
+                break  # spooler done, nothing converted, nothing pending
+            else:
+                time.sleep(0.05)
+    finally:
+        done.wait(timeout=60)
+        t.join(timeout=60)
+    return {**result, "epochs": epochs}
+
+
 class EnvelopeStreamServer:
     """Reference broker for tests/demos: serves a fixed record list over
     TCP with the resume handshake, optionally dropping the connection

@@ -188,3 +188,43 @@ def test_filebroker_partitioned_multisource(envelope_records, tmp_path):
     lake = str(tmp_path / "mp_lake")
     replay(ReplayConfig(sources=sources, lake_dir=lake, num_partitions=8))
     assert _core(final_table(lake)).equals(_core(final_table(src)))
+
+
+def test_stream_tail_pipelined(envelope_records, tmp_path):
+    """stream_tail (pipelined: background spooler + foreground
+    convert/replay) lands the same final state as the synchronous loop,
+    over BOTH transports — with drops+redelivery on the socket path."""
+    from datax_ray.sources.stream import (
+        FileBroker,
+        FileBrokerConsumer,
+        SocketConsumer,
+        stream_tail,
+    )
+
+    records, src = envelope_records
+
+    spool = str(tmp_path / "pt_spool")
+    chg = str(tmp_path / "pt_chg")
+    lake = str(tmp_path / "pt_lake")
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8,
+                       segments_per_epoch=10**9)
+    with EnvelopeStreamServer(records, drop_every=700, redeliver=50) as srv:
+        out = stream_tail(SocketConsumer(srv.addr), spool, chg, cfg,
+                          batch_records=400, epoch_records=800)
+    assert out["records"] == len(records)
+    assert out["epochs"] >= 1
+    assert _core(final_table(lake)).equals(_core(final_table(src)))
+
+    broker = str(tmp_path / "pt_broker")
+    b = FileBroker(broker, partitions=1)
+    b.publish(records)
+    b.seal()
+    spool2 = str(tmp_path / "pt_spool2")
+    chg2 = str(tmp_path / "pt_chg2")
+    lake2 = str(tmp_path / "pt_lake2")
+    cfg2 = ReplayConfig(changes_dir=chg2, lake_dir=lake2, num_partitions=8,
+                        segments_per_epoch=10**9)
+    out2 = stream_tail(FileBrokerConsumer(broker), spool2, chg2, cfg2,
+                       batch_records=500, epoch_records=1000)
+    assert out2["records"] == len(records)
+    assert _core(final_table(lake2)).equals(_core(final_table(src)))
