@@ -241,6 +241,40 @@ def main(argv=None):
                     "all downstream views warm automatically")
     tl.add_argument("--num-cpus", type=int, default=None)
 
+    cs = sub.add_parser(
+        "consume",
+        help="tail a streaming envelope transport (TCP socket or file "
+        "broker) into the lake: spool -> convert -> replay, exactly-once",
+    )
+    cs.add_argument("--addr", default=None, metavar="HOST:PORT",
+                    help="socket transport: envelope stream server "
+                    "(resume handshake; exclusive with --broker)")
+    cs.add_argument("--broker", default=None, metavar="DIR",
+                    help="file-broker topic dir (FileBroker layout; "
+                    "exclusive with --addr)")
+    cs.add_argument("--partition", type=int, default=0,
+                    help="broker partition to consume (one consumer per "
+                    "partition; replay partitions as --source NAME=DIR "
+                    "multi-source for a keyed topic)")
+    cs.add_argument("--spool", required=True,
+                    help="durable window spool dir (the progress truth)")
+    cs.add_argument("--changes", required=True,
+                    help="converted change-log segment dir")
+    cs.add_argument("--lake", default=None,
+                    help="replay converted segments here (omit = spool + "
+                    "convert only)")
+    cs.add_argument("--partitions", type=int, default=64)
+    cs.add_argument("--epoch-records", type=int, default=None,
+                    help="pipelined mode: records accumulated per commit "
+                    "epoch (the latency/throughput knob; default = commit "
+                    "whatever is pending)")
+    cs.add_argument("--pipelined", action="store_true",
+                    help="background spooler thread: the transport is "
+                    "drained DURING replay (stream_tail)")
+    cs.add_argument("--batch-records", type=int, default=2000,
+                    help="records per durable spool window")
+    cs.add_argument("--num-cpus", type=int, default=None)
+
     mvp = sub.add_parser("mv", help="refresh the per-conversation stats materialized view")
     mvp.add_argument("--lake", required=True)
     mvp.add_argument("--mv", required=True, help="MV output directory")
@@ -944,6 +978,52 @@ def main(argv=None):
             )
         if not reports:
             print(json.dumps({"status": "up-to-date (all segments committed)"}))
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "consume":
+        if (a.addr is None) == (a.broker is None):
+            print(json.dumps(
+                {"error": "pass exactly one of --addr or --broker"}))
+            return 2
+        _ensure_ray(a.num_cpus)
+        import ray
+
+        from datax_ray.pipelines.replay import ReplayConfig
+        from datax_ray.sources.stream import (
+            FileBrokerConsumer,
+            SocketConsumer,
+            stream_ingest,
+            stream_tail,
+        )
+
+        if a.addr is not None:
+            host, _, port = a.addr.rpartition(":")
+            source = SocketConsumer((host or "127.0.0.1", int(port)))
+        else:
+            source = FileBrokerConsumer(a.broker, partition=a.partition)
+        cfg = None
+        if a.lake:
+            cfg = ReplayConfig(
+                changes_dir=a.changes, lake_dir=a.lake,
+                num_partitions=a.partitions, segments_per_epoch=10**9,
+            )
+        if a.pipelined:
+            if cfg is None:
+                print(json.dumps({"error": "--pipelined needs --lake"}))
+                return 2
+            out = stream_tail(
+                source, a.spool, a.changes, cfg,
+                batch_records=a.batch_records,
+                epoch_records=a.epoch_records,
+            )
+        else:
+            out = stream_ingest(
+                source, a.spool, a.changes, replay_cfg=cfg,
+                batch_records=a.batch_records,
+            )
+            source.close()
+        print(json.dumps(out))
         ray.shutdown()
         return 0
 

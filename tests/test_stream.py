@@ -228,3 +228,41 @@ def test_stream_tail_pipelined(envelope_records, tmp_path):
                        batch_records=500, epoch_records=1000)
     assert out2["records"] == len(records)
     assert _core(final_table(lake2)).equals(_core(final_table(src)))
+
+
+def test_consume_cli_verb(envelope_records, tmp_path):
+    """`datax_ray consume` drives the full transport→lake chain from the
+    command line (broker transport, pipelined): final state equals the
+    source lake; a second invocation on the sealed topic is a no-op."""
+    import subprocess
+    import sys
+
+    from datax_ray.sources.stream import FileBroker
+
+    records, src = envelope_records
+    broker = str(tmp_path / "cli_broker")
+    b = FileBroker(broker, partitions=1)
+    b.publish(records)
+    b.seal()
+
+    args = [sys.executable, "-m", "datax_ray", "consume",
+            "--broker", broker,
+            "--spool", str(tmp_path / "cli_spool"),
+            "--changes", str(tmp_path / "cli_chg"),
+            "--lake", str(tmp_path / "cli_lake"),
+            "--pipelined", "--epoch-records", "1000",
+            "--num-cpus", "4"]
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    out = subprocess.run(args, capture_output=True, text=True, env=env,
+                         timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["records"] == len(records) and got["epochs"] >= 1
+
+    lake = str(tmp_path / "cli_lake")
+    assert _core(final_table(lake)).equals(_core(final_table(src)))
+
+    out2 = subprocess.run(args, capture_output=True, text=True, env=env,
+                          timeout=240)
+    got2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert got2["records"] == 0
