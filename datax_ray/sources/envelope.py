@@ -244,14 +244,27 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
         name = os.path.basename(p)
         return (name.split("-e")[-1], name)
 
+    # env_dir may live on an object store (the streaming spool's home —
+    # state/fs.py contract); changes_dir is the engine's local ingest
+    # staging. Listing and reads go through the contract, local paths
+    # keep the direct-glob fast path.
+    from datax_ray.state.fs import fs_for, is_remote
+
+    if is_remote(env_dir):
+        env_files = [
+            p for p in fs_for(env_dir).list_prefix(env_dir)
+            if os.path.basename(p).startswith("env-")
+            and p.endswith(".jsonl")
+        ]
+    else:
+        env_files = _glob.glob(os.path.join(env_dir, "env-*.jsonl"))
     pending = sorted(
-        (
-            p
-            for p in _glob.glob(os.path.join(env_dir, "env-*.jsonl"))
-            if os.path.basename(p) not in done
-        ),
+        (p for p in env_files if os.path.basename(p) not in done),
         key=window_key,
     )
+
+    def _jsonl_input(path: str):
+        return fs_for(path).open_input(path) if is_remote(path) else path
 
     # Pass 1 — parse + discover image fields beyond the already-registered
     # set, so every segment of THIS run shares one schema (segments inside
@@ -266,7 +279,7 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
     for p in pending:
         # parse, harvest schema + row count + min ts, DROP — memory stays
         # O(one file) even on a first full-history export (pass 2 re-parses)
-        t = pa_json.read_json(p)
+        t = pa_json.read_json(_jsonl_input(p))
         for name, typ in _extra_fields(t).items():
             if name not in known and name not in new_cols:
                 new_cols[name] = _ddl_type_of(name, typ)
@@ -300,7 +313,10 @@ def envelopes_to_segments(env_dir: str, changes_dir: str) -> dict:
     next_lsn = base
 
     def convert_one(path: str, base_lsn: int) -> int:
-        t = pa_json.read_json(path)
+        from datax_ray.state.fs import fs_for as _ff, is_remote as _ir
+
+        t = pa_json.read_json(_ff(path).open_input(path) if _ir(path)
+                              else path)
         out = _convert_table(t, base_lsn, extras)
         if out.num_rows:
             seg = os.path.join(changes_dir, f"seg-{base_lsn:012d}.parquet")

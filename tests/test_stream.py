@@ -266,3 +266,26 @@ def test_consume_cli_verb(envelope_records, tmp_path):
                           timeout=240)
     got2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert got2["records"] == 0
+
+
+def test_broker_and_spool_on_objstore(envelope_records, tmp_path):
+    """The file broker's topic AND the consumer's spool both live on the
+    object store (all I/O through state/fs.py): publish → consume →
+    convert → replay equals the source lake — the 'Kafka topic on shared
+    storage' claim, proven on the strict obj:// emulator."""
+    from datax_ray.sources.stream import FileBroker, FileBrokerConsumer
+
+    records, src = envelope_records
+    broker = "obj://" + str(tmp_path / "obj_broker")
+    spool = "obj://" + str(tmp_path / "obj_spool")
+    chg = str(tmp_path / "obj_chg")
+    lake = str(tmp_path / "obj_lake")
+    cfg = ReplayConfig(changes_dir=chg, lake_dir=lake, num_partitions=8)
+
+    b = FileBroker(broker, partitions=1)
+    b.publish(records)
+    b.seal()
+    out = stream_ingest(FileBrokerConsumer(broker), spool, chg,
+                        replay_cfg=cfg, batch_records=500)
+    assert out["records"] == len(records)
+    assert _core(final_table(lake)).equals(_core(final_table(src)))
