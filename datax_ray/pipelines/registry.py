@@ -42,6 +42,8 @@ from __future__ import annotations
 import json
 import os
 
+from datax_ray.state.fs import canon_path
+
 _REG = "artifacts.json"
 
 
@@ -158,7 +160,9 @@ def register_artifact(
     reg = _load(lake_dir)
     reg["artifacts"][name] = {
         "kind": kind,
-        "dir": os.path.abspath(artifact_dir),
+        # canon_path, not abspath: artifact dirs may be obj://, s3://
+        # URLs (abspath would mangle the scheme into a cwd-relative path)
+        "dir": canon_path(artifact_dir),
         "params": params,
     }
     _save(lake_dir, reg)

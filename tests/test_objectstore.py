@@ -609,3 +609,34 @@ def test_fsspec_put_if_absent_legacy_fallback(monkeypatch):
     assert shim.put_if_absent("legacy://a/b", b"x") is True
     assert shim.put_if_absent("legacy://a/b", b"y") is False
     assert objs["legacy://a/b"] == b"x"
+
+
+def test_registry_sync_with_objstore_artifacts(obj_lake, tmp_path):
+    """The artifact registry keeps obj:// artifacts warm through `sync`:
+    register the round-5-ported kinds (mvwindow, index, colindex) with
+    obj:// dirs on an obj:// lake, sync twice — first refreshes, second
+    is a fingerprint no-op."""
+    from datax_ray.pipelines.registry import (
+        list_artifacts,
+        register_artifact,
+        sync_artifacts,
+    )
+
+    changes, chg, lake, cfg = obj_lake
+    register_artifact(lake, "w", "mvwindow", _obj(tmp_path, "rw"),
+                      params={"window_s": 2})
+    register_artifact(lake, "ti", "index", _obj(tmp_path, "rti"))
+    register_artifact(lake, "vi", "colindex", _obj(tmp_path, "rvi"),
+                      params={"column": "role"})
+    arts = list_artifacts(lake)
+    assert set(arts) >= {"w", "ti", "vi"}
+    assert all(arts[n]["dir"].startswith("obj://") for n in ("w", "ti", "vi"))
+    s1 = sync_artifacts(lake, only=["w", "ti", "vi"])
+    assert s1["failed"] == 0, s1
+    s2 = sync_artifacts(lake, only=["w", "ti", "vi"])
+    assert s2["failed"] == 0, s2
+    for name, stats in s2["results"].items():
+        assert (
+            stats.get("refreshed", 0) == 0
+            or stats.get("buckets_touched", 1) == 0
+        ), (name, stats)
