@@ -428,7 +428,11 @@ def merge_back(
     # regardless — the cursor narrows the key set, never the semantics.
     props = mp.committed_properties()
     cursors = dict(props.get("mergeback_cursors") or {})
-    bkey = os.path.abspath(branch_dir)
+    from datax_ray.state.fs import canon_path
+
+    # canon_path: an obj:///s3:// branch dir must key the cursor stably
+    # across sessions (abspath would prefix the cwd to the URL)
+    bkey = canon_path(branch_dir)
     cur = cursors.get(bkey) or {}
     cursor_valid = int(cur.get("branch_point", bp)) == bp
     feed_from = max(bp, int(cur.get("epoch", bp))) if cursor_valid else bp
@@ -621,7 +625,7 @@ def merge_back(
         },
         lineage=lineage,
         metrics={"mergeback": {
-            "branch": os.path.abspath(branch_dir),
+            "branch": canon_path(branch_dir),
             "branch_point": bp,
             "branch_head": head_b,
             "applied": result["applied"],
