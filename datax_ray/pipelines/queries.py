@@ -3069,6 +3069,25 @@ FROM orders
 """
 
 
+def _cell_groups(t: pa.Table, group_col: str, val_col: str):
+    """Iterate a BOUNDED folded-cell table (group, value, n) as
+    (group_key, sorted_values, counts) slices — Arrow → numpy directly,
+    no pandas round-trip (the r4 review's Arrow-native consistency note).
+    The table is O(groups × distinct values) by construction (partial_agg
+    single_reduce), so the per-group Python loop is over a bounded count,
+    never rows."""
+    t = t.sort_by([(group_col, "ascending"), (val_col, "ascending")])
+    grp = np.asarray(t[group_col].to_pylist(), dtype=object)
+    vals = t[val_col].to_numpy(zero_copy_only=False)
+    cnts = t["n"].to_numpy(zero_copy_only=False)
+    if len(grp) == 0:
+        return
+    starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+    ends = np.r_[starts[1:], len(grp)]
+    for s, e in zip(starts, ends):
+        yield grp[s], vals[s:e], cnts[s:e]
+
+
 def grouped_median_order_price(sf_dir: str):
     """Per-group EXACT median (cent resolution): the same histogram
     combiner as quantile_sketch_order_price but keyed by (group, value) —
@@ -3076,8 +3095,6 @@ def grouped_median_order_price(sf_dir: str):
     vectorized fold applies quantile_disc's index rule per group. The
     grouped-quantile shape that a 100 TB curation pipeline uses for
     per-source length/score cutoffs."""
-    import pandas as pd
-
     from datax_ray.functions.relational import partial_agg
 
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
@@ -3097,17 +3114,21 @@ def grouped_median_order_price(sf_dir: str):
         single_reduce=True,  # histogram is bounded by the value grid
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["o_orderpriority", "cents"], kind="stable")
+    def fold(t: pa.Table) -> pa.Table:
         prios, medians = [], []
-        for pr, g in df.groupby("o_orderpriority", sort=True):
-            cum = g["n"].cumsum().to_numpy()
+        for pr, vals, cnts in _cell_groups(t, "o_orderpriority", "cents"):
+            cum = np.cumsum(cnts)
             idx = max(0, int(np.ceil(0.5 * cum[-1])) - 1)
-            medians.append(int(g["cents"].to_numpy()[np.searchsorted(cum, idx + 1)]))
+            medians.append(int(vals[np.searchsorted(cum, idx + 1)]))
             prios.append(pr)
-        return pd.DataFrame({"o_orderpriority": prios, "p50_cents": medians})
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "p50_cents": pa.array(medians, pa.int64()),
+            }
+        )
 
-    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+    return hist.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
 GROUPED_MEDIAN_SQL = """
@@ -3124,8 +3145,6 @@ def grouped_percentiles_order_price(sf_dir: str):
     in {0, .25, .5, .75}, so value*4 is an exact integer: results are
     returned x4 (`pNN_x4`) to make the float interpolation hash-exact
     against the SQL oracle (no 1-ulp drift at cent scale)."""
-    import pandas as pd
-
     from datax_ray.functions.relational import partial_agg
 
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
@@ -3145,15 +3164,13 @@ def grouped_percentiles_order_price(sf_dir: str):
         single_reduce=True,  # histogram is bounded by the value grid
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["o_orderpriority", "cents"], kind="stable")
-        out = {"o_orderpriority": []}
+    def fold(t: pa.Table) -> pa.Table:
         qs = {"p25_x4": 0.25, "p50_x4": 0.5, "p75_x4": 0.75}
+        out: dict[str, list] = {"o_orderpriority": []}
         for c in qs:
             out[c] = []
-        for pr, g in df.groupby("o_orderpriority", sort=True):
-            vals = g["cents"].to_numpy()
-            cum = g["n"].cumsum().to_numpy()
+        for pr, vals, cnts in _cell_groups(t, "o_orderpriority", "cents"):
+            cum = np.cumsum(cnts)
             n = int(cum[-1])
             out["o_orderpriority"].append(pr)
             for col, q in qs.items():
@@ -3162,11 +3179,14 @@ def grouped_percentiles_order_price(sf_dir: str):
                 v_lo = int(vals[np.searchsorted(cum, lo + 1)])
                 v_hi = int(vals[np.searchsorted(cum, hi + 1)])
                 out[col].append(round(4 * v_lo + (pos - lo) * 4 * (v_hi - v_lo)))
-        return pd.DataFrame(out).astype(
-            {c: "int64" for c in qs} | {"o_orderpriority": "object"}
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+                **{c: pa.array(out[c], pa.int64()) for c in qs},
+            }
         )
 
-    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+    return hist.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
 GROUPED_PERCENTILES_SQL = """
@@ -7220,8 +7240,6 @@ def mad_order_price(sf_dir: str):
     rows once; the deviation histogram is a value transform of the same
     counts, so no second pass over the data exists. quantile_disc index
     rule on both engines — integer-exact."""
-    import pandas as pd
-
     from datax_ray.functions.relational import partial_agg
 
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
@@ -7250,21 +7268,23 @@ def mad_order_price(sf_dir: str):
         idx = max(0, int(np.ceil(0.5 * cum[-1])) - 1)
         return int(vals[np.searchsorted(cum, idx + 1)])
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+    def fold(t: pa.Table) -> pa.Table:
         prios, meds, mads = [], [], []
-        for pr, g in df.groupby("o_orderpriority", sort=True):
-            vals = g["cents"].to_numpy()
-            cnts = g["n"].to_numpy()
+        for pr, vals, cnts in _cell_groups(t, "o_orderpriority", "cents"):
             med = _disc(vals, cnts)
             mad = _disc(np.abs(vals - med), cnts)
             prios.append(pr)
             meds.append(med)
             mads.append(mad)
-        return pd.DataFrame(
-            {"o_orderpriority": prios, "p50_cents": meds, "mad_cents": mads}
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "p50_cents": pa.array(meds, pa.int64()),
+                "mad_cents": pa.array(mads, pa.int64()),
+            }
         )
 
-    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+    return hist.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
 MAD_SQL = """
@@ -12056,8 +12076,6 @@ def median_cont_order_price(sf_dir: str):
     has no float surface. Same ONE-histogram plan as the MAD query: the
     combiner moves O(statuses × distinct cents) rows, both middles come
     from two cumulative-histogram lookups — the corpus never re-reads."""
-    import pandas as pd
-
     from datax_ray.functions.relational import partial_agg
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
@@ -12074,21 +12092,25 @@ def median_cont_order_price(sf_dir: str):
         single_reduce=True,
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for st, g in df.groupby("o_orderstatus", sort=True):
-            order = np.argsort(g["cents"].to_numpy(), kind="stable")
-            vals = g["cents"].to_numpy()[order]
-            cum = np.cumsum(g["n"].to_numpy()[order])
+    def fold(t: pa.Table) -> pa.Table:
+        sts, meds, ns = [], [], []
+        for st, vals, cnts in _cell_groups(t, "o_orderstatus", "cents"):
+            cum = np.cumsum(cnts)
             n = int(cum[-1])
             lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
             hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
-            rows.append({"o_orderstatus": st, "median_halfcents": lo + hi,
-                         "n_orders": n})
-        return pd.DataFrame(rows, columns=["o_orderstatus", "median_halfcents",
-                                           "n_orders"])
+            sts.append(st)
+            meds.append(lo + hi)
+            ns.append(n)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(sts, pa.string()),
+                "median_halfcents": pa.array(meds, pa.int64()),
+                "n_orders": pa.array(ns, pa.int64()),
+            }
+        )
 
-    return hist.map_batches(fold, batch_format="pandas", batch_size=None)
+    return hist.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
 MEDIAN_CONT_SQL = """
